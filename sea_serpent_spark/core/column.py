@@ -1,0 +1,258 @@
+"""Column promise — lazy handle to one column of a Table.
+
+Reference parity: ``seaserpent.base.Column`` (base.py:1704-2258). A Column is
+constructed with no I/O; comparisons return predicates; materialization
+happens only at explicit edges (``.values`` / ``.to_series()``,
+base.py:1882-1893).
+
+Spark-first design: wraps a ``pyspark.sql.Column`` bound to the parent
+Table's DataFrame. Every predicate builder returns a :class:`Filter` holding
+a boolean Column — Catalyst pushes these into the parquet scan
+(PushedFilters), so "pushdown-by-construction" (SURVEY §4) is preserved and
+strengthened. Materializing edges collect through Arrow.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column as SparkColumn
+
+from .filter import Filter
+
+#: Above this many literals, ``isin`` switches from an IN-list to a
+#: broadcast semi-join against a literal DataFrame (the reference's
+#: ``online=False`` client-side fallback, base.py:1974-2012, made
+#: distributed). IN-lists beyond a few thousand entries bloat the plan.
+ISIN_LITERAL_CAP = 4096
+
+_NUMERIC_KINDS = ("int", "bigint", "smallint", "tinyint", "float", "double", "decimal")
+
+
+class Column:
+    """Lazy column handle. No I/O at construction (base.py:1704-1708)."""
+
+    def __init__(self, name: str, table):
+        self.name = name
+        self.table = table
+
+    # -- plumbing ----------------------------------------------------------
+    @property
+    def expr(self) -> SparkColumn:
+        return self.table.df[self.name]
+
+    @property
+    def dtype(self) -> str:
+        for n, t in self.table.df.dtypes:
+            if n == self.name:
+                return t
+        raise KeyError(self.name)
+
+    def _is_numeric(self) -> bool:
+        return self.dtype.startswith(_NUMERIC_KINDS)
+
+    def _is_string(self) -> bool:
+        return self.dtype == "string"
+
+    # -- comparisons → Filter (base.py:1724-1752) --------------------------
+    def __eq__(self, other) -> Filter:  # type: ignore[override]
+        return Filter(self.expr == _rhs(other))
+
+    def __ne__(self, other) -> Filter:  # type: ignore[override]
+        return Filter(self.expr != _rhs(other))
+
+    def __lt__(self, other) -> Filter:
+        return Filter(self.expr < _rhs(other))
+
+    def __le__(self, other) -> Filter:
+        return Filter(self.expr <= _rhs(other))
+
+    def __gt__(self, other) -> Filter:
+        return Filter(self.expr > _rhs(other))
+
+    def __ge__(self, other) -> Filter:
+        return Filter(self.expr >= _rhs(other))
+
+    # -- boolean algebra on checkbox columns (base.py:1754-1780) -----------
+    def __and__(self, other) -> Filter:
+        return Filter(self.expr & _pred(other))
+
+    def __or__(self, other) -> Filter:
+        return Filter(self.expr | _pred(other))
+
+    def __invert__(self) -> Filter:
+        return Filter(~self.expr)
+
+    # -- string predicates (base.py:1938-1972) -----------------------------
+    def contains(self, pat: str) -> Filter:
+        return Filter(self.expr.contains(pat))
+
+    def startswith(self, pat: str) -> Filter:
+        return Filter(self.expr.startswith(pat))
+
+    def endswith(self, pat: str) -> Filter:
+        return Filter(self.expr.endswith(pat))
+
+    def rlike(self, pattern: str) -> Filter:
+        """Regex predicate — beyond-reference (the remote dialect had none)."""
+        return Filter(self.expr.rlike(pattern))
+
+    # -- membership (base.py:1974-2012) ------------------------------------
+    def isin(self, other: Iterable | Any, online: bool = True) -> Filter:
+        """Membership test.
+
+        Reference semantics: scalar degrades to ``==``; ``online=False``
+        downloaded the column and ran pandas isin client-side for huge
+        literal lists. Here the large-list path is a *broadcast semi-join*
+        against a literal DataFrame — distributed, no driver materialization.
+        """
+        if isinstance(other, str) or not isinstance(other, Iterable):
+            return self == other
+        vals = list(other)
+        if online and len(vals) <= ISIN_LITERAL_CAP:
+            return Filter(self.expr.isin(vals))
+        spark = self.table.spark
+        lit_df = spark.createDataFrame([(v,) for v in vals], [self.name])
+        # Consumed by Table.filter as a semi-join marker.
+        return _SemiJoinFilter(self.name, lit_df)
+
+    def between(self, low, high) -> Filter:
+        return Filter(self.expr.between(_rhs(low), _rhs(high)))
+
+    # -- null tests with ''≡NULL duality (base.py:2014-2050) ---------------
+    def isnull(self, empty_str: bool = True) -> Filter:
+        if empty_str and self._is_string():
+            return Filter(self.expr.isNull() | (self.expr == F.lit("")))
+        return Filter(self.expr.isNull())
+
+    def notnull(self, empty_str: bool = True) -> Filter:
+        if empty_str and self._is_string():
+            return Filter(self.expr.isNotNull() & (self.expr != F.lit("")))
+        return Filter(self.expr.isNotNull())
+
+    # -- existence probe (base.py:1782-1792) -------------------------------
+    def __contains__(self, value) -> bool:
+        """``value in column`` → pushdown LIMIT-1 probe."""
+        return (
+            self.table.df.where(self.expr == _rhs(value)).limit(1).count() > 0
+        )
+
+    # -- aggregates --------------------------------------------------------
+    def __len__(self) -> int:  # base.py:1720-1722
+        return self.table.df.count()
+
+    def unique(self):
+        """DISTINCT pushed into the engine (base.py:2158-2169) → list."""
+        rows = self.table.df.select(self.name).distinct().collect()
+        return [r[0] for r in rows]
+
+    def value_counts(self, ascending: bool = False, dropna: bool = True):
+        """Group-by count (base.py:2205-2219 did this client-side in pandas;
+        here it is a distributed partial-agg groupBy)."""
+        df = self.table.df
+        if dropna:
+            df = df.where(F.col(self.name).isNotNull())
+        out = df.groupBy(self.name).agg(F.count(F.lit(1)).alias("count"))
+        order = F.asc("count") if ascending else F.desc("count")
+        pdf = out.orderBy(order, F.asc(self.name)).toPandas()
+        return pdf.set_index(self.name)["count"]
+
+    def min(self):
+        return self.table.df.agg(F.min(self.name)).collect()[0][0]
+
+    def max(self):
+        return self.table.df.agg(F.max(self.name)).collect()[0][0]
+
+    def sum(self):
+        return self.table.df.agg(F.sum(self.name)).collect()[0][0]
+
+    def mean(self):
+        return self.table.df.agg(F.avg(self.name)).collect()[0][0]
+
+    # -- scalar transforms (base.py:1861-1880, 2052-2069) ------------------
+    def astype(self, dtype: str, errors: str = "raise") -> SparkColumn:
+        """Cast; ``errors='ignore'`` maps to try_cast (NULL on failure)."""
+        if errors == "ignore":
+            return F.try_cast(self.expr, dtype).alias(self.name)
+        return self.expr.cast(dtype).alias(self.name)
+
+    def map(self, arg, na_action: str | None = None) -> SparkColumn:
+        """Element mapping (base.py:2052-2069).
+
+        dict → literal MAP lookup (stays JVM-side, codegen'd);
+        callable → Arrow-batched pandas UDF (the scale path for the
+        reference's client-side ``Series.map``).
+        """
+        if isinstance(arg, dict):
+            pairs = []
+            for k, v in arg.items():
+                pairs.extend([F.lit(k), F.lit(v)])
+            mapped = F.element_at(F.create_map(*pairs), self.expr)
+            if na_action == "ignore":
+                mapped = F.when(self.expr.isNull(), None).otherwise(mapped)
+            return mapped.alias(self.name)
+        if callable(arg):
+            import pandas as pd
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("string")
+            def _mapper(s: pd.Series) -> pd.Series:
+                return s.map(arg, na_action=na_action).astype("string")
+
+            return _mapper(self.expr).alias(self.name)
+        raise TypeError(f"map() expects dict or callable, got {type(arg)}")
+
+    # -- materialization edges (base.py:1830-1832, 1882-1893) --------------
+    def to_series(self):
+        """SELECT _id?, col → pandas Series (Arrow transfer)."""
+        cols = [self.name]
+        index_col = None
+        if self.table.id_col and self.table.id_col in self.table.columns:
+            cols = [self.table.id_col, self.name]
+            index_col = self.table.id_col
+        pdf = self.table.df.select(*cols).toPandas()
+        if index_col:
+            pdf = pdf.set_index(index_col)
+            pdf.index.name = "row_id"
+        return pdf[self.name]
+
+    @property
+    def values(self):
+        return self.to_series().values
+
+    def __repr__(self) -> str:
+        return f"<Column {self.table.name}.{self.name} [{self.dtype}]>"
+
+
+class _SemiJoinFilter(Filter):
+    """isin() over a huge literal list → broadcast LEFT SEMI join marker.
+
+    Carries the literal DF; ``Table.filter`` detects it and plans
+    ``df.join(broadcast(lit_df), on, 'left_semi')`` instead of an IN-list.
+    """
+
+    __slots__ = ("col_name", "lit_df")
+
+    def __init__(self, col_name: str, lit_df):
+        self.col_name = col_name
+        self.lit_df = lit_df
+        # Dummy boolean expr; never used directly.
+        self.expr = F.lit(True)
+
+
+def _rhs(other):
+    """Unwrap Column→expr for col-to-col comparison; pass scalars through."""
+    if isinstance(other, Column):
+        return other.expr
+    return other
+
+
+def _pred(other) -> SparkColumn:
+    if isinstance(other, (Filter,)):
+        return other.expr
+    if isinstance(other, Column):
+        return other.expr
+    if isinstance(other, SparkColumn):
+        return other
+    raise TypeError(f"cannot AND/OR with {type(other)}")

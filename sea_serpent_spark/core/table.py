@@ -1,0 +1,334 @@
+"""Table — lazy handle to a (possibly managed) Spark table.
+
+Reference parity: ``seaserpent.base.Table`` (base.py:61-1701): holds no data,
+only metadata + connection; reads compile to SQL; writes go through batched
+REST mutations. Here a Table wraps a ``pyspark.sql.DataFrame`` (the logical
+plan) plus engine metadata. Reads stay lazy until an explicit pandas edge
+(``to_frame`` / ``Column.to_series``). Mutations (when the table is managed
+by a :class:`~sea_serpent_spark.mutation.store.TableStore`) rewrite via
+MERGE-style plans and create a new snapshot version (time travel).
+
+Scale notes (100 TB posture):
+- every transform is a DataFrame op → Catalyst pushdown/pruning applies;
+- no ``collect()`` anywhere except the explicit pandas edges;
+- positional operators (slice/mask) need a total order; managed tables keep
+  an insertion-order ``_seq`` column so the window sort is on a cheap int64.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .column import Column, _SemiJoinFilter
+from .filter import Filter
+from .indexers import LocIndexer, iLocIndexer
+from .query import preprocess
+
+RESERVED = ("_id", "_seq")
+
+
+class Table:
+    """Lazy table handle. ``loc``/``iloc``/attribute access mirror the
+    reference's pandas-flavored surface; everything compiles to DataFrame
+    transforms."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        name: str = "table",
+        spark: SparkSession | None = None,
+        id_col: str | None = None,
+        order_col: str | None = None,
+        store=None,
+        read_only: bool = False,
+    ):
+        self.df = df
+        self.name = name
+        self.spark = spark or df.sparkSession
+        self.id_col = id_col if (id_col and id_col in df.columns) else (
+            "_id" if "_id" in df.columns else None
+        )
+        self.order_col = order_col if (order_col and order_col in df.columns) else (
+            "_seq" if "_seq" in df.columns else None
+        )
+        self.store = store
+        self.read_only = read_only
+        self.loc = LocIndexer(self)
+        self.iloc = iLocIndexer(self)
+
+    # ------------------------------------------------------------------
+    # constructors
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_parquet(
+        cls,
+        path: str,
+        name: str | None = None,
+        spark: SparkSession | None = None,
+        **kw,
+    ) -> "Table":
+        """Open a parquet file/dir as a read-only table (scan source)."""
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            from ..session import get_spark
+
+            spark = get_spark()
+        df = spark.read.parquet(path)
+        if name is None:
+            name = path.rstrip("/").rsplit("/", 1)[-1].replace(".parquet", "")
+        return cls(df, name=name, spark=spark, **kw)
+
+    def _derive(self, df: DataFrame) -> "Table":
+        """New lazy Table sharing identity metadata (reads never mutate)."""
+        return Table(
+            df,
+            name=self.name,
+            spark=self.spark,
+            id_col=self.id_col,
+            order_col=self.order_col,
+            store=None,
+            read_only=True,
+        )
+
+    # ------------------------------------------------------------------
+    # schema surface (base.py:308-370)
+    # ------------------------------------------------------------------
+    @property
+    def columns(self) -> list[str]:
+        return list(self.df.columns)
+
+    @property
+    def dtypes(self):
+        return self.df.dtypes
+
+    @property
+    def schema(self):
+        return self.df.schema
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        """(COUNT(*), n_cols) — the count pushes to a metadata-only scan
+        when possible (base.py:357-360)."""
+        return (self.df.count(), len(self.df.columns))
+
+    def __len__(self) -> int:
+        return self.df.count()
+
+    # ------------------------------------------------------------------
+    # column access (base.py:192-228)
+    # ------------------------------------------------------------------
+    def __getattr__(self, name: str):
+        if name.startswith("_") or name in self.__dict__:
+            raise AttributeError(name)
+        if name in self.df.columns:
+            return Column(name, self)
+        raise AttributeError(
+            f"table {self.name!r} has no column {name!r}; "
+            f"columns: {self.df.columns}"
+        )
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            if key not in self.df.columns:
+                raise KeyError(key)
+            return Column(key, self)
+        if isinstance(key, (list, tuple)):
+            return self.select(list(key))
+        if isinstance(key, slice):  # slice of column NAMES (base.py:213-220)
+            cols = self.df.columns
+            start = cols.index(key.start) if isinstance(key.start, str) else key.start
+            stop = cols.index(key.stop) + 1 if isinstance(key.stop, str) else key.stop
+            return self.select(cols[start:stop])
+        if isinstance(key, (Filter, Column)):
+            return self.loc[key]
+        raise TypeError(f"cannot index table with {type(key)}")
+
+    def __contains__(self, col: str) -> bool:
+        return col in self.df.columns
+
+    # ------------------------------------------------------------------
+    # relational verbs (all lazy)
+    # ------------------------------------------------------------------
+    def filter(self, pred: Filter | Column) -> "Table":
+        if isinstance(pred, _SemiJoinFilter):
+            return self._semi_join(pred)
+        if isinstance(pred, Column):
+            pred = Filter(pred.expr == F.lit(True))
+        return self._derive(self.df.where(pred.expr))
+
+    where = filter
+
+    def select(self, cols: Sequence[str]) -> "Table":
+        missing = [c for c in cols if c not in self.df.columns]
+        if missing:
+            raise KeyError(f"unknown columns {missing}")
+        return self._derive(self.df.select(*cols))
+
+    def limit(self, n: int) -> "Table":
+        return self._derive(self.df.limit(n))
+
+    def head(self, n: int = 5):
+        """First n rows → pandas (base.py:1472-1479). Deterministic when an
+        order column exists; otherwise whatever the scan yields first."""
+        t = self
+        if self.order_col:
+            t = self.sort(self.order_col)
+        return t.limit(n).to_frame()
+
+    def sort(
+        self, by: str | Sequence[str], ascending: bool | Sequence[bool] = True
+    ) -> "Table":
+        """Multi-key sort (view sorts, base.py:1464-1468)."""
+        if isinstance(by, str):
+            by = [by]
+        if isinstance(ascending, bool):
+            ascending = [ascending] * len(by)
+        exprs = [F.asc(c) if a else F.desc(c) for c, a in zip(by, ascending)]
+        return self._derive(self.df.orderBy(*exprs))
+
+    def distinct(self) -> "Table":
+        return self._derive(self.df.distinct())
+
+    def slice(self, start, stop, step=None) -> "Table":
+        """Positional slice via row_number window (base.py:2546-2567's
+        ``LIMIT start, count`` + client-side step).
+
+        Negative indices resolve against COUNT(*) like the reference.
+        Scale note: the window is over a single global order — fine for
+        slice heads (Catalyst turns small limits into CollectLimit), but a
+        deep offset at 100 TB is inherently sequential; managed tables sort
+        on the int64 ``_seq`` which parquet stores sorted, keeping the
+        sort cheap.
+        """
+        order = self.order_col
+        if order is None:
+            raise ValueError(
+                "positional slicing needs a defined row order; "
+                "use .sort(...) first or a managed table with _seq"
+            )
+        n = None
+        if (start is not None and start < 0) or (stop is not None and stop < 0):
+            n = self.df.count()
+            if start is not None and start < 0:
+                start = max(0, n + start)
+            if stop is not None and stop < 0:
+                stop = max(0, n + stop)
+        start = start or 0
+        w = Window.orderBy(F.asc(order))
+        pos = F.row_number().over(w) - 1
+        df = self.df.withColumn("__pos", pos)
+        cond = F.col("__pos") >= F.lit(start)
+        if stop is not None:
+            cond = cond & (F.col("__pos") < F.lit(stop))
+        if step and step != 1:
+            cond = cond & ((F.col("__pos") - F.lit(start)) % F.lit(step) == 0)
+        return self._derive(df.where(cond).drop("__pos"))
+
+    def _mask_filter(self, mask: list[bool]) -> "Table":
+        """Boolean mask aligned by position (base.py:2342-2367).
+
+        The reference downloaded everything and masked in pandas. Here we
+        translate mask→positions and semi-join on row_number — the mask
+        itself is driver-resident by definition (it came from the user),
+        so shipping the true-positions list is unavoidable and minimal.
+        """
+        order = self.order_col
+        if order is None:
+            raise ValueError("boolean-mask selection needs a defined row order")
+        positions = [i for i, m in enumerate(mask) if m]
+        w = Window.orderBy(F.asc(order))
+        df = self.df.withColumn("__pos", F.row_number().over(w) - 1)
+        if len(positions) <= 100_000:
+            out = df.where(F.col("__pos").isin(positions))
+        else:
+            pos_df = self.spark.createDataFrame(
+                [(p,) for p in positions], ["__pos"]
+            )
+            out = df.join(F.broadcast(pos_df), "__pos", "left_semi")
+        return self._derive(out.drop("__pos"))
+
+    def _semi_join(self, marker: _SemiJoinFilter) -> "Table":
+        """Large isin → broadcast LEFT SEMI join (base.py:2011-2012 scaled)."""
+        out = self.df.join(
+            F.broadcast(marker.lit_df), on=marker.col_name, how="left_semi"
+        )
+        return self._derive(out)
+
+    # ------------------------------------------------------------------
+    # SQL passthrough (base.py:1616-1649)
+    # ------------------------------------------------------------------
+    def query(self, sql: str, convert: bool = True):
+        """Run SQL with this table registered under its own name.
+
+        Auto-``FROM`` and ``LIMIT a,b`` translation per the reference's
+        dialect habits. Returns a lazy Table (``convert=True`` keeps the
+        reference's readable output contract — ours is always typed).
+        """
+        self.df.createOrReplaceTempView(self.name)
+        out = self.spark.sql(preprocess(sql, self.name))
+        return Table(out, name=f"{self.name}_q", spark=self.spark)
+
+    # ------------------------------------------------------------------
+    # pandas edges
+    # ------------------------------------------------------------------
+    def to_frame(self, row_id_index: bool = True):
+        """Materialize → pandas (base.py:1605-1613). Arrow transfer."""
+        pdf = self.df.toPandas()
+        if row_id_index and self.id_col and self.id_col in pdf.columns:
+            pdf = pdf.set_index(self.id_col)
+            pdf.index.name = "row_id"
+        return pdf
+
+    def count(self) -> int:
+        return self.df.count()
+
+    # ------------------------------------------------------------------
+    # mutation hooks (implemented for managed tables — mutation/store.py)
+    # ------------------------------------------------------------------
+    def _require_store(self):
+        if self.read_only:
+            raise PermissionError(
+                f"table {self.name!r} is read-only (write_access guard, "
+                "reference utils.py:371-391)"
+            )
+        if self.store is None:
+            raise TypeError(
+                f"table {self.name!r} is not managed by a TableStore; "
+                "open it via Base(...) to enable mutation"
+            )
+        return self.store
+
+    def __setitem__(self, key: str, values):
+        """Whole-column assignment (base.py:230-284)."""
+        self._require_store().set_column(self, key, values)
+
+    def _loc_write(self, where, col: str, values):
+        """Predicate/mask/id write (base.py:2379-2463) → MERGE."""
+        self._require_store().loc_write(self, where, col, values)
+
+    def append(self, other):
+        """Insert rows (base.py:822-861) — intersecting columns only."""
+        self._require_store().append(self, other)
+
+    def delete_rows(self, rows, skip_confirmation: bool = True):
+        self._require_store().delete_rows(self, rows)
+
+    def add_column(self, col_name: str, col_type: str, col_data=None,
+                   col_options=None):
+        self._require_store().add_column(self, col_name, col_type,
+                                         col_data=col_data,
+                                         col_options=col_options)
+
+    def rename_column(self, old: str, new: str):
+        self._require_store().rename_column(self, old, new)
+
+    def drop_column(self, col_name: str):
+        self._require_store().drop_column(self, col_name)
+
+    def __repr__(self) -> str:
+        cols = ", ".join(f"{n}:{t}" for n, t in self.df.dtypes[:8])
+        more = " ..." if len(self.df.columns) > 8 else ""
+        return f"<Table {self.name} [{cols}{more}]>"

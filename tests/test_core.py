@@ -1,0 +1,179 @@
+"""Core read-surface tests (SURVEY §2.1-2.2, §2.5)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from sea_serpent_spark import Filter, Table
+
+
+def test_attribute_column_promise(lineitem):
+    col = lineitem.l_quantity
+    assert col.name == "l_quantity"
+    assert col.dtype == "double"
+
+
+def test_unknown_column_raises(lineitem):
+    with pytest.raises(AttributeError):
+        lineitem.nope
+
+
+def test_filter_project_limit(lineitem):
+    t = lineitem.loc[lineitem.l_quantity >= 45, ["l_orderkey", "l_quantity"], 10]
+    pdf = t.to_frame()
+    assert len(pdf) == 10
+    assert list(pdf.columns) == ["l_orderkey", "l_quantity"]
+    assert (pdf["l_quantity"] >= 45).all()
+
+
+def test_filter_pushdown_reaches_scan(lineitem):
+    t = lineitem.loc[lineitem.l_quantity >= 45, ["l_orderkey", "l_quantity"]]
+    plan = t.df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_quantity" in plan
+    # column pruning: scan must not read all 12 columns
+    assert "l_comment" not in plan
+
+
+def test_compound_predicates(lineitem):
+    f = (lineitem.l_quantity > 10) & (lineitem.l_discount <= 0.05)
+    assert isinstance(f, Filter)
+    pdf = lineitem.loc[f, ["l_quantity", "l_discount"]].to_frame()
+    assert (pdf["l_quantity"] > 10).all()
+    assert (pdf["l_discount"] <= 0.05).all()
+    g = ~((lineitem.l_returnflag == "A") | (lineitem.l_returnflag == "R"))
+    pdf2 = lineitem.loc[g, "l_returnflag"].to_frame()
+    assert set(pdf2["l_returnflag"].unique()) <= {"N"}
+
+
+def test_string_predicates(spark, sf_dir):
+    part = Table.from_parquet(f"{sf_dir}/part.parquet", "part", spark)
+    got = part.loc[part.p_name.contains("a"), "p_name"].to_frame()
+    assert got["p_name"].str.contains("a").all()
+    got2 = part.loc[part.p_type.startswith("S"), "p_type"].to_frame()
+    assert got2["p_type"].str.startswith("S").all()
+
+
+def test_isin_small_and_large(lineitem):
+    small = lineitem.loc[lineitem.l_returnflag.isin(["A", "R"]), "l_returnflag"]
+    assert set(small.to_frame()["l_returnflag"]) <= {"A", "R"}
+    # force the semi-join path
+    import sea_serpent_spark.core.column as colmod
+
+    old = colmod.ISIN_LITERAL_CAP
+    colmod.ISIN_LITERAL_CAP = 1
+    try:
+        big = lineitem.loc[lineitem.l_returnflag.isin(["A", "R"]), "l_returnflag"]
+        assert set(big.to_frame()["l_returnflag"]) <= {"A", "R"}
+    finally:
+        colmod.ISIN_LITERAL_CAP = old
+
+
+def test_scalar_isin_degrades_to_eq(lineitem):
+    f = lineitem.l_returnflag.isin("A")
+    pdf = lineitem.loc[f, "l_returnflag"].to_frame()
+    assert set(pdf["l_returnflag"]) == {"A"}
+
+
+def test_existence_probe(lineitem):
+    assert "A" in lineitem.l_returnflag
+    assert "ZZZ" not in lineitem.l_returnflag
+
+
+def test_unique_and_value_counts(lineitem):
+    u = set(lineitem.l_returnflag.unique())
+    assert u == {"A", "N", "R"}
+    vc = lineitem.l_returnflag.value_counts()
+    assert vc.sum() == len(lineitem)
+    assert vc.index[0] == "N"  # most frequent
+
+
+def test_shape_len(lineitem):
+    n, c = lineitem.shape
+    assert n == 6000 and c == 11
+    assert len(lineitem.l_orderkey) == 6000
+
+
+def test_head_sorted(lineitem):
+    pdf = lineitem.sort(["l_orderkey", "l_linenumber"]).limit(5).to_frame()
+    assert len(pdf) == 5
+
+
+def test_getitem_projection(lineitem):
+    t = lineitem[["l_orderkey", "l_quantity"]]
+    assert t.columns == ["l_orderkey", "l_quantity"]
+
+
+def test_column_slice_projection(lineitem):
+    t = lineitem["l_orderkey":"l_suppkey"]
+    assert t.columns == ["l_orderkey", "l_partkey", "l_suppkey"]
+
+
+def test_query_passthrough_auto_from(lineitem):
+    out = lineitem.query("SELECT COUNT(*) AS n")
+    assert out.to_frame(row_id_index=False)["n"][0] == 6000
+
+
+def test_query_comma_limit(lineitem):
+    out = lineitem.query(
+        "SELECT l_orderkey FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5, 3"
+    )
+    full = lineitem.query(
+        "SELECT l_orderkey FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 8"
+    )
+    assert (
+        out.to_frame(row_id_index=False)["l_orderkey"].tolist()
+        == full.to_frame(row_id_index=False)["l_orderkey"].tolist()[5:]
+    )
+
+
+def test_slice_and_mask_require_order(lineitem):
+    with pytest.raises(ValueError):
+        lineitem.slice(0, 5)
+
+
+def test_slice_with_order(spark, sf_dir):
+    nation = Table.from_parquet(
+        f"{sf_dir}/nation.parquet", "nation", spark, order_col="n_nationkey"
+    )
+    pdf = nation.slice(2, 6).to_frame()
+    assert pdf["n_nationkey"].tolist() == [2, 3, 4, 5]
+    # negative indices
+    pdf2 = nation.slice(-3, None).to_frame()
+    assert pdf2["n_nationkey"].tolist() == [22, 23, 24]
+    # step
+    pdf3 = nation.slice(0, 10, 3).to_frame()
+    assert pdf3["n_nationkey"].tolist() == [0, 3, 6, 9]
+
+
+def test_boolean_mask(spark, sf_dir):
+    nation = Table.from_parquet(
+        f"{sf_dir}/nation.parquet", "nation", spark, order_col="n_nationkey"
+    )
+    mask = [i % 2 == 0 for i in range(25)]
+    pdf = nation.loc[mask, "n_nationkey"].to_frame()
+    assert pdf["n_nationkey"].tolist() == list(range(0, 25, 2))
+
+
+def test_column_map_dict(spark, sf_dir):
+    nation = Table.from_parquet(f"{sf_dir}/nation.parquet", "nation", spark)
+    mapped = nation.n_name.map({"NATION_0": "N0"})
+    pdf = nation.df.select(mapped).toPandas()
+    assert "N0" in set(pdf["n_name"].dropna())
+
+
+def test_column_astype(lineitem):
+    cast = lineitem.l_quantity.astype("int")
+    pdf = lineitem.df.select(cast).limit(5).toPandas()
+    assert str(pdf["l_quantity"].dtype).startswith("int")
+
+
+def test_isnull_empty_str_semantics(spark):
+    pdf_df = spark.createDataFrame(
+        [("a", "x"), ("b", ""), ("c", None)], ["k", "v"]
+    )
+    t = Table(pdf_df, "tnull", spark)
+    nulls = t.loc[t.v.isnull(), "k"].to_frame()
+    assert set(nulls["k"]) == {"b", "c"}
+    notnulls = t.loc[t.v.notnull(), "k"].to_frame()
+    assert set(notnulls["k"]) == {"a"}
+    strict = t.loc[t.v.isnull(empty_str=False), "k"].to_frame()
+    assert set(strict["k"]) == {"c"}
