@@ -1,0 +1,68 @@
+"""Benchmark runner: executes the workload at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with a full ``collect()`` (driver-equivalent of
+the correctness run). Times are end-to-end per query, excluding Spark
+session startup."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    from sea_serpent_spark.session import get_spark
+
+    spark = get_spark(app_name="sea-serpent-bench")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    # Warm the JVM + parquet footers so per-query numbers measure the plan,
+    # not first-touch costs.
+    next(iter(qs.values()))(spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            n = len(df.collect())
+            dt = time.perf_counter() - t0
+        except Exception as e:  # a failing query must not hide the rest
+            print(f"# bench error {name}: {e}", file=sys.stderr)
+            dt = -1.0
+            n = -1
+        times[name] = round(dt, 3)
+        if dt > 0:
+            total += dt
+    print(
+        json.dumps(
+            {
+                "metric": "workload_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,565 @@
+"""Driver workload: named queries + DuckDB oracle SQL.
+
+Each entry exercises one operator row from SURVEY.md §2 through the engine's
+public API (Table/Column/Filter/loc/query) or, for joins/rollups, the
+operators package. The driver runs the Spark side and the oracle side at
+sf=0.01 and compares row-count + schema + order-insensitive value hash —
+so every computed column is aliased identically on both sides, float
+aggregates are rounded on both sides, and integer sums are cast to BIGINT
+in DuckDB (whose SUM(int) yields HUGEINT).
+
+Scale notes are attached per query; the global posture: AQE on, dimension
+joins broadcast, aggregations partial-agg'd map-side by Catalyst, no
+driver-side collects.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .core.table import Table
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+_ORDER_COLS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> Table:
+    """Open one driver parquet table as an engine Table.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects; we read it as raw int64 nanos (nanosAsLong) and floor
+    to microseconds as TIMESTAMP_NTZ — the same truncation DuckDB's client
+    applies, so oracle comparisons agree."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        d = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        d = d.withColumn(
+            "ts",
+            F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast(
+                "timestamp_ntz"
+            ),
+        )
+        return Table(d, name, spark, order_col=_ORDER_COLS.get(name))
+    return Table.from_parquet(
+        f"{sf_dir}/{name}.parquet", name, spark, order_col=_ORDER_COLS.get(name)
+    )
+
+
+def df(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load(spark, sf_dir, name).df
+
+
+# ---------------------------------------------------------------------------
+# §2.1/§2.2 — scans, projections, filters, predicates
+# ---------------------------------------------------------------------------
+
+def q01_filter_project(spark, sf_dir):
+    """Flagship filtered/projected scan (loc read, base.py:2326-2377).
+    Predicate + projection push into the parquet scan."""
+    t = load(spark, sf_dir, "lineitem")
+    return t.loc[
+        t.l_quantity >= 45, ["l_orderkey", "l_quantity", "l_extendedprice"]
+    ].df
+
+
+def q02_compound_pred(spark, sf_dir):
+    """&, |, ~ composition (Filter algebra, base.py:2261-2314)."""
+    t = load(spark, sf_dir, "orders")
+    f = (t.o_orderstatus == "F") & ~(
+        (t.o_orderpriority == "1-URGENT") | (t.o_orderpriority == "2-HIGH")
+    )
+    return t.loc[f, ["o_orderkey", "o_orderstatus", "o_orderpriority"]].df
+
+
+def q03_string_preds(spark, sf_dir):
+    """contains / startswith / endswith (base.py:1938-1972)."""
+    t = load(spark, sf_dir, "part")
+    f = t.p_name.contains("a") & t.p_type.startswith("S") & t.p_brand.endswith("2")
+    return t.loc[f, ["p_partkey", "p_name", "p_type", "p_brand"]].df
+
+
+def q04_isin(spark, sf_dir):
+    """Membership pushdown (base.py:1974-2012)."""
+    t = load(spark, sf_dir, "part")
+    return t.loc[
+        t.p_brand.isin(["Brand#1", "Brand#5", "Brand#9"]), ["p_partkey", "p_brand"]
+    ].df
+
+
+def q05_between_dates(spark, sf_dir):
+    """Range predicate on timestamp — pushes to parquet row-group stats."""
+    t = load(spark, sf_dir, "lineitem")
+    f = t.l_shipdate.between("1996-01-01", "1996-12-31") & (t.l_discount > 0.05)
+    return t.loc[f, ["l_orderkey", "l_shipdate", "l_discount"]].df
+
+
+def q06_count(spark, sf_dir):
+    """COUNT(*) pushdown (base.py:357-360) — parquet metadata-only scan."""
+    t = load(spark, sf_dir, "lineitem")
+    return t.df.agg(F.count(F.lit(1)).alias("n"))
+
+
+def q07_distinct(spark, sf_dir):
+    """SELECT DISTINCT (base.py:2158-2169) — partial-agg'd map-side."""
+    t = load(spark, sf_dir, "lineitem")
+    return t.df.select("l_returnflag", "l_linestatus").distinct()
+
+
+def q08_value_counts(spark, sf_dir):
+    """Group-by count (base.py:2205-2219, made distributed)."""
+    t = load(spark, sf_dir, "orders")
+    return t.df.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("count"))
+
+
+def q09_topn_sort(spark, sf_dir):
+    """Multi-key sort + limit → TakeOrderedAndProject (no full sort at scale)."""
+    t = load(spark, sf_dir, "orders")
+    return (
+        t.sort(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        .limit(10)
+        .select(["o_orderkey", "o_totalprice"])
+        .df
+    )
+
+
+def q10_slice(spark, sf_dir):
+    """Positional slice rows [100,110) in o_orderkey order
+    (create_query LIMIT a,b — base.py:2546-2567)."""
+    t = load(spark, sf_dir, "orders")
+    return t.slice(100, 110).select(["o_orderkey", "o_totalprice"]).df
+
+
+def q11_existence(spark, sf_dir):
+    """`value in column` probe (base.py:1782-1792) as a 1-row DF."""
+    t = load(spark, sf_dir, "part")
+    return t.df.where(F.col("p_brand") == "Brand#7").agg(
+        (F.count(F.lit(1)) > 0).alias("present")
+    )
+
+
+def q12_null_semantics(spark, sf_dir):
+    """isnull/notnull with empty-string≡NULL duality (base.py:2014-2050).
+    documents.text has no ''/NULL at these SFs, so the filter exercises the
+    predicate shape; count by notnull keeps output deterministic."""
+    t = load(spark, sf_dir, "documents")
+    notnull = F.col("text").isNotNull() & (F.col("text") != "")
+    return t.df.agg(
+        F.count(F.when(notnull, 1)).alias("n_notnull"),
+        F.count(F.when(~notnull | F.col("text").isNull(), 1)).alias("n_null"),
+    )
+
+
+def q13_sql_passthrough(spark, sf_dir):
+    """Raw SQL with auto-FROM + comma-LIMIT (base.py:1616-1649)."""
+    t = load(spark, sf_dir, "lineitem")
+    return t.query(
+        "SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty "
+        "GROUP BY l_returnflag"
+    ).df
+
+
+# ---------------------------------------------------------------------------
+# §2.3/§2.4 — links (joins) + rollup aggregations
+# ---------------------------------------------------------------------------
+
+def q14_rollup_lookup(spark, sf_dir):
+    """add_linked_column(formula='lookup') (base.py:748-818): customer →
+    nation name. Broadcast hash join — the build side is dimension-sized,
+    mirroring the reference's in-memory dict (base.py:1543-1549)."""
+    c = df(spark, sf_dir, "customer")
+    n = df(spark, sf_dir, "nation")
+    return c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey, "left"
+    ).select("c_custkey", F.col("n_name").alias("nation_name"))
+
+
+def q15_count_links(spark, sf_dir):
+    """formula='count_links': orders per customer (left-outer, 0 for none)."""
+    c = df(spark, sf_dir, "customer")
+    o = df(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+def q16_rollup_sum_avg(spark, sf_dir):
+    """formula='rollup-sum'/'rollup-avg' over linked orders."""
+    c = df(spark, sf_dir, "customer")
+    o = df(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "inner")
+        .groupBy("c_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_total"),
+        )
+    )
+
+
+def q17_rollup_concat(spark, sf_dir):
+    """formula='rollup-conc': deterministic (sorted) concatenation."""
+    c = df(spark, sf_dir, "customer")
+    o = df(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "inner")
+        .groupBy("c_custkey")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list("o_orderpriority"))
+            ).alias("priorities")
+        )
+    )
+
+
+def q18_rollup_minmax(spark, sf_dir):
+    """formula='findmin'/'findmax' over linked orders."""
+    c = df(spark, sf_dir, "customer")
+    o = df(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "inner")
+        .groupBy("c_custkey")
+        .agg(
+            F.min("o_orderdate").alias("first_date"),
+            F.max("o_orderdate").alias("last_date"),
+        )
+    )
+
+
+def q19_first_match(spark, sf_dir):
+    """link(multi_match=False) first-match semantics (base.py:1558-1560)
+    made deterministic by explicit order (SURVEY §7 risk 5)."""
+    o = df(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_orderkey").alias("first_order"))
+    )
+
+
+def q20_semi_join(spark, sf_dir):
+    """Semi-join (membership against another table, base.py:2011-2012):
+    parts that appear in lineitem."""
+    p = df(spark, sf_dir, "part")
+    l = df(spark, sf_dir, "lineitem")
+    return p.join(
+        l.select("l_partkey").distinct(),
+        p.p_partkey == F.col("l_partkey"),
+        "left_semi",
+    ).select("p_partkey", "p_name")
+
+
+def q21_anti_join(spark, sf_dir):
+    """Anti-join (beyond-reference, SURVEY §2.4): customers with no orders."""
+    c = df(spark, sf_dir, "customer")
+    o = df(spark, sf_dir, "orders")
+    return c.join(
+        o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# analytics — TPC-H-ish shapes over the engine
+# ---------------------------------------------------------------------------
+
+def q22_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 shape: wide aggregation, map-side partial agg, 2-col group."""
+    l = df(spark, sf_dir, "lineitem")
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q23_tpch_q3ish(spark, sf_dir):
+    """3-way join + agg + top-n: revenue of open-priority orders."""
+    c = df(spark, sf_dir, "customer")
+    o = df(spark, sf_dir, "orders")
+    l = df(spark, sf_dir, "lineitem")
+    return (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q24_tpch_q5ish(spark, sf_dir):
+    """Star join through broadcast dims: revenue per nation."""
+    r = df(spark, sf_dir, "region")
+    n = df(spark, sf_dir, "nation")
+    c = df(spark, sf_dir, "customer")
+    o = df(spark, sf_dir, "orders")
+    l = df(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where(F.col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 — windows, dedup, set ops
+# ---------------------------------------------------------------------------
+
+def q25_window_rank(spark, sf_dir):
+    """Ranking window (beyond-reference §2.5): top-3 orders per customer."""
+    o = df(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+def q26_dedup_keeplast(spark, sf_dir):
+    """Keep-last dedup (time-machine window, base.py:1008): last event per
+    (user_id, event_type) by ts."""
+    e = df(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", F.round("value", 4).alias("value"))
+    )
+
+
+def q27_set_ops(spark, sf_dir):
+    """UNION distinct (beyond-reference §2.5): nations present among
+    customers or suppliers."""
+    c = df(spark, sf_dir, "customer")
+    s = df(spark, sf_dir, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .union(s.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+def q28_events_tumbling(spark, sf_dir):
+    """Tumbling 1-hour windows over events (batch shape of the Structured
+    Streaming pipeline in streaming/; the streaming variant uses F.window +
+    watermark — this is its deterministic batch twin)."""
+    e = df(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    name: fn
+    for name, fn in sorted(globals().items())
+    if name.startswith("q") and name[1:3].isdigit() and callable(fn)
+}
+
+ORACLES: dict[str, str] = {
+    "q01_filter_project": (
+        "SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem "
+        "WHERE l_quantity >= 45"
+    ),
+    "q02_compound_pred": (
+        "SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders "
+        "WHERE o_orderstatus = 'F' AND NOT "
+        "(o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH')"
+    ),
+    "q03_string_preds": (
+        "SELECT p_partkey, p_name, p_type, p_brand FROM part "
+        "WHERE p_name LIKE '%a%' AND p_type LIKE 'S%' AND p_brand LIKE '%2'"
+    ),
+    "q04_isin": (
+        "SELECT p_partkey, p_brand FROM part "
+        "WHERE p_brand IN ('Brand#1', 'Brand#5', 'Brand#9')"
+    ),
+    "q05_between_dates": (
+        "SELECT l_orderkey, l_shipdate, l_discount FROM lineitem "
+        "WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-12-31' "
+        "AND l_discount > 0.05"
+    ),
+    "q06_count": "SELECT COUNT(*) AS n FROM lineitem",
+    "q07_distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q08_value_counts": (
+        "SELECT o_orderpriority, COUNT(*) AS count FROM orders "
+        "GROUP BY o_orderpriority"
+    ),
+    "q09_topn_sort": (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
+    ),
+    "q10_slice": (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_orderkey LIMIT 10 OFFSET 100"
+    ),
+    "q11_existence": (
+        "SELECT COUNT(*) > 0 AS present FROM part WHERE p_brand = 'Brand#7'"
+    ),
+    "q12_null_semantics": (
+        "SELECT CAST(COUNT(*) FILTER (WHERE text IS NOT NULL AND text != '') "
+        "AS BIGINT) AS n_notnull, "
+        "CAST(COUNT(*) FILTER (WHERE text IS NULL OR text = '') AS BIGINT) "
+        "AS n_null FROM documents"
+    ),
+    "q13_sql_passthrough": (
+        "SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    "q14_rollup_lookup": (
+        "SELECT c_custkey, n_name AS nation_name FROM customer "
+        "LEFT JOIN nation ON c_nationkey = n_nationkey"
+    ),
+    "q15_count_links": (
+        "SELECT c_custkey, COUNT(o_orderkey) AS n_orders FROM customer "
+        "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey"
+    ),
+    "q16_rollup_sum_avg": (
+        "SELECT c_custkey, ROUND(SUM(o_totalprice), 2) AS sum_total, "
+        "ROUND(AVG(o_totalprice), 2) AS avg_total FROM customer "
+        "JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey"
+    ),
+    "q17_rollup_concat": (
+        "SELECT c_custkey, string_agg(o_orderpriority, ',' ORDER BY "
+        "o_orderpriority) AS priorities FROM customer "
+        "JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey"
+    ),
+    "q18_rollup_minmax": (
+        "SELECT c_custkey, MIN(o_orderdate) AS first_date, "
+        "MAX(o_orderdate) AS last_date FROM customer "
+        "JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey"
+    ),
+    "q19_first_match": (
+        "SELECT o_custkey, o_orderkey AS first_order FROM ("
+        "SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER ("
+        "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn "
+        "FROM orders) WHERE rn = 1"
+    ),
+    "q20_semi_join": (
+        "SELECT p_partkey, p_name FROM part "
+        "WHERE p_partkey IN (SELECT l_partkey FROM lineitem)"
+    ),
+    "q21_anti_join": (
+        "SELECT c_custkey, c_name FROM customer "
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+    ),
+    "q22_tpch_q1": (
+        "SELECT l_returnflag, l_linestatus, "
+        "ROUND(SUM(l_quantity), 2) AS sum_qty, "
+        "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) "
+        "AS sum_charge, "
+        "ROUND(AVG(l_quantity), 4) AS avg_qty, "
+        "ROUND(AVG(l_extendedprice), 4) AS avg_price, "
+        "ROUND(AVG(l_discount), 4) AS avg_disc, "
+        "COUNT(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+    "q23_tpch_q3ish": (
+        "SELECT o_orderkey, o_orderdate, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "GROUP BY o_orderkey, o_orderdate "
+        "ORDER BY revenue DESC, o_orderkey ASC LIMIT 10"
+    ),
+    "q24_tpch_q5ish": (
+        "SELECT n_name, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name IN ('ASIA', 'EUROPE') GROUP BY n_name"
+    ),
+    "q25_window_rank": (
+        "SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM ("
+        "SELECT o_custkey, o_orderkey, o_totalprice, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rnk "
+        "FROM orders) WHERE rnk <= 3"
+    ),
+    "q26_dedup_keeplast": (
+        "SELECT user_id, event_type, event_id, ROUND(value, 4) AS value FROM ("
+        "SELECT user_id, event_type, event_id, value, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id, event_type "
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"
+    ),
+    "q27_set_ops": (
+        "SELECT c_nationkey AS nationkey FROM customer "
+        "UNION SELECT s_nationkey AS nationkey FROM supplier"
+    ),
+    "q28_events_tumbling": (
+        "SELECT date_trunc('hour', ts) AS hour, event_type, "
+        "COUNT(*) AS n, ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value "
+        "FROM events GROUP BY 1, 2"
+    ),
+}
