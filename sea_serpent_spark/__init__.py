@@ -13,7 +13,8 @@ Public surface:
 """
 
 from .core import Column, Filter, Table
+from .mutation import Base, BundleEdits
 from .session import get_spark
 
-__all__ = ["Table", "Column", "Filter", "get_spark"]
+__all__ = ["Table", "Column", "Filter", "Base", "BundleEdits", "get_spark"]
 __version__ = "0.1.0"

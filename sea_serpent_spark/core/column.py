@@ -203,6 +203,24 @@ class Column:
             return _mapper(self.expr).alias(self.name)
         raise TypeError(f"map() expects dict or callable, got {type(arg)}")
 
+    # -- mutation (managed tables; base.py:2171, 1897, 1922, 2073) ---------
+    def update(self, values) -> None:
+        """Diff-write: only changed cells hit the oplog (base.py:2171-2203)."""
+        self.table._require_store().update_column(self.table, self.name, values)
+
+    def clear(self) -> None:
+        """Set every cell to NULL (base.py:1897-1918)."""
+        self.table._require_store().clear_column(self.table, self.name)
+
+    def delete(self) -> None:
+        """Drop this column (base.py:1922-1936)."""
+        self.table._require_store().drop_column(self.table, self.name)
+
+    def rename(self, new_name: str) -> None:
+        """Rename this column (base.py:2073-2102)."""
+        self.table._require_store().rename_column(self.table, self.name, new_name)
+        self.name = new_name
+
     # -- materialization edges (base.py:1830-1832, 1882-1893) --------------
     def to_series(self):
         """SELECT _id?, col → pandas Series (Arrow transfer)."""

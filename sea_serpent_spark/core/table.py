@@ -325,6 +325,25 @@ class Table:
     def rename_column(self, old: str, new: str):
         self._require_store().rename_column(self, old, new)
 
+    def bundle(self):
+        """Coalesced-edit context manager (BundleEdits, base.py:2629-2693)."""
+        from ..mutation.bundle import BundleEdits
+
+        return BundleEdits(self)
+
+    def history(self):
+        return self._require_store().history(self.name)
+
+    def time_machine(self, date):
+        """Past state of this table (base.py:973-1034) — exact snapshot."""
+        return self._require_store().time_machine(self.name, date)
+
+    def fetch_logs(self):
+        return self._require_store().fetch_logs(self.name)
+
+    def fetch_row_logs(self, row_id: str):
+        return self._require_store().fetch_row_logs(self.name, row_id)
+
     def drop_column(self, col_name: str):
         self._require_store().drop_column(self, col_name)
 

@@ -1,0 +1,646 @@
+"""Versioned table store — the engine's mutation + time-travel substrate.
+
+Reference parity: the whole write surface of ``seaserpent.base.Table``
+(append base.py:822, __setitem__ base.py:230, LocIndexer.__setitem__
+base.py:2379, Column.update base.py:2171, delete_rows base.py:865,
+add_column base.py:693, Column.rename/delete/clear base.py:2073/1922/1897)
+plus the operation log (fetch_logs base.py:1037-1213) and
+``time_machine`` (base.py:973-1034).
+
+Spark-first design: every mutation is expressed as a DataFrame transform
+over the current snapshot (MERGE-shaped: predicate + conditional column
+replacement, never row-at-a-time), and committed as a **new immutable
+parquet snapshot version** with a JSONL transaction log — the same
+copy-on-write contract as Delta Lake, minimized for a local filesystem.
+At cluster scale the sink swaps for Delta (``MERGE INTO`` / ``DESCRIBE
+HISTORY`` / ``VERSION AS OF``) with no change to the plan shapes; Delta
+additionally rewrites only touched files, while this store rewrites the
+table (acceptable at local test scale, noted per SURVEY §7 risk 2).
+
+Time travel here is *exact* — a snapshot per version — which is stronger
+than the reference's log-replay reconstruction (misses added/deleted rows,
+base.py:976-977).
+
+Cell-level audit: each mutating commit also appends the changed cells
+(old value, new value, row id, column, user, time) to an ``_oplog``
+parquet directory mirroring ``fetch_logs(unpack=True)``'s schema
+(base.py:1195-1207) — the op-log is itself queryable as a table and is
+the source for the streaming CDC feed (streaming/).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import warnings
+from datetime import datetime, timezone
+from typing import Any, Iterable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import types as T
+
+from ..core.column import Column, _SemiJoinFilter
+from ..core.filter import Filter
+from ..core.table import Table
+from ..types import (
+    infer_seatable_type,
+    normalize_type,
+    spark_type,
+    validate_scalar,
+)
+
+OPLOG_SCHEMA = T.StructType(
+    [
+        T.StructField("user", T.StringType()),
+        T.StructField("app", T.StringType()),
+        T.StructField("op_time", T.TimestampType()),
+        T.StructField("op_id", T.LongType()),
+        T.StructField("row_id", T.StringType()),
+        T.StructField("column", T.StringType()),
+        T.StructField("old_value", T.StringType()),
+        T.StructField("new_value", T.StringType()),
+    ]
+)
+
+
+class Base:
+    """A warehouse of managed, versioned tables (reference "base": a
+    database of tables discovered via ``find_base``, utils.py:248-368)."""
+
+    def __init__(self, path: str, spark: SparkSession | None = None,
+                 user: str = "local"):
+        self.path = os.path.abspath(path)
+        os.makedirs(self.path, exist_ok=True)
+        if spark is None:
+            from ..session import get_spark
+
+            spark = get_spark()
+        self.spark = spark
+        self.user = user
+
+    # ------------------------------------------------------------------
+    # paths / log helpers
+    # ------------------------------------------------------------------
+    def _tdir(self, name: str) -> str:
+        return os.path.join(self.path, name)
+
+    def _vdir(self, name: str, version: int) -> str:
+        return os.path.join(self._tdir(name), f"v{version:05d}")
+
+    def _log_path(self, name: str) -> str:
+        return os.path.join(self._tdir(name), "_log.jsonl")
+
+    def _meta_path(self, name: str) -> str:
+        return os.path.join(self._tdir(name), "_meta.json")
+
+    def history(self, name: str) -> list[dict]:
+        """Version log — DESCRIBE HISTORY analogue."""
+        with open(self._log_path(name)) as f:
+            return [json.loads(ln) for ln in f if ln.strip()]
+
+    def meta(self, name: str) -> dict:
+        with open(self._meta_path(name)) as f:
+            return json.load(f)
+
+    def _write_meta(self, name: str, meta: dict) -> None:
+        with open(self._meta_path(name), "w") as f:
+            json.dump(meta, f, indent=1)
+
+    def list_tables(self) -> list[str]:
+        return sorted(
+            d
+            for d in os.listdir(self.path)
+            if os.path.isfile(self._log_path(d))
+        )
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.list_tables()
+
+    # ------------------------------------------------------------------
+    # commit
+    # ------------------------------------------------------------------
+    def _commit(
+        self,
+        name: str,
+        df: DataFrame,
+        op: str,
+        detail: dict | None = None,
+        oplog: DataFrame | None = None,
+    ) -> None:
+        """Write a new snapshot version + log entry (+ cell-level oplog)."""
+        versions = [e["version"] for e in self.history(name)] if os.path.exists(
+            self._log_path(name)
+        ) else []
+        v = (max(versions) + 1) if versions else 0
+        vdir = self._vdir(name, v)
+        df.write.mode("overwrite").parquet(vdir)
+        if oplog is not None:
+            oplog.write.mode("append").parquet(
+                os.path.join(self._tdir(name), "_oplog")
+            )
+        entry = {
+            "version": v,
+            "ts": datetime.now(timezone.utc).isoformat(),
+            "op": op,
+            "user": self.user,
+            "detail": detail or {},
+        }
+        os.makedirs(self._tdir(name), exist_ok=True)
+        with open(self._log_path(name), "a") as f:
+            f.write(json.dumps(entry) + "\n")
+
+    def _current_version(self, name: str) -> int:
+        hist = self.history(name)
+        if not hist:
+            raise FileNotFoundError(f"no versions for table {name!r}")
+        return max(e["version"] for e in hist)
+
+    # ------------------------------------------------------------------
+    # open / create / drop
+    # ------------------------------------------------------------------
+    def table(
+        self,
+        name: str,
+        version: int | None = None,
+        at: str | datetime | None = None,
+        read_only: bool = False,
+    ) -> Table:
+        """Open a managed table, optionally at a past version/timestamp
+        (time travel — base.py:973-1034, exact via snapshots)."""
+        if at is not None:
+            version = self._version_at(name, at)
+        pinned = version is not None
+        if version is None:
+            version = self._current_version(name)
+        df = self.spark.read.parquet(self._vdir(name, version))
+        return Table(
+            df,
+            name=name,
+            spark=self.spark,
+            id_col="_id",
+            order_col="_seq",
+            store=None if pinned else self,
+            read_only=read_only or pinned,
+        )
+
+    def _version_at(self, name: str, at: str | datetime) -> int:
+        if isinstance(at, str):
+            at_dt = datetime.fromisoformat(at)
+        else:
+            at_dt = at
+        if at_dt.tzinfo is None:
+            at_dt = at_dt.replace(tzinfo=timezone.utc)
+        best = None
+        for e in self.history(name):
+            ts = datetime.fromisoformat(e["ts"])
+            if ts <= at_dt:
+                best = e["version"]
+        if best is None:
+            raise ValueError(f"no version of {name!r} at or before {at}")
+        return best
+
+    def time_machine(self, name: str, date: str | datetime) -> Table:
+        return self.table(name, at=date)
+
+    def create_table(
+        self, name: str, columns: Iterable[tuple[str, Any]] | None = None
+    ) -> Table:
+        """Create an empty managed table (Table.new, base.py:583-646).
+        ``columns`` = [(name, seatable_type), ...]; duplicate names are
+        rejected (base.py:1347-1353)."""
+        if name in self:
+            raise ValueError(f"table {name!r} already exists")
+        cols = list(columns or [])
+        names = [c for c, _ in cols]
+        if len(set(names)) != len(names):
+            raise ValueError("duplicate column names are not allowed")
+        fields = [
+            T.StructField("_id", T.StringType(), False),
+            T.StructField("_seq", T.LongType(), False),
+        ] + [T.StructField(c, spark_type(t), True) for c, t in cols]
+        df = self.spark.createDataFrame([], T.StructType(fields))
+        os.makedirs(self._tdir(name), exist_ok=True)
+        self._write_meta(
+            name,
+            {
+                "columns": {c: {"type": normalize_type(t)} for c, t in cols},
+            },
+        )
+        self._commit(name, df, "create", {"columns": names})
+        return self.table(name)
+
+    def from_frame(
+        self, frame, name: str, id_col: int | str | None = None
+    ) -> Table:
+        """Import a pandas DataFrame with SeaTable-style type inference
+        (Table.from_frame, base.py:372-481)."""
+        import pandas as pd
+
+        if not isinstance(frame, pd.DataFrame):
+            raise TypeError("from_frame expects a pandas DataFrame")
+        if name in self:
+            raise ValueError(f"table {name!r} already exists")
+        pdf = frame.reset_index(drop=True).copy()
+        meta_cols: dict[str, dict] = {}
+        for c in pdf.columns:
+            st, m = infer_seatable_type(pdf[c])
+            meta_cols[str(c)] = {"type": st, **m}
+            if isinstance(pdf[c].dtype, pd.CategoricalDtype):
+                pdf[c] = pdf[c].astype(str).where(pdf[c].notna(), None)
+        pdf.insert(0, "_seq", range(len(pdf)))
+        pdf.insert(0, "_id", [_row_id(i) for i in range(len(pdf))])
+        sdf = self.spark.createDataFrame(pdf)
+        os.makedirs(self._tdir(name), exist_ok=True)
+        self._write_meta(name, {"columns": meta_cols, "next_seq": len(pdf)})
+        self._commit(name, sdf, "from_frame", {"rows": len(pdf)})
+        return self.table(name)
+
+    def drop_table(self, name: str) -> None:
+        """DROP TABLE (Table.delete, base.py:942-971)."""
+        if name not in self:
+            raise FileNotFoundError(name)
+        shutil.rmtree(self._tdir(name))
+
+    # ------------------------------------------------------------------
+    # oplog reads (fetch_logs base.py:1037-1213)
+    # ------------------------------------------------------------------
+    def fetch_logs(self, name: str) -> DataFrame:
+        p = os.path.join(self._tdir(name), "_oplog")
+        if not os.path.exists(p):
+            return self.spark.createDataFrame([], OPLOG_SCHEMA)
+        return self.spark.read.parquet(p)
+
+    def fetch_row_logs(self, name: str, row_id: str) -> DataFrame:
+        """Per-row history (base.py:1216-1326) — filter pushes to scan."""
+        return self.fetch_logs(name).where(F.col("row_id") == row_id)
+
+    # ==================================================================
+    # mutation hooks (called from Table / Column)
+    # ==================================================================
+    def _current_df(self, table: Table) -> DataFrame:
+        return self.spark.read.parquet(
+            self._vdir(table.name, self._current_version(table.name))
+        )
+
+    def _stage(self, table: Table, new_df: DataFrame, op: str, detail: dict,
+               oplog: DataFrame | None) -> None:
+        """Commit immediately, or queue when inside BundleEdits."""
+        bundle = getattr(table, "_bundle", None)
+        if bundle is not None:
+            bundle.add(new_df, op, detail, oplog)
+            table.df = new_df  # later edits in the bundle see this one
+            return
+        self._commit(table.name, new_df, op, detail, oplog)
+        table.df = self.table(table.name).df
+
+    def _oplog_entries(
+        self, table: Table, old_df: DataFrame, new_col: str, new_expr
+    ) -> DataFrame:
+        """Changed cells only (NA-aware diff — Column.update semantics,
+        base.py:2171-2203 / is_equal_array utils.py:676-731 — via
+        eqNullSafe, the exact semantic match)."""
+        v = self._current_version(table.name) + 1
+        changed = old_df.withColumn("__new", new_expr).where(
+            ~F.col(new_col).eqNullSafe(F.col("__new"))
+        )
+        return changed.select(
+            F.lit(self.user).alias("user"),
+            F.lit("sea-serpent-spark").alias("app"),
+            F.lit(datetime.now(timezone.utc)).alias("op_time"),
+            F.lit(v).cast("long").alias("op_id"),
+            F.col("_id").alias("row_id"),
+            F.lit(new_col).alias("column"),
+            F.col(new_col).cast("string").alias("old_value"),
+            F.col("__new").cast("string").alias("new_value"),
+        )
+
+    def _validate_write(self, table: Table, col: str, values) -> None:
+        meta = self.meta(table.name)
+        cmeta = meta.get("columns", {}).get(col)
+        if cmeta is None:
+            return
+        ctype = cmeta.get("type")
+        scalars = values if isinstance(values, (list, tuple)) else [values]
+        for v in scalars[:1000]:
+            if not isinstance(v, (list, tuple)):
+                validate_scalar(v, ctype)
+        # select-option registry: warn + auto-extend (utils.py:581-605)
+        if ctype in ("single-select", "multiple-select"):
+            opts = set(cmeta.get("options", []))
+            new_opts = set()
+            for v in scalars:
+                items = v if isinstance(v, (list, tuple)) else [v]
+                for it in items:
+                    if it is not None and it not in opts:
+                        new_opts.add(it)
+            if new_opts:
+                warnings.warn(
+                    f"adding unknown select option(s) {sorted(new_opts)} to "
+                    f"{col!r} (reference utils.py:581-605)"
+                )
+                cmeta["options"] = sorted(opts | new_opts)
+                meta["columns"][col] = cmeta
+                self._write_meta(table.name, meta)
+
+    # -- whole-column assignment (base.py:230-284) ----------------------
+    def set_column(self, table: Table, col: str, values) -> None:
+        df = table.df
+        if _is_listlike(values):
+            values = list(values)
+            self._validate_write(table, col, values)
+            new_df, oplog = self._aligned_update(table, df, None, col, values)
+        else:
+            self._validate_write(table, col, values)
+            if col in df.columns:
+                expr = F.lit(values).cast(df.schema[col].dataType)
+                oplog = self._oplog_entries(table, df, col, expr)
+                new_df = df.withColumn(col, expr)
+            else:
+                # create-on-assign (reference requires add_column first;
+                # we infer — NULL-only new columns default to string so
+                # parquet never sees NullType)
+                expr = (
+                    F.lit(values)
+                    if values is not None
+                    else F.lit(None).cast("string")
+                )
+                oplog = None
+                new_df = df.withColumn(col, expr)
+        self._stage(table, new_df, "set_column", {"column": col}, oplog)
+
+    def clear_column(self, table: Table, col: str) -> None:
+        """Set every cell to NULL (Column.clear, base.py:1897-1918)."""
+        self.set_column(table, col, None)
+
+    def update_column(self, table: Table, col: str, values) -> None:
+        """Diff-write: only changed cells logged (base.py:2171-2203).
+        With snapshot commits the data result equals set_column; the
+        difference is the oplog already records only real changes."""
+        self.set_column(table, col, values)
+
+    # -- predicate / mask / id writes (base.py:2379-2463) ---------------
+    def loc_write(self, table: Table, where, col: str, values) -> None:
+        df = table.df
+        if col not in df.columns:
+            raise KeyError(col)
+        dfp = self._with_pred(df, where)
+        if _is_listlike(values):
+            values = list(values)
+            self._validate_write(table, col, values)
+            new_df, oplog = self._aligned_update(
+                table, dfp, F.col("__pred"), col, values
+            )
+            new_df = new_df.drop("__pred")
+            oplog = oplog.drop("__pred") if "__pred" in oplog.columns else oplog
+        else:
+            self._validate_write(table, col, values)
+            lit = F.lit(values).cast(df.schema[col].dataType)
+            expr = F.when(F.col("__pred"), lit).otherwise(F.col(col))
+            oplog = self._oplog_entries(table, dfp, col, expr)
+            new_df = dfp.withColumn(col, expr).drop("__pred")
+        self._stage(table, new_df, "loc_write", {"column": col}, oplog)
+
+    def _with_pred(self, df: DataFrame, where) -> DataFrame:
+        """Materialize the write selector as a boolean ``__pred`` column.
+
+        Positional selectors (boolean mask / row positions) need a window
+        over ``_seq`` — window expressions are legal in a projection but not
+        in WHERE, so every selector is normalized into a projected column
+        (the MERGE-source shape)."""
+        if where is None or (isinstance(where, slice) and where == slice(None)):
+            expr = F.lit(True)
+        elif isinstance(where, _SemiJoinFilter):
+            ids = [r[0] for r in where.lit_df.collect()]
+            expr = F.col(where.col_name).isin(ids)
+        elif isinstance(where, Filter):
+            expr = where.expr
+        elif isinstance(where, Column):
+            expr = where.expr == F.lit(True)
+        elif isinstance(where, str):
+            expr = F.col("_id") == where
+        elif _is_bool_mask(where):
+            positions = [i for i, m in enumerate(list(where)) if m]
+            expr = self._pos_expr().isin(positions)
+        elif isinstance(where, (list, tuple)):
+            expr = F.col("_id").isin(list(where))
+        else:
+            raise TypeError(f"unsupported loc-write selector: {type(where)}")
+        return df.withColumn("__pred", expr)
+
+    @staticmethod
+    def _pos_expr():
+        """Row position in insertion (_seq) order (base.py:2411-2417)."""
+        w = Window.orderBy(F.asc("_seq"))
+        return F.row_number().over(w) - 1
+
+    def _aligned_update(
+        self, table: Table, df: DataFrame, pred, col: str, values: list
+    ) -> tuple[DataFrame, DataFrame]:
+        """List values aligned positionally (by _seq order) to the target
+        rows — MERGE with a literal source keyed on computed position."""
+        target = df.where(pred) if pred is not None else df
+        n = target.count()
+        if len(values) != n:
+            raise ValueError(f"length mismatch: {len(values)} values for {n} rows")
+        w = Window.orderBy(F.asc("_seq"))
+        keyed = target.withColumn("__vidx", F.row_number().over(w) - 1).select(
+            "_id", "__vidx"
+        )
+        is_new = col not in df.columns
+        if is_new:
+            src = self.spark.createDataFrame(
+                [(i, v) for i, v in enumerate(values)], ["__vidx", "__newval"]
+            )
+        else:
+            dtype = df.schema[col].dataType
+            src = self.spark.createDataFrame(
+                [(i, v) for i, v in enumerate(values)],
+                T.StructType(
+                    [
+                        T.StructField("__vidx", T.LongType()),
+                        T.StructField("__newval", dtype),
+                    ]
+                ),
+            )
+        upd = keyed.join(src.withColumnRenamed("__vidx", "__vidx2"),
+                         keyed["__vidx"] == F.col("__vidx2")).select(
+            F.col("_id").alias("__uid"), "__newval"
+        )
+        joined = df.join(F.broadcast(upd) if n <= 100_000 else upd,
+                         df["_id"] == F.col("__uid"), "left")
+        old = F.lit(None) if is_new else F.col(col)
+        expr = F.when(F.col("__uid").isNotNull(), F.col("__newval")).otherwise(old)
+        if is_new:
+            oplog = None
+        else:
+            oplog = self._oplog_entries(table, joined, col, expr).drop(
+                "__uid", "__newval"
+            )
+        new_df = joined.withColumn(col, expr).drop("__uid", "__newval")
+        return new_df, oplog
+
+    # -- append (base.py:822-861) ---------------------------------------
+    def append(self, table: Table, other) -> None:
+        import pandas as pd
+
+        df = table.df
+        if isinstance(other, Table):
+            odf = other.df
+        elif isinstance(other, DataFrame):
+            odf = other
+        elif isinstance(other, pd.DataFrame):
+            odf = self.spark.createDataFrame(other)
+        else:
+            raise TypeError(f"cannot append {type(other)}")
+        common = [
+            c for c in df.columns if c in odf.columns and c not in ("_id", "_seq")
+        ]
+        if not common:
+            raise ValueError("no intersecting columns to append")
+        start = self._next_seq(table)
+        w = Window.orderBy(F.monotonically_increasing_id())
+        incoming = odf.select(*common).withColumn(
+            "_seq", F.row_number().over(w) - 1 + F.lit(start)
+        )
+        incoming = incoming.withColumn(
+            "_id", F.format_string("r%08d", F.col("_seq"))
+        )
+        for c in df.columns:
+            if c not in incoming.columns:
+                incoming = incoming.withColumn(
+                    c, F.lit(None).cast(df.schema[c].dataType)
+                )
+        incoming = incoming.select(*df.columns)
+        for c in common:
+            incoming = incoming.withColumn(c, F.col(c).cast(df.schema[c].dataType))
+        n_new = incoming.count()
+        self._set_next_seq(table, start + n_new)
+        self._stage(
+            table, df.unionByName(incoming), "append", {"rows": n_new}, None
+        )
+
+    def _next_seq(self, table: Table) -> int:
+        meta = self.meta(table.name)
+        if "next_seq" in meta:
+            return int(meta["next_seq"])
+        mx = table.df.agg(F.max("_seq")).collect()[0][0]
+        return (mx + 1) if mx is not None else 0
+
+    def _set_next_seq(self, table: Table, value: int) -> None:
+        meta = self.meta(table.name)
+        meta["next_seq"] = int(value)
+        self._write_meta(table.name, meta)
+
+    # -- delete rows (base.py:865-938) ----------------------------------
+    def delete_rows(self, table: Table, rows) -> None:
+        df = table.df
+        if isinstance(rows, int):
+            rows = [rows]
+        if (
+            isinstance(rows, (list, tuple))
+            and rows
+            and all(isinstance(r, int) for r in rows)
+            and not _is_bool_mask(rows)
+        ):
+            # index positions → _seq order (base.py:884-893)
+            dfp = df.withColumn("__pred", self._pos_expr().isin(list(rows)))
+        else:
+            dfp = self._with_pred(df, rows)
+        removed = dfp.where(F.col("__pred")).drop("__pred")
+        v = self._current_version(table.name) + 1
+        oplog = removed.select(
+            F.lit(self.user).alias("user"),
+            F.lit("sea-serpent-spark").alias("app"),
+            F.lit(datetime.now(timezone.utc)).alias("op_time"),
+            F.lit(v).cast("long").alias("op_id"),
+            F.col("_id").alias("row_id"),
+            F.lit("_row").alias("column"),
+            F.lit("present").alias("old_value"),
+            F.lit("deleted").alias("new_value"),
+        )
+        kept = dfp.where(~F.col("__pred")).drop("__pred")
+        self._stage(table, kept, "delete_rows", {}, oplog)
+
+    # -- schema ops (base.py:693-744, 2073-2102, 1922-1936) --------------
+    def add_column(self, table: Table, col_name: str, col_type,
+                   col_data=None, col_options=None) -> None:
+        df = table.df
+        if col_name in df.columns:
+            raise ValueError(f"duplicate column name {col_name!r}")
+        st = normalize_type(col_type)
+        meta = self.meta(table.name)
+        centry: dict = {"type": st}
+        if col_options:
+            centry["options"] = list(col_options)
+        if col_data:
+            centry["data"] = col_data
+        meta["columns"][col_name] = centry
+        self._write_meta(table.name, meta)
+        new_df = df.withColumn(col_name, F.lit(None).cast(spark_type(st)))
+        self._stage(table, new_df, "add_column", {"column": col_name}, None)
+
+    def rename_column(self, table: Table, old: str, new: str) -> None:
+        df = table.df
+        if old not in df.columns:
+            raise KeyError(old)
+        if new in df.columns:
+            raise ValueError(f"duplicate column name {new!r}")
+        meta = self.meta(table.name)
+        if old in meta.get("columns", {}):
+            meta["columns"][new] = meta["columns"].pop(old)
+            self._write_meta(table.name, meta)
+        self._stage(
+            table,
+            df.withColumnRenamed(old, new),
+            "rename_column",
+            {"from": old, "to": new},
+            None,
+        )
+
+    def drop_column(self, table: Table, col: str) -> None:
+        df = table.df
+        if col not in df.columns:
+            raise KeyError(col)
+        if col in ("_id", "_seq"):
+            raise ValueError(f"cannot drop reserved column {col!r}")
+        meta = self.meta(table.name)
+        meta.get("columns", {}).pop(col, None)
+        self._write_meta(table.name, meta)
+        self._stage(table, df.drop(col), "drop_column", {"column": col}, None)
+
+
+def _row_id(i: int) -> str:
+    return f"r{i:08d}"
+
+
+def _is_listlike(v) -> bool:
+    if isinstance(v, (str, bytes, dict)):
+        return False
+    try:
+        import numpy as np
+        import pandas as pd
+
+        if isinstance(v, (pd.Series, np.ndarray)):
+            return True
+    except ImportError:  # pragma: no cover
+        pass
+    return isinstance(v, (list, tuple))
+
+
+def _is_bool_mask(obj) -> bool:
+    try:
+        import numpy as np
+        import pandas as pd
+
+        if isinstance(obj, (pd.Series, np.ndarray)):
+            return obj.dtype == bool
+    except ImportError:  # pragma: no cover
+        pass
+    return (
+        isinstance(obj, (list, tuple))
+        and len(obj) > 0
+        and all(isinstance(x, bool) for x in obj)
+    )

@@ -1,0 +1,206 @@
+"""Mutation surface tests — reproduce the reference README walkthrough
+(README.md:85-224, the de-facto test suite per SURVEY §5) on the versioned
+store."""
+
+import warnings
+
+import pandas as pd
+import pytest
+
+from sea_serpent_spark import Base
+
+
+@pytest.fixture()
+def base(spark, tmp_path):
+    return Base(str(tmp_path / "wh"), spark, user="tester")
+
+
+@pytest.fixture()
+def mytable(base):
+    """F1 `mytable` fixture (FIXTURES.md): column1 1..10, labels A..J,
+    checked all-NULL."""
+    pdf = pd.DataFrame(
+        {
+            "column1": range(1, 11),
+            "labels": [chr(65 + i) for i in range(10)],
+        }
+    )
+    t = base.from_frame(pdf, "mytable")
+    t.add_column("checked", "checkbox")
+    return base.table("mytable")
+
+
+def test_from_frame_types_and_ids(mytable):
+    assert mytable.columns == ["_id", "_seq", "column1", "labels", "checked"]
+    pdf = mytable.to_frame()
+    assert pdf.index.name == "row_id"
+    assert len(pdf) == 10
+    assert pdf["checked"].isna().all()
+
+
+def test_head(mytable):
+    pdf = mytable.head(3)
+    assert pdf["column1"].tolist() == [1, 2, 3]
+
+
+def test_filter_read(mytable):
+    pdf = mytable.loc[mytable.column1 >= 7, ["column1", "labels"]].to_frame(
+        row_id_index=False
+    )
+    assert sorted(pdf["column1"]) == [7, 8, 9, 10]
+
+
+def test_scalar_column_assignment(base, mytable):
+    mytable["checked"] = False
+    pdf = mytable.to_frame()
+    assert (pdf["checked"] == False).all()  # noqa: E712
+    assert len(base.history("mytable")) == 3  # from_frame, add_column, set
+
+
+def test_list_column_assignment(mytable):
+    vals = [bool(i % 2) for i in range(10)]
+    mytable["checked"] = vals
+    pdf = mytable.to_frame().sort_values("_seq")
+    assert pdf["checked"].tolist() == vals
+
+
+def test_predicate_write(mytable):
+    mytable.loc[mytable.labels == "C", "checked"] = True
+    pdf = mytable.to_frame().sort_values("_seq")
+    assert pdf.loc[pdf["labels"] == "C", "checked"].tolist() == [True]
+    assert pdf.loc[pdf["labels"] != "C", "checked"].isna().all()
+
+
+def test_rowid_write(mytable):
+    ids = mytable.to_frame().index.tolist()
+    mytable.loc[ids[0], "labels"] = "ZZ"
+    pdf = mytable.to_frame()
+    assert pdf.loc[ids[0], "labels"] == "ZZ"
+
+
+def test_mask_write(mytable):
+    mask = [i < 5 for i in range(10)]
+    mytable.loc[mask, "checked"] = True
+    pdf = mytable.to_frame().sort_values("_seq")
+    assert pdf["checked"].tolist()[:5] == [True] * 5
+    assert pdf["checked"].isna().tolist()[5:] == [True] * 5
+
+
+def test_update_diff_write_oplog(mytable):
+    mytable["checked"] = False
+    before = mytable.fetch_logs().count()
+    vals = [False] * 9 + [True]  # only one changed cell
+    mytable.checked.update(vals)
+    logs = mytable.fetch_logs()
+    assert logs.count() - before == 1
+    row = logs.orderBy(logs.op_id.desc()).limit(1).collect()[0]
+    assert row["column"] == "checked"
+    assert row["old_value"] == "false" and row["new_value"] == "true"
+
+
+def test_clear_column(mytable):
+    mytable["checked"] = True
+    mytable.checked.clear()
+    assert mytable.to_frame()["checked"].isna().all()
+
+
+def test_delete_rows_by_position(mytable):
+    mytable.delete_rows([0, 1])
+    pdf = mytable.to_frame().sort_values("_seq")
+    assert len(pdf) == 8
+    assert pdf["column1"].tolist() == list(range(3, 11))
+
+
+def test_delete_rows_by_filter(mytable):
+    mytable.delete_rows(mytable.column1 > 8)
+    assert len(mytable) == 8
+
+
+def test_append_intersecting_columns(base, mytable):
+    extra = pd.DataFrame({"column1": [100, 200], "other": ["x", "y"]})
+    mytable.append(extra)
+    pdf = mytable.to_frame().sort_values("_seq")
+    assert len(pdf) == 12
+    assert pdf["column1"].tolist()[-2:] == [100, 200]
+    assert pdf["labels"].isna().tolist()[-2:] == [True, True]
+    # _ids stay unique
+    assert pdf.index.is_unique
+
+
+def test_add_rename_drop_column(base, mytable):
+    mytable.add_column("score", "number")
+    assert "score" in mytable.columns
+    assert base.meta("mytable")["columns"]["score"]["type"] == "number"
+    mytable.rename_column("score", "points")
+    assert "points" in mytable.columns and "score" not in mytable.columns
+    mytable.drop_column("points")
+    assert "points" not in mytable.columns
+
+
+def test_duplicate_column_rejected(mytable):
+    with pytest.raises(ValueError):
+        mytable.add_column("labels", "text")
+
+
+def test_select_option_registry_warns_and_extends(base):
+    pdf = pd.DataFrame({"cat": pd.Categorical(["red", "green", "red"])})
+    t = base.from_frame(pdf, "seltable")
+    assert base.meta("seltable")["columns"]["cat"]["options"] == ["green", "red"]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        t.loc[t.cat == "green", "cat"] = "blue"
+    assert any("blue" in str(x.message) for x in w)
+    assert "blue" in base.meta("seltable")["columns"]["cat"]["options"]
+
+
+def test_type_validation_rejects_bad_write(mytable):
+    with pytest.raises(TypeError):
+        mytable["column1"] = "not a number"
+    with pytest.raises(ValueError):
+        mytable["column1"] = float("inf")
+
+
+def test_bundle_edits_single_commit(base, mytable):
+    n0 = len(base.history("mytable"))
+    with mytable.bundle():
+        mytable.loc[mytable.labels == "A", "checked"] = True
+        mytable.loc[mytable.labels == "B", "checked"] = True
+        mytable["column1"] = list(range(11, 21))
+    hist = base.history("mytable")
+    assert len(hist) == n0 + 1
+    assert hist[-1]["op"] == "bundle"
+    pdf = mytable.to_frame().sort_values("_seq")
+    assert pdf["column1"].tolist() == list(range(11, 21))
+    assert pdf.loc[pdf["labels"].isin(["A", "B"]), "checked"].all()
+
+
+def test_time_travel(base, mytable):
+    mytable["checked"] = True
+    v_before = base._current_version("mytable")
+    mytable.loc[mytable.column1 <= 5, "labels"] = "LOW"
+    old = base.table("mytable", version=v_before)
+    assert (old.to_frame()["labels"] != "LOW").all()
+    new = base.table("mytable")
+    assert (new.to_frame()["labels"] == "LOW").sum() == 5
+    # pinned versions are read-only
+    with pytest.raises(PermissionError):
+        old["checked"] = False
+
+
+def test_read_only_guard(base, mytable):
+    ro = base.table("mytable", read_only=True)
+    with pytest.raises(PermissionError):
+        ro["checked"] = True
+
+
+def test_row_logs(mytable):
+    ids = mytable.to_frame().index.tolist()
+    mytable.loc[ids[3], "labels"] = "Q"
+    logs = mytable.fetch_row_logs(ids[3]).collect()
+    assert len(logs) == 1 and logs[0]["new_value"] == "Q"
+
+
+def test_drop_table(base, mytable):
+    assert "mytable" in base
+    base.drop_table("mytable")
+    assert "mytable" not in base
