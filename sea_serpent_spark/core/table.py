@@ -325,6 +325,21 @@ class Table:
     def rename_column(self, old: str, new: str):
         self._require_store().rename_column(self, old, new)
 
+    def link(self, other, link_on: str, link_on_other: str, link_col: str,
+             multi_match: bool = True):
+        """Build row-id links to another table (base.py:1481-1603)."""
+        from ..operators.link import link as _link
+
+        _link(self, other, link_on, link_on_other, link_col, multi_match)
+
+    def add_linked_column(self, link_col: str, formula: str,
+                          value_col: str | None = None,
+                          name: str | None = None):
+        """Computed rollup column across links (base.py:748-818)."""
+        from ..operators.link import add_linked_column as _alc
+
+        _alc(self, link_col, formula, value_col, name)
+
     def bundle(self):
         """Coalesced-edit context manager (BundleEdits, base.py:2629-2693)."""
         from ..mutation.bundle import BundleEdits

@@ -371,6 +371,21 @@ class Base:
                 new_df = df.withColumn(col, expr)
         self._stage(table, new_df, "set_column", {"column": col}, oplog)
 
+    def set_column_from_df(
+        self, table: Table, col: str, src: DataFrame, value_col: str
+    ) -> None:
+        """MERGE a computed column keyed on ``_id`` (link/rollup
+        materialization sink). ``src`` = DataFrame[_id, value_col]."""
+        df = table.df
+        upd = src.select(
+            F.col("_id").alias("__uid"), F.col(value_col).alias("__newval")
+        )
+        joined = df.join(upd, df["_id"] == F.col("__uid"), "left")
+        new_df = joined.withColumn(col, F.col("__newval")).drop(
+            "__uid", "__newval"
+        )
+        self._stage(table, new_df, "set_column_from_df", {"column": col}, None)
+
     def clear_column(self, table: Table, col: str) -> None:
         """Set every cell to NULL (Column.clear, base.py:1897-1918)."""
         self.set_column(table, col, None)
