@@ -1,0 +1,393 @@
+"""Extension workload: LLM-data-pipeline operators + oracle SQL.
+
+Covers the beyond-reference extensions (SURVEY §7 Phase 5): dedup (exact,
+minhash-LSH, simhash, n-gram Jaccard, embedding near-dup), similarity
+search (brute-force / LSH / IVF top-k), and text analysis (lang-id,
+quality, tokens, fingerprint).
+
+Oracle parity strategy:
+- sketches use the **portable hash layer** (operators/hashing.py) — the
+  DuckDB SQL is generated from the same constants, so minhash/simhash
+  match bit-for-bit;
+- vector math casts float→double on both sides and accumulates
+  left-to-right, so cosine ranks agree;
+- similarity outputs are **rank-based** (query_id, neighbor_id, rank) to
+  keep value hashes independent of float formatting.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .operators import dedup as D
+from .operators import similarity as S
+from .operators import text as X
+from .operators.hashing import MINHASH_COEFFS, P, SIMHASH_BITS, h48_sql, perm_sql
+from .workload import df
+
+# ---------------------------------------------------------------------------
+# SQL fragment generators (DuckDB dialect, mirroring operators/*)
+# ---------------------------------------------------------------------------
+
+WORDS_SQL = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+DWORDS_SQL = f"list_distinct({WORDS_SQL})"
+FP_SQL = f"md5(array_to_string({WORDS_SQL}, ' '))"
+
+
+def _minhash_sig_sql(i: int) -> str:
+    a, b = MINHASH_COEFFS[i]
+    return (
+        f"list_min(list_transform(ws, w -> {perm_sql('w', a, b)}))"
+    )
+
+
+def _simhash_sql() -> str:
+    votes = []
+    for j in range(SIMHASH_BITS):
+        vote = (
+            "list_sum(list_transform(ws, w -> CASE WHEN "
+            f"(({h48_sql('w')} >> {j}) & 1) = 1 THEN 1 ELSE -1 END))"
+        )
+        votes.append(
+            f"CASE WHEN {vote} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        )
+    return " + ".join(votes)
+
+
+COS_SQL = (
+    "list_sum(list_transform(generate_series(1, len(qv)), "
+    "i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(generate_series(1, len(qv)), "
+    "i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform(generate_series(1, len(cv)), "
+    "i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))"
+)
+
+
+def _bucket_sql(vec: str, nbits: int = 8) -> str:
+    terms = [
+        f"CASE WHEN {vec}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(nbits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q30_token_count(spark, sf_dir):
+    d = df(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", X.token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+def q31_quality_score(spark, sf_dir):
+    d = df(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.round_half_up(X.punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+        X.round_half_up(X.stopword_ratio(F.col("text")), 4).alias(
+            "stopword_ratio"
+        ),
+        X.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q32_lang_id(spark, sf_dir):
+    d = df(spark, sf_dir, "documents")
+    return d.select("doc_id", X.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q33_fingerprint(spark, sf_dir):
+    d = df(spark, sf_dir, "documents")
+    return d.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def q34_dedup_exact(spark, sf_dir):
+    return D.exact_dedup_groups(df(spark, sf_dir, "documents"))
+
+
+def q35_minhash_sig(spark, sf_dir):
+    sig = D.minhash_signature(df(spark, sf_dir, "documents"))
+    # project the signature as columns for a stable oracle schema
+    return sig.select(
+        "id", *[F.element_at("sig", i + 1).alias(f"s{i}") for i in range(16)]
+    )
+
+
+def q36_minhash_lsh_pairs(spark, sf_dir):
+    return D.minhash_lsh_pairs(
+        df(spark, sf_dir, "documents"), jaccard_threshold=0.5
+    )
+
+
+def q37_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(
+        df(spark, sf_dir, "documents"), shingle_n=1, threshold=0.8
+    )
+
+
+def q38_simhash(spark, sf_dir):
+    return D.simhash_signatures(df(spark, sf_dir, "documents"))
+
+
+def q39_simhash_pairs(spark, sf_dir):
+    return D.simhash_pairs(df(spark, sf_dir, "documents"), max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def q40_ann_brute_topk(spark, sf_dir):
+    e = df(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    return S.brute_force_topk(e, q, k=5)
+
+
+def q41_ann_lsh_topk(spark, sf_dir):
+    e = df(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    return S.lsh_topk(e, q, k=3, nbits=8)
+
+
+def q42_ann_ivf_topk(spark, sf_dir):
+    e = df(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    return S.ivf_topk(e, q, k=3)
+
+
+def q43_embedding_near_dup(spark, sf_dir):
+    return S.embedding_near_dup_pairs(
+        df(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+# ---------------------------------------------------------------------------
+# sessionization (batch twin of the streaming session window)
+# ---------------------------------------------------------------------------
+
+def q44_sessionize(spark, sf_dir):
+    """30-minute-gap sessionization per user — the deterministic batch twin
+    of streaming/F.session_window (lag + cumulative-sum pattern)."""
+    e = df(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # integer microseconds (session tz = UTC) — exact gap arithmetic that
+    # matches DuckDB's epoch_us() with no float truncation hazards
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = e.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    name: fn
+    for name, fn in sorted(globals().items())
+    if name.startswith("q") and name[1:3].isdigit() and callable(fn)
+}
+
+_MINHASH_SIG_COLS = ",\n    ".join(
+    f"{_minhash_sig_sql(i)} AS s{i}" for i in range(16)
+)
+_BANDS_SQL = "\nUNION ALL\n".join(
+    f"SELECT id, {i} AS band, concat_ws('-', s{i * 4}, s{i * 4 + 1}, "
+    f"s{i * 4 + 2}, s{i * 4 + 3}) AS key FROM sig"
+    for i in range(4)
+)
+_CHUNKS_SQL = "\nUNION ALL\n".join(
+    f"SELECT id, sim, {i} AS c, (sim >> {i * 12}) & 4095 AS v FROM sigs"
+    for i in range(4)
+)
+
+ORACLES_EXT: dict[str, str] = {
+    "q30_token_count": (
+        "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+        f"len({WORDS_SQL}) END AS INT) AS n_tokens FROM documents"
+    ),
+    # NB: numeric literals are CAST to DOUBLE — DuckDB parses bare 0.4 as
+    # DECIMAL, which diverges from Spark's IEEE-double arithmetic at
+    # rounding boundaries.
+    # FLOOR(x*10^k + 0.5)/10^k on both sides — engine ROUND()s diverge at
+    # representation boundaries (see operators/text.py:round_half_up)
+    "q31_quality_score": f"""
+SELECT doc_id,
+  FLOOR(pr * 10000 + CAST(0.5 AS DOUBLE)) / 10000 AS punct_ratio,
+  FLOOR(sw * 10000 + CAST(0.5 AS DOUBLE)) / 10000 AS stopword_ratio,
+  FLOOR((CAST(0.4 AS DOUBLE) * least(length(text) / CAST(500.0 AS DOUBLE),
+             CAST(1.0 AS DOUBLE))
+      + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - pr)
+      + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+            - abs(sw - CAST(0.3 AS DOUBLE)) / CAST(0.7 AS DOUBLE)))
+      * 10000 + CAST(0.5 AS DOUBLE)) / 10000 AS quality
+FROM (
+  SELECT doc_id, text,
+    CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE (length(text) - length(regexp_replace(text,
+              '[^a-zA-Z0-9\\s]', '', 'g'))) / CAST(length(text) AS DOUBLE)
+         END AS pr,
+    CASE WHEN len({WORDS_SQL}) = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE len(list_filter({WORDS_SQL},
+              w -> list_contains({X.LANG_MARKERS['en']!r}, w)))
+              / CAST(len({WORDS_SQL}) AS DOUBLE) END AS sw
+  FROM documents)
+""",
+    "q32_lang_id": None,  # filled below (generated)
+    "q33_fingerprint": (
+        f"SELECT doc_id, {FP_SQL} AS fp FROM documents"
+    ),
+    "q34_dedup_exact": (
+        f"SELECT {FP_SQL} AS fp, COUNT(*) AS n_dups, "
+        "MIN(doc_id) AS canonical_id FROM documents GROUP BY 1"
+    ),
+    "q35_minhash_sig": f"""
+SELECT doc_id AS id, {_MINHASH_SIG_COLS}
+FROM (SELECT doc_id, {DWORDS_SQL} AS ws FROM documents)
+""",
+    "q36_minhash_lsh_pairs": f"""
+WITH base AS (SELECT doc_id AS id, {DWORDS_SQL} AS ws FROM documents),
+sig AS (SELECT id, ws, {_MINHASH_SIG_COLS} FROM base),
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT x.id AS ia, y.id AS ib
+  FROM bands x JOIN bands y USING (band, key) WHERE x.id < y.id)
+SELECT ia AS id_a, ib AS id_b,
+  ROUND(len(list_intersect(a.ws, b.ws)) /
+        CAST(len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))
+             AS DOUBLE), 4) AS jaccard
+FROM cand JOIN base a ON a.id = ia JOIN base b ON b.id = ib
+WHERE len(list_intersect(a.ws, b.ws)) /
+      CAST(len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))
+           AS DOUBLE) >= 0.5
+""",
+    "q37_ngram_jaccard": f"""
+WITH sh AS (
+  SELECT doc_id AS id, unnest({DWORDS_SQL}) AS s FROM documents),
+sz AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+p AS (
+  SELECT x.id AS ia, y.id AS ib, COUNT(*) AS inter
+  FROM sh x JOIN sh y USING (s) WHERE x.id < y.id GROUP BY 1, 2)
+SELECT ia AS id_a, ib AS id_b,
+  ROUND(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) AS jaccard
+FROM p JOIN sz sa ON sa.id = ia JOIN sz sb ON sb.id = ib
+WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8
+""",
+    "q38_simhash": f"""
+SELECT doc_id AS id, {_simhash_sql()} AS sim
+FROM (SELECT doc_id, {DWORDS_SQL} AS ws FROM documents)
+""",
+    "q39_simhash_pairs": f"""
+WITH sigs AS (
+  SELECT doc_id AS id, {_simhash_sql()} AS sim
+  FROM (SELECT doc_id, {DWORDS_SQL} AS ws FROM documents)),
+chunks AS ({_CHUNKS_SQL}),
+cand AS (
+  SELECT DISTINCT x.id AS ia, y.id AS ib, x.sim AS sa, y.sim AS sb
+  FROM chunks x JOIN chunks y USING (c, v) WHERE x.id < y.id)
+SELECT ia AS id_a, ib AS id_b, bit_count(xor(sa, sb)) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 8
+""",
+    "q40_ann_brute_topk": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {COS_SQL} AS cos
+  FROM c CROSS JOIN q WHERE neighbor_id != query_id)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, neighbor_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored) WHERE rank <= 5
+""",
+    "q41_ann_lsh_topk": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+           {_bucket_sql('embedding')} AS bucket FROM embeddings
+           WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+      {_bucket_sql('embedding')} AS bucket FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {COS_SQL} AS cos
+  FROM c JOIN q USING (bucket) WHERE neighbor_id != query_id)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, neighbor_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored) WHERE rank <= 3
+""",
+    "q42_ann_ivf_topk": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS cl
+           FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS cl
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {COS_SQL} AS cos
+  FROM c JOIN q USING (cl) WHERE neighbor_id != query_id)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, neighbor_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored) WHERE rank <= 3
+""",
+    "q43_embedding_near_dup": f"""
+WITH a AS (SELECT vec_id AS id_a, embedding AS qv FROM embeddings),
+b AS (SELECT vec_id AS id_b, embedding AS cv FROM embeddings)
+SELECT id_a, id_b, ROUND({COS_SQL}, 4) AS cos
+FROM a CROSS JOIN b
+WHERE id_a < id_b AND ROUND({COS_SQL}, 4) >= 0.45
+""",
+    "q44_sessionize": """
+WITH g AS (
+  SELECT user_id, event_id, value, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, value,
+    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+  ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value
+FROM s GROUP BY user_id, session_id
+""",
+}
+
+# generated lang-id oracle: same argmax/tie-break as operators/text.py
+_SCORES = {
+    lang: f"len(list_intersect(ws, {ms!r}))"
+    for lang, ms in X.LANG_MARKERS.items()
+}
+_BEST = "greatest(" + ", ".join(_SCORES.values()) + ")"
+_CASE = "CASE "
+for lang in X.LANGS:
+    _CASE += (
+        f"WHEN {_SCORES[lang]} > 0 AND {_SCORES[lang]} = {_BEST} "
+        f"THEN '{lang}' "
+    )
+_CASE += "ELSE 'und' END"
+ORACLES_EXT["q32_lang_id"] = (
+    f"SELECT doc_id, {_CASE} AS lang_pred "
+    f"FROM (SELECT doc_id, {DWORDS_SQL} AS ws FROM documents)"
+)
+
+ORACLES_EXT = {k: v for k, v in ORACLES_EXT.items() if v is not None}

@@ -1,0 +1,149 @@
+"""Extension operator tests: dedup, similarity, text analysis."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from sea_serpent_spark.operators import dedup as D
+from sea_serpent_spark.operators import similarity as S
+from sea_serpent_spark.operators import text as X
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over a lazy dog"),  # near dup of 1
+        (4, "completely different content about spark engines"),
+        (5, "der hund ist nicht auf der couch und das ist gut"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(docs):
+    out = {
+        r["canonical_id"]: r["n_dups"]
+        for r in D.exact_dedup_groups(docs).collect()
+    }
+    assert out[1] == 2  # docs 1,2 collapse
+    assert out[3] == 1
+
+
+def test_exact_dedup_canonical_flags(docs):
+    rows = {r["doc_id"]: r["is_canonical"] for r in D.exact_dedup(docs).collect()}
+    assert rows[1] is True and rows[2] is False
+
+
+def test_minhash_identical_docs_same_signature(docs):
+    sigs = {r["id"]: r["sig"] for r in D.minhash_signature(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_lsh_pairs(docs.where("doc_id != 6"),
+                                     jaccard_threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.5
+    assert (1, 4) not in pairs
+
+
+def test_ngram_jaccard_exact(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    # doc1 has 8 distinct words, doc3 differs by one word ('the'->'a'...)
+    assert 0.5 < pairs[(1, 3)] < 1.0
+
+
+def test_simhash_hamming(docs):
+    sigs = {r["id"]: r["sim"] for r in D.simhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]
+    ham13 = bin(sigs[1] ^ sigs[3]).count("1")
+    ham14 = bin(sigs[1] ^ sigs[4]).count("1")
+    assert ham13 < ham14  # near dup closer than unrelated
+
+
+def test_simhash_pairs_pigeonhole(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_pairs(docs, max_hamming=10).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+
+
+def test_lang_id(spark):
+    rows = [
+        (1, "the cat is in the house and it is happy"),
+        (2, "der hund ist nicht mit der katze auf dem sofa und das"),
+        (3, "le chat est dans la maison et il est pour les amis"),
+        (4, "el perro es un animal y los gatos en la casa por"),
+        (5, "xyzzy plugh qwerty"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["lang"] for r in df.select(
+        "doc_id", X.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_token_count_and_quality(docs):
+    out = {r["doc_id"]: r for r in X.analyze(docs).collect()}
+    assert out[1]["n_tokens"] == 9
+    assert out[6]["n_tokens"] == 0
+    assert 0.0 <= out[1]["quality"] <= 1.0
+    assert out[1]["fp"] == out[2]["fp"]
+
+
+def test_brute_force_topk_self_excluded(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),   # closest to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),  # opposite of 1
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = S.brute_force_topk(df, df.where("vec_id = 1"), k=3).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [2, 3, 4]
+    assert 1 not in ranked
+
+
+def test_lsh_topk_same_bucket_only(spark):
+    rows = [
+        (1, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+        (2, [0.9, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),  # same signs
+        (3, [-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0]),  # other bucket
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = S.lsh_topk(df, df.where("vec_id = 1"), k=5, nbits=8).collect()
+    ids = {r["neighbor_id"] for r in out}
+    assert ids == {2}  # 3 is in a different bucket, never scored
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.999, 0.001]),
+        (3, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = S.embedding_near_dup_pairs(df, threshold=0.99).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+
+
+def test_plan_stays_jvm_side(docs):
+    """No Python UDFs in extension plans — BatchEvalPython must not appear."""
+    for frame in (
+        D.minhash_signature(docs),
+        D.simhash_signatures(docs),
+        X.analyze(docs),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
