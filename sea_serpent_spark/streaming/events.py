@@ -1,0 +1,140 @@
+"""Structured Streaming over the events table + op-log CDC.
+
+Beyond-reference extension (SURVEY §2.7: the reference has **no** streaming;
+its closest analogue is the activity-log pagination poller,
+base.py:1082-1128). Spark-first equivalents:
+
+- event streams: ``readStream`` over a parquet directory with watermarked
+  tumbling / sliding / session windows — late data handled by
+  ``withWatermark``, not client-side pagination;
+- change-data-capture: the mutation store's cell-level ``_oplog`` parquet
+  directory is itself streamable — the Delta Change Data Feed pattern on
+  a plain-parquet substrate.
+
+Scale posture: streaming aggregations are keyed by (window, type) — state
+store size is bounded by watermark horizon × key cardinality, not input
+volume; file sources scale by listing parallelism (maxFilesPerTrigger
+controls micro-batch size under backpressure).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       glob: str = "events.parquet") -> DataFrame:
+    """readStream over the events parquet file(s); nanos → TIMESTAMP ts.
+
+    ``sf_dir`` must be a directory (FileStreamSource requirement); the
+    glob filter selects the events file(s) within it."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .option("pathGlobFilter", glob)
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window count/sum per event_type with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows per user (F.session_window — stateful, the
+    streaming twin of workload_ext.q44_sessionize)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", gap).alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def oplog_stream(spark: SparkSession, base_path: str, table: str) -> DataFrame:
+    """CDC stream over a managed table's cell-level op-log (the Delta
+    Change Data Feed pattern; reference analogue: fetch_logs polling,
+    base.py:1082-1128)."""
+    from ..mutation.store import OPLOG_SCHEMA
+
+    return spark.readStream.schema(OPLOG_SCHEMA).parquet(
+        f"{base_path}/{table}/_oplog"
+    )
+
+
+def run_to_memory(stream: DataFrame, name: str, spark: SparkSession):
+    """Drain all available input into an in-memory table (test/dev sink).
+    Returns after the availableNow trigger completes."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if stream.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

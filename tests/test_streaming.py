@@ -1,0 +1,77 @@
+"""Structured Streaming tests: stream results must equal their batch twins."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from sea_serpent_spark.streaming import (
+    oplog_stream,
+    read_events_stream,
+    run_to_memory,
+    session_counts,
+    tumbling_counts,
+)
+from sea_serpent_spark.workload import df as load_df
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir):
+    return read_events_stream(spark, sf_dir)
+
+
+def test_tumbling_equals_batch(spark, sf_dir, events_stream):
+    got = run_to_memory(
+        tumbling_counts(events_stream), "t_tumbling", spark
+    ).toPandas()
+    batch = (
+        load_df(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .toPandas()
+    )
+    key = ["window_start", "event_type"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    batch_s = batch.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(batch_s)
+    assert (got_s["n"].values == batch_s["n"].values).all()
+    assert (abs(got_s["sum_value"].values - batch_s["sum_value"].values) < 1e-6).all()
+
+
+def test_session_window_stream(spark, events_stream):
+    out = run_to_memory(
+        session_counts(events_stream), "t_sessions", spark
+    ).toPandas()
+    assert len(out) > 0
+    assert (out["session_end"] > out["session_start"]).all()
+    assert (out["n_events"] >= 1).all()
+
+
+def test_oplog_cdc_stream(spark, tmp_path):
+    import pandas as pd
+
+    from sea_serpent_spark import Base
+
+    base = Base(str(tmp_path / "wh"), spark)
+    t = base.from_frame(pd.DataFrame({"x": [1, 2, 3]}), "cdc_t")
+    t["x"] = [10, 2, 3]  # one changed cell
+    t.loc[t.x == 10, "x"] = 99
+    stream = oplog_stream(spark, str(tmp_path / "wh"), "cdc_t")
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_cdc")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    logs = spark.table("t_cdc").toPandas()
+    assert len(logs) == 2  # 1->10, 10->99
+    assert set(logs["column"]) == {"x"}
