@@ -3,9 +3,11 @@
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is materialized with a full ``collect()`` (driver-equivalent of
-the correctness run). Times are end-to-end per query, excluding Spark
-session startup."""
+Each query is fully executed with a ``noop``-format write: every result
+row is produced by the engine (no column pruning, unlike ``count()``)
+but nothing is serialized to the Python driver — so times measure the
+distributed plan, not single-threaded Py4J row deserialization. Times
+are end-to-end per query, excluding Spark session startup."""
 
 from __future__ import annotations
 
@@ -42,12 +44,11 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
-            n = len(df.collect())
+            df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
         except Exception as e:  # a failing query must not hide the rest
             print(f"# bench error {name}: {e}", file=sys.stderr)
             dt = -1.0
-            n = -1
         times[name] = round(dt, 3)
         if dt > 0:
             total += dt

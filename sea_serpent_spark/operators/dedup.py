@@ -28,8 +28,79 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from .hashing import MINHASH_COEFFS, P, SIMHASH_BITS, h48, perm
+from .hashing import MINHASH_COEFFS, P, SIMHASH_BITS, h32, h48
 from .text import fingerprint, words
+
+
+def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition iff the input has fewer partitions than the target.
+
+    CPU-heavy per-row operators (hashing, shingling) are otherwise bound
+    by the scan parallelism — a single small parquet file is one split,
+    so on local[32] the whole sketch would run on one core. At real scale
+    inputs have thousands of splits and this is a no-op."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition of a candidate-pair set before a verify
+    join. Candidate generation is *expansive* — AQE sizes the enumerate
+    stage by its (tiny) input, so the verify work would otherwise run in
+    one or two tasks. An explicit repartition (which AQE honors) moves
+    only narrow id-pairs and parallelizes the expensive verification."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def _salted_pairs(
+    indexed: DataFrame,
+    keys: list[str],
+    sym_cond=None,
+    k: int | None = None,
+) -> DataFrame:
+    """Distinct unordered id-pairs of rows sharing ``keys`` — the bucket
+    self-join at the heart of every LSH/banding scheme — enumerated with
+    **k-way salting** so one hot bucket does not serialize the stage.
+
+    Each row gets a chunk ``c = hash(id) mod k``; the probe side is
+    replicated to target chunks ``t ∈ [c, k)`` and matched against build
+    rows with ``c == t``. A pair with chunks (cu < cv) matches exactly
+    once (u probing chunk cv); equal chunks are ordered by id. The join
+    key becomes (keys…, chunk): a bucket of B rows splits into k·(k+1)/2
+    balanced sub-joins instead of one B² task — this is what survives a
+    shuffle join at 100 TB where buckets (boilerplate shingles, common
+    signatures) are heavily skewed. ``sym_cond(x, y)`` adds a symmetric
+    pruning predicate (e.g. the PPJoin length filter) inside the join."""
+    spark = indexed.sparkSession
+    k = k or spark.sparkContext.defaultParallelism
+    salted = indexed.withColumn("_c", F.pmod(F.hash("id"), F.lit(k)))
+    # Explicit (AQE-honored) round-robin: the probe's *input* is tiny, so
+    # adaptive planning would otherwise run the expansive join in 1-2
+    # tasks; if Catalyst broadcasts the build side this also guarantees a
+    # balanced probe regardless of key skew.
+    probe = (
+        salted.withColumn("_t", F.explode(F.sequence("_c", F.lit(k - 1))))
+        .repartition(k)
+        .alias("x")
+    )
+    build = salted.alias("y")
+    cond = (F.col("y._c") == F.col("x._t")) & (
+        (F.col("x._t") > F.col("x._c")) | (F.col("x.id") < F.col("y.id"))
+    )
+    for c in keys:
+        cond = (F.col(f"x.{c}") == F.col(f"y.{c}")) & cond
+    if sym_cond is not None:
+        cond = cond & sym_cond
+    return (
+        probe.join(build, cond)
+        .select(
+            F.least(F.col("x.id"), F.col("y.id")).alias("id_a"),
+            F.greatest(F.col("x.id"), F.col("y.id")).alias("id_b"),
+        )
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -92,15 +163,69 @@ def minhash_signature(
     """→ [id, sig array<bigint>] minhash signature, all JVM-side.
 
     sig[i] = min over shingles of ((md5_32(s) mod P) * a_i + b_i) mod P —
-    the portable universal-hash family shared with the DuckDB oracle."""
+    the portable universal-hash family shared with the DuckDB oracle.
+
+    Shape: explode(shingles) → one md5 per (doc, shingle) row → groupBy
+    with ``num_hashes`` MIN aggregates. Everything stays in whole-stage
+    codegen (higher-order array functions are interpreted in Spark — an
+    order of magnitude slower per element), and map-side partial
+    aggregation reduces the shuffle to ~num_hashes longs per doc per
+    partition before any exchange."""
     if num_hashes > len(MINHASH_COEFFS):
         raise ValueError(f"at most {len(MINHASH_COEFFS)} hashes supported")
-    sh = shingles(F.col(text_col), shingle_n)
-    def _minexpr(a: int, b: int):
-        return F.array_min(F.transform(sh, lambda s: perm(s, a, b)))
+    tok = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
+    )
+    hashed = tok.select("id", (h32(F.col("s")) % P).alias("h"))
+    mins = hashed.groupBy("id").agg(
+        *[
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % P).alias(f"m{i}")
+            for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
+        ]
+    )
+    return mins.select(
+        "id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig")
+    )
 
-    sig = F.array(*[_minexpr(a, b) for a, b in MINHASH_COEFFS[:num_hashes]])
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+def encoded_token_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 1,
+) -> DataFrame:
+    """→ [id, toks array<long>]: each doc's distinct shingle set
+    **dictionary-encoded** to dense longs and sorted rarest-first.
+
+    The dictionary order is (document_frequency, shingle) ascending, so
+    ascending tid order *is* the global rarest-first total order that
+    prefix filtering needs — and set intersections over long arrays are
+    several times cheaper than over strings (ArrayIntersect is
+    interpreted; per-element cost is equality+hash, which dominates for
+    UTF8 strings). Token-id assignment is injective, so intersection /
+    union cardinalities — hence Jaccard — are exactly those of the
+    original string sets.
+
+    The dictionary build uses a global row_number window (single
+    partition over the vocabulary). Vocabulary is sublinear in corpus
+    size; for extreme vocabularies swap in a two-level ranking
+    (per-partition row_number + partition-count offsets)."""
+    tok = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
+    )
+    dfreq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    dic = dfreq.select(
+        "s",
+        F.row_number()
+        .over(Window.orderBy(F.asc("df"), F.asc("s")))
+        .cast("long")
+        .alias("tid"),
+    )
+    return tok.join(dic, "s").groupBy("id").agg(
+        F.array_sort(F.collect_list("tid")).alias("toks")
+    )
 
 
 def minhash_lsh_pairs(
@@ -133,21 +258,12 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         "id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "key"])
-        .where(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
-    )
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        shingles(F.col(text_col), shingle_n).alias("sh"),
-    )
-    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    cand = _spread(_salted_pairs(banded, ["band", "key"]))
+    sets = encoded_token_sets(df, text_col, id_col, shingle_n)
+    a = sets.select(F.col("id").alias("id_a"), F.col("toks").alias("t_a"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("toks").alias("t_b"))
+    inter = F.size(F.array_intersect("t_a", "t_b"))
+    union = F.size("t_a") + F.size("t_b") - inter
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
@@ -171,36 +287,46 @@ def ngram_jaccard_pairs(
     shingle_n: int = 1,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """→ [id_a, id_b, jaccard ≥ threshold] via shingle inverted index.
+    """→ [id_a, id_b, jaccard ≥ threshold], exact, via **prefix filtering**
+    (AllPairs/PPJoin family: Bayardo et al., WWW'07).
 
-    The explode/self-join shuffles (shingle, id) pairs; |∩| computed by
-    group-count, sizes joined back broadcast. Exact (no sketch error) —
-    the verify baseline for minhash."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
+    A naive shingle inverted-index self-join is quadratic in each token's
+    document frequency — hot tokens (stopwords, boilerplate) dominate and
+    the join explodes at scale. Prefix filtering keeps it exact while
+    joining only on each document's *rarest* tokens:
+
+    1. global document frequency per shingle (one groupBy);
+    2. each doc's shingle set sorted rarest-first → a total order;
+    3. any pair with J ≥ t must share a token within the first
+       ``|s| - ceil(t·|s|) + 1`` tokens of each side ⇒ index only prefixes;
+    4. length filter ``t·|a| ≤ |b|`` prunes candidates in the join;
+    5. exact Jaccard verify on the full sets for surviving candidates.
+
+    No false negatives (prefix-filter theorem), so output is identical to
+    the quadratic formulation — the DuckDB oracle runs the naive version.
+
+    Token sets are dictionary-encoded (``encoded_token_sets``): ascending
+    token-id order is the rarest-first prefix order, and the verify
+    intersects long arrays instead of strings."""
+    sets = encoded_token_sets(df, text_col, id_col, shingle_n)
+    sz = F.size("toks")
+    plen = (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int")
+    inv = sets.select(
+        "id", sz.alias("sz"), F.explode(F.slice("toks", 1, plen)).alias("s")
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    pairs = (
-        sh.alias("x")
-        .join(sh.alias("y"), "s")
-        .where(F.col("x.id") < F.col("y.id"))
-        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # length filter: J ≥ t requires t·|a| ≤ |b| and t·|b| ≤ |a|
+    length_ok = (F.col("x.sz") * threshold <= F.col("y.sz")) & (
+        F.col("y.sz") * threshold <= F.col("x.sz")
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    cand = _spread(_salted_pairs(inv, ["s"], sym_cond=length_ok))
+    a = sets.select(F.col("id").alias("id_a"), F.col("toks").alias("t_a"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("toks").alias("t_b"))
+    inter = F.size(F.array_intersect("t_a", "t_b"))
+    union = F.size("t_a") + F.size("t_b") - inter
     return (
-        pairs.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-                4,
-            ).alias("jaccard"),
-        )
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(inter / union, 4).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
@@ -209,34 +335,83 @@ def ngram_jaccard_pairs(
 # simhash
 # ---------------------------------------------------------------------------
 
+def simhash_votes(col: Column, bits: int = SIMHASH_BITS) -> Column:
+    """array<int> of per-bit majority-vote counters: votes[j] = Σ over the
+    document's distinct words of (+1 if bit j of md5_48(word) else -1).
+    Single pass over the word array (one md5 + one ±1-vector per word,
+    accumulated with zip_with) — vs. ``bits`` separate traversals."""
+    ws = F.array_distinct(words(col))
+
+    def _bitvec(h):
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+                for j in range(bits)
+            ]
+        )
+
+    return F.aggregate(
+        F.transform(ws, lambda w: _bitvec(h48(w))),
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+    )
+
+
+def simhash_from_votes(votes: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Signature from vote counters: bit j set iff votes[j] > 0."""
+    weights = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+    return F.aggregate(
+        F.zip_with(
+            votes, weights, lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+
+
 def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
     """48-bit simhash: bit j of the signature = majority vote of bit j
     across the 48-bit md5 hashes of the document's distinct words.
-    Pure integer expression tree — portable to the DuckDB oracle."""
-    ws = F.array_distinct(words(col))
-    hashes = F.transform(ws, h48)
-    def _vote(j: int):
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(
-                F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1),
-        )
+    Pure integer expression tree — portable to the DuckDB oracle.
 
-    out = F.lit(0).cast("long")
-    for j in range(bits):
-        out = out + F.when(_vote(j) > 0, F.lit(2**j).cast("long")).otherwise(0)
-    return out
+    Note: prefer ``simhash_signatures`` on DataFrames — it stages the vote
+    array as its own projection so it is evaluated once."""
+    return simhash_from_votes(simhash_votes(col, bits), bits)
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sim")
+    """Fast path: explode(distinct words) → one md5_48 per (doc, word) →
+    groupBy with ``bits`` SUM(±1) vote aggregates → fold into the
+    signature. Identical values to ``simhash`` (same votes, same
+    tie-break) but stays in codegen with map-side partial aggregation —
+    the array-fold form interprets ``bits`` array ops per word."""
+    tok = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(words(F.col(text_col)))).alias("w"),
     )
+    h = tok.select("id", h48(F.col("w")).alias("h"))
+    votes = h.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return votes.select("id", sig.alias("sim"))
 
 
 def simhash_pairs(
@@ -262,22 +437,15 @@ def simhash_pairs(
         for i in range(chunks)
     ]
     banded = sigs.select(
-        "id", "sim", F.explode(F.array(*chunk_cols)).alias("ck")
-    ).select("id", "sim", F.col("ck.c").alias("c"), F.col("ck.v").alias("v"))
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["c", "v"])
-        .where(F.col("x.id") < F.col("y.id"))
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.col("x.sim").alias("sim_a"),
-            F.col("y.sim").alias("sim_b"),
-        )
-        .distinct()
-    )
+        "id", F.explode(F.array(*chunk_cols)).alias("ck")
+    ).select("id", F.col("ck.c").alias("c"), F.col("ck.v").alias("v"))
+    cand = _spread(_salted_pairs(banded, ["c", "v"]))
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sim").alias("sim_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sim").alias("sim_b"))
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
-        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )

@@ -28,6 +28,15 @@ _DEFAULTS = {
     "spark.ui.enabled": "false",
 }
 
+#: local-mode JVM sizing. Spark's 1g driver default is far too small for
+#: local[32] where the driver JVM *is* the cluster; pair-generating
+#: operators (LSH candidates, similarity joins) also collect sizeable
+#: results at bench scale. On a real cluster these come from spark-submit.
+_LOCAL_MEM_DEFAULTS = {
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    "spark.driver.maxResultSize": "8g",
+}
+
 
 def get_spark(
     app_name: str = "sea-serpent-spark",
@@ -40,6 +49,8 @@ def get_spark(
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
+    if master.startswith("local"):
+        conf.update(_LOCAL_MEM_DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
     if extra_conf:
         conf.update(extra_conf)
