@@ -30,28 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 
 from .hashing import MINHASH_COEFFS, P, SIMHASH_BITS, h32, h48
 from .text import fingerprint, words
-
-
-def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
-    """Repartition iff the input has fewer partitions than the target.
-
-    CPU-heavy per-row operators (hashing, shingling) are otherwise bound
-    by the scan parallelism — a single small parquet file is one split,
-    so on local[32] the whole sketch would run on one core. At real scale
-    inputs have thousands of splits and this is a no-op."""
-    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition of a candidate-pair set before a verify
-    join. Candidate generation is *expansive* — AQE sizes the enumerate
-    stage by its (tiny) input, so the verify work would otherwise run in
-    one or two tasks. An explicit repartition (which AQE honors) moves
-    only narrow id-pairs and parallelizes the expensive verification."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+from .util import fan_out, spread as _spread
 
 
 def _salted_pairs(

@@ -25,6 +25,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from .util import fan_out
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -41,7 +43,27 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """dot(a,b)/(‖a‖·‖b‖), left-to-right accumulation (oracle-portable).
+
+    In pairwise joins prefer precomputing ``norm`` per *vector* side
+    (see ``_sided``) — the quotient is then bit-identical to this form
+    (same per-vector arithmetic) at a third of the per-pair HOF work."""
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def _sided(
+    df: DataFrame, id_col: str, vec_col: str, id_as: str, vec_as: str,
+    n_as: str, **extra: Column,
+) -> DataFrame:
+    """Project (id, vec, ‖vec‖ [, extras]): norms computed once per
+    vector instead of once per pair. Higher-order array functions are
+    interpreted in Spark, so per-pair work is the scale cost driver."""
+    return df.select(
+        F.col(id_col).alias(id_as),
+        F.col(vec_col).alias(vec_as),
+        norm(F.col(vec_col)).alias(n_as),
+        *[c.alias(name) for name, c in extra.items()],
+    )
 
 
 def brute_force_topk(
@@ -56,19 +78,15 @@ def brute_force_topk(
     Scale: the corpus never shuffles — each partition scores its vectors
     against the broadcast query set and the window is per-query over a
     k-bounded candidate set (Catalyst folds rank+filter into a top-k sort)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )
+    q = _sided(queries, id_col, vec_col, "query_id", "qv", "nq")
+    c = fan_out(_sided(corpus, id_col, vec_col, "neighbor_id", "cv", "nc"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+            (dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -106,15 +124,13 @@ def lsh_topk(
     Scale: corpus bucketing is a narrow projection; the equality join on
     bucket replaces the cross join — each query scores ~N/2^nbits
     candidates."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        sign_bucket(F.col(vec_col), nbits).alias("bucket"),
+    q = _sided(queries, id_col, vec_col, "query_id", "qv", "nq").withColumn(
+        "bucket", sign_bucket(F.col("qv"), nbits)
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        sign_bucket(F.col(vec_col), nbits).alias("bucket"),
+    c = fan_out(
+        _sided(corpus, id_col, vec_col, "neighbor_id", "cv", "nc").withColumn(
+            "bucket", sign_bucket(F.col("cv"), nbits)
+        )
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -122,7 +138,7 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+            (dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -144,15 +160,15 @@ def ivf_topk(
     cluster_col: str = "label",
 ) -> DataFrame:
     """IVF probe using an existing coarse-cluster column as quantizer."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.col(cluster_col).alias("cl"),
+    q = _sided(
+        queries, id_col, vec_col, "query_id", "qv", "nq",
+        cl=F.col(cluster_col),
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        F.col(cluster_col).alias("cl"),
+    c = fan_out(
+        _sided(
+            corpus, id_col, vec_col, "neighbor_id", "cv", "nc",
+            cl=F.col(cluster_col),
+        )
     )
     scored = (
         c.join(F.broadcast(q), "cl")
@@ -160,7 +176,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+            (dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -185,21 +201,23 @@ def embedding_near_dup_pairs(
     nbits=0 → exact all-pairs (correctness baseline; quadratic).
     nbits>0 → LSH-bucketed: only same-bucket pairs compared (the 100 TB
     path; near-identical vectors share sign buckets with high prob.)."""
-    a = df.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-        *([sign_bucket(F.col(vec_col), nbits).alias("bucket")] if nbits else []),
+    extra = (
+        {"bucket": sign_bucket(F.col(vec_col), nbits)} if nbits else {}
     )
-    b = df.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-        *([sign_bucket(F.col(vec_col), nbits).alias("bucket")] if nbits else []),
+    a = fan_out(
+        _sided(df, id_col, vec_col, "id_a", "va", "na", **extra)
     )
-    joined = a.join(b, "bucket") if nbits else a.crossJoin(b)
+    b = _sided(df, id_col, vec_col, "id_b", "vb", "nb", **extra)
+    joined = a.join(b, "bucket") if nbits else a.crossJoin(F.broadcast(b))
     return (
         joined.where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                4,
+            ).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )
