@@ -56,6 +56,7 @@ class Table:
         )
         self.store = store
         self.read_only = read_only
+        self._views: list[dict] = []
         self.loc = LocIndexer(self)
         self.iloc = iLocIndexer(self)
 
@@ -345,6 +346,59 @@ class Table:
         from ..mutation.bundle import BundleEdits
 
         return BundleEdits(self)
+
+    # ------------------------------------------------------------------
+    # views (base.py:523-579 creation, 1359-1470 read)
+    # ------------------------------------------------------------------
+    def add_view(self, name: str, filters: list[dict] | None = None,
+                 filter_conjunction: str = "AND",
+                 hidden_columns: list[str] | None = None,
+                 sorts: list[dict] | None = None) -> None:
+        """Store a named view spec (filters + conjunction + sorts +
+        hidden columns). Persisted in the store's table metadata when
+        managed; instance-local for ad-hoc/parquet tables."""
+        from .views import make_view_spec
+
+        spec = make_view_spec(name, filters, filter_conjunction,
+                              hidden_columns, sorts)
+        if any(v["name"] == name for v in self._view_specs()):
+            raise ValueError(f"view {name!r} already exists")
+        if self.store is not None:
+            meta = self.store.meta(self.name)
+            meta.setdefault("views", []).append(spec)
+            self.store._write_meta(self.name, meta)
+        else:
+            self._views.append(spec)
+
+    def _view_specs(self) -> list[dict]:
+        if self.store is not None:
+            return list(self.store.meta(self.name).get("views", []))
+        return list(self._views)
+
+    @property
+    def views(self) -> list[str]:
+        """Names of stored views (base.py:367-370)."""
+        return [v["name"] for v in self._view_specs()]
+
+    def get_view(self, view: str | int, hide_cols: bool = True,
+                 sort: bool = True) -> "Table":
+        """Compile a stored view to a lazy derived Table
+        (base.py:1359-1470; lazy + engine-side sort instead of pandas)."""
+        from .views import apply_view
+
+        specs = self._view_specs()
+        if isinstance(view, str):
+            matching = [v for v in specs if v["name"] == view]
+            if not matching:
+                raise ValueError(f'"{view}" not found')
+            spec = matching[0]
+        elif isinstance(view, int):
+            spec = specs[view]
+        else:
+            raise TypeError(
+                f'Expected `view` to be str or int, got "{type(view)}"'
+            )
+        return apply_view(self, spec, hide_cols=hide_cols, sort=sort)
 
     def history(self):
         return self._require_store().history(self.name)

@@ -411,6 +411,35 @@ def q28_events_tumbling(spark, sf_dir):
     )
 
 
+def q29_view(spark, sf_dir):
+    """Stored view read (get_view, base.py:1359-1470): grouped filters
+    (is×2 → IN rewrite, base.py:1421-1424), is_not, contains,
+    is_not_empty, hidden columns, multi-key sort. Compiles to
+    filter→select→orderBy — pushdown/pruning reach the scan (the
+    reference sorts client-side in pandas)."""
+    t = load(spark, sf_dir, "lineitem")
+    t.add_view(
+        "audited",
+        filters=[
+            {"column": "l_returnflag", "filter_predicate": "is",
+             "filter_term": "A"},
+            {"column": "l_returnflag", "filter_predicate": "is",
+             "filter_term": "N"},
+            {"column": "l_linestatus", "filter_predicate": "is_not",
+             "filter_term": "O"},
+            {"column": "l_linestatus", "filter_predicate": "contains",
+             "filter_term": "F"},
+            {"column": "l_quantity", "filter_predicate": "is_not_empty"},
+        ],
+        hidden_columns=["l_partkey", "l_suppkey", "l_tax", "l_shipdate"],
+        sorts=[
+            {"column": "l_extendedprice", "sort_type": "down"},
+            {"column": "l_orderkey", "sort_type": "up"},
+        ],
+    )
+    return t.get_view("audited").df
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -561,5 +590,12 @@ ORACLES: dict[str, str] = {
         "SELECT date_trunc('hour', ts) AS hour, event_type, "
         "COUNT(*) AS n, ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value "
         "FROM events GROUP BY 1, 2"
+    ),
+    "q29_view": (
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, "
+        "l_discount, l_returnflag, l_linestatus FROM lineitem "
+        "WHERE l_returnflag IN ('A', 'N') AND l_linestatus != 'O' "
+        "AND l_linestatus LIKE '%F%' AND l_quantity IS NOT NULL "
+        "ORDER BY l_extendedprice DESC, l_orderkey ASC"
     ),
 }
