@@ -41,6 +41,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(QUERIES_EXT)
     except ImportError:
         pass
+    try:
+        from sea_serpent_spark.workload_mut import QUERIES_MUT
+
+        out.update(QUERIES_MUT)
+    except ImportError:
+        pass
     return out
 
 
@@ -52,6 +58,12 @@ def oracle_sql() -> dict[str, str]:
         from sea_serpent_spark.workload_ext import ORACLES_EXT
 
         out.update(ORACLES_EXT)
+    except ImportError:
+        pass
+    try:
+        from sea_serpent_spark.workload_mut import ORACLES_MUT
+
+        out.update(ORACLES_MUT)
     except ImportError:
         pass
     return out

@@ -1,0 +1,231 @@
+"""Mutation / streaming / multimodal workload: oracle-checked coverage
+for the write surface (SURVEY §2.1), Structured Streaming (§2.7) and the
+multimodal pipeline — operators the relational workload can't reach.
+
+Each mutation query copies a driver table into a throwaway managed store
+(full engine write path: versioned snapshot commit + cell-level oplog),
+applies deterministic mutations through the public API, and returns the
+resulting state; the DuckDB oracle expresses the same final state as a
+SELECT over the original parquet. This proves MERGE-shaped writes,
+positional alignment, diff-updates, deletes, appends, bundle coalescing
+and time travel against an independent engine — not just unit tests.
+
+Scale notes: every write compiles to one DataFrame plan (broadcast MERGE
+of the update source keyed on _id); snapshot commits are full rewrites
+here (parquet substrate) — on Delta these become MERGE/UPDATE/DELETE
+commits with data skipping, same logical plans.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from typing import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .mutation.store import Base
+from .workload import df as _df
+from .workload import load as _load
+
+
+def _managed_copy(spark: SparkSession, sf_dir: str, table: str):
+    """Copy a driver parquet table into a fresh managed store.
+
+    Row order (hence ``_seq``) is the parquet file order, so positional
+    mutations are deterministic and oracle-expressible."""
+    tmp = tempfile.mkdtemp(prefix=f"ss_mut_{table}_")
+    base = Base(tmp, spark)
+    pdf = _df(spark, sf_dir, table).toPandas()
+    t = base.from_frame(pdf, table)
+    return base, t, pdf
+
+
+# ---------------------------------------------------------------------------
+# §2.1 mutations
+# ---------------------------------------------------------------------------
+
+def q45_add_column_assign(spark, sf_dir):
+    """add_column (base.py:693-744) + whole-column list assignment
+    (Table.__setitem__, base.py:230-284): values align by _seq order."""
+    base, t, pdf = _managed_copy(spark, sf_dir, "nation")
+    t.add_column("is_even", "checkbox")
+    t["is_even"] = [int(k) % 2 == 0 for k in pdf["n_nationkey"]]
+    t = base.table("nation")
+    return t.df.select("n_nationkey", "n_name", "is_even")
+
+
+def q46_loc_pred_write(spark, sf_dir):
+    """Predicate write (LocIndexer.__setitem__, base.py:2379-2463):
+    scalar broadcast to all matching rows — the MERGE WHEN MATCHED
+    UPDATE shape."""
+    base, t, _ = _managed_copy(spark, sf_dir, "orders")
+    t.loc[t.o_orderstatus == "F", "o_totalprice"] = 0.0
+    t = base.table("orders")
+    return t.df.select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+def q47_update_diff(spark, sf_dir):
+    """Diff-based update (Column.update, base.py:2171-2203): writes whole
+    column, oplog records only real changes (NA-aware compare)."""
+    base, t, pdf = _managed_copy(spark, sf_dir, "orders")
+    new_vals = [
+        "0-FIXED" if v == "1-URGENT" else v for v in pdf["o_orderpriority"]
+    ]
+    t.o_orderpriority.update(new_vals)
+    t = base.table("orders")
+    return t.df.select("o_orderkey", "o_orderpriority")
+
+
+def q48_delete_rows(spark, sf_dir):
+    """delete_rows by Filter (base.py:865-938)."""
+    base, t, _ = _managed_copy(spark, sf_dir, "orders")
+    t.delete_rows(t.o_orderstatus == "P", skip_confirmation=True)
+    t = base.table("orders")
+    return t.df.select("o_orderkey", "o_orderstatus")
+
+
+def q49_append(spark, sf_dir):
+    """append (base.py:822-861): intersecting columns only, missing
+    columns NULL, fresh _id/_seq."""
+    import pandas as pd
+
+    base, t, _ = _managed_copy(spark, sf_dir, "nation")
+    extra = pd.DataFrame(
+        {
+            "n_nationkey": [100, 101],
+            "n_name": ["ATLANTIS", "ELDORADO"],
+            # note: no n_regionkey column → NULL after append
+        }
+    )
+    t.append(extra)
+    t = base.table("nation")
+    return t.df.select("n_nationkey", "n_name", "n_regionkey")
+
+
+def q50_time_machine(spark, sf_dir):
+    """Snapshot time travel (time_machine, base.py:973-1034 — exact via
+    version snapshots, stronger than the reference's log replay): mutate,
+    then read version 0 → the original state."""
+    base, t, _ = _managed_copy(spark, sf_dir, "nation")
+    t.loc[t.n_nationkey >= 0, "n_name"] = "OVERWRITTEN"
+    old = base.table("nation", version=0)
+    return old.df.select("n_nationkey", "n_name")
+
+
+def q51_bundle_edits(spark, sf_dir):
+    """BundleEdits (base.py:2629-2693): queued predicate writes coalesced
+    per row/column (last-writer-wins) and flushed as one commit."""
+    base, t, _ = _managed_copy(spark, sf_dir, "nation")
+    with t.bundle():
+        t.loc[t.n_nationkey < 5, "n_name"] = "SMALL"
+        t.loc[t.n_nationkey >= 20, "n_name"] = "BIG"
+        t.loc[t.n_nationkey == 0, "n_name"] = "ZERO"  # overrides SMALL
+    t = base.table("nation")
+    return t.df.select("n_nationkey", "n_name")
+
+
+# ---------------------------------------------------------------------------
+# §2.6 scalar escapes
+# ---------------------------------------------------------------------------
+
+def q54_astype_map(spark, sf_dir):
+    """Column.astype (base.py:1861-1880) → cast; Column.map with a dict
+    (base.py:2052-2069) → map-literal lookup, missing keys → NULL
+    (pandas Series.map semantics)."""
+    t = _load(spark, sf_dir, "nation")
+    return t.df.select(
+        t.n_nationkey.astype("string").alias("key_str"),
+        t.n_name.map(
+            {"NATION_0": "ZERO", "NATION_1": "ONE", "NATION_2": "TWO"}
+        ).alias("mapped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 streaming + multimodal (Phase 5)
+# ---------------------------------------------------------------------------
+
+def q52_stream_tumbling(spark, sf_dir):
+    """Structured Streaming tumbling window (beyond-reference §2.7): the
+    availableNow-drained stream must equal the batch computation — the
+    oracle is the batch SQL."""
+    import uuid
+
+    from .streaming import events as sev
+
+    stream = sev.read_events_stream(spark, sf_dir)
+    agg = sev.tumbling_counts(stream, window="1 hour", watermark="2 hours")
+    name = f"q52_sink_{uuid.uuid4().hex[:8]}"
+    out = sev.run_to_memory(agg, name, spark)
+    return out.withColumn(
+        "window_start", F.col("window_start").cast("timestamp_ntz")
+    )
+
+
+def q53_media_features(spark, sf_dir):
+    """Multimodal pipeline: binary payload column + Arrow-batched
+    mapInPandas feature extraction (operators/multimodal.py). The
+    deterministic parts (byte length, content sha256) are oracle-checked;
+    the stubbed decoder's feature vector is excluded from the output."""
+    from .operators import multimodal as mm
+
+    docs = _df(spark, sf_dir, "documents")
+    feats = mm.extract_features(mm.attach_binary(docs, text_col="text"))
+    return feats.select("doc_id", "byte_len", "content_hash")
+
+
+QUERIES_MUT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    name: fn
+    for name, fn in sorted(globals().items())
+    if name.startswith("q") and name[1:3].isdigit() and callable(fn)
+}
+
+ORACLES_MUT: dict[str, str] = {
+    "q45_add_column_assign": (
+        "SELECT n_nationkey, n_name, (n_nationkey % 2 = 0) AS is_even "
+        "FROM nation"
+    ),
+    "q46_loc_pred_write": (
+        "SELECT o_orderkey, o_orderstatus, "
+        "CASE WHEN o_orderstatus = 'F' THEN 0.0 ELSE o_totalprice END "
+        "AS o_totalprice FROM orders"
+    ),
+    "q47_update_diff": (
+        "SELECT o_orderkey, CASE WHEN o_orderpriority = '1-URGENT' "
+        "THEN '0-FIXED' ELSE o_orderpriority END AS o_orderpriority "
+        "FROM orders"
+    ),
+    "q48_delete_rows": (
+        "SELECT o_orderkey, o_orderstatus FROM orders "
+        "WHERE o_orderstatus != 'P'"
+    ),
+    "q49_append": (
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation "
+        "UNION ALL SELECT 100, 'ATLANTIS', NULL "
+        "UNION ALL SELECT 101, 'ELDORADO', NULL"
+    ),
+    "q50_time_machine": "SELECT n_nationkey, n_name FROM nation",
+    "q51_bundle_edits": (
+        "SELECT n_nationkey, CASE "
+        "WHEN n_nationkey = 0 THEN 'ZERO' "
+        "WHEN n_nationkey < 5 THEN 'SMALL' "
+        "WHEN n_nationkey >= 20 THEN 'BIG' "
+        "ELSE n_name END AS n_name FROM nation"
+    ),
+    "q54_astype_map": (
+        "SELECT CAST(n_nationkey AS VARCHAR) AS key_str, "
+        "CASE n_name WHEN 'NATION_0' THEN 'ZERO' WHEN 'NATION_1' THEN 'ONE' "
+        "WHEN 'NATION_2' THEN 'TWO' ELSE NULL END AS mapped FROM nation"
+    ),
+    "q52_stream_tumbling": (
+        "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+        "COUNT(*) AS n, ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value "
+        "FROM events GROUP BY 1, 2"
+    ),
+    "q53_media_features": (
+        "SELECT doc_id, CAST(octet_length(encode(coalesce(text, ''))) "
+        "AS BIGINT) AS byte_len, sha256(coalesce(text, '')) AS content_hash "
+        "FROM documents"
+    ),
+}
