@@ -175,6 +175,43 @@ def q53_media_features(spark, sf_dir):
     return feats.select("doc_id", "byte_len", "content_hash")
 
 
+# ---------------------------------------------------------------------------
+# §2.5/§2.3 beyond-reference SQL surface (exposed via the raw passthrough
+# in the reference, base.py:1616; first-class DataFrame ops here)
+# ---------------------------------------------------------------------------
+
+def q55_window_lag_rolling(spark, sf_dir):
+    """Analytic windows (lag + bounded rolling frame) — §2.5 notes the
+    reference has none; Spark's Window covers them natively. Per-customer
+    order history: previous order total and 3-order rolling sum."""
+    from pyspark.sql import Window
+
+    o = _df(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    rolling = w.rowsBetween(-2, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_total"),
+        F.round(F.sum("o_totalprice").over(rolling), 2).alias("rolling3"),
+    )
+
+
+def q56_cube(spark, sf_dir):
+    """CUBE grouping sets (§2.3: free via Catalyst; the reference's
+    server dialect surface). NULL grouping keys marked via GROUPING()."""
+    li = _df(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        )
+    )
+
+
 QUERIES_MUT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: fn
     for name, fn in sorted(globals().items())
@@ -227,5 +264,21 @@ ORACLES_MUT: dict[str, str] = {
         "SELECT doc_id, CAST(octet_length(encode(coalesce(text, ''))) "
         "AS BIGINT) AS byte_len, sha256(coalesce(text, '')) AS content_hash "
         "FROM documents"
+    ),
+    "q55_window_lag_rolling": (
+        "SELECT o_custkey, o_orderkey, "
+        "lag(o_totalprice) OVER w AS prev_total, "
+        "ROUND(CAST(SUM(o_totalprice) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) "
+        "AS rolling3 FROM orders "
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
+    ),
+    "q56_cube": (
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+        "ROUND(CAST(SUM(l_quantity) AS DOUBLE), 2) AS sum_qty, "
+        "CAST(GROUPING(l_returnflag) AS INT) AS g_rf, "
+        "CAST(GROUPING(l_linestatus) AS INT) AS g_ls "
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
     ),
 }

@@ -1,0 +1,76 @@
+"""Partitioning independence: operator results must not depend on input
+file layout (single split vs many) — the property that makes local
+correctness transfer to a 1000-executor cluster."""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_multi(spark, sf_dir, tmp_path_factory):
+    """The documents table rewritten as many small files."""
+    out = str(tmp_path_factory.mktemp("docs_multi") / "documents.parquet")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        7
+    ).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _pairs(df):
+    return sorted((r.id_a, r.id_b) for r in df.collect())
+
+
+def test_minhash_lsh_pairs_layout_independent(spark, sf_dir, docs_multi):
+    from sea_serpent_spark.operators import dedup as D
+
+    single = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    multi = spark.read.parquet(docs_multi)
+    p1 = _pairs(D.minhash_lsh_pairs(single, jaccard_threshold=0.5))
+    p2 = _pairs(D.minhash_lsh_pairs(multi, jaccard_threshold=0.5))
+    assert p1 == p2 and len(p1) > 0
+
+
+def test_ngram_jaccard_layout_independent(spark, sf_dir, docs_multi):
+    from sea_serpent_spark.operators import dedup as D
+
+    single = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    multi = spark.read.parquet(docs_multi)
+    p1 = _pairs(D.ngram_jaccard_pairs(single, threshold=0.8))
+    p2 = _pairs(D.ngram_jaccard_pairs(multi, threshold=0.8))
+    assert p1 == p2 and len(p1) > 0
+
+
+def test_signatures_layout_independent(spark, sf_dir, docs_multi):
+    from sea_serpent_spark.operators import dedup as D
+
+    single = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    multi = spark.read.parquet(docs_multi)
+    s1 = {(r.id, tuple(r.sig)) for r in D.minhash_signature(single).collect()}
+    s2 = {(r.id, tuple(r.sig)) for r in D.minhash_signature(multi).collect()}
+    assert s1 == s2
+    h1 = {(r.id, r.sim) for r in D.simhash_signatures(single).collect()}
+    h2 = {(r.id, r.sim) for r in D.simhash_signatures(multi).collect()}
+    assert h1 == h2
+
+
+def test_workload_query_layout_independent(spark, sf_dir, tmp_path_factory):
+    """A relational query over a re-partitioned lineitem copy equals the
+    single-file result (group-by totals are layout-invariant)."""
+    out = str(tmp_path_factory.mktemp("li_multi") / "lineitem.parquet")
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(
+        11
+    ).write.mode("overwrite").parquet(out)
+
+    def agg(path):
+        df = spark.read.parquet(path)
+        return {
+            tuple(r)
+            for r in df.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("l_quantity"), 2).alias("q"),
+            )
+            .collect()
+        }
+
+    assert agg(f"{sf_dir}/lineitem.parquet") == agg(out)
