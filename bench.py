@@ -52,6 +52,7 @@ def main() -> None:
         times[name] = round(dt, 3)
         if dt > 0:
             total += dt
+        print(f"# {name}: {dt:.2f}s", file=sys.stderr, flush=True)
     print(
         json.dumps(
             {

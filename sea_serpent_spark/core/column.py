@@ -216,6 +216,30 @@ class Column:
         """Drop this column (base.py:1922-1936)."""
         self.table._require_store().drop_column(self.table, self.name)
 
+    def resize(self, width: int) -> None:
+        """Set display width (base.py:2106-2128) — column metadata only."""
+        self.table._require_store().update_column_meta(
+            self.table, self.name, width=int(width)
+        )
+
+    def freeze(self) -> None:
+        """Freeze column (base.py:2132-2143) — metadata only."""
+        self.table._require_store().update_column_meta(
+            self.table, self.name, frozen=True
+        )
+
+    def unfreeze(self) -> None:
+        """Unfreeze column (base.py:2146-2156) — metadata only."""
+        self.table._require_store().update_column_meta(
+            self.table, self.name, frozen=False
+        )
+
+    def add_options(self, options) -> None:
+        """Extend allowed options of a select column (base.py:2222-2258)."""
+        self.table._require_store().add_select_options(
+            self.table, self.name, options
+        )
+
     def rename(self, new_name: str) -> None:
         """Rename this column (base.py:2073-2102)."""
         self.table._require_store().rename_column(self.table, self.name, new_name)

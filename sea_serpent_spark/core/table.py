@@ -416,6 +416,18 @@ class Table:
     def drop_column(self, col_name: str):
         self._require_store().drop_column(self, col_name)
 
+    def copy(self, new_name: str, base=None, include_views: bool = True
+             ) -> "Table":
+        """Clone this table — columns (links skipped), data, views —
+        into ``base`` (defaults to this table's store). Parity with
+        ``Table.from_table`` / ``_from_ss_table`` (base.py:484-581)."""
+        target = base if base is not None else self.store
+        if target is None:
+            raise TypeError(
+                "copy needs a target Base (source table is unmanaged)"
+            )
+        return target.copy_table(self, new_name, include_views=include_views)
+
     def __repr__(self) -> str:
         cols = ", ".join(f"{n}:{t}" for n, t in self.df.dtypes[:8])
         more = " ..." if len(self.df.columns) > 8 else ""

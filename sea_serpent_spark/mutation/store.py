@@ -626,6 +626,67 @@ class Base:
         self._write_meta(table.name, meta)
         self._stage(table, df.drop(col), "drop_column", {"column": col}, None)
 
+    # -- column metadata ops (base.py:2106-2128 resize, 2132-2156
+    #    freeze/unfreeze, 2222-2258 add_options) — metadata-only, no new
+    #    data snapshot --------------------------------------------------
+    def update_column_meta(self, table: Table, col: str, **updates) -> dict:
+        if col not in table.df.columns:
+            raise KeyError(col)
+        meta = self.meta(table.name)
+        centry = meta.setdefault("columns", {}).setdefault(col, {})
+        centry.update(updates)
+        self._write_meta(table.name, meta)
+        return centry
+
+    def add_select_options(self, table: Table, col: str, options) -> None:
+        """Extend a select column's allowed options (base.py:2222-2258);
+        type-gated to single-/multiple-select like the reference."""
+        meta = self.meta(table.name)
+        centry = meta.get("columns", {}).get(col, {})
+        ctype = centry.get("type", "")
+        if ctype not in ("single-select", "multiple-select"):
+            raise TypeError(
+                "Can only set options for single- or multiple-select "
+                f"columns. This column is of type {ctype!r}."
+            )
+        if not _is_listlike(options) and not isinstance(options, set):
+            raise ValueError("`options` must be list, set or array")
+        merged = sorted(set(centry.get("options", [])) | {str(o) for o in options})
+        self.update_column_meta(table, col, options=merged)
+
+    # -- clone (Table.from_table / _from_ss_table, base.py:484-581) ------
+    def copy_table(self, src: Table, new_name: str,
+                   include_views: bool = True) -> Table:
+        """Clone a table into this store: column metadata (link columns
+        skipped, as in the reference base.py:497-500), data, and view
+        specs. The data copy is a distributed parquet→parquet write —
+        no driver collect, so it scales with executor count."""
+        if new_name in self:
+            raise ValueError(f"table {new_name!r} already exists")
+        if src.store is not None:
+            src_meta = src.store.meta(src.name)
+        else:
+            src_meta = {"columns": {}, "views": list(src._views)}
+        src_cols = src_meta.get("columns", {})
+        link_cols = [c for c, m in src_cols.items() if m.get("type") == "link"]
+        if link_cols:
+            warnings.warn(
+                "Table contains `link` columns which will not be copied."
+            )
+        new_cols = {
+            c: dict(m) for c, m in src_cols.items() if c not in link_cols
+        }
+        df = src.df.drop(*link_cols) if link_cols else src.df
+        os.makedirs(self._tdir(new_name), exist_ok=True)
+        new_meta: dict = {"columns": new_cols}
+        if include_views and src_meta.get("views"):
+            new_meta["views"] = [dict(v) for v in src_meta["views"]]
+        if "next_seq" in src_meta:
+            new_meta["next_seq"] = src_meta["next_seq"]
+        self._write_meta(new_name, new_meta)
+        self._commit(new_name, df, "copy_table", {"from": src.name})
+        return self.table(new_name)
+
 
 def _row_id(i: int) -> str:
     return f"r{i:08d}"

@@ -204,3 +204,45 @@ def test_drop_table(base, mytable):
     assert "mytable" in base
     base.drop_table("mytable")
     assert "mytable" not in base
+
+
+def test_column_meta_ops(base, mytable):
+    """resize/freeze/unfreeze/add_options (base.py:2106-2156, 2222-2258)."""
+    mytable.labels.resize(120)
+    mytable.labels.freeze()
+    meta = base.meta("mytable")["columns"]["labels"]
+    assert meta["width"] == 120 and meta["frozen"] is True
+    mytable.labels.unfreeze()
+    assert base.meta("mytable")["columns"]["labels"]["frozen"] is False
+    # add_options is select-only
+    with pytest.raises(TypeError):
+        mytable.labels.add_options(["X"])
+    mytable.add_column("status", "single-select", col_options=["open"])
+    t = base.table("mytable")
+    t.status.add_options(["closed", "open"])
+    assert base.meta("mytable")["columns"]["status"]["options"] == [
+        "closed",
+        "open",
+    ]
+
+
+def test_copy_table(base, mytable):
+    """Clone incl. views (Table.from_table, base.py:484-581)."""
+    mytable.add_view(
+        "big",
+        filters=[
+            {"column": "column1", "filter_predicate": "is_any_of",
+             "filter_term": [7, 8, 9, 10]}
+        ],
+        sorts=[{"column": "column1", "sort_type": "down"}],
+    )
+    clone = base.table("mytable").copy("mytable2")
+    assert clone.name == "mytable2"
+    assert clone.columns == ["_id", "_seq", "column1", "labels", "checked"]
+    assert len(clone) == 10
+    assert clone.views == ["big"]
+    got = clone.get_view("big").to_frame(row_id_index=False)
+    assert got["column1"].tolist() == [10, 9, 8, 7]
+    # clone is independently mutable
+    clone["checked"] = True
+    assert base.table("mytable").to_frame()["checked"].isna().all()
