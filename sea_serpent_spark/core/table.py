@@ -57,6 +57,9 @@ class Table:
         self.store = store
         self.read_only = read_only
         self._views: list[dict] = []
+        #: True once an explicit orderBy was applied — to_frame then keeps
+        #: that order instead of imposing insertion (_seq) order.
+        self._user_sorted = False
         self.loc = LocIndexer(self)
         self.iloc = iLocIndexer(self)
 
@@ -84,7 +87,7 @@ class Table:
 
     def _derive(self, df: DataFrame) -> "Table":
         """New lazy Table sharing identity metadata (reads never mutate)."""
-        return Table(
+        out = Table(
             df,
             name=self.name,
             spark=self.spark,
@@ -93,6 +96,8 @@ class Table:
             store=None,
             read_only=True,
         )
+        out._user_sorted = self._user_sorted
+        return out
 
     # ------------------------------------------------------------------
     # schema surface (base.py:308-370)
@@ -188,7 +193,9 @@ class Table:
         if isinstance(ascending, bool):
             ascending = [ascending] * len(by)
         exprs = [F.asc(c) if a else F.desc(c) for c, a in zip(by, ascending)]
-        return self._derive(self.df.orderBy(*exprs))
+        out = self._derive(self.df.orderBy(*exprs))
+        out._user_sorted = True
+        return out
 
     def distinct(self) -> "Table":
         return self._derive(self.df.distinct())
@@ -276,8 +283,15 @@ class Table:
     # pandas edges
     # ------------------------------------------------------------------
     def to_frame(self, row_id_index: bool = True):
-        """Materialize → pandas (base.py:1605-1613). Arrow transfer."""
-        pdf = self.df.toPandas()
+        """Materialize → pandas (base.py:1605-1613). Arrow transfer.
+
+        Rows come back in insertion (_seq) order when one is tracked and
+        no explicit sort was applied — the reference's server-row-order
+        contract; partition order is not deterministic at scale."""
+        sdf = self.df
+        if self.order_col and not self._user_sorted:
+            sdf = sdf.orderBy(F.asc(self.order_col))
+        pdf = sdf.toPandas()
         if row_id_index and self.id_col and self.id_col in pdf.columns:
             pdf = pdf.set_index(self.id_col)
             pdf.index.name = "row_id"

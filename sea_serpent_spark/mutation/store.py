@@ -465,14 +465,22 @@ class Base:
             "_id", "__vidx"
         )
         is_new = col not in df.columns
+        # Arrow-batched pandas conversion: orders of magnitude faster than
+        # a row-at-a-time Python tuple list for 100k+-value assignments.
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "__vidx": range(len(values)),
+                "__newval": pd.Series(values, dtype="object"),
+            }
+        )
         if is_new:
-            src = self.spark.createDataFrame(
-                [(i, v) for i, v in enumerate(values)], ["__vidx", "__newval"]
-            )
+            src = self.spark.createDataFrame(pdf)
         else:
             dtype = df.schema[col].dataType
             src = self.spark.createDataFrame(
-                [(i, v) for i, v in enumerate(values)],
+                pdf,
                 T.StructType(
                     [
                         T.StructField("__vidx", T.LongType()),

@@ -38,6 +38,8 @@ def _salted_pairs(
     keys: list[str],
     sym_cond=None,
     k: int | None = None,
+    carry: tuple[str, ...] = (),
+    distinct: bool = True,
 ) -> DataFrame:
     """Distinct unordered id-pairs of rows sharing ``keys`` — the bucket
     self-join at the heart of every LSH/banding scheme — enumerated with
@@ -51,7 +53,13 @@ def _salted_pairs(
     balanced sub-joins instead of one B² task — this is what survives a
     shuffle join at 100 TB where buckets (boilerplate shingles, common
     signatures) are heavily skewed. ``sym_cond(x, y)`` adds a symmetric
-    pruning predicate (e.g. the PPJoin length filter) inside the join."""
+    pruning predicate (e.g. the PPJoin length filter) inside the join.
+
+    ``carry`` names payload columns of ``indexed`` to ride along into the
+    output as ``{c}_a``/``{c}_b`` (aligned with id_a/id_b) — this lets a
+    caller verify pairs *inside the enumeration stage* instead of
+    re-joining per-id state afterwards. Pass ``distinct=False`` with a
+    selective post-filter, then dedupe the (small) survivor set."""
     spark = indexed.sparkSession
     k = k or spark.sparkContext.defaultParallelism
     salted = indexed.withColumn("_c", F.pmod(F.hash("id"), F.lit(k)))
@@ -72,14 +80,20 @@ def _salted_pairs(
         cond = (F.col(f"x.{c}") == F.col(f"y.{c}")) & cond
     if sym_cond is not None:
         cond = cond & sym_cond
-    return (
-        probe.join(build, cond)
-        .select(
-            F.least(F.col("x.id"), F.col("y.id")).alias("id_a"),
-            F.greatest(F.col("x.id"), F.col("y.id")).alias("id_b"),
+    lt = F.col("x.id") < F.col("y.id")
+    sel = [
+        F.least(F.col("x.id"), F.col("y.id")).alias("id_a"),
+        F.greatest(F.col("x.id"), F.col("y.id")).alias("id_b"),
+    ]
+    for c in carry:
+        sel.append(
+            F.when(lt, F.col(f"x.{c}")).otherwise(F.col(f"y.{c}")).alias(f"{c}_a")
         )
-        .distinct()
-    )
+        sel.append(
+            F.when(lt, F.col(f"y.{c}")).otherwise(F.col(f"x.{c}")).alias(f"{c}_b")
+        )
+    out = probe.join(build, cond).select(*sel)
+    return out.distinct() if distinct else out
 
 
 # ---------------------------------------------------------------------------
@@ -215,13 +229,33 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 1,
     jaccard_threshold: float = 0.5,
+    verify: str = "estimate",
+    broadcast_verify: bool = True,
 ) -> DataFrame:
-    """→ [id_a, id_b, jaccard] candidate pairs sharing ≥1 LSH band,
-    verified with exact shingle-set Jaccard ≥ threshold.
+    """→ [id_a, id_b, jaccard] candidate pairs sharing ≥1 LSH band, kept
+    when their Jaccard similarity ≥ threshold.
+
+    ``verify`` picks the similarity used for the final filter:
+
+    - ``"estimate"`` (default): fraction of agreeing minhashes — the
+      standard MinHashLSH join semantics (Spark ML's
+      ``approxSimilarityJoin`` does the same). Per-pair cost is
+      ``num_hashes`` codegen'd array-element comparisons; the documents'
+      token sets are never revisited. This is the 100 TB path: on a
+      self-similar corpus the band join emits a large candidate set, and
+      exact verification would re-intersect token arrays for every pair.
+    - ``"exact"``: exact token-set Jaccard over dictionary-encoded
+      shingle sets — full recall precision on the survivors, at
+      ~|set| interpreted array ops per pair.
+
+    ``broadcast_verify`` broadcasts the doc-level lookup side of the
+    verify join (one narrow row per doc). Right whenever that side fits
+    executor memory — candidates, not docs, dominate LSH cost. For
+    corpora where even (id, signature) is too big to broadcast, pass
+    False and the join falls back to AQE-planned shuffle joins.
 
     Scale shape: signatures are narrow (id + 16 longs); the band self-join
-    shuffles (band_idx, band_key) — documents themselves never move. The
-    verify join re-reads only candidate docs' shingle sets."""
+    shuffles (band_idx, band_key) — documents themselves never move."""
     rows = num_hashes // bands
     sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
     band_cols = [
@@ -237,20 +271,37 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         "id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # Dedup candidate ids FIRST (narrow shuffle of id pairs), then attach
+    # per-doc state with broadcast joins. Carrying signatures through the
+    # bucket join instead (carry=) measures slower here: on a
+    # self-similar corpus the threshold filter is unselective, so the
+    # wide payload rides the whole expansion for nothing.
     cand = _spread(_salted_pairs(banded, ["band", "key"]))
-    sets = encoded_token_sets(df, text_col, id_col, shingle_n)
-    a = sets.select(F.col("id").alias("id_a"), F.col("toks").alias("t_a"))
-    b = sets.select(F.col("id").alias("id_b"), F.col("toks").alias("t_b"))
-    inter = F.size(F.array_intersect("t_a", "t_b"))
-    union = F.size("t_a") + F.size("t_b") - inter
+
+    if verify == "estimate":
+        a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("s_a"))
+        b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("s_b"))
+        matches = sum(
+            F.when(
+                F.element_at("s_a", i + 1) == F.element_at("s_b", i + 1), 1
+            ).otherwise(0)
+            for i in range(num_hashes)
+        )
+        sim = matches / F.lit(float(num_hashes))
+    elif verify == "exact":
+        sets = encoded_token_sets(df, text_col, id_col, shingle_n)
+        a = sets.select(F.col("id").alias("id_a"), F.col("toks").alias("t_a"))
+        b = sets.select(F.col("id").alias("id_b"), F.col("toks").alias("t_b"))
+        inter = F.size(F.array_intersect("t_a", "t_b"))
+        sim = inter / (F.size("t_a") + F.size("t_b") - inter)
+    else:
+        raise ValueError(f"verify must be 'estimate' or 'exact', got {verify!r}")
+    if broadcast_verify:
+        a, b = F.broadcast(a), F.broadcast(b)
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(inter / union, 4).alias("jaccard"),
-        )
+        .select("id_a", "id_b", F.round(sim, 4).alias("jaccard"))
         .where(F.col("jaccard") >= jaccard_threshold)
     )
 
@@ -265,6 +316,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 1,
     threshold: float = 0.8,
+    max_bitmap_words: int = 64,
 ) -> DataFrame:
     """→ [id_a, id_b, jaccard ≥ threshold], exact, via **prefix filtering**
     (AllPairs/PPJoin family: Bayardo et al., WWW'07).
@@ -286,20 +338,98 @@ def ngram_jaccard_pairs(
 
     Token sets are dictionary-encoded (``encoded_token_sets``): ascending
     token-id order is the rarest-first prefix order, and the verify
-    intersects long arrays instead of strings."""
-    sets = encoded_token_sets(df, text_col, id_col, shingle_n)
+    intersects long arrays instead of strings.
+
+    **Vocabulary-adaptive bitmap verify**: after the dictionary build the
+    vocabulary cardinality V is known (one count over group-by output —
+    metadata-scale, like an AQE statistic). When V ≤ 64·max_bitmap_words,
+    each token set is packed *exactly* (the dictionary is injective) into
+    ⌈V/64⌉ longs, and |a∩b| = Σ bit_count(bmᵢ_a & bmᵢ_b) — computed
+    inside the pair-enumeration join itself: codegen'd, allocation-free,
+    and the threshold prunes *before* the distinct. This is the defense
+    against degenerate corpora (tiny shared vocabulary — e.g. templated
+    boilerplate) where every token is hot and prefix filtering stops
+    pruning: per-candidate cost drops from a hash-set intersection to a
+    handful of AND+popcounts. Larger vocabularies (where prefix filtering
+    actually works) take the array-verify path."""
+    tok = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
+    )
+    dfreq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    dic = dfreq.select(
+        "s",
+        F.row_number()
+        .over(Window.orderBy(F.asc("df"), F.asc("s")))
+        .cast("long")
+        .alias("tid"),
+    )
+    vocab = dic.count()
+
+    # length filter: J ≥ t requires t·|a| ≤ |b| and t·|b| ≤ |a|
+    length_ok = (F.col("x.sz") * threshold <= F.col("y.sz")) & (
+        F.col("y.sz") * threshold <= F.col("x.sz")
+    )
+
+    if vocab <= 64 * max_bitmap_words:
+        nwords = (vocab + 63) // 64
+        enc = tok.join(dic, "s").select("id", "tid")
+        wp = Window.partitionBy("id")
+        wo = wp.orderBy(F.asc("tid"))
+        bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST((tid - 1) % 64 AS INT))")
+        word = ((F.col("tid") - 1) / 64).cast("int")
+        cols = {
+            "sz": F.count(F.lit(1)).over(wp),
+            "rn": F.row_number().over(wo),
+            **{
+                f"bm{l}": F.sum(
+                    F.when(word == l, bit).otherwise(F.lit(0))
+                ).over(wp)
+                for l in range(nwords)
+            },
+        }
+        prefixed = enc.withColumns(cols).where(
+            F.col("rn")
+            <= (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        )
+        bm_names = tuple(f"bm{l}" for l in range(nwords))
+        raw = _salted_pairs(
+            prefixed.withColumnRenamed("tid", "s"),
+            ["s"],
+            sym_cond=length_ok,
+            carry=("sz",) + bm_names,
+            distinct=False,
+        )
+        inter = sum(
+            F.bit_count(F.col(f"bm{l}_a").bitwiseAND(F.col(f"bm{l}_b")))
+            for l in range(nwords)
+        )
+        union = F.col("sz_a") + F.col("sz_b") - inter
+        return (
+            raw.select(
+                "id_a", "id_b", F.round(inter / union, 4).alias("jaccard")
+            )
+            .where(F.col("jaccard") >= threshold)
+            .distinct()
+        )
+
+    sets = tok.join(dic, "s").groupBy("id").agg(
+        F.array_sort(F.collect_list("tid")).alias("toks")
+    )
     sz = F.size("toks")
     plen = (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int")
     inv = sets.select(
         "id", sz.alias("sz"), F.explode(F.slice("toks", 1, plen)).alias("s")
     )
-    # length filter: J ≥ t requires t·|a| ≤ |b| and t·|b| ≤ |a|
-    length_ok = (F.col("x.sz") * threshold <= F.col("y.sz")) & (
-        F.col("y.sz") * threshold <= F.col("x.sz")
-    )
     cand = _spread(_salted_pairs(inv, ["s"], sym_cond=length_ok))
-    a = sets.select(F.col("id").alias("id_a"), F.col("toks").alias("t_a"))
-    b = sets.select(F.col("id").alias("id_b"), F.col("toks").alias("t_b"))
+    # Verify sides are one narrow row per doc — broadcast them so the
+    # (larger) candidate set never shuffles again; see minhash_lsh_pairs.
+    a = F.broadcast(
+        sets.select(F.col("id").alias("id_a"), F.col("toks").alias("t_a"))
+    )
+    b = F.broadcast(
+        sets.select(F.col("id").alias("id_b"), F.col("toks").alias("t_b"))
+    )
     inter = F.size(F.array_intersect("t_a", "t_b"))
     union = F.size("t_a") + F.size("t_b") - inter
     return (
@@ -419,8 +549,14 @@ def simhash_pairs(
         "id", F.explode(F.array(*chunk_cols)).alias("ck")
     ).select("id", F.col("ck.c").alias("c"), F.col("ck.v").alias("v"))
     cand = _spread(_salted_pairs(banded, ["c", "v"]))
-    sa = sigs.select(F.col("id").alias("id_a"), F.col("sim").alias("sim_a"))
-    sb = sigs.select(F.col("id").alias("id_b"), F.col("sim").alias("sim_b"))
+    # One narrow (id, 48-bit sig) row per doc — broadcast both verify
+    # sides; the candidate set is the big relation here.
+    sa = F.broadcast(
+        sigs.select(F.col("id").alias("id_a"), F.col("sim").alias("sim_a"))
+    )
+    sb = F.broadcast(
+        sigs.select(F.col("id").alias("id_b"), F.col("sim").alias("sim_b"))
+    )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
         cand.join(sa, "id_a")

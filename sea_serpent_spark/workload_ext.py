@@ -216,6 +216,9 @@ _CHUNKS_SQL = "\nUNION ALL\n".join(
     f"SELECT id, sim, {i} AS c, (sim >> {i * 12}) & 4095 AS v FROM sigs"
     for i in range(4)
 )
+_SIG_MATCHES_SQL = " + ".join(
+    f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END" for i in range(16)
+)
 
 ORACLES_EXT: dict[str, str] = {
     "q30_token_count": (
@@ -261,6 +264,8 @@ FROM (
 SELECT doc_id AS id, {_MINHASH_SIG_COLS}
 FROM (SELECT doc_id, {DWORDS_SQL} AS ws FROM documents)
 """,
+    # Verify = fraction of agreeing minhashes (estimated Jaccard), the
+    # MinHashLSH join semantics the Spark operator defaults to.
     "q36_minhash_lsh_pairs": f"""
 WITH base AS (SELECT doc_id AS id, {DWORDS_SQL} AS ws FROM documents),
 sig AS (SELECT id, ws, {_MINHASH_SIG_COLS} FROM base),
@@ -269,13 +274,9 @@ cand AS (
   SELECT DISTINCT x.id AS ia, y.id AS ib
   FROM bands x JOIN bands y USING (band, key) WHERE x.id < y.id)
 SELECT ia AS id_a, ib AS id_b,
-  ROUND(len(list_intersect(a.ws, b.ws)) /
-        CAST(len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))
-             AS DOUBLE), 4) AS jaccard
-FROM cand JOIN base a ON a.id = ia JOIN base b ON b.id = ib
-WHERE len(list_intersect(a.ws, b.ws)) /
-      CAST(len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))
-           AS DOUBLE) >= 0.5
+  ROUND(({_SIG_MATCHES_SQL}) / CAST(16.0 AS DOUBLE), 4) AS jaccard
+FROM cand JOIN sig a ON a.id = ia JOIN sig b ON b.id = ib
+WHERE ({_SIG_MATCHES_SQL}) / CAST(16.0 AS DOUBLE) >= 0.5
 """,
     "q37_ngram_jaccard": f"""
 WITH sh AS (
