@@ -1,9 +1,11 @@
 from .events import (
+    final_user_totals,
     oplog_stream,
     read_events_stream,
     run_to_memory,
     session_counts,
     sliding_counts,
+    stateful_user_totals,
     tumbling_counts,
 )
 
@@ -12,6 +14,8 @@ __all__ = [
     "tumbling_counts",
     "sliding_counts",
     "session_counts",
+    "stateful_user_totals",
+    "final_user_totals",
     "oplog_stream",
     "run_to_memory",
 ]

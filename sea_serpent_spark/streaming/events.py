@@ -115,6 +115,73 @@ def session_counts(
     )
 
 
+STATE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+STATE_SCHEMA = "n BIGINT, s DOUBLE"
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, sum) maintained in the state store across
+    micro-batches, emitted after each update.
+
+    Beyond-reference extension (the reference has no streaming, SURVEY
+    §2.7); this is the harness for arbitrary per-key streaming state —
+    sessionization with custom close rules, rate limiting, online
+    feature accumulation. Scale posture: state is one (long, double) per
+    user; the shuffle is keyed by user_id and the state store is
+    partitioned the same way, so throughput scales with executors.
+
+    The cumulative totals after draining all input equal the batch
+    ``GROUP BY user_id`` — use ``final_user_totals`` to extract them
+    (that equivalence is the oracle check)."""
+    import pandas as pd  # noqa: F401  (required by the UDF runtime)
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += int(len(pdf))
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=STATE_OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def final_user_totals(drained: DataFrame) -> DataFrame:
+    """Reduce per-batch emissions to each user's final totals.
+
+    ``n_events`` is nondecreasing per user, so the row with the maximal
+    (n_events, sum_value) struct is the last state emission — robust to
+    any micro-batch split of the input."""
+    return (
+        drained.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "sum_value")).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.n_events").alias("n_events"),
+            F.round(F.col("m.sum_value"), 2).alias("sum_value"),
+        )
+    )
+
+
 def oplog_stream(spark: SparkSession, base_path: str, table: str) -> DataFrame:
     """CDC stream over a managed table's cell-level op-log (the Delta
     Change Data Feed pattern; reference analogue: fetch_logs polling,
@@ -126,13 +193,15 @@ def oplog_stream(spark: SparkSession, base_path: str, table: str) -> DataFrame:
     )
 
 
-def run_to_memory(stream: DataFrame, name: str, spark: SparkSession):
+def run_to_memory(stream: DataFrame, name: str, spark: SparkSession,
+                  mode: str | None = None):
     """Drain all available input into an in-memory table (test/dev sink).
-    Returns after the availableNow trigger completes."""
+    Returns after the availableNow trigger completes. ``mode`` overrides
+    the output mode (stateful update-mode operators need ``update``)."""
     q = (
         stream.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete" if stream.isStreaming else "append")
+        .outputMode(mode or ("complete" if stream.isStreaming else "append"))
         .trigger(availableNow=True)
         .start()
     )

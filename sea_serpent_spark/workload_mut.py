@@ -175,6 +175,21 @@ def q53_media_features(spark, sf_dir):
     return feats.select("doc_id", "byte_len", "content_hash")
 
 
+def q57_stateful_totals(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running totals in the state store; the drained final state
+    must equal the batch GROUP BY — that equivalence is the oracle."""
+    import uuid
+
+    from .streaming import events as sev
+
+    stream = sev.read_events_stream(spark, sf_dir)
+    totals = sev.stateful_user_totals(stream)
+    name = f"q57_sink_{uuid.uuid4().hex[:8]}"
+    drained = sev.run_to_memory(totals, name, spark, mode="update")
+    return sev.final_user_totals(drained)
+
+
 # ---------------------------------------------------------------------------
 # §2.5/§2.3 beyond-reference SQL surface (exposed via the raw passthrough
 # in the reference, base.py:1616; first-class DataFrame ops here)
@@ -264,6 +279,11 @@ ORACLES_MUT: dict[str, str] = {
         "SELECT doc_id, CAST(octet_length(encode(coalesce(text, ''))) "
         "AS BIGINT) AS byte_len, sha256(coalesce(text, '')) AS content_hash "
         "FROM documents"
+    ),
+    "q57_stateful_totals": (
+        "SELECT user_id, COUNT(*) AS n_events, "
+        "ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value "
+        "FROM events GROUP BY user_id"
     ),
     "q55_window_lag_rolling": (
         "SELECT o_custkey, o_orderkey, "

@@ -75,3 +75,33 @@ def test_oplog_cdc_stream(spark, tmp_path):
     logs = spark.table("t_cdc").toPandas()
     assert len(logs) == 2  # 1->10, 10->99
     assert set(logs["column"]) == {"x"}
+
+
+def test_stateful_user_totals(spark, sf_dir, events_stream):
+    """applyInPandasWithState totals equal the batch GROUP BY."""
+    import pyspark.sql.functions as F
+
+    from sea_serpent_spark.streaming.events import (
+        final_user_totals,
+        run_to_memory,
+        stateful_user_totals,
+    )
+
+    drained = run_to_memory(
+        stateful_user_totals(events_stream), "t_state", spark, mode="update"
+    )
+    got = {
+        (r.user_id, r.n_events, r.sum_value)
+        for r in final_user_totals(drained).collect()
+    }
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = {
+        (r.user_id, r.n, r.s)
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
