@@ -1,0 +1,106 @@
+"""Physical-plan assertions: the properties that make operators scale.
+
+Each test inspects ``explain``-level output, not results — a plan that
+reads every column, skips predicate pushdown, or shuffles a broadcastable
+dimension would still pass value checks at test scale and then fall over
+at 100 TB. These pin the plan shape Catalyst must produce.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    from sea_serpent_spark import Table
+
+    return Table.from_parquet(f"{sf_dir}/lineitem.parquet", "lineitem")
+
+
+def test_filter_pushdown_reaches_scan(lineitem):
+    t = lineitem.loc[lineitem.l_quantity >= 45, ["l_orderkey"]]
+    plan = _plan(t.df)
+    assert "PushedFilters" in plan
+    assert "l_quantity" in plan.split("PushedFilters")[1][:200]
+
+
+def test_projection_prunes_scan_schema(lineitem):
+    t = lineitem.loc[lineitem.l_quantity >= 45, ["l_orderkey", "l_quantity"]]
+    plan = _plan(t.df)
+    read = plan.split("ReadSchema")[1][:300]
+    assert "l_orderkey" in read and "l_quantity" in read
+    # untouched wide columns must not be read
+    assert "l_comment" not in read and "l_shipinstruct" not in read
+
+
+def test_isin_becomes_pushed_in_filter(lineitem):
+    t = lineitem.loc[lineitem.l_returnflag.isin(["A", "R"]), ["l_orderkey"]]
+    plan = _plan(t.df)
+    assert "In(l_returnflag" in plan.split("PushedFilters")[1][:300]
+
+
+def test_whole_stage_codegen_covers_filter_project(lineitem):
+    t = lineitem.loc[lineitem.l_quantity >= 45, ["l_orderkey"]]
+    plan = _plan(t.df)
+    # '*(n)' prefixes mark WholeStageCodegen spans in the plan string
+    assert "*(1) Project" in plan and "*(1) Filter" in plan
+
+
+def test_aggregate_is_partial_then_final(spark, sf_dir):
+    """Map-side combine: two HashAggregate phases around the exchange."""
+    from sea_serpent_spark.workload import q22_tpch_q1
+
+    plan = _plan(q22_tpch_q1(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_rollup_broadcasts_dimension_side(spark, sf_dir):
+    """Link rollups join fact→dim; the dim side must broadcast, not
+    shuffle the fact table."""
+    from sea_serpent_spark.workload import q16_rollup_sum_avg
+
+    plan = _plan(q16_rollup_sum_avg(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_count_pushes_to_metadata_or_agg(lineitem):
+    """COUNT(*) must not materialize data columns."""
+    df = lineitem.df.groupBy().count()
+    plan = _plan(df)
+    read = plan.split("ReadSchema")[-1][:120] if "ReadSchema" in plan else ""
+    assert "l_comment" not in read
+
+
+def test_sketches_stay_jvm_side(spark, sf_dir):
+    """Minhash/simhash hot paths must contain no Python evaluation."""
+    from sea_serpent_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for df in (D.minhash_signature(docs), D.simhash_signatures(docs)):
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_topn_sort_is_take_ordered(lineitem):
+    """orderBy + limit must fuse into TakeOrdered (no global sort)."""
+    t = lineitem.sort("l_extendedprice", ascending=False).limit(10)
+    assert "TakeOrderedAndProject" in _plan(t.df)
+
+
+def test_brute_topk_broadcasts_queries(spark, sf_dir):
+    """Similarity search: corpus never shuffles; query set broadcasts."""
+    from sea_serpent_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 5)
+    plan = _plan(S.brute_force_topk(e, q, k=3))
+    assert "BroadcastExchange" in plan
