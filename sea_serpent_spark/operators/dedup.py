@@ -546,21 +546,18 @@ def simhash_pairs(
         for i in range(chunks)
     ]
     banded = sigs.select(
-        "id", F.explode(F.array(*chunk_cols)).alias("ck")
-    ).select("id", F.col("ck.c").alias("c"), F.col("ck.v").alias("v"))
-    cand = _spread(_salted_pairs(banded, ["c", "v"]))
-    # One narrow (id, 48-bit sig) row per doc — broadcast both verify
-    # sides; the candidate set is the big relation here.
-    sa = F.broadcast(
-        sigs.select(F.col("id").alias("id_a"), F.col("sim").alias("sim_a"))
-    )
-    sb = F.broadcast(
-        sigs.select(F.col("id").alias("id_b"), F.col("sim").alias("sim_b"))
+        "id", "sim", F.explode(F.array(*chunk_cols)).alias("ck")
+    ).select("id", "sim", F.col("ck.c").alias("c"), F.col("ck.v").alias("v"))
+    # The whole signature is one long — carry it through the chunk join
+    # and verify inside the enumeration stage (one bit_count per raw
+    # pair), then dedupe survivors. No per-id re-joins, and the
+    # signature subtree is computed once instead of three times.
+    raw = _salted_pairs(
+        banded, ["c", "v"], carry=("sim",), distinct=False
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", hamming.alias("hamming"))
+        raw.select("id_a", "id_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
