@@ -85,6 +85,55 @@ class Table:
             name = path.rstrip("/").rsplit("/", 1)[-1].replace(".parquet", "")
         return cls(df, name=name, spark=spark, **kw)
 
+    @classmethod
+    def from_csv(cls, path: str, name: str | None = None,
+                 spark: SparkSession | None = None, header: bool = True,
+                 infer_schema: bool = True, **kw) -> "Table":
+        """Open CSV file(s) as a read-only table."""
+        spark = spark or SparkSession.getActiveSession()
+        df = (
+            spark.read.option("header", header)
+            .option("inferSchema", infer_schema)
+            .csv(path)
+        )
+        if name is None:
+            name = path.rstrip("/").rsplit("/", 1)[-1].split(".")[0]
+        return cls(df, name=name, spark=spark, **kw)
+
+    @classmethod
+    def from_json(cls, path: str, name: str | None = None,
+                  spark: SparkSession | None = None, **kw) -> "Table":
+        """Open JSON-lines file(s) as a read-only table."""
+        spark = spark or SparkSession.getActiveSession()
+        df = spark.read.json(path)
+        if name is None:
+            name = path.rstrip("/").rsplit("/", 1)[-1].split(".")[0]
+        return cls(df, name=name, spark=spark, **kw)
+
+    @classmethod
+    def from_catalog(cls, name: str,
+                     spark: SparkSession | None = None, **kw) -> "Table":
+        """Open a Spark-catalog table (Hive/Delta/Iceberg — whatever the
+        session's catalog resolves; base discovery analogue,
+        utils.py:248-368)."""
+        spark = spark or SparkSession.getActiveSession()
+        return cls(spark.table(name), name=name, spark=spark, **kw)
+
+    # -- sinks ----------------------------------------------------------
+    def to_parquet(self, path: str, mode: str = "error",
+                   partition_by: str | Sequence[str] | None = None) -> None:
+        """Distributed parquet write; ``partition_by`` keys the layout
+        for partition pruning at read time."""
+        w = self.df.write.mode(mode)
+        if partition_by:
+            cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+            w = w.partitionBy(*cols)
+        w.parquet(path)
+
+    def to_catalog(self, name: str, mode: str = "error") -> None:
+        """Save as a catalog table (CREATE TABLE AS SELECT)."""
+        self.df.write.mode(mode).saveAsTable(name)
+
     def _derive(self, df: DataFrame) -> "Table":
         """New lazy Table sharing identity metadata (reads never mutate)."""
         out = Table(

@@ -177,3 +177,31 @@ def test_isnull_empty_str_semantics(spark):
     assert set(notnulls["k"]) == {"a"}
     strict = t.loc[t.v.isnull(empty_str=False), "k"].to_frame()
     assert set(strict["k"]) == {"c"}
+
+
+def test_source_sink_roundtrips(spark, sf_dir, tmp_path):
+    from sea_serpent_spark import Table
+
+    t = Table.from_parquet(f"{sf_dir}/nation.parquet", "nation")
+    # parquet sink (partitioned) → parquet source
+    t.to_parquet(str(tmp_path / "n_pq"), partition_by="n_regionkey")
+    back = Table.from_parquet(str(tmp_path / "n_pq"), "nation2")
+    assert back.count() == t.count()
+    assert sorted(back.columns) == sorted(t.columns)
+    # csv round-trip
+    t.df.write.option("header", True).csv(str(tmp_path / "n_csv"))
+    csvt = Table.from_csv(str(tmp_path / "n_csv"), "nation_csv")
+    assert csvt.count() == t.count()
+    # json round-trip
+    t.df.write.json(str(tmp_path / "n_json"))
+    jt = Table.from_json(str(tmp_path / "n_json"), "nation_json")
+    assert jt.count() == t.count()
+    # catalog sink/source
+    spark.sql("DROP TABLE IF EXISTS nation_cat")
+    t.to_catalog("nation_cat")
+    ct = Table.from_catalog("nation_cat", spark)
+    assert ct.count() == t.count()
+    assert ct.loc[ct.n_nationkey == 3, ["n_name"]].to_frame(
+        row_id_index=False
+    )["n_name"].tolist() == ["NATION_3"]
+    spark.sql("DROP TABLE IF EXISTS nation_cat")
