@@ -205,3 +205,23 @@ def test_source_sink_roundtrips(spark, sf_dir, tmp_path):
         row_id_index=False
     )["n_name"].tolist() == ["NATION_3"]
     spark.sql("DROP TABLE IF EXISTS nation_cat")
+
+
+def test_iloc_positional(spark, tmp_path):
+    import pandas as pd
+
+    from sea_serpent_spark import Base
+
+    base = Base(str(tmp_path / "wh_iloc"), spark)
+    t = base.from_frame(
+        pd.DataFrame({"v": list(range(10)), "w": list("abcdefghij")}), "t"
+    )
+    t = base.table("t")
+    # slice
+    assert t.iloc[2:5].to_frame(row_id_index=False)["v"].tolist() == [2, 3, 4]
+    # step applied like the reference's client-side step
+    assert t.iloc[0:8:3].to_frame(row_id_index=False)["v"].tolist() == [0, 3, 6]
+    # single position + column selection
+    assert t.iloc[4, "w"].to_frame(row_id_index=False)["w"].tolist() == ["e"]
+    # negative start resolves against COUNT(*)
+    assert t.iloc[-3:].to_frame(row_id_index=False)["v"].tolist() == [7, 8, 9]
