@@ -258,50 +258,97 @@ def minhash_lsh_pairs(
     shuffles (band_idx, band_key) — documents themselves never move."""
     rows = num_hashes // bands
     sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
-    band_cols = [
-        F.struct(
-            F.lit(i).alias("band"),
-            F.concat_ws(
-                "-", *[F.element_at("sig", i * rows + r + 1).cast("string")
-                       for r in range(rows)]
+
+    def _banded(src: DataFrame) -> DataFrame:
+        band_cols = [
+            F.struct(
+                F.lit(i).alias("band"),
+                F.concat_ws(
+                    "-", *[F.element_at("sig", i * rows + r + 1).cast("string")
+                           for r in range(rows)]
             ).alias("key"),
+            )
+            for i in range(bands)
+        ]
+        return src.select(
+            "id", F.explode(F.array(*band_cols)).alias("bk")
+        ).select(
+            "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
         )
-        for i in range(bands)
-    ]
-    banded = sigs.select(
-        "id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    # Dedup candidate ids FIRST (narrow shuffle of id pairs), then attach
-    # per-doc state with broadcast joins. Carrying signatures through the
-    # bucket join instead (carry=) measures slower here: on a
-    # self-similar corpus the threshold filter is unselective, so the
-    # wide payload rides the whole expansion for nothing.
-    cand = _spread(_salted_pairs(banded, ["band", "key"]))
 
     if verify == "estimate":
-        a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("s_a"))
-        b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("s_b"))
+        # Canonicalize identical signatures first: banding, pair
+        # enumeration, and verification run on one representative per
+        # distinct signature, and member pairs are expanded afterwards.
+        # Identical-signature docs land in identical buckets with
+        # estimate 1.0, so the output is exactly the naive formulation's
+        # — but LSH cost now scales with *distinct content*, not raw
+        # rows. At 100 TB, exact-duplicate classes are enormous
+        # (mirrors, boilerplate), which makes this the difference
+        # between joining billions and joining the distinct tail.
+        sk = F.concat_ws(
+            "-", F.transform("sig", lambda x: x.cast("string"))
+        )
+        keyed = sigs.withColumn("sk", sk)
+        groups = keyed.groupBy("sk").agg(F.min("id").alias("gid"))
+        mem = keyed.join(groups, "sk").select("gid", "id")
+        reps = (
+            keyed.join(groups, "sk")
+            .where(F.col("id") == F.col("gid"))
+            .select("id", "sig")
+        )
+        cand = _spread(_salted_pairs(_banded(reps), ["band", "key"]))
+        a = reps.select(F.col("id").alias("id_a"), F.col("sig").alias("s_a"))
+        b = reps.select(F.col("id").alias("id_b"), F.col("sig").alias("s_b"))
+        if broadcast_verify:
+            a, b = F.broadcast(a), F.broadcast(b)
         matches = sum(
             F.when(
                 F.element_at("s_a", i + 1) == F.element_at("s_b", i + 1), 1
             ).otherwise(0)
             for i in range(num_hashes)
         )
-        sim = matches / F.lit(float(num_hashes))
-    elif verify == "exact":
-        sets = encoded_token_sets(df, text_col, id_col, shingle_n)
-        a = sets.select(F.col("id").alias("id_a"), F.col("toks").alias("t_a"))
-        b = sets.select(F.col("id").alias("id_b"), F.col("toks").alias("t_b"))
-        inter = F.size(F.array_intersect("t_a", "t_b"))
-        sim = inter / (F.size("t_a") + F.size("t_b") - inter)
-    else:
+        gpairs = (
+            cand.join(a, "id_a")
+            .join(b, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(matches / F.lit(float(num_hashes)), 4).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= jaccard_threshold)
+        )
+        ma = mem.select(F.col("gid").alias("id_a"), F.col("id").alias("m_a"))
+        mb = mem.select(F.col("gid").alias("id_b"), F.col("id").alias("m_b"))
+        if broadcast_verify:
+            ma, mb = F.broadcast(ma), F.broadcast(mb)
+        inter_group = gpairs.join(ma, "id_a").join(mb, "id_b").select(
+            F.least("m_a", "m_b").alias("id_a"),
+            F.greatest("m_a", "m_b").alias("id_b"),
+            "jaccard",
+        )
+        # identical signatures: estimate is exactly 1.0 ≥ any threshold
+        intra_group = _salted_pairs(
+            mem.select(F.col("gid").alias("g"), "id"), ["g"]
+        ).select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+        return inter_group.unionByName(intra_group)
+
+    if verify != "exact":
         raise ValueError(f"verify must be 'estimate' or 'exact', got {verify!r}")
+    # Exact verify: identical signatures do NOT imply identical token
+    # sets, so no signature canonicalization — enumerate on all docs.
+    cand = _spread(_salted_pairs(_banded(sigs), ["band", "key"]))
+    sets = encoded_token_sets(df, text_col, id_col, shingle_n)
+    a = sets.select(F.col("id").alias("id_a"), F.col("toks").alias("t_a"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("toks").alias("t_b"))
     if broadcast_verify:
         a, b = F.broadcast(a), F.broadcast(b)
+    inter = F.size(F.array_intersect("t_a", "t_b"))
+    union = F.size("t_a") + F.size("t_b") - inter
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .select("id_a", "id_b", F.round(sim, 4).alias("jaccard"))
+        .select("id_a", "id_b", F.round(inter / union, 4).alias("jaccard"))
         .where(F.col("jaccard") >= jaccard_threshold)
     )
 
