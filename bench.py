@@ -49,6 +49,21 @@ def main() -> None:
         except Exception as e:  # a failing query must not hide the rest
             print(f"# bench error {name}: {e}", file=sys.stderr)
             dt = -1.0
+            # If the JVM/gateway died, recover with a fresh session so
+            # one crash doesn't zero out every remaining query.
+            try:
+                spark.sql("SELECT 1").collect()
+            except Exception:
+                print("# restarting dead Spark session", file=sys.stderr)
+                try:
+                    spark.stop()
+                except Exception:
+                    pass
+                from pyspark.sql import SparkSession
+
+                SparkSession._instantiatedSession = None
+                SparkSession._activeSession = None
+                spark = get_spark(app_name="sea-serpent-bench-recovery")
         times[name] = round(dt, 3)
         if dt > 0:
             total += dt
