@@ -177,12 +177,13 @@ class Column:
             return F.try_cast(self.expr, dtype).alias(self.name)
         return self.expr.cast(dtype).alias(self.name)
 
-    def map(self, arg, na_action: str | None = None) -> SparkColumn:
+    def map(self, arg, na_action: str | None = None,
+            returns: str = "string") -> SparkColumn:
         """Element mapping (base.py:2052-2069).
 
         dict → literal MAP lookup (stays JVM-side, codegen'd);
-        callable → Arrow-batched pandas UDF (the scale path for the
-        reference's client-side ``Series.map``).
+        callable → Arrow-batched pandas UDF with result type ``returns``
+        (the scale path for the reference's client-side ``Series.map``).
         """
         if isinstance(arg, dict):
             pairs = []
@@ -193,14 +194,18 @@ class Column:
                 mapped = F.when(self.expr.isNull(), None).otherwise(mapped)
             return mapped.alias(self.name)
         if callable(arg):
-            import pandas as pd
+            import pandas
             from pyspark.sql.functions import pandas_udf
 
-            @pandas_udf("string")
-            def _mapper(s: pd.Series) -> pd.Series:
-                return s.map(arg, na_action=na_action).astype("string")
+            def _mapper(s: pandas.Series) -> pandas.Series:
+                return s.map(arg, na_action=na_action)
 
-            return _mapper(self.expr).alias(self.name)
+            # explicit annotations (not PEP-563 strings) so pandas_udf
+            # resolves the scalar signature regardless of module context
+            _mapper.__annotations__ = {
+                "s": pandas.Series, "return": pandas.Series
+            }
+            return pandas_udf(returns)(_mapper)(self.expr).alias(self.name)
         raise TypeError(f"map() expects dict or callable, got {type(arg)}")
 
     # -- mutation (managed tables; base.py:2171, 1897, 1922, 2073) ---------

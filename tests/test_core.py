@@ -225,3 +225,21 @@ def test_iloc_positional(spark, tmp_path):
     assert t.iloc[4, "w"].to_frame(row_id_index=False)["w"].tolist() == ["e"]
     # negative start resolves against COUNT(*)
     assert t.iloc[-3:].to_frame(row_id_index=False)["v"].tolist() == [7, 8, 9]
+
+
+def test_map_callable_pandas_udf(spark, sf_dir):
+    from sea_serpent_spark import Table
+
+    nation = Table.from_parquet(f"{sf_dir}/nation.parquet", "nation")
+    # arbitrary Python fn → Arrow-batched pandas UDF, typed result
+    doubled = nation.df.select(
+        "n_nationkey",
+        nation.n_nationkey.map(lambda k: k * 2 + 1, returns="long").alias("m"),
+    )
+    got = {(r.n_nationkey, r.m) for r in doubled.collect()}
+    assert got == {(k, k * 2 + 1) for k in range(25)}
+    # string fn
+    tagged = nation.df.select(
+        nation.n_name.map(lambda s: s.lower()).alias("n_name")
+    )
+    assert tagged.where("n_name = 'nation_3'").count() == 1
