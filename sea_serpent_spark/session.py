@@ -25,6 +25,11 @@ _DEFAULTS = {
     # 128 MB split target keeps partitions executor-memory-friendly at scale.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
+    # The driver's events.parquet carries TIMESTAMP(NANOS), which the
+    # vectorized reader rejects; read as raw int64 nanos session-wide
+    # (workload.load floors them to micros). Session-level so no reader
+    # mutates conf mid-query.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
 }
 

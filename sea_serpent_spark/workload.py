@@ -48,7 +48,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> Table:
     to microseconds as TIMESTAMP_NTZ — the same truncation DuckDB's client
     applies, so oracle comparisons agree."""
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # nanosAsLong is a session default (session.py); guard for foreign
+        # sessions (driver-created) without mutating conf mid-plan.
+        if (
+            spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+            != "true"
+        ):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         d = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         d = d.withColumn(
             "ts",
@@ -71,11 +77,19 @@ def df(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q01_filter_project(spark, sf_dir):
-    """Flagship filtered/projected scan (loc read, base.py:2326-2377).
-    Predicate + projection push into the parquet scan."""
+    """Flagship filtered/projected scan (loc read, base.py:2326-2377)
+    plus range predicate on a timestamp (Column.between) — one query
+    covering >=, between, > and | composition; every predicate and the
+    projection push into the parquet scan (row-group stats prune)."""
     t = load(spark, sf_dir, "lineitem")
+    f = (t.l_quantity >= 45) | (
+        t.l_shipdate.between("1996-01-01", "1996-12-31")
+        & (t.l_discount > 0.05)
+    )
     return t.loc[
-        t.l_quantity >= 45, ["l_orderkey", "l_quantity", "l_extendedprice"]
+        f,
+        ["l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate",
+         "l_discount"],
     ].df
 
 
@@ -89,31 +103,28 @@ def q02_compound_pred(spark, sf_dir):
 
 
 def q03_string_preds(spark, sf_dir):
-    """contains / startswith / endswith (base.py:1938-1972)."""
+    """contains / startswith / endswith (base.py:1938-1972) plus isin
+    membership pushdown (base.py:1974-2012), | composed — all four string
+    predicates reach the scan as PushedFilters."""
     t = load(spark, sf_dir, "part")
-    f = t.p_name.contains("a") & t.p_type.startswith("S") & t.p_brand.endswith("2")
+    f = (
+        t.p_name.contains("a")
+        & t.p_type.startswith("S")
+        & t.p_brand.endswith("2")
+    ) | t.p_brand.isin(["Brand#1", "Brand#5", "Brand#9"])
     return t.loc[f, ["p_partkey", "p_name", "p_type", "p_brand"]].df
 
 
-def q04_isin(spark, sf_dir):
-    """Membership pushdown (base.py:1974-2012)."""
-    t = load(spark, sf_dir, "part")
-    return t.loc[
-        t.p_brand.isin(["Brand#1", "Brand#5", "Brand#9"]), ["p_partkey", "p_brand"]
-    ].df
-
-
-def q05_between_dates(spark, sf_dir):
-    """Range predicate on timestamp — pushes to parquet row-group stats."""
-    t = load(spark, sf_dir, "lineitem")
-    f = t.l_shipdate.between("1996-01-01", "1996-12-31") & (t.l_discount > 0.05)
-    return t.loc[f, ["l_orderkey", "l_shipdate", "l_discount"]].df
-
-
 def q06_count(spark, sf_dir):
-    """COUNT(*) pushdown (base.py:357-360) — parquet metadata-only scan."""
+    """COUNT(*) pushdown (base.py:357-360, parquet metadata-only scan)
+    plus the `value in column` existence probe (Column.__contains__,
+    base.py:1782-1792 — a pushdown LIMIT-1 scan)."""
     t = load(spark, sf_dir, "lineitem")
-    return t.df.agg(F.count(F.lit(1)).alias("n"))
+    p = load(spark, sf_dir, "part")
+    present = "Brand#7" in p.p_brand  # LIMIT-1 probe through the engine API
+    return t.df.agg(F.count(F.lit(1)).alias("n")).withColumn(
+        "present", F.lit(bool(present))
+    )
 
 
 def q07_distinct(spark, sf_dir):
@@ -144,14 +155,6 @@ def q10_slice(spark, sf_dir):
     (create_query LIMIT a,b — base.py:2546-2567)."""
     t = load(spark, sf_dir, "orders")
     return t.slice(100, 110).select(["o_orderkey", "o_totalprice"]).df
-
-
-def q11_existence(spark, sf_dir):
-    """`value in column` probe (base.py:1782-1792) as a 1-row DF."""
-    t = load(spark, sf_dir, "part")
-    return t.df.where(F.col("p_brand") == "Brand#7").agg(
-        (F.count(F.lit(1)) > 0).alias("present")
-    )
 
 
 def q12_null_semantics(spark, sf_dir):
@@ -201,8 +204,17 @@ def q15_count_links(spark, sf_dir):
     )
 
 
-def q16_rollup_sum_avg(spark, sf_dir):
-    """formula='rollup-sum'/'rollup-avg' over linked orders."""
+def q16_rollup_aggs(spark, sf_dir):
+    """All five rollup formulas in one grouped pass over linked orders:
+    'rollup-sum'/'rollup-avg'/'rollup-conc'/'findmin'/'findmax'
+    (base.py:775-806, summary_method split :805-806). One shuffle serves
+    every aggregate — map-side partial agg applies to all of them.
+
+    avg uses round_half_up (operators/text.py): Spark ROUND(AVG(double))
+    and DuckDB ROUND disagree at x.xx5 representation boundaries (11/1500
+    rows at sf0.01), floor(x*100+0.5)/100 is bit-identical in both."""
+    from .operators.text import round_half_up
+
     c = df(spark, sf_dir, "customer")
     o = df(spark, sf_dir, "orders")
     return (
@@ -210,34 +222,10 @@ def q16_rollup_sum_avg(spark, sf_dir):
         .groupBy("c_custkey")
         .agg(
             F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_total"),
-        )
-    )
-
-
-def q17_rollup_concat(spark, sf_dir):
-    """formula='rollup-conc': deterministic (sorted) concatenation."""
-    c = df(spark, sf_dir, "customer")
-    o = df(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "inner")
-        .groupBy("c_custkey")
-        .agg(
+            round_half_up(F.avg("o_totalprice"), 2).alias("avg_total"),
             F.concat_ws(
                 ",", F.array_sort(F.collect_list("o_orderpriority"))
-            ).alias("priorities")
-        )
-    )
-
-
-def q18_rollup_minmax(spark, sf_dir):
-    """formula='findmin'/'findmax' over linked orders."""
-    c = df(spark, sf_dir, "customer")
-    o = df(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "inner")
-        .groupBy("c_custkey")
-        .agg(
+            ).alias("priorities"),
             F.min("o_orderdate").alias("first_date"),
             F.max("o_orderdate").alias("last_date"),
         )
@@ -452,8 +440,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "q01_filter_project": (
-        "SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem "
-        "WHERE l_quantity >= 45"
+        "SELECT l_orderkey, l_quantity, l_extendedprice, l_shipdate, "
+        "l_discount FROM lineitem WHERE l_quantity >= 45 OR "
+        "(l_shipdate BETWEEN '1996-01-01' AND '1996-12-31' "
+        "AND l_discount > 0.05)"
     ),
     "q02_compound_pred": (
         "SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders "
@@ -462,18 +452,13 @@ ORACLES: dict[str, str] = {
     ),
     "q03_string_preds": (
         "SELECT p_partkey, p_name, p_type, p_brand FROM part "
-        "WHERE p_name LIKE '%a%' AND p_type LIKE 'S%' AND p_brand LIKE '%2'"
+        "WHERE (p_name LIKE '%a%' AND p_type LIKE 'S%' AND p_brand LIKE '%2') "
+        "OR p_brand IN ('Brand#1', 'Brand#5', 'Brand#9')"
     ),
-    "q04_isin": (
-        "SELECT p_partkey, p_brand FROM part "
-        "WHERE p_brand IN ('Brand#1', 'Brand#5', 'Brand#9')"
+    "q06_count": (
+        "SELECT (SELECT COUNT(*) FROM lineitem) AS n, "
+        "(SELECT COUNT(*) > 0 FROM part WHERE p_brand = 'Brand#7') AS present"
     ),
-    "q05_between_dates": (
-        "SELECT l_orderkey, l_shipdate, l_discount FROM lineitem "
-        "WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-12-31' "
-        "AND l_discount > 0.05"
-    ),
-    "q06_count": "SELECT COUNT(*) AS n FROM lineitem",
     "q07_distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "q08_value_counts": (
         "SELECT o_orderpriority, COUNT(*) AS count FROM orders "
@@ -486,9 +471,6 @@ ORACLES: dict[str, str] = {
     "q10_slice": (
         "SELECT o_orderkey, o_totalprice FROM orders "
         "ORDER BY o_orderkey LIMIT 10 OFFSET 100"
-    ),
-    "q11_existence": (
-        "SELECT COUNT(*) > 0 AS present FROM part WHERE p_brand = 'Brand#7'"
     ),
     "q12_null_semantics": (
         "SELECT CAST(COUNT(*) FILTER (WHERE text IS NOT NULL AND text != '') "
@@ -508,20 +490,15 @@ ORACLES: dict[str, str] = {
         "SELECT c_custkey, COUNT(o_orderkey) AS n_orders FROM customer "
         "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey"
     ),
-    "q16_rollup_sum_avg": (
+    "q16_rollup_aggs": (
         "SELECT c_custkey, ROUND(SUM(o_totalprice), 2) AS sum_total, "
-        "ROUND(AVG(o_totalprice), 2) AS avg_total FROM customer "
-        "JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey"
-    ),
-    "q17_rollup_concat": (
-        "SELECT c_custkey, string_agg(o_orderpriority, ',' ORDER BY "
-        "o_orderpriority) AS priorities FROM customer "
-        "JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey"
-    ),
-    "q18_rollup_minmax": (
-        "SELECT c_custkey, MIN(o_orderdate) AS first_date, "
-        "MAX(o_orderdate) AS last_date FROM customer "
-        "JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey"
+        "FLOOR(AVG(o_totalprice) * 100 + CAST(0.5 AS DOUBLE)) / 100 "
+        "AS avg_total, "
+        "string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) "
+        "AS priorities, "
+        "MIN(o_orderdate) AS first_date, MAX(o_orderdate) AS last_date "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "GROUP BY c_custkey"
     ),
     "q19_first_match": (
         "SELECT o_custkey, o_orderkey AS first_order FROM ("

@@ -79,33 +79,24 @@ def _bucket_sql(vec: str, nbits: int = 8) -> str:
 # text analysis
 # ---------------------------------------------------------------------------
 
-def q30_token_count(spark, sf_dir):
-    d = df(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", X.token_count(F.col("text")).alias("n_tokens")
-    )
-
-
-def q31_quality_score(spark, sf_dir):
+def q30_text_analysis(spark, sf_dir):
+    """Full text-analysis pass in ONE scan: token count, punctuation /
+    stopword ratios, composite quality, language-ID and fingerprint
+    (operators/text.py). All pure pyspark.sql.functions — one codegen'd
+    projection, no Python in the hot path, one pass over the corpus
+    instead of four."""
     d = df(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
+        X.token_count(F.col("text")).alias("n_tokens"),
         X.round_half_up(X.punct_ratio(F.col("text")), 4).alias("punct_ratio"),
         X.round_half_up(X.stopword_ratio(F.col("text")), 4).alias(
             "stopword_ratio"
         ),
         X.quality_score(F.col("text")).alias("quality"),
+        X.lang_id(F.col("text")).alias("lang_pred"),
+        X.fingerprint(F.col("text")).alias("fp"),
     )
-
-
-def q32_lang_id(spark, sf_dir):
-    d = df(spark, sf_dir, "documents")
-    return d.select("doc_id", X.lang_id(F.col("text")).alias("lang_pred"))
-
-
-def q33_fingerprint(spark, sf_dir):
-    d = df(spark, sf_dir, "documents")
-    return d.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
 
 
 # ---------------------------------------------------------------------------
@@ -221,41 +212,7 @@ _SIG_MATCHES_SQL = " + ".join(
 )
 
 ORACLES_EXT: dict[str, str] = {
-    "q30_token_count": (
-        "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
-        f"len({WORDS_SQL}) END AS INT) AS n_tokens FROM documents"
-    ),
-    # NB: numeric literals are CAST to DOUBLE — DuckDB parses bare 0.4 as
-    # DECIMAL, which diverges from Spark's IEEE-double arithmetic at
-    # rounding boundaries.
-    # FLOOR(x*10^k + 0.5)/10^k on both sides — engine ROUND()s diverge at
-    # representation boundaries (see operators/text.py:round_half_up)
-    "q31_quality_score": f"""
-SELECT doc_id,
-  FLOOR(pr * 10000 + CAST(0.5 AS DOUBLE)) / 10000 AS punct_ratio,
-  FLOOR(sw * 10000 + CAST(0.5 AS DOUBLE)) / 10000 AS stopword_ratio,
-  FLOOR((CAST(0.4 AS DOUBLE) * least(length(text) / CAST(500.0 AS DOUBLE),
-             CAST(1.0 AS DOUBLE))
-      + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - pr)
-      + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
-            - abs(sw - CAST(0.3 AS DOUBLE)) / CAST(0.7 AS DOUBLE)))
-      * 10000 + CAST(0.5 AS DOUBLE)) / 10000 AS quality
-FROM (
-  SELECT doc_id, text,
-    CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE)
-         ELSE (length(text) - length(regexp_replace(text,
-              '[^a-zA-Z0-9\\s]', '', 'g'))) / CAST(length(text) AS DOUBLE)
-         END AS pr,
-    CASE WHEN len({WORDS_SQL}) = 0 THEN CAST(0.0 AS DOUBLE)
-         ELSE len(list_filter({WORDS_SQL},
-              w -> list_contains({X.LANG_MARKERS['en']!r}, w)))
-              / CAST(len({WORDS_SQL}) AS DOUBLE) END AS sw
-  FROM documents)
-""",
-    "q32_lang_id": None,  # filled below (generated)
-    "q33_fingerprint": (
-        f"SELECT doc_id, {FP_SQL} AS fp FROM documents"
-    ),
+    "q30_text_analysis": None,  # filled below (needs the generated lang CASE)
     "q34_dedup_exact": (
         f"SELECT {FP_SQL} AS fp, COUNT(*) AS n_dups, "
         "MIN(doc_id) AS canonical_id FROM documents GROUP BY 1"
@@ -386,9 +343,37 @@ for lang in X.LANGS:
         f"THEN '{lang}' "
     )
 _CASE += "ELSE 'und' END"
-ORACLES_EXT["q32_lang_id"] = (
-    f"SELECT doc_id, {_CASE} AS lang_pred "
-    f"FROM (SELECT doc_id, {DWORDS_SQL} AS ws FROM documents)"
-)
+# Combined text-analysis oracle (q30). Numeric literals are CAST to
+# DOUBLE — DuckDB parses bare 0.4 as DECIMAL, which diverges from Spark's
+# IEEE-double arithmetic at rounding boundaries. FLOOR(x*10^k + 0.5)/10^k
+# on both sides (see operators/text.py:round_half_up). `toks` = all
+# tokens (counts/ratios), `ws` = distinct tokens (lang-ID markers).
+ORACLES_EXT["q30_text_analysis"] = f"""
+SELECT doc_id,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS INT)
+    AS n_tokens,
+  FLOOR(pr * 10000 + CAST(0.5 AS DOUBLE)) / 10000 AS punct_ratio,
+  FLOOR(sw * 10000 + CAST(0.5 AS DOUBLE)) / 10000 AS stopword_ratio,
+  FLOOR((CAST(0.4 AS DOUBLE) * least(length(text) / CAST(500.0 AS DOUBLE),
+             CAST(1.0 AS DOUBLE))
+      + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - pr)
+      + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+            - abs(sw - CAST(0.3 AS DOUBLE)) / CAST(0.7 AS DOUBLE)))
+      * 10000 + CAST(0.5 AS DOUBLE)) / 10000 AS quality,
+  {_CASE} AS lang_pred,
+  fp
+FROM (
+  SELECT doc_id, text, toks, ws, fp,
+    CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE (length(text) - length(regexp_replace(text,
+              '[^a-zA-Z0-9\\s]', '', 'g'))) / CAST(length(text) AS DOUBLE)
+         END AS pr,
+    CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE len(list_filter(toks,
+              t -> list_contains({X.LANG_MARKERS['en']!r}, t)))
+              / CAST(len(toks) AS DOUBLE) END AS sw
+  FROM (SELECT doc_id, text, {WORDS_SQL} AS toks, {DWORDS_SQL} AS ws,
+        {FP_SQL} AS fp FROM documents))
+"""
 
 ORACLES_EXT = {k: v for k, v in ORACLES_EXT.items() if v is not None}

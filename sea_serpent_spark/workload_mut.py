@@ -42,6 +42,40 @@ def _managed_copy(spark: SparkSession, sf_dir: str, table: str):
 
 
 # ---------------------------------------------------------------------------
+# null semantics on a fixture that actually contains '' (FIXTURES F2)
+# ---------------------------------------------------------------------------
+
+def q05_empty_str_null(spark, sf_dir):
+    """Empty-string≡NULL duality on data that really contains '' and NULL
+    (reference utils.py:177-182 download sanitizer; isnull/notnull
+    empty_str flag base.py:2014-2050; SURVEY §7 risk 1). The driver's
+    documents table has neither at test SFs, so this builds the FIXTURES
+    F2 `alltypes` table through the managed store (full from_frame write
+    path, type inference included) and evaluates all four predicate
+    variants per row. empty_str only applies to string columns — the
+    numeric column proves the type gate."""
+    import pandas as pd
+
+    tmp = tempfile.mkdtemp(prefix="ss_alltypes_")
+    base = Base(tmp, spark)
+    pdf = pd.DataFrame(
+        {
+            "k": pd.Series([0, 1, 2, 3, 4, 5], dtype="int64"),
+            "txt": ["alpha", "", None, " ", "beta", ""],
+            "num": pd.Series([1, None, 3, None, 0, 2], dtype="Int64"),
+        }
+    )
+    t = base.from_frame(pdf, "alltypes")
+    return t.df.select(
+        "k",
+        t.txt.isnull().expr.alias("txt_null_dual"),
+        t.txt.isnull(empty_str=False).expr.alias("txt_null_strict"),
+        t.txt.notnull().expr.alias("txt_notnull_dual"),
+        t.num.isnull().expr.alias("num_null"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.1 mutations
 # ---------------------------------------------------------------------------
 
@@ -234,6 +268,16 @@ QUERIES_MUT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_MUT: dict[str, str] = {
+    "q05_empty_str_null": (
+        "WITH fixture(k, txt, num) AS (VALUES "
+        "(0, 'alpha', 1), (1, '', NULL), (2, NULL, 3), "
+        "(3, ' ', NULL), (4, 'beta', 0), (5, '', 2)) "
+        "SELECT k, "
+        "(txt IS NULL OR txt = '') AS txt_null_dual, "
+        "(txt IS NULL) AS txt_null_strict, "
+        "(txt IS NOT NULL AND txt != '') AS txt_notnull_dual, "
+        "(num IS NULL) AS num_null FROM fixture"
+    ),
     "q45_add_column_assign": (
         "SELECT n_nationkey, n_name, (n_nationkey % 2 = 0) AS is_even "
         "FROM nation"

@@ -66,9 +66,9 @@ def test_aggregate_is_partial_then_final(spark, sf_dir):
 def test_rollup_broadcasts_dimension_side(spark, sf_dir):
     """Link rollups join fact→dim; the dim side must broadcast, not
     shuffle the fact table."""
-    from sea_serpent_spark.workload import q16_rollup_sum_avg
+    from sea_serpent_spark.workload import q16_rollup_aggs
 
-    plan = _plan(q16_rollup_sum_avg(spark, sf_dir))
+    plan = _plan(q16_rollup_aggs(spark, sf_dir))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
