@@ -274,6 +274,21 @@ class Table:
             if stop is not None and stop < 0:
                 stop = max(0, n + stop)
         start = start or 0
+        if (
+            order == "_seq"
+            and self.store is not None
+            and self.store._seq_contiguous(self)
+        ):
+            # gap-free managed table: position == _seq → pushed int64
+            # range filter, no window, no global sort (verdict r1 §9)
+            cond = F.col("_seq") >= F.lit(start)
+            if stop is not None:
+                cond = cond & (F.col("_seq") < F.lit(stop))
+            if step and step != 1:
+                cond = cond & (
+                    (F.col("_seq") - F.lit(start)) % F.lit(step) == 0
+                )
+            return self._derive(self.df.where(cond))
         w = Window.orderBy(F.asc(order))
         pos = F.row_number().over(w) - 1
         df = self.df.withColumn("__pos", pos)

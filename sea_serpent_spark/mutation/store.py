@@ -46,6 +46,7 @@ from ..core.column import Column, _SemiJoinFilter
 from ..core.filter import Filter
 from ..core.table import Table
 from ..types import (
+    infer_from_spark_type,
     infer_seatable_type,
     normalize_type,
     spark_type,
@@ -258,6 +259,39 @@ class Base:
         self._commit(name, sdf, "from_frame", {"rows": len(pdf)})
         return self.table(name)
 
+    def from_df(self, df: DataFrame, name: str) -> Table:
+        """Distributed ingest: register a Spark DataFrame as a managed
+        table with NO driver round-trip (the scale path; ``from_frame``
+        is the pandas-parity edge). ``_seq`` follows the DataFrame's
+        current row order — ``monotonically_increasing_id`` is
+        partition-ordered, so for a parquet scan this is file order,
+        matching the reference's server-row-order contract.
+
+        Scale note: the global row_number window is a one-off cost at
+        import (single sort on an int64 already in scan order); every
+        later positional op reuses the materialized ``_seq``.
+        """
+        if name in self:
+            raise ValueError(f"table {name!r} already exists")
+        meta_cols = {
+            f.name: {"type": infer_from_spark_type(f.dataType)}
+            for f in df.schema.fields
+            if f.name not in ("_id", "_seq")
+        }
+        cols = [c for c in df.columns if c not in ("_id", "_seq")]
+        w = Window.orderBy(F.monotonically_increasing_id())
+        sdf = (
+            df.select(*cols)
+            .withColumn("_seq", F.row_number().over(w).cast("long") - 1)
+            .withColumn("_id", F.format_string("r%08d", F.col("_seq")))
+            .select("_id", "_seq", *cols)
+        )
+        n = df.count()  # metadata-only for parquet scans; avoids the window
+        os.makedirs(self._tdir(name), exist_ok=True)
+        self._write_meta(name, {"columns": meta_cols, "next_seq": n})
+        self._commit(name, sdf, "from_df", {"rows": n})
+        return self.table(name)
+
     def drop_table(self, name: str) -> None:
         """DROP TABLE (Table.delete, base.py:942-971)."""
         if name not in self:
@@ -401,7 +435,7 @@ class Base:
         df = table.df
         if col not in df.columns:
             raise KeyError(col)
-        dfp = self._with_pred(df, where)
+        dfp = self._with_pred(df, where, table)
         if _is_listlike(values):
             values = list(values)
             self._validate_write(table, col, values)
@@ -418,18 +452,31 @@ class Base:
             new_df = dfp.withColumn(col, expr).drop("__pred")
         self._stage(table, new_df, "loc_write", {"column": col}, oplog)
 
-    def _with_pred(self, df: DataFrame, where) -> DataFrame:
+    def _with_pred(self, df: DataFrame, where, table: Table) -> DataFrame:
         """Materialize the write selector as a boolean ``__pred`` column.
 
-        Positional selectors (boolean mask / row positions) need a window
-        over ``_seq`` — window expressions are legal in a projection but not
-        in WHERE, so every selector is normalized into a projected column
-        (the MERGE-source shape)."""
+        Positional selectors (boolean mask / row positions) need row
+        positions — a pushed ``_seq`` filter when the table is gap-free,
+        else a window over ``_seq`` projected into a column (window
+        expressions are legal in a projection but not in WHERE), the
+        MERGE-source shape."""
         if where is None or (isinstance(where, slice) and where == slice(None)):
             expr = F.lit(True)
         elif isinstance(where, _SemiJoinFilter):
-            ids = [r[0] for r in where.lit_df.collect()]
-            expr = F.col(where.col_name).isin(ids)
+            # Broadcast semi-probe — same plan the read path uses
+            # (core/table.py _semi_join), no driver collect. distinct()
+            # guarantees ≤1 match/row so the left join can't fan out.
+            probe = F.broadcast(
+                where.lit_df.select(
+                    F.col(where.col_name).alias("__sj_key")
+                ).distinct()
+            )
+            joined = df.join(
+                probe, df[where.col_name] == F.col("__sj_key"), "left"
+            )
+            return joined.withColumn(
+                "__pred", F.col("__sj_key").isNotNull()
+            ).drop("__sj_key")
         elif isinstance(where, Filter):
             expr = where.expr
         elif isinstance(where, Column):
@@ -438,16 +485,28 @@ class Base:
             expr = F.col("_id") == where
         elif _is_bool_mask(where):
             positions = [i for i, m in enumerate(list(where)) if m]
-            expr = self._pos_expr().isin(positions)
+            expr = self._pos_expr(table).isin(positions)
         elif isinstance(where, (list, tuple)):
             expr = F.col("_id").isin(list(where))
         else:
             raise TypeError(f"unsupported loc-write selector: {type(where)}")
         return df.withColumn("__pred", expr)
 
-    @staticmethod
-    def _pos_expr():
-        """Row position in insertion (_seq) order (base.py:2411-2417)."""
+    def _seq_contiguous(self, table: Table) -> bool:
+        """True when _seq has no deletion gaps, i.e. position == _seq.
+
+        Tracked as a meta flag flipped by delete_rows — no count job.
+        Gap-free is the common case; it turns every positional selector
+        into a pushed int64 filter instead of a global window."""
+        return not self.meta(table.name).get("has_deletes", False)
+
+    def _pos_expr(self, table: Table | None = None):
+        """Row position in insertion (_seq) order (base.py:2411-2417).
+
+        Fast path: gap-free tables use ``_seq`` directly (pushdown-able,
+        no window, no single-partition sort)."""
+        if table is not None and self._seq_contiguous(table):
+            return F.col("_seq")
         w = Window.orderBy(F.asc("_seq"))
         return F.row_number().over(w) - 1
 
@@ -460,10 +519,14 @@ class Base:
         n = target.count()
         if len(values) != n:
             raise ValueError(f"length mismatch: {len(values)} values for {n} rows")
-        w = Window.orderBy(F.asc("_seq"))
-        keyed = target.withColumn("__vidx", F.row_number().over(w) - 1).select(
-            "_id", "__vidx"
-        )
+        if pred is None and self._seq_contiguous(table):
+            # gap-free whole-table assignment: rank == _seq, no window
+            keyed = target.select("_id", F.col("_seq").alias("__vidx"))
+        else:
+            w = Window.orderBy(F.asc("_seq"))
+            keyed = target.withColumn(
+                "__vidx", F.row_number().over(w) - 1
+            ).select("_id", "__vidx")
         is_new = col not in df.columns
         # Arrow-batched pandas conversion: orders of magnitude faster than
         # a row-at-a-time Python tuple list for 100k+-value assignments.
@@ -569,9 +632,11 @@ class Base:
             and not _is_bool_mask(rows)
         ):
             # index positions → _seq order (base.py:884-893)
-            dfp = df.withColumn("__pred", self._pos_expr().isin(list(rows)))
+            dfp = df.withColumn(
+                "__pred", self._pos_expr(table).isin(list(rows))
+            )
         else:
-            dfp = self._with_pred(df, rows)
+            dfp = self._with_pred(df, rows, table)
         removed = dfp.where(F.col("__pred")).drop("__pred")
         v = self._current_version(table.name) + 1
         oplog = removed.select(
@@ -585,6 +650,11 @@ class Base:
             F.lit("deleted").alias("new_value"),
         )
         kept = dfp.where(~F.col("__pred")).drop("__pred")
+        # deletes leave gaps in _seq → positional fast path off from now on
+        meta = self.meta(table.name)
+        if not meta.get("has_deletes"):
+            meta["has_deletes"] = True
+            self._write_meta(table.name, meta)
         self._stage(table, kept, "delete_rows", {}, oplog)
 
     # -- schema ops (base.py:693-744, 2073-2102, 1922-1936) --------------

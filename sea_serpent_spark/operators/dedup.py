@@ -32,6 +32,27 @@ from .hashing import MINHASH_COEFFS, P, SIMHASH_BITS, h32, h48
 from .text import fingerprint, words
 from .util import fan_out, spread as _spread
 
+#: Default row cap for broadcasting the doc-level verify side of a pair
+#: join. 2M rows × (8B id + 16×8B signature) ≈ 300 MB — comfortably
+#: inside a typical executor; above it, forcing a broadcast OOMs the
+#: executors at billion-doc scale, so the join is left to AQE (which
+#: still broadcasts at runtime if the side turns out small).
+BROADCAST_VERIFY_CAP = 2_000_000
+
+
+def _verify_gate(df: DataFrame, broadcast_verify, cap: int) -> bool:
+    """Resolve the broadcast-verify tri-state: explicit bool wins; None
+    (the scale-safe default) size-gates on a cheap corpus row count
+    (metadata-only for parquet scans — docs upper-bound the verify side,
+    which holds one narrow row per distinct doc)."""
+    if broadcast_verify is not None:
+        return bool(broadcast_verify)
+    return df.count() <= cap
+
+
+def _maybe_broadcast(side: DataFrame, flag: bool) -> DataFrame:
+    return F.broadcast(side) if flag else side
+
 
 def _salted_pairs(
     indexed: DataFrame,
@@ -230,7 +251,8 @@ def minhash_lsh_pairs(
     shingle_n: int = 1,
     jaccard_threshold: float = 0.5,
     verify: str = "estimate",
-    broadcast_verify: bool = True,
+    broadcast_verify: bool | None = None,
+    broadcast_cap: int = BROADCAST_VERIFY_CAP,
 ) -> DataFrame:
     """→ [id_a, id_b, jaccard] candidate pairs sharing ≥1 LSH band, kept
     when their Jaccard similarity ≥ threshold.
@@ -250,13 +272,16 @@ def minhash_lsh_pairs(
 
     ``broadcast_verify`` broadcasts the doc-level lookup side of the
     verify join (one narrow row per doc). Right whenever that side fits
-    executor memory — candidates, not docs, dominate LSH cost. For
-    corpora where even (id, signature) is too big to broadcast, pass
-    False and the join falls back to AQE-planned shuffle joins.
+    executor memory — candidates, not docs, dominate LSH cost. The
+    default (``None``) is scale-safe: it size-gates on the corpus row
+    count (``broadcast_cap``) and otherwise leaves the join to AQE,
+    which still upgrades to broadcast at runtime when the side proves
+    small. Pass True/False to force either plan.
 
     Scale shape: signatures are narrow (id + 16 longs); the band self-join
     shuffles (band_idx, band_key) — documents themselves never move."""
     rows = num_hashes // bands
+    bcast = _verify_gate(df, broadcast_verify, broadcast_cap)
     sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
 
     def _banded(src: DataFrame) -> DataFrame:
@@ -300,8 +325,7 @@ def minhash_lsh_pairs(
         cand = _spread(_salted_pairs(_banded(reps), ["band", "key"]))
         a = reps.select(F.col("id").alias("id_a"), F.col("sig").alias("s_a"))
         b = reps.select(F.col("id").alias("id_b"), F.col("sig").alias("s_b"))
-        if broadcast_verify:
-            a, b = F.broadcast(a), F.broadcast(b)
+        a, b = _maybe_broadcast(a, bcast), _maybe_broadcast(b, bcast)
         matches = sum(
             F.when(
                 F.element_at("s_a", i + 1) == F.element_at("s_b", i + 1), 1
@@ -320,8 +344,7 @@ def minhash_lsh_pairs(
         )
         ma = mem.select(F.col("gid").alias("id_a"), F.col("id").alias("m_a"))
         mb = mem.select(F.col("gid").alias("id_b"), F.col("id").alias("m_b"))
-        if broadcast_verify:
-            ma, mb = F.broadcast(ma), F.broadcast(mb)
+        ma, mb = _maybe_broadcast(ma, bcast), _maybe_broadcast(mb, bcast)
         inter_group = gpairs.join(ma, "id_a").join(mb, "id_b").select(
             F.least("m_a", "m_b").alias("id_a"),
             F.greatest("m_a", "m_b").alias("id_b"),
@@ -341,8 +364,7 @@ def minhash_lsh_pairs(
     sets = encoded_token_sets(df, text_col, id_col, shingle_n)
     a = sets.select(F.col("id").alias("id_a"), F.col("toks").alias("t_a"))
     b = sets.select(F.col("id").alias("id_b"), F.col("toks").alias("t_b"))
-    if broadcast_verify:
-        a, b = F.broadcast(a), F.broadcast(b)
+    a, b = _maybe_broadcast(a, bcast), _maybe_broadcast(b, bcast)
     inter = F.size(F.array_intersect("t_a", "t_b"))
     union = F.size("t_a") + F.size("t_b") - inter
     return (
@@ -364,6 +386,8 @@ def ngram_jaccard_pairs(
     shingle_n: int = 1,
     threshold: float = 0.8,
     max_bitmap_words: int = 64,
+    broadcast_verify: bool | None = None,
+    broadcast_cap: int = BROADCAST_VERIFY_CAP,
 ) -> DataFrame:
     """→ [id_a, id_b, jaccard ≥ threshold], exact, via **prefix filtering**
     (AllPairs/PPJoin family: Bayardo et al., WWW'07).
@@ -469,13 +493,18 @@ def ngram_jaccard_pairs(
         "id", sz.alias("sz"), F.explode(F.slice("toks", 1, plen)).alias("s")
     )
     cand = _spread(_salted_pairs(inv, ["s"], sym_cond=length_ok))
-    # Verify sides are one narrow row per doc — broadcast them so the
-    # (larger) candidate set never shuffles again; see minhash_lsh_pairs.
-    a = F.broadcast(
-        sets.select(F.col("id").alias("id_a"), F.col("toks").alias("t_a"))
+    # Verify sides are one narrow row per doc — broadcast them (under the
+    # size gate) so the larger candidate set never shuffles again; above
+    # the cap AQE plans the join, upgrading to broadcast at runtime when
+    # the side proves small. See minhash_lsh_pairs.
+    bcast = _verify_gate(df, broadcast_verify, broadcast_cap)
+    a = _maybe_broadcast(
+        sets.select(F.col("id").alias("id_a"), F.col("toks").alias("t_a")),
+        bcast,
     )
-    b = F.broadcast(
-        sets.select(F.col("id").alias("id_b"), F.col("toks").alias("t_b"))
+    b = _maybe_broadcast(
+        sets.select(F.col("id").alias("id_b"), F.col("toks").alias("t_b")),
+        bcast,
     )
     inter = F.size(F.array_intersect("t_a", "t_b"))
     union = F.size("t_a") + F.size("t_b") - inter

@@ -134,6 +134,23 @@ def infer_seatable_type(series) -> tuple[str, dict]:
     return "text", meta
 
 
+def infer_from_spark_type(dt: T.DataType) -> str:
+    """Inverse mapping for distributed ingest (Base.from_df): Spark field
+    type → canonical SeaTable type. Coarser than the pandas inference
+    (no categorical options from a lazy DataFrame), by design."""
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return "number0"
+    if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)):
+        return "number"
+    if isinstance(dt, T.BooleanType):
+        return "checkbox"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return "date"
+    if isinstance(dt, T.ArrayType):
+        return "multiple-select"
+    return "text"
+
+
 def check_finite(value: Any) -> None:
     """Reject ±inf on write (utils.py:508-510, 531-533)."""
     if isinstance(value, float) and math.isinf(value):

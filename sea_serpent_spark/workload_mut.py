@@ -30,15 +30,23 @@ from .workload import load as _load
 
 
 def _managed_copy(spark: SparkSession, sf_dir: str, table: str):
-    """Copy a driver parquet table into a fresh managed store.
-
-    Row order (hence ``_seq``) is the parquet file order, so positional
-    mutations are deterministic and oracle-expressible."""
+    """Copy a driver parquet table into a fresh managed store through the
+    distributed ingest path (``Base.from_df``) — no ``toPandas``
+    round-trip (r1 verdict: driver-side ingest was the mutation
+    workload's scale-killer). Row order (hence ``_seq``) is the parquet
+    file order, so positional mutations stay deterministic and
+    oracle-expressible."""
     tmp = tempfile.mkdtemp(prefix=f"ss_mut_{table}_")
     base = Base(tmp, spark)
-    pdf = _df(spark, sf_dir, table).toPandas()
-    t = base.from_frame(pdf, table)
-    return base, t, pdf
+    t = base.from_df(_df(spark, sf_dir, table), table)
+    return base, t
+
+
+def _col_values(spark: SparkSession, sf_dir: str, table: str, col: str) -> list:
+    """One column in parquet (_seq) order as a Python list. Inputs to the
+    list-valued write APIs are driver-resident by definition; fetch just
+    the needed column (column-pruned scan + Arrow), not the table."""
+    return _df(spark, sf_dir, table).select(col).toPandas()[col].tolist()
 
 
 # ---------------------------------------------------------------------------
@@ -82,9 +90,10 @@ def q05_empty_str_null(spark, sf_dir):
 def q45_add_column_assign(spark, sf_dir):
     """add_column (base.py:693-744) + whole-column list assignment
     (Table.__setitem__, base.py:230-284): values align by _seq order."""
-    base, t, pdf = _managed_copy(spark, sf_dir, "nation")
+    base, t = _managed_copy(spark, sf_dir, "nation")
     t.add_column("is_even", "checkbox")
-    t["is_even"] = [int(k) % 2 == 0 for k in pdf["n_nationkey"]]
+    keys = _col_values(spark, sf_dir, "nation", "n_nationkey")
+    t["is_even"] = [int(k) % 2 == 0 for k in keys]
     t = base.table("nation")
     return t.df.select("n_nationkey", "n_name", "is_even")
 
@@ -93,7 +102,7 @@ def q46_loc_pred_write(spark, sf_dir):
     """Predicate write (LocIndexer.__setitem__, base.py:2379-2463):
     scalar broadcast to all matching rows — the MERGE WHEN MATCHED
     UPDATE shape."""
-    base, t, _ = _managed_copy(spark, sf_dir, "orders")
+    base, t = _managed_copy(spark, sf_dir, "orders")
     t.loc[t.o_orderstatus == "F", "o_totalprice"] = 0.0
     t = base.table("orders")
     return t.df.select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -102,9 +111,10 @@ def q46_loc_pred_write(spark, sf_dir):
 def q47_update_diff(spark, sf_dir):
     """Diff-based update (Column.update, base.py:2171-2203): writes whole
     column, oplog records only real changes (NA-aware compare)."""
-    base, t, pdf = _managed_copy(spark, sf_dir, "orders")
+    base, t = _managed_copy(spark, sf_dir, "orders")
     new_vals = [
-        "0-FIXED" if v == "1-URGENT" else v for v in pdf["o_orderpriority"]
+        "0-FIXED" if v == "1-URGENT" else v
+        for v in _col_values(spark, sf_dir, "orders", "o_orderpriority")
     ]
     t.o_orderpriority.update(new_vals)
     t = base.table("orders")
@@ -113,7 +123,7 @@ def q47_update_diff(spark, sf_dir):
 
 def q48_delete_rows(spark, sf_dir):
     """delete_rows by Filter (base.py:865-938)."""
-    base, t, _ = _managed_copy(spark, sf_dir, "orders")
+    base, t = _managed_copy(spark, sf_dir, "orders")
     t.delete_rows(t.o_orderstatus == "P", skip_confirmation=True)
     t = base.table("orders")
     return t.df.select("o_orderkey", "o_orderstatus")
@@ -124,7 +134,7 @@ def q49_append(spark, sf_dir):
     columns NULL, fresh _id/_seq."""
     import pandas as pd
 
-    base, t, _ = _managed_copy(spark, sf_dir, "nation")
+    base, t = _managed_copy(spark, sf_dir, "nation")
     extra = pd.DataFrame(
         {
             "n_nationkey": [100, 101],
@@ -141,7 +151,7 @@ def q50_time_machine(spark, sf_dir):
     """Snapshot time travel (time_machine, base.py:973-1034 — exact via
     version snapshots, stronger than the reference's log replay): mutate,
     then read version 0 → the original state."""
-    base, t, _ = _managed_copy(spark, sf_dir, "nation")
+    base, t = _managed_copy(spark, sf_dir, "nation")
     t.loc[t.n_nationkey >= 0, "n_name"] = "OVERWRITTEN"
     old = base.table("nation", version=0)
     return old.df.select("n_nationkey", "n_name")
@@ -150,7 +160,7 @@ def q50_time_machine(spark, sf_dir):
 def q51_bundle_edits(spark, sf_dir):
     """BundleEdits (base.py:2629-2693): queued predicate writes coalesced
     per row/column (last-writer-wins) and flushed as one commit."""
-    base, t, _ = _managed_copy(spark, sf_dir, "nation")
+    base, t = _managed_copy(spark, sf_dir, "nation")
     with t.bundle():
         t.loc[t.n_nationkey < 5, "n_name"] = "SMALL"
         t.loc[t.n_nationkey >= 20, "n_name"] = "BIG"

@@ -226,6 +226,53 @@ def test_column_meta_ops(base, mytable):
     ]
 
 
+def test_from_df_distributed_ingest(base, spark, sf_dir):
+    """Base.from_df: distributed ingest, no pandas round-trip; _seq is
+    parquet file order, so positional ops match the from_frame path."""
+    sdf = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    t = base.from_df(sdf, "nation_d")
+    assert t.columns[:2] == ["_id", "_seq"]
+    pdf = t.to_frame()
+    assert len(pdf) == sdf.count()
+    assert pdf["_seq"].tolist() == list(range(len(pdf)))
+    assert pdf.index.is_unique
+    # inferred meta from the Spark schema
+    assert base.meta("nation_d")["columns"]["n_name"]["type"] == "text"
+    assert base.meta("nation_d")["columns"]["n_nationkey"]["type"] == "number0"
+    # same row order as the parquet file
+    assert (
+        pdf.sort_values("_seq")["n_nationkey"].tolist()
+        == sdf.select("n_nationkey").toPandas()["n_nationkey"].tolist()
+    )
+
+
+def test_loc_write_semijoin_selector(base, mytable):
+    """isin(online=False) selector in a write — broadcast semi-probe,
+    no driver collect of the id list (r1 verdict §5/§6)."""
+    sel = mytable.labels.isin(["B", "D"], online=False)
+    mytable.loc[sel, "checked"] = True
+    pdf = mytable.to_frame().sort_values("_seq")
+    assert pdf.loc[pdf["labels"].isin(["B", "D"]), "checked"].tolist() == [
+        True,
+        True,
+    ]
+    assert pdf.loc[~pdf["labels"].isin(["B", "D"]), "checked"].isna().all()
+
+
+def test_seq_fastpath_positional_after_delete(base, mytable):
+    """Gap-free tables use _seq directly for positions (no window);
+    after a delete the flag flips and positions renumber correctly."""
+    assert base._seq_contiguous(mytable)
+    mytable.delete_rows([0])
+    t = base.table("mytable")
+    assert not base._seq_contiguous(t)
+    # position 0 is now the row with column1 == 2
+    t.loc[[True] + [False] * 8, "checked"] = True
+    pdf = base.table("mytable").to_frame().sort_values("_seq")
+    assert pdf.loc[pdf["column1"] == 2, "checked"].tolist() == [True]
+    assert pdf.loc[pdf["column1"] != 2, "checked"].isna().all()
+
+
 def test_copy_table(base, mytable):
     """Clone incl. views (Table.from_table, base.py:484-581)."""
     mytable.add_view(

@@ -53,6 +53,31 @@ def test_signatures_layout_independent(spark, sf_dir, docs_multi):
     assert h1 == h2
 
 
+def test_lsh_verify_shuffle_fallback(spark, sf_dir):
+    """Above the broadcast size gate the verify joins must run as pure
+    shuffle joins (the 100 TB fallback: billions of docs cannot be
+    broadcast) — and produce identical pairs to the broadcast plan."""
+    from sea_serpent_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    forced = _pairs(
+        D.minhash_lsh_pairs(docs, jaccard_threshold=0.5, broadcast_verify=True)
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = D.minhash_lsh_pairs(
+            docs, jaccard_threshold=0.5, broadcast_verify=False
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "broadcast" not in plan.lower()
+        fallback = _pairs(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert fallback == forced and len(forced) > 0
+
+
 def test_workload_query_layout_independent(spark, sf_dir, tmp_path_factory):
     """A relational query over a re-partitioned lineitem copy equals the
     single-file result (group-by totals are layout-invariant)."""

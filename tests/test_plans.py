@@ -96,6 +96,23 @@ def test_topn_sort_is_take_ordered(lineitem):
     assert "TakeOrderedAndProject" in _plan(t.df)
 
 
+def test_slice_seq_range_avoids_window(spark, tmp_path, sf_dir):
+    """Gap-free managed slice: pushed _seq range filter, no Window
+    (r1 verdict §9). After a delete, falls back to the window."""
+    from sea_serpent_spark import Base
+
+    base = Base(str(tmp_path / "wh"), spark)
+    t = base.from_df(
+        spark.read.parquet(f"{sf_dir}/nation.parquet"), "nation_p"
+    )
+    plan = _plan(t.slice(2, 5).df)
+    assert "Window" not in plan
+    assert "_seq" in plan.split("PushedFilters")[1][:200]
+    t.delete_rows([0])
+    t = base.table("nation_p")
+    assert "Window" in _plan(t.slice(2, 5).df)
+
+
 def test_brute_topk_broadcasts_queries(spark, sf_dir):
     """Similarity search: corpus never shuffles; query set broadcasts."""
     from sea_serpent_spark.operators import similarity as S
