@@ -55,6 +55,30 @@ class Column:
     def _is_string(self) -> bool:
         return self.dtype == "string"
 
+    def _col_meta(self) -> dict:
+        store = self.table.store
+        if store is None:
+            return {}
+        return store.meta(self.table.name).get("columns", {}).get(
+            self.name, {}
+        )
+
+    @property
+    def key(self) -> str:
+        """Stable column identifier (base.py:1795-1805) — survives
+        renames. Unmanaged tables fall back to the name."""
+        return self._col_meta().get("key", self.name)
+
+    @property
+    def options(self) -> list[str]:
+        """Allowed options of a select column (base.py:1824-1828)."""
+        meta = self._col_meta()
+        if "select" not in str(meta.get("type", "")):
+            raise TypeError(
+                "`options` only exists for single- or multi-select columns"
+            )
+        return list(meta.get("options", []))
+
     # -- comparisons → Filter (base.py:1724-1752) --------------------------
     def __eq__(self, other) -> Filter:  # type: ignore[override]
         return Filter(self.expr == _rhs(other))

@@ -204,6 +204,30 @@ class Table:
     def __contains__(self, col: str) -> bool:
         return col in self.df.columns
 
+    def __dir__(self):
+        """Columns are tab-completable (base.py:184-186)."""
+        return list(set(list(super().__dir__()) + list(self.df.columns)))
+
+    def __array__(self, dtype=None):
+        """numpy protocol (base.py:181-182) — full materialization edge."""
+        import numpy as np
+
+        return np.array(self.to_frame(row_id_index=False), dtype=dtype)
+
+    @property
+    def row_ids(self):
+        """Row IDs in insertion order (base.py:327-329) — a single-column
+        pruned scan, not a table download."""
+        import numpy as np
+
+        if self.id_col is None:
+            raise TypeError(f"table {self.name!r} has no row-id column")
+        sdf = self.df
+        if self.order_col:
+            sdf = sdf.orderBy(F.asc(self.order_col))
+        pdf = sdf.select(self.id_col).toPandas()
+        return pdf[self.id_col].to_numpy(dtype=str)
+
     # ------------------------------------------------------------------
     # relational verbs (all lazy)
     # ------------------------------------------------------------------
@@ -481,12 +505,32 @@ class Table:
     def history(self):
         return self._require_store().history(self.name)
 
-    def time_machine(self, date):
-        """Past state of this table (base.py:973-1034) — exact snapshot."""
-        return self._require_store().time_machine(self.name, date)
+    def time_machine(self, date, columns: Sequence[str] | None = None):
+        """Past state of this table (base.py:973-1034) — exact snapshot.
+        ``columns`` subsets the reconstruction (base.py:973, 999-1000)."""
+        t = self._require_store().time_machine(self.name, date)
+        if columns:
+            keep = [c for c in RESERVED if c in t.columns]
+            keep += [c for c in columns if c not in keep]
+            return t.select(keep)
+        return t
 
-    def fetch_logs(self):
-        return self._require_store().fetch_logs(self.name)
+    def delete(self, skip_confirmation: bool = False):
+        """Danger! Drop this whole table (base.py:942-971)."""
+        store = self._require_store()
+        if not skip_confirmation:  # pragma: no cover - interactive
+            ans = input(f'Delete table "{self.name}"? [y/n] ')
+            if ans.lower() != "y":
+                return
+        store.drop_table(self.name)
+
+    def fetch_logs(self, max_entries: int | None = 25, max_time=None,
+                   unpack: bool = True):
+        """Activity log (base.py:1037-1213); see Base.fetch_logs."""
+        return self._require_store().fetch_logs(
+            self.name, max_entries=max_entries, max_time=max_time,
+            unpack=unpack,
+        )
 
     def fetch_row_logs(self, row_id: str):
         return self._require_store().fetch_row_logs(self.name, row_id)

@@ -227,7 +227,10 @@ class Base:
         self._write_meta(
             name,
             {
-                "columns": {c: {"type": normalize_type(t)} for c, t in cols},
+                "columns": _with_keys(
+                    {c: {"type": normalize_type(t)} for c, t in cols}
+                ),
+                "next_key": len(cols),
             },
         )
         self._commit(name, df, "create", {"columns": names})
@@ -255,7 +258,14 @@ class Base:
         pdf.insert(0, "_id", [_row_id(i) for i in range(len(pdf))])
         sdf = self.spark.createDataFrame(pdf)
         os.makedirs(self._tdir(name), exist_ok=True)
-        self._write_meta(name, {"columns": meta_cols, "next_seq": len(pdf)})
+        self._write_meta(
+            name,
+            {
+                "columns": _with_keys(meta_cols),
+                "next_seq": len(pdf),
+                "next_key": len(meta_cols),
+            },
+        )
         self._commit(name, sdf, "from_frame", {"rows": len(pdf)})
         return self.table(name)
 
@@ -288,7 +298,14 @@ class Base:
         )
         n = df.count()  # metadata-only for parquet scans; avoids the window
         os.makedirs(self._tdir(name), exist_ok=True)
-        self._write_meta(name, {"columns": meta_cols, "next_seq": n})
+        self._write_meta(
+            name,
+            {
+                "columns": _with_keys(meta_cols),
+                "next_seq": n,
+                "next_key": len(meta_cols),
+            },
+        )
         self._commit(name, sdf, "from_df", {"rows": n})
         return self.table(name)
 
@@ -301,15 +318,52 @@ class Base:
     # ------------------------------------------------------------------
     # oplog reads (fetch_logs base.py:1037-1213)
     # ------------------------------------------------------------------
-    def fetch_logs(self, name: str) -> DataFrame:
+    def fetch_logs(
+        self,
+        name: str,
+        max_entries: int | None = 25,
+        max_time=None,
+        unpack: bool = True,
+    ) -> DataFrame:
+        """Activity log (fetch_logs, base.py:1037-1213).
+
+        ``unpack=True`` (default) → one row per *cell* edit — the
+        reference's unpacked schema (base.py:1195-1207), which the oplog
+        stores natively. ``unpack=False`` → one row per operation with
+        ``rows_modified`` (base.py:1148-1149) and the touched columns.
+        ``max_time`` bounds how far back to read and overrides
+        ``max_entries`` (base.py:1066-1070); ``max_entries=None`` → all.
+        Entry limits count *operations* (the reference pages ops, not
+        cells), applied via the newest distinct op_ids."""
         p = os.path.join(self._tdir(name), "_oplog")
         if not os.path.exists(p):
-            return self.spark.createDataFrame([], OPLOG_SCHEMA)
-        return self.spark.read.parquet(p)
+            logs = self.spark.createDataFrame([], OPLOG_SCHEMA)
+        else:
+            logs = self.spark.read.parquet(p)
+        if max_time is not None:
+            if isinstance(max_time, str):
+                max_time = datetime.fromisoformat(max_time)
+            logs = logs.where(F.col("op_time") >= F.lit(max_time))
+        elif max_entries is not None:
+            recent = (
+                logs.select("op_id")
+                .distinct()
+                .orderBy(F.desc("op_id"))
+                .limit(int(max_entries))
+            )
+            logs = logs.join(F.broadcast(recent), "op_id")
+        if unpack:
+            return logs
+        return logs.groupBy("op_id", "user", "app", "op_time").agg(
+            F.countDistinct("row_id").alias("rows_modified"),
+            F.array_sort(F.collect_set("column")).alias("columns"),
+        )
 
     def fetch_row_logs(self, name: str, row_id: str) -> DataFrame:
         """Per-row history (base.py:1216-1326) — filter pushes to scan."""
-        return self.fetch_logs(name).where(F.col("row_id") == row_id)
+        return self.fetch_logs(name, max_entries=None).where(
+            F.col("row_id") == row_id
+        )
 
     # ==================================================================
     # mutation hooks (called from Table / Column)
@@ -665,7 +719,9 @@ class Base:
             raise ValueError(f"duplicate column name {col_name!r}")
         st = normalize_type(col_type)
         meta = self.meta(table.name)
-        centry: dict = {"type": st}
+        nk = int(meta.get("next_key", len(meta.get("columns", {}))))
+        centry: dict = {"type": st, "key": f"c{nk:04d}"}
+        meta["next_key"] = nk + 1
         if col_options:
             centry["options"] = list(col_options)
         if col_data:
@@ -768,6 +824,15 @@ class Base:
 
 def _row_id(i: int) -> str:
     return f"r{i:08d}"
+
+
+def _with_keys(meta_cols: dict) -> dict:
+    """Assign stable column keys at creation (reference meta['columns']
+    carry a server-generated 'key' distinct from the name, base.py:1795;
+    renames keep the key because the whole entry moves)."""
+    for i, centry in enumerate(meta_cols.values()):
+        centry.setdefault("key", f"c{i:04d}")
+    return meta_cols
 
 
 def _is_listlike(v) -> bool:

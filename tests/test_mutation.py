@@ -226,6 +226,75 @@ def test_column_meta_ops(base, mytable):
     ]
 
 
+def test_row_ids_dir_array(mytable):
+    """Table.row_ids / __dir__ / __array__ (base.py:327, 181-186)."""
+    import numpy as np
+
+    assert list(mytable.row_ids) == [f"r{i:08d}" for i in range(10)]
+    assert "column1" in dir(mytable) and "labels" in dir(mytable)
+    arr = np.array(mytable)
+    assert arr.shape[0] == 10
+
+
+def test_column_key_stable_across_rename(base, mytable):
+    """Column.key (base.py:1795-1805): distinct from the name, survives
+    renames."""
+    k = mytable.labels.key
+    assert k.startswith("c") and k != "labels"
+    mytable.rename_column("labels", "tags")
+    t = base.table("mytable")
+    assert t.tags.key == k
+    # keys are unique per table
+    keys = [
+        m["key"] for m in base.meta("mytable")["columns"].values()
+    ]
+    assert len(set(keys)) == len(keys)
+
+
+def test_column_options_property(base, mytable):
+    """Column.options (base.py:1824-1828): select-only, typed error."""
+    mytable.add_column("status", "single-select", col_options=["open", "done"])
+    t = base.table("mytable")
+    assert t.status.options == ["open", "done"]
+    with pytest.raises(TypeError):
+        _ = t.column1.options
+
+
+def test_fetch_logs_params(base, mytable):
+    """fetch_logs(max_entries / unpack) (base.py:1037-1213)."""
+    mytable["checked"] = False          # op: 10 cell edits
+    vals = [False] * 9 + [True]
+    mytable.checked.update(vals)        # op: 1 cell edit
+    # unpacked (default): cell-level rows
+    all_logs = mytable.fetch_logs(max_entries=None)
+    assert all_logs.count() == 11
+    # entry limit counts operations, not cells → newest op only
+    last_op = mytable.fetch_logs(max_entries=1)
+    assert last_op.count() == 1
+    # packed: one row per op with rows_modified
+    ops = mytable.fetch_logs(max_entries=None, unpack=False)
+    rows = {r["op_id"]: r for r in ops.collect()}
+    assert len(rows) == 2
+    assert sorted(r["rows_modified"] for r in rows.values()) == [1, 10]
+    assert all(r["columns"] == ["checked"] for r in rows.values())
+
+
+def test_time_machine_columns_subset(base, mytable):
+    """time_machine(date, columns=) (base.py:973-1000)."""
+    import datetime as dt
+
+    mytable["checked"] = True
+    future = dt.datetime.now(dt.timezone.utc) + dt.timedelta(seconds=1)
+    old = base.table("mytable").time_machine(future, columns=["column1"])
+    assert old.columns == ["_id", "_seq", "column1"]
+
+
+def test_table_delete(base, mytable):
+    """Table.delete (base.py:942-971) — drop from the handle."""
+    mytable.delete(skip_confirmation=True)
+    assert "mytable" not in base
+
+
 def test_from_df_distributed_ingest(base, spark, sf_dir):
     """Base.from_df: distributed ingest, no pandas round-trip; _seq is
     parquet file order, so positional ops match the from_frame path."""
