@@ -21,10 +21,12 @@ class BundleEdits:
         self._ops: list[tuple] = []
         self._oplogs = []
         self._df = None
+        self._touched_modes: list = []
 
-    def add(self, new_df, op, detail, oplog) -> None:
+    def add(self, new_df, op, detail, oplog, touched=None) -> None:
         self._df = new_df
         self._ops.append((op, detail))
+        self._touched_modes.append(touched)
         if oplog is not None:
             self._oplogs.append(oplog)
 
@@ -42,12 +44,19 @@ class BundleEdits:
             combined = None
             for ol in self._oplogs:
                 combined = ol if combined is None else combined.unionByName(ol)
+            # COW mode: only when every queued edit is oplog-scoped can
+            # the single flush rewrite just the touched buckets; any
+            # schema change or append in the bundle forces a full write.
+            all_oplog = self._touched_modes and all(
+                m == "oplog" for m in self._touched_modes
+            )
             self.table.store._commit(
                 self.table.name,
                 self._df,
                 "bundle",
                 {"ops": [op for op, _ in self._ops]},
                 combined,
+                touched="oplog" if (all_oplog and combined is not None) else None,
             )
             self.table.df = self.table.store.table(self.table.name).df
         return False

@@ -72,7 +72,7 @@ class Base:
     database of tables discovered via ``find_base``, utils.py:248-368)."""
 
     def __init__(self, path: str, spark: SparkSession | None = None,
-                 user: str = "local"):
+                 user: str = "local", bucket_count: int = 16):
         self.path = os.path.abspath(path)
         os.makedirs(self.path, exist_ok=True)
         if spark is None:
@@ -81,6 +81,11 @@ class Base:
             spark = get_spark()
         self.spark = spark
         self.user = user
+        #: number of _id-hash buckets per table — the copy-on-write file
+        #: granularity. A mutation rewrites only the buckets owning
+        #: changed rows; at cluster scale this is sized so a bucket ≈ a
+        #: healthy parquet file (hundreds of MB).
+        self.bucket_count = int(bucket_count)
 
     # ------------------------------------------------------------------
     # paths / log helpers
@@ -123,6 +128,11 @@ class Base:
     # ------------------------------------------------------------------
     # commit
     # ------------------------------------------------------------------
+    def _bucket_expr(self):
+        return F.pmod(F.xxhash64(F.col("_id")), F.lit(self.bucket_count)).cast(
+            "int"
+        )
+
     def _commit(
         self,
         name: str,
@@ -130,28 +140,130 @@ class Base:
         op: str,
         detail: dict | None = None,
         oplog: DataFrame | None = None,
+        touched: str | None = None,
+        append_df: DataFrame | None = None,
     ) -> None:
-        """Write a new snapshot version + log entry (+ cell-level oplog)."""
+        """Write a new version + log entry (+ cell-level oplog).
+
+        **File-granular copy-on-write** (the Delta contract, minimized for
+        a local filesystem): table data lives in per-``_id``-hash-bucket
+        parquet files; each version is a *manifest* (in the log entry)
+        mapping bucket → file list. ``touched`` picks the commit mode:
+
+        - ``None`` — full rewrite (initial loads and schema changes; Delta
+          does DDL as metadata-only, noted as the next refinement);
+        - ``"oplog"`` — rewrite ONLY the buckets owning rows recorded in
+          this commit's oplog: a mutation of k rows rewrites
+          O(k/bucket_count · table) bytes, not O(table). The bucket set
+          is read back from the just-written oplog parquet (tiny), so the
+          change-diff plan is executed once, not twice;
+        - ``"append"`` — write ``append_df`` (the incoming rows only) as
+          *additional* bucket files; existing files are never rewritten.
+
+        The data write still *scans* the current snapshot (as Delta MERGE
+        does); the win is write amplification. Read-side file pruning by
+        bucket would need min/max _id stats per file — noted future work.
+        """
         versions = [e["version"] for e in self.history(name)] if os.path.exists(
             self._log_path(name)
         ) else []
         v = (max(versions) + 1) if versions else 0
-        vdir = self._vdir(name, v)
-        df.write.mode("overwrite").parquet(vdir)
+        tdir = self._tdir(name)
+        os.makedirs(tdir, exist_ok=True)
         if oplog is not None:
-            oplog.write.mode("append").parquet(
-                os.path.join(self._tdir(name), "_oplog")
+            oplog.write.mode("append").parquet(os.path.join(tdir, "_oplog"))
+        prev = self._manifest(name, v - 1) if versions else None
+        bexpr = self._bucket_expr()
+        commit_rel = os.path.join("files", f"c{v:05d}")
+        commit_dir = os.path.join(tdir, commit_rel)
+
+        def _write_bucketed(src: DataFrame) -> dict[int, str]:
+            """One parquet leaf dir per touched bucket, one file each
+            (repartition by bucket → no small-file explosion)."""
+            (
+                src.withColumn("_b", bexpr)
+                .repartition(self.bucket_count, "_b")
+                .write.partitionBy("_b")
+                .mode("overwrite")
+                .parquet(commit_dir)
             )
+            out: dict[int, str] = {}
+            if os.path.isdir(commit_dir):
+                for d in os.listdir(commit_dir):
+                    if d.startswith("_b="):
+                        out[int(d.split("=")[1])] = os.path.join(commit_rel, d)
+            return out
+
+        if touched == "append" and prev is not None and append_df is not None:
+            leaves = _write_bucketed(append_df)
+            manifest = {b: list(ps) for b, ps in prev.items()}
+            for b, p in leaves.items():
+                manifest.setdefault(b, []).append(p)
+        elif touched == "oplog" and prev is not None and oplog is not None:
+            opl = self.spark.read.parquet(os.path.join(tdir, "_oplog")).where(
+                F.col("op_id") == v
+            )
+            buckets = [
+                r[0]
+                for r in opl.select(
+                    F.pmod(F.xxhash64("row_id"), F.lit(self.bucket_count))
+                    .cast("int")
+                    .alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            if not buckets:
+                manifest = prev  # no cell actually changed
+            else:
+                leaves = _write_bucketed(df.where(bexpr.isin(buckets)))
+                manifest = {
+                    b: ps for b, ps in prev.items() if b not in set(buckets)
+                }
+                for b, p in leaves.items():
+                    manifest[b] = [p]
+        else:
+            leaves = _write_bucketed(df)
+            manifest = {b: [p] for b, p in leaves.items()}
+
         entry = {
             "version": v,
             "ts": datetime.now(timezone.utc).isoformat(),
             "op": op,
             "user": self.user,
             "detail": detail or {},
+            "files": {str(b): ps for b, ps in sorted(manifest.items())},
+            "schema": df.schema.json(),
         }
-        os.makedirs(self._tdir(name), exist_ok=True)
         with open(self._log_path(name), "a") as f:
             f.write(json.dumps(entry) + "\n")
+
+    def _log_entry(self, name: str, version: int) -> dict:
+        for e in self.history(name):
+            if e["version"] == version:
+                return e
+        raise FileNotFoundError(f"no version {version} for table {name!r}")
+
+    def _manifest(self, name: str, version: int) -> dict[int, list[str]] | None:
+        """Bucket → file-paths manifest for a version; None for legacy
+        whole-snapshot versions (pre-COW layout)."""
+        entry = self._log_entry(name, version)
+        files = entry.get("files")
+        if files is None:
+            return None
+        return {int(b): list(ps) for b, ps in files.items()}
+
+    def _read_version(self, name: str, version: int) -> DataFrame:
+        entry = self._log_entry(name, version)
+        files = entry.get("files")
+        if files is None:  # legacy layout
+            return self.spark.read.parquet(self._vdir(name, version))
+        tdir = self._tdir(name)
+        paths = [os.path.join(tdir, p) for ps in files.values() for p in ps]
+        if not paths:
+            schema = T.StructType.fromJson(json.loads(entry["schema"]))
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*paths)
 
     def _current_version(self, name: str) -> int:
         hist = self.history(name)
@@ -176,7 +288,7 @@ class Base:
         pinned = version is not None
         if version is None:
             version = self._current_version(name)
-        df = self.spark.read.parquet(self._vdir(name, version))
+        df = self._read_version(name, version)
         return Table(
             df,
             name=name,
@@ -369,19 +481,21 @@ class Base:
     # mutation hooks (called from Table / Column)
     # ==================================================================
     def _current_df(self, table: Table) -> DataFrame:
-        return self.spark.read.parquet(
-            self._vdir(table.name, self._current_version(table.name))
+        return self._read_version(
+            table.name, self._current_version(table.name)
         )
 
     def _stage(self, table: Table, new_df: DataFrame, op: str, detail: dict,
-               oplog: DataFrame | None) -> None:
+               oplog: DataFrame | None, touched: str | None = None,
+               append_df: DataFrame | None = None) -> None:
         """Commit immediately, or queue when inside BundleEdits."""
         bundle = getattr(table, "_bundle", None)
         if bundle is not None:
-            bundle.add(new_df, op, detail, oplog)
+            bundle.add(new_df, op, detail, oplog, touched)
             table.df = new_df  # later edits in the bundle see this one
             return
-        self._commit(table.name, new_df, op, detail, oplog)
+        self._commit(table.name, new_df, op, detail, oplog, touched,
+                     append_df)
         table.df = self.table(table.name).df
 
     def _oplog_entries(
@@ -457,7 +571,8 @@ class Base:
                 )
                 oplog = None
                 new_df = df.withColumn(col, expr)
-        self._stage(table, new_df, "set_column", {"column": col}, oplog)
+        self._stage(table, new_df, "set_column", {"column": col}, oplog,
+                    touched="oplog" if oplog is not None else None)
 
     def set_column_from_df(
         self, table: Table, col: str, src: DataFrame, value_col: str
@@ -504,7 +619,8 @@ class Base:
             expr = F.when(F.col("__pred"), lit).otherwise(F.col(col))
             oplog = self._oplog_entries(table, dfp, col, expr)
             new_df = dfp.withColumn(col, expr).drop("__pred")
-        self._stage(table, new_df, "loc_write", {"column": col}, oplog)
+        self._stage(table, new_df, "loc_write", {"column": col}, oplog,
+                    touched="oplog" if oplog is not None else None)
 
     def _with_pred(self, df: DataFrame, where, table: Table) -> DataFrame:
         """Materialize the write selector as a boolean ``__pred`` column.
@@ -659,7 +775,8 @@ class Base:
         n_new = incoming.count()
         self._set_next_seq(table, start + n_new)
         self._stage(
-            table, df.unionByName(incoming), "append", {"rows": n_new}, None
+            table, df.unionByName(incoming), "append", {"rows": n_new}, None,
+            touched="append", append_df=incoming,
         )
 
     def _next_seq(self, table: Table) -> int:
@@ -709,7 +826,7 @@ class Base:
         if not meta.get("has_deletes"):
             meta["has_deletes"] = True
             self._write_meta(table.name, meta)
-        self._stage(table, kept, "delete_rows", {}, oplog)
+        self._stage(table, kept, "delete_rows", {}, oplog, touched="oplog")
 
     # -- schema ops (base.py:693-744, 2073-2102, 1922-1936) --------------
     def add_column(self, table: Table, col_name: str, col_type,

@@ -41,7 +41,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
 
     ``sf_dir`` must be a directory (FileStreamSource requirement); the
     glob filter selects the events file(s) within it."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # nanosAsLong is a session default (session.py); guard for foreign
+    # sessions (driver-created) without mutating conf mid-plan.
+    if (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        != "true"
+    ):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENT_SCHEMA)
         .option("maxFilesPerTrigger", 4)

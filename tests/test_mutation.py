@@ -315,6 +315,39 @@ def test_from_df_distributed_ingest(base, spark, sf_dir):
     )
 
 
+def test_cow_commit_rewrites_only_touched_buckets(base, spark, sf_dir):
+    """File-granular copy-on-write: a 1-row mutation rewrites exactly the
+    bucket owning that row; every other bucket file is reused by
+    reference in the new version's manifest (r1 verdict §6/§7)."""
+    t = base.from_df(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"), "orders_cow"
+    )
+    m0 = base._manifest("orders_cow", 0)
+    assert m0 and len(m0) > 1  # multiple buckets populated
+    rid = str(t.row_ids[0])
+    t.loc[rid, "o_orderpriority"] = "X-TEST"
+    m1 = base._manifest("orders_cow", 1)
+    changed = {b for b in m1 if m1[b] != m0.get(b)}
+    assert len(changed) == 1
+    reused = {b for b in m1 if m1[b] == m0.get(b)}
+    assert len(reused) == len(m0) - 1
+    # the mutation is visible; time travel to v0 is exact
+    cur = base.table("orders_cow")
+    assert cur.df.where("o_orderpriority = 'X-TEST'").count() == 1
+    old = base.table("orders_cow", version=0)
+    assert old.df.where("o_orderpriority = 'X-TEST'").count() == 0
+    # appends add files without rewriting any existing bucket file
+    import pandas as pd
+
+    t = base.table("orders_cow")
+    t.append(pd.DataFrame({"o_orderkey": [999999999]}))
+    m2 = base._manifest("orders_cow", 2)
+    assert all(set(m1[b]) <= set(m2.get(b, [])) for b in m1)
+    assert sum(len(ps) for ps in m2.values()) == sum(
+        len(ps) for ps in m1.values()
+    ) + 1
+
+
 def test_loc_write_semijoin_selector(base, mytable):
     """isin(online=False) selector in a write — broadcast semi-probe,
     no driver collect of the id list (r1 verdict §5/§6)."""
