@@ -94,16 +94,21 @@ def _apply_where(t, where):
         return t.filter(where)
     if isinstance(where, Column):  # bare checkbox column as predicate
         return t.filter(Filter(where.expr == F.lit(True)))
-    if isinstance(where, str):  # single row id
-        return t.filter(Filter(F.col(t.id_col) == F.lit(where)))
+    if isinstance(where, str):  # single row id → bucket-pruned scan
+        return t._prune_for_ids([where]).filter(
+            Filter(F.col(t.id_col) == F.lit(where))
+        )
     if isinstance(where, int):  # positional single row
         return t.slice(where, where + 1 if where != -1 else None)
     if isinstance(where, slice):
         return t.slice(where.start, where.stop, where.step)
     if _is_bool_mask(where):
         return t._mask_filter(list(where))
-    if isinstance(where, (list, tuple)):  # row-id list
-        return t.filter(Filter(F.col(t.id_col).isin(list(where))))
+    if isinstance(where, (list, tuple)):  # row-id list → bucket-pruned scan
+        ids = list(where)
+        return t._prune_for_ids(ids).filter(
+            Filter(F.col(t.id_col).isin(ids))
+        )
     raise TypeError(f"unsupported loc selector: {type(where)}")
 
 

@@ -353,6 +353,25 @@ class Table:
         )
         return self._derive(out)
 
+    def _prune_for_ids(self, ids) -> "Table":
+        """Point-lookup file pruning: on a managed table whose store keeps
+        an _id-bucket manifest, a row-id selector only needs the bucket
+        files owning those ids — the scan opens 1/bucket_count of the
+        table. No-op for derived/unmanaged/bundled tables."""
+        if (
+            self.store is None
+            or self.id_col != "_id"
+            or getattr(self, "_bundle", None) is not None
+        ):
+            return self
+        try:
+            pruned = self.store.read_pruned(self.name, list(ids))
+        except Exception:
+            return self
+        if pruned is None:
+            return self
+        return self._derive(pruned)
+
     # ------------------------------------------------------------------
     # SQL passthrough (base.py:1616-1649)
     # ------------------------------------------------------------------

@@ -22,11 +22,14 @@ class BundleEdits:
         self._oplogs = []
         self._df = None
         self._touched_modes: list = []
+        self._transforms: list = []
 
-    def add(self, new_df, op, detail, oplog, touched=None) -> None:
+    def add(self, new_df, op, detail, oplog, touched=None,
+            transform=None) -> None:
         self._df = new_df
         self._ops.append((op, detail))
         self._touched_modes.append(touched)
+        self._transforms.append(transform)
         if oplog is not None:
             self._oplogs.append(oplog)
 
@@ -50,6 +53,18 @@ class BundleEdits:
             all_oplog = self._touched_modes and all(
                 m == "oplog" for m in self._touched_modes
             )
+            composed = None
+            if all_oplog and all(t is not None for t in self._transforms):
+                ts = list(self._transforms)
+
+                # replay each edit IN ORDER with its own captured change
+                # set (opl=None) — the combined oplog can't tell two
+                # edits on the same column apart (shared op_id)
+                def composed(src, opl=None):
+                    for t in ts:
+                        src = t(src, None)
+                    return src
+
             self.table.store._commit(
                 self.table.name,
                 self._df,
@@ -57,6 +72,7 @@ class BundleEdits:
                 {"ops": [op for op, _ in self._ops]},
                 combined,
                 touched="oplog" if (all_oplog and combined is not None) else None,
+                transform=composed,
             )
             self.table.df = self.table.store.table(self.table.name).df
         return False

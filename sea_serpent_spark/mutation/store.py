@@ -10,12 +10,15 @@ plus the operation log (fetch_logs base.py:1037-1213) and
 Spark-first design: every mutation is expressed as a DataFrame transform
 over the current snapshot (MERGE-shaped: predicate + conditional column
 replacement, never row-at-a-time), and committed as a **new immutable
-parquet snapshot version** with a JSONL transaction log — the same
-copy-on-write contract as Delta Lake, minimized for a local filesystem.
-At cluster scale the sink swaps for Delta (``MERGE INTO`` / ``DESCRIBE
-HISTORY`` / ``VERSION AS OF``) with no change to the plan shapes; Delta
-additionally rewrites only touched files, while this store rewrites the
-table (acceptable at local test scale, noted per SURVEY §7 risk 2).
+version** of a file-granular copy-on-write layout — the Delta Lake
+contract, minimized for a local filesystem: data lives in per-_id-bucket
+parquet files, each version is a manifest in a JSONL transaction log, a
+k-row edit rewrites (and with a row-local replay closure, also *reads*)
+only the touched buckets, appends only add files, point lookups prune to
+the owning bucket's files, and ``compact``/``vacuum`` mirror
+OPTIMIZE/VACUUM. At cluster scale the sink swaps for Delta proper
+(``MERGE INTO`` / ``DESCRIBE HISTORY`` / ``VERSION AS OF``) with no
+change to the plan shapes.
 
 Time travel here is *exact* — a snapshot per version — which is stronger
 than the reference's log-replay reconstruction (misses added/deleted rows,
@@ -30,6 +33,7 @@ the source for the streaming CDC feed (streaming/).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -128,10 +132,20 @@ class Base:
     # ------------------------------------------------------------------
     # commit
     # ------------------------------------------------------------------
-    def _bucket_expr(self):
-        return F.pmod(F.xxhash64(F.col("_id")), F.lit(self.bucket_count)).cast(
-            "int"
-        )
+    def _bucket_expr(self, col: str = "_id"):
+        """Bucket of a row id — md5-based so the DRIVER can compute it too
+        (``_bucket_of``): point lookups and row-id writes then know which
+        bucket files to read without a Spark job. Same portable-hash
+        rationale as operators/hashing.py."""
+        return F.pmod(
+            F.conv(F.substring(F.md5(F.col(col)), 1, 8), 16, 10).cast("long"),
+            F.lit(self.bucket_count),
+        ).cast("int")
+
+    def _bucket_of(self, row_id: str) -> int:
+        """Driver-side twin of ``_bucket_expr`` (bit-identical)."""
+        h = int(hashlib.md5(str(row_id).encode()).hexdigest()[:8], 16)
+        return h % self.bucket_count
 
     def _commit(
         self,
@@ -142,6 +156,7 @@ class Base:
         oplog: DataFrame | None = None,
         touched: str | None = None,
         append_df: DataFrame | None = None,
+        transform=None,
     ) -> None:
         """Write a new version + log entry (+ cell-level oplog).
 
@@ -160,9 +175,13 @@ class Base:
         - ``"append"`` — write ``append_df`` (the incoming rows only) as
           *additional* bucket files; existing files are never rewritten.
 
-        The data write still *scans* the current snapshot (as Delta MERGE
-        does); the win is write amplification. Read-side file pruning by
-        bucket would need min/max _id stats per file — noted future work.
+        ``transform`` is the edit as a ROW-LOCAL closure (src → mutated
+        src): when given, the rewrite *scan* is pruned to the touched
+        buckets' files and the closure re-applied there, so a k-row edit
+        also READS O(touched buckets), not O(table). Without it the full
+        ``df`` plan is filtered (write pruned, scan not — the Delta MERGE
+        baseline). The chosen mode lands in the log entry as
+        ``detail["rewrite"]`` ∈ full|append|pruned|filtered|noop.
         """
         versions = [e["version"] for e in self.history(name)] if os.path.exists(
             self._log_path(name)
@@ -194,29 +213,50 @@ class Base:
                         out[int(d.split("=")[1])] = os.path.join(commit_rel, d)
             return out
 
+        rewrite = "full"
         if touched == "append" and prev is not None and append_df is not None:
             leaves = _write_bucketed(append_df)
             manifest = {b: list(ps) for b, ps in prev.items()}
             for b, p in leaves.items():
                 manifest.setdefault(b, []).append(p)
+            rewrite = "append"
         elif touched == "oplog" and prev is not None and oplog is not None:
             opl = self.spark.read.parquet(os.path.join(tdir, "_oplog")).where(
                 F.col("op_id") == v
             )
-            buckets = [
-                r[0]
-                for r in opl.select(
-                    F.pmod(F.xxhash64("row_id"), F.lit(self.bucket_count))
-                    .cast("int")
-                    .alias("b")
-                )
-                .distinct()
+            stats = (
+                opl.groupBy(self._bucket_expr("row_id").alias("b"))
+                .agg(F.countDistinct("row_id").alias("n"))
                 .collect()
-            ]
+            )
+            buckets = [r["b"] for r in stats]
+            n_changed = sum(r["n"] for r in stats)
             if not buckets:
                 manifest = prev  # no cell actually changed
+                rewrite = "noop"
             else:
-                leaves = _write_bucketed(df.where(bexpr.isin(buckets)))
+                src = None
+                # pruned replay broadcasts the changed-id set — gate it
+                # so a predicate touching most rows stays a plain filter
+                if (
+                    transform is not None
+                    and n_changed <= 1_000_000
+                    and all(b in prev for b in buckets)
+                ):
+                    tpaths = [
+                        os.path.join(tdir, p)
+                        for b in sorted(buckets)
+                        for p in prev[b]
+                    ]
+                    if tpaths:
+                        src = transform(
+                            self.spark.read.parquet(*tpaths), opl
+                        )
+                        rewrite = "pruned"
+                if src is None:
+                    src = df.where(bexpr.isin(buckets))
+                    rewrite = "filtered"
+                leaves = _write_bucketed(src)
                 manifest = {
                     b: ps for b, ps in prev.items() if b not in set(buckets)
                 }
@@ -231,7 +271,7 @@ class Base:
             "ts": datetime.now(timezone.utc).isoformat(),
             "op": op,
             "user": self.user,
-            "detail": detail or {},
+            "detail": {**(detail or {}), "rewrite": rewrite},
             "files": {str(b): ps for b, ps in sorted(manifest.items())},
             "schema": df.schema.json(),
         }
@@ -270,6 +310,82 @@ class Base:
         if not hist:
             raise FileNotFoundError(f"no versions for table {name!r}")
         return max(e["version"] for e in hist)
+
+    def read_pruned(self, name: str, row_ids) -> DataFrame | None:
+        """Current-version scan restricted to the bucket files owning
+        ``row_ids`` — the read-side half of the COW layout: a point
+        lookup opens 1/bucket_count of the table's files instead of all
+        of them. Returns None when pruning can't help (legacy layout,
+        huge id list, or every bucket touched)."""
+        row_ids = [str(r) for r in row_ids]
+        if not row_ids or len(row_ids) > 10_000:
+            return None
+        v = self._current_version(name)
+        manifest = self._manifest(name, v)
+        if manifest is None:
+            return None
+        buckets = sorted({self._bucket_of(r) for r in row_ids})
+        if len(buckets) >= len(manifest):
+            return None
+        tdir = self._tdir(name)
+        paths = [
+            os.path.join(tdir, p) for b in buckets for p in manifest.get(b, [])
+        ]
+        if not paths:  # rows cannot exist in this table
+            entry = self._log_entry(name, v)
+            schema = T.StructType.fromJson(json.loads(entry["schema"]))
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*paths)
+
+    # ------------------------------------------------------------------
+    # maintenance (Delta OPTIMIZE / VACUUM analogues)
+    # ------------------------------------------------------------------
+    def compact(self, name: str) -> None:
+        """Rewrite every bucket to a single file (OPTIMIZE): appends
+        accumulate one file per commit per bucket; compaction folds them
+        so reads open O(bucket_count) files again."""
+        df = self._read_version(name, self._current_version(name))
+        self._commit(name, df, "compact")
+
+    def vacuum(self, name: str, keep_versions: int = 10) -> list[str]:
+        """Delete data files referenced ONLY by versions older than the
+        last ``keep_versions`` (Delta VACUUM semantics: time travel
+        beyond the retention window stops working; the log entries stay
+        for audit). Returns the removed paths."""
+        hist = self.history(name)
+        versions = sorted(e["version"] for e in hist)
+        keep = set(versions[-max(1, keep_versions):])
+        referenced: set[str] = set()
+        for v in keep:
+            m = self._manifest(name, v)
+            if m is None:
+                continue
+            for ps in m.values():
+                referenced.update(ps)
+        tdir = self._tdir(name)
+        removed: list[str] = []
+        files_root = os.path.join(tdir, "files")
+        if os.path.isdir(files_root):
+            for c in sorted(os.listdir(files_root)):
+                cdir = os.path.join(files_root, c)
+                if not os.path.isdir(cdir):
+                    continue
+                for leaf in sorted(os.listdir(cdir)):
+                    rel = os.path.join("files", c, leaf)
+                    if leaf.startswith("_b=") and rel not in referenced:
+                        shutil.rmtree(os.path.join(cdir, leaf))
+                        removed.append(rel)
+                if not any(d.startswith("_b=") for d in os.listdir(cdir)):
+                    shutil.rmtree(cdir)
+        # legacy whole-snapshot dirs of dropped versions
+        for e in hist:
+            v = e["version"]
+            if v not in keep and e.get("files") is None:
+                vdir = self._vdir(name, v)
+                if os.path.isdir(vdir):
+                    shutil.rmtree(vdir)
+                    removed.append(os.path.basename(vdir))
+        return removed
 
     # ------------------------------------------------------------------
     # open / create / drop
@@ -487,15 +603,18 @@ class Base:
 
     def _stage(self, table: Table, new_df: DataFrame, op: str, detail: dict,
                oplog: DataFrame | None, touched: str | None = None,
-               append_df: DataFrame | None = None) -> None:
-        """Commit immediately, or queue when inside BundleEdits."""
+               append_df: DataFrame | None = None, transform=None) -> None:
+        """Commit immediately, or queue when inside BundleEdits.
+
+        ``transform`` = the edit as a row-local closure (see _commit) —
+        enables the pruned rewrite scan."""
         bundle = getattr(table, "_bundle", None)
         if bundle is not None:
-            bundle.add(new_df, op, detail, oplog, touched)
+            bundle.add(new_df, op, detail, oplog, touched, transform)
             table.df = new_df  # later edits in the bundle see this one
             return
         self._commit(table.name, new_df, op, detail, oplog, touched,
-                     append_df)
+                     append_df, transform)
         table.df = self.table(table.name).df
 
     def _oplog_entries(
@@ -550,16 +669,23 @@ class Base:
     # -- whole-column assignment (base.py:230-284) ----------------------
     def set_column(self, table: Table, col: str, values) -> None:
         df = table.df
+        transform = None
         if _is_listlike(values):
             values = list(values)
             self._validate_write(table, col, values)
-            new_df, oplog = self._aligned_update(table, df, None, col, values)
+            new_df, oplog, transform = self._aligned_update(
+                table, df, None, col, values
+            )
         else:
             self._validate_write(table, col, values)
             if col in df.columns:
                 expr = F.lit(values).cast(df.schema[col].dataType)
                 oplog = self._oplog_entries(table, df, col, expr)
                 new_df = df.withColumn(col, expr)
+                # whole-column literal: row-local by construction
+                transform = (
+                    lambda src, opl=None: src.withColumn(col, expr)  # noqa: E731
+                )
             else:
                 # create-on-assign (reference requires add_column first;
                 # we infer — NULL-only new columns default to string so
@@ -572,7 +698,8 @@ class Base:
                 oplog = None
                 new_df = df.withColumn(col, expr)
         self._stage(table, new_df, "set_column", {"column": col}, oplog,
-                    touched="oplog" if oplog is not None else None)
+                    touched="oplog" if oplog is not None else None,
+                    transform=transform)
 
     def set_column_from_df(
         self, table: Table, col: str, src: DataFrame, value_col: str
@@ -604,11 +731,12 @@ class Base:
         df = table.df
         if col not in df.columns:
             raise KeyError(col)
-        dfp = self._with_pred(df, where, table)
+        applier, row_local = self._pred_applier(where, table)
+        dfp = applier(df)
         if _is_listlike(values):
             values = list(values)
             self._validate_write(table, col, values)
-            new_df, oplog = self._aligned_update(
+            new_df, oplog, transform = self._aligned_update(
                 table, dfp, F.col("__pred"), col, values
             )
             new_df = new_df.drop("__pred")
@@ -619,19 +747,53 @@ class Base:
             expr = F.when(F.col("__pred"), lit).otherwise(F.col(col))
             oplog = self._oplog_entries(table, dfp, col, expr)
             new_df = dfp.withColumn(col, expr).drop("__pred")
+            transform = self._oplog_id_transform(col, lit, oplog)
         self._stage(table, new_df, "loc_write", {"column": col}, oplog,
-                    touched="oplog" if oplog is not None else None)
+                    touched="oplog" if oplog is not None else None,
+                    transform=transform)
+
+    @staticmethod
+    def _oplog_id_transform(col: str, lit, own_oplog: DataFrame):
+        """Row-local replay of a scalar write: the edit's oplog names
+        exactly the changed row ids, so on a bucket-restricted scan the
+        edit is a broadcast id-join + conditional assignment. Valid for
+        ANY selector (predicates bound to the original plan can't be
+        re-resolved on a fresh scan — changed-id sets always can).
+        ``opl`` (the commit's just-written oplog parquet) avoids
+        re-running the diff; bundles pass None and replay each edit's own
+        captured diff lineage instead."""
+
+        def transform(src, opl=None):
+            entries = opl if opl is not None else own_oplog
+            ids = F.broadcast(
+                entries.select(F.col("row_id").alias("__uid")).distinct()
+            )
+            j = src.join(ids, src["_id"] == F.col("__uid"), "left")
+            return j.withColumn(
+                col,
+                F.when(F.col("__uid").isNotNull(), lit).otherwise(F.col(col)),
+            ).drop("__uid")
+
+        return transform
 
     def _with_pred(self, df: DataFrame, where, table: Table) -> DataFrame:
-        """Materialize the write selector as a boolean ``__pred`` column.
+        applier, _ = self._pred_applier(where, table)
+        return applier(df)
+
+    def _pred_applier(self, where, table: Table):
+        """The write selector as ``(applier, row_local)``: ``applier(src)``
+        adds a boolean ``__pred`` column to ``src``. ``row_local`` means
+        the predicate evaluates per-row (possibly against broadcast aux
+        data), so the same applier is valid on a bucket-restricted scan —
+        the key that lets _commit prune the rewrite to touched files.
 
         Positional selectors (boolean mask / row positions) need row
-        positions — a pushed ``_seq`` filter when the table is gap-free,
-        else a window over ``_seq`` projected into a column (window
-        expressions are legal in a projection but not in WHERE), the
-        MERGE-source shape."""
+        positions — a pushed ``_seq`` filter when the table is gap-free
+        (row-local), else a window over ``_seq`` projected into a column
+        (window expressions are legal in a projection but not in WHERE),
+        which is NOT row-local."""
         if where is None or (isinstance(where, slice) and where == slice(None)):
-            expr = F.lit(True)
+            expr, row_local = F.lit(True), True
         elif isinstance(where, _SemiJoinFilter):
             # Broadcast semi-probe — same plan the read path uses
             # (core/table.py _semi_join), no driver collect. distinct()
@@ -641,26 +803,32 @@ class Base:
                     F.col(where.col_name).alias("__sj_key")
                 ).distinct()
             )
-            joined = df.join(
-                probe, df[where.col_name] == F.col("__sj_key"), "left"
-            )
-            return joined.withColumn(
-                "__pred", F.col("__sj_key").isNotNull()
-            ).drop("__sj_key")
+            key = where.col_name
+
+            def applier(src):
+                joined = src.join(
+                    probe, src[key] == F.col("__sj_key"), "left"
+                )
+                return joined.withColumn(
+                    "__pred", F.col("__sj_key").isNotNull()
+                ).drop("__sj_key")
+
+            return applier, True
         elif isinstance(where, Filter):
-            expr = where.expr
+            expr, row_local = where.expr, True
         elif isinstance(where, Column):
-            expr = where.expr == F.lit(True)
+            expr, row_local = where.expr == F.lit(True), True
         elif isinstance(where, str):
-            expr = F.col("_id") == where
+            expr, row_local = F.col("_id") == where, True
         elif _is_bool_mask(where):
             positions = [i for i, m in enumerate(list(where)) if m]
+            row_local = self._seq_contiguous(table)
             expr = self._pos_expr(table).isin(positions)
         elif isinstance(where, (list, tuple)):
-            expr = F.col("_id").isin(list(where))
+            expr, row_local = F.col("_id").isin(list(where)), True
         else:
             raise TypeError(f"unsupported loc-write selector: {type(where)}")
-        return df.withColumn("__pred", expr)
+        return (lambda src: src.withColumn("__pred", expr)), row_local
 
     def _seq_contiguous(self, table: Table) -> bool:
         """True when _seq has no deletion gaps, i.e. position == _seq.
@@ -682,9 +850,16 @@ class Base:
 
     def _aligned_update(
         self, table: Table, df: DataFrame, pred, col: str, values: list
-    ) -> tuple[DataFrame, DataFrame]:
+    ) -> tuple[DataFrame, DataFrame | None, Any]:
         """List values aligned positionally (by _seq order) to the target
-        rows — MERGE with a literal source keyed on computed position."""
+        rows — MERGE with a literal source keyed on computed position.
+
+        Returns ``(new_df, oplog, transform)``; the transform replays the
+        MERGE (an ``_id`` join against the typed update source) on any
+        scan — row-local, so _commit can prune the rewrite to touched
+        bucket files. The update-source lineage still scans (_id, _seq)
+        of the full table to compute positions, but never the data
+        columns."""
         target = df.where(pred) if pred is not None else df
         n = target.count()
         if len(values) != n:
@@ -725,8 +900,8 @@ class Base:
                          keyed["__vidx"] == F.col("__vidx2")).select(
             F.col("_id").alias("__uid"), "__newval"
         )
-        joined = df.join(F.broadcast(upd) if n <= 100_000 else upd,
-                         df["_id"] == F.col("__uid"), "left")
+        upd_src = F.broadcast(upd) if n <= 100_000 else upd
+        joined = df.join(upd_src, df["_id"] == F.col("__uid"), "left")
         old = F.lit(None) if is_new else F.col(col)
         expr = F.when(F.col("__uid").isNotNull(), F.col("__newval")).otherwise(old)
         if is_new:
@@ -736,7 +911,15 @@ class Base:
                 "__uid", "__newval"
             )
         new_df = joined.withColumn(col, expr).drop("__uid", "__newval")
-        return new_df, oplog
+
+        def transform(s, opl=None):
+            j = s.join(upd_src, s["_id"] == F.col("__uid"), "left")
+            e = F.when(
+                F.col("__uid").isNotNull(), F.col("__newval")
+            ).otherwise(F.lit(None) if is_new else F.col(col))
+            return j.withColumn(col, e).drop("__uid", "__newval")
+
+        return new_df, oplog, transform
 
     # -- append (base.py:822-861) ---------------------------------------
     def append(self, table: Table, other) -> None:
@@ -826,7 +1009,18 @@ class Base:
         if not meta.get("has_deletes"):
             meta["has_deletes"] = True
             self._write_meta(table.name, meta)
-        self._stage(table, kept, "delete_rows", {}, oplog, touched="oplog")
+
+        own_oplog = oplog
+
+        def transform(src, opl=None):
+            entries = opl if opl is not None else own_oplog
+            ids = F.broadcast(
+                entries.select(F.col("row_id").alias("_id")).distinct()
+            )
+            return src.join(ids, "_id", "left_anti")
+
+        self._stage(table, kept, "delete_rows", {}, oplog, touched="oplog",
+                    transform=transform)
 
     # -- schema ops (base.py:693-744, 2073-2102, 1922-1936) --------------
     def add_column(self, table: Table, col_name: str, col_type,
