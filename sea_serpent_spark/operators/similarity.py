@@ -8,11 +8,14 @@ by cosine similarity.
   baseline; at scale this is the right choice only for small query sets
   (broadcast the queries, stream the corpus — one pass, no shuffle of the
   corpus).
-- **lsh_topk** — random-hyperplane-style LSH: bucket = sign bits of the
-  first ``nbits`` dimensions; probes only same-bucket candidates. The
-  scale path: corpus is bucketed once (narrow), each query touches one
-  bucket. Recall < 1 by construction; verified rank-for-rank against the
-  oracle running the identical bucketing.
+- **lsh_topk** — locality-sensitive hashing: seeded signed random
+  projections (``projection='random'``, optionally multi-band) or the
+  oracle-portable axis-sign stand-in; probes only same-bucket
+  candidates. The scale path: corpus is bucketed once (narrow), each
+  query touches ``bands`` buckets. Recall < 1 by construction; the axis
+  variant is verified rank-for-rank against the oracle running the
+  identical bucketing, the random variant recall-tested against the
+  exact baseline.
 - **ivf_topk** — inverted-file variant using a provided coarse label
   (cluster id) column as the quantizer: probe only same-cluster vectors.
 
@@ -100,15 +103,91 @@ def brute_force_topk(
 
 
 def sign_bucket(vec: Column, nbits: int = 8) -> Column:
-    """Random-hyperplane-style bucket id: sign bits of the first nbits
-    dims (axis-aligned hyperplanes — deterministic and oracle-portable;
-    swap in a seeded projection matrix for production recall)."""
+    """Axis-aligned sign bucket: sign bits of the first nbits dims.
+    Deterministic and oracle-portable (plain SQL in DuckDB) — the
+    correctness-check variant. For production recall use
+    ``srp_band_buckets`` (true signed random projections)."""
     out = F.lit(0)
     for i in range(nbits):
         out = out + F.when(
             F.element_at(vec, i + 1) > 0, F.lit(2**i)
         ).otherwise(0)
     return out
+
+
+def _hyperplanes(n: int, dim: int, seed: int) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes — seeded so every executor and
+    every run agrees; embedded as array literals (constant-folded, no
+    side channel needed to ship them)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n, dim)).tolist()
+
+
+def srp_band_buckets(
+    vec: Column, nbits: int, bands: int, dim: int, seed: int = 42
+) -> Column:
+    """Signed-random-projection bucket id per band (array of ``bands``
+    ints): band j's id packs the signs of ``nbits`` seeded Gaussian
+    hyperplane projections. Two vectors at cosine angle θ match one bit
+    with prob 1−θ/π; banding (match on ALL bits of ANY band) gives the
+    standard LSH S-curve — recall is tuned by (nbits, bands), not by
+    corpus luck on axis signs.
+
+    Scale: nbits·bands·dim multiply-adds per vector, once, JVM-side;
+    the pair join stays bucket-equality."""
+    H = _hyperplanes(nbits * bands, dim, seed)
+    out = []
+    for j in range(bands):
+        b: Column = F.lit(0)
+        for i in range(nbits):
+            h = F.array(*[F.lit(float(x)) for x in H[j * nbits + i]])
+            b = b + F.when(dot(vec, h) > 0, F.lit(2**i)).otherwise(0)
+        out.append(b)
+    return F.array(*out)
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding width probed from one row (metadata-cheap)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if not row:
+        raise ValueError("cannot infer vector dim from an empty corpus")
+    return int(row[0]["d"])
+
+
+def tune_srp(
+    threshold: float, p_target: float = 0.9, max_total_bits: int = 64
+) -> tuple[int, int]:
+    """Pick (nbits, bands) for signed random projections so a pair AT the
+    cosine threshold is caught with probability ≥ p_target, minimizing
+    candidate volume (≈ bands/2^nbits of all pairs) under a bucketing
+    budget of nbits·bands hyperplane projections per vector — the
+    datasketch-style S-curve optimization, on the SRP collision law
+    p_bit = 1 − θ/π."""
+    import math
+
+    s = 1 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    best: tuple[float, int, int] | None = None
+    for r in range(2, max_total_bits + 1):
+        pr = s**r
+        if pr <= 0:
+            break
+        if pr >= 1:
+            b = 1
+        else:
+            b = math.ceil(math.log(1 - p_target) / math.log(1 - pr))
+        if b < 1 or r * b > max_total_bits:
+            continue
+        cost = b / (2**r)
+        if best is None or cost < best[0]:
+            best = (cost, r, b)
+    if best is None:
+        raise ValueError(
+            f"no (nbits, bands) meets p_target={p_target} at "
+            f"threshold={threshold} within {max_total_bits} bits"
+        )
+    return best[1], best[2]
 
 
 def lsh_topk(
@@ -118,22 +197,41 @@ def lsh_topk(
     nbits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    projection: str = "axis",
+    seed: int = 42,
+    bands: int = 1,
 ) -> DataFrame:
-    """Approximate top-k probing only the query's sign bucket.
+    """Approximate top-k probing only the query's sign bucket(s).
+
+    ``projection='axis'`` (oracle-portable) buckets on raw sign bits;
+    ``'random'`` uses seeded Gaussian hyperplanes (``srp_band_buckets``)
+    with optional multi-band probing (bands>1 → union of per-band
+    candidates → higher recall at proportional probe cost).
 
     Scale: corpus bucketing is a narrow projection; the equality join on
-    bucket replaces the cross join — each query scores ~N/2^nbits
-    candidates."""
-    q = _sided(queries, id_col, vec_col, "query_id", "qv", "nq").withColumn(
-        "bucket", sign_bucket(F.col("qv"), nbits)
+    (band, bucket) replaces the cross join — each query scores
+    ~bands·N/2^nbits candidates."""
+    if projection == "random":
+        dim = _vec_dim(corpus, vec_col)
+
+        def bucketize(col):
+            return srp_band_buckets(col, nbits, bands, dim, seed)
+    else:
+
+        def bucketize(col):
+            return F.array(sign_bucket(col, nbits))
+
+    q = _sided(queries, id_col, vec_col, "query_id", "qv", "nq").select(
+        "*", F.posexplode(bucketize(F.col("qv"))).alias("band", "bucket")
     )
     c = fan_out(
-        _sided(corpus, id_col, vec_col, "neighbor_id", "cv", "nc").withColumn(
-            "bucket", sign_bucket(F.col("cv"), nbits)
-        )
+        _sided(corpus, id_col, vec_col, "neighbor_id", "cv", "nc")
+    ).select(
+        "*", F.posexplode(bucketize(F.col("cv"))).alias("band", "bucket")
     )
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["band", "bucket"])
+        .dropDuplicates(["query_id", "neighbor_id"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -194,24 +292,62 @@ def embedding_near_dup_pairs(
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    nbits: int = 0,
+    nbits: int | None = None,
+    bands: int | None = None,
+    projection: str = "random",
+    seed: int = 42,
+    p_target: float = 0.9,
 ) -> DataFrame:
     """→ [id_a, id_b, cos ≥ threshold] near-duplicate vectors.
 
-    nbits=0 → exact all-pairs (correctness baseline; quadratic).
-    nbits>0 → LSH-bucketed: only same-bucket pairs compared (the 100 TB
-    path; near-identical vectors share sign buckets with high prob.)."""
-    extra = (
-        {"bucket": sign_bucket(F.col(vec_col), nbits)} if nbits else {}
-    )
-    a = fan_out(
-        _sided(df, id_col, vec_col, "id_a", "va", "na", **extra)
-    )
-    b = _sided(df, id_col, vec_col, "id_b", "vb", "nb", **extra)
-    joined = a.join(b, "bucket") if nbits else a.crossJoin(F.broadcast(b))
+    The DEFAULT is the scale path: banded signed-random-projection LSH —
+    same-band-bucket pairs are candidates (union over bands), each
+    verified by exact cosine, so precision is exact and only recall is
+    approximate. Cost ~ bands·Σ bucket², never all-pairs. With
+    nbits/bands unset they are TUNED from the threshold (``tune_srp``)
+    so a pair at the threshold is caught with probability ≥ ``p_target``
+    — pairs further above it with higher probability still.
+
+    ``nbits=0`` → exact all-pairs (correctness baseline for oracle
+    checks; quadratic — small corpora only). ``projection='axis'`` →
+    single-band raw sign bits (oracle-portable stand-in)."""
+    if nbits is None:
+        nbits, tuned_bands = tune_srp(threshold, p_target)
+        bands = bands or tuned_bands
+    bands = bands or 1
+    if nbits:
+        if projection == "random":
+            dim = _vec_dim(df, vec_col)
+
+            def bucketize(col):
+                return srp_band_buckets(col, nbits, bands, dim, seed)
+        else:
+
+            def bucketize(col):
+                return F.array(sign_bucket(col, nbits))
+
+        a = fan_out(
+            _sided(df, id_col, vec_col, "id_a", "va", "na")
+        ).select(
+            "*", F.posexplode(bucketize(F.col("va"))).alias("band", "bucket")
+        )
+        b = _sided(df, id_col, vec_col, "id_b", "vb", "nb").select(
+            "*", F.posexplode(bucketize(F.col("vb"))).alias("band", "bucket")
+        )
+        joined = (
+            a.join(b, ["band", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            # a pair can match in several bands — verify each cosine once
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        a = fan_out(_sided(df, id_col, vec_col, "id_a", "va", "na"))
+        b = _sided(df, id_col, vec_col, "id_b", "vb", "nb")
+        joined = a.crossJoin(F.broadcast(b)).where(
+            F.col("id_a") < F.col("id_b")
+        )
     return (
-        joined.where(F.col("id_a") < F.col("id_b"))
-        .select(
+        joined.select(
             "id_a",
             "id_b",
             F.round(

@@ -158,8 +158,12 @@ def q42_ann_ivf_topk(spark, sf_dir):
 
 
 def q43_embedding_near_dup(spark, sf_dir):
+    # nbits=0 pins the EXACT all-pairs variant — the only one a SQL
+    # oracle can replicate bit-for-bit. The operator's default is the
+    # banded random-projection LSH scale path, recall-tested in
+    # tests/test_operators.py against this exact baseline.
     return S.embedding_near_dup_pairs(
-        df(spark, sf_dir, "embeddings"), threshold=0.45
+        df(spark, sf_dir, "embeddings"), threshold=0.45, nbits=0
     )
 
 

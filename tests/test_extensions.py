@@ -137,6 +137,70 @@ def test_embedding_near_dup(spark):
     assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
 
 
+def test_tune_srp_meets_target_and_budget():
+    """(nbits, bands) from the S-curve optimizer catch a threshold pair
+    with ≥ p_target while staying inside the hyperplane budget."""
+    import math
+
+    for thr in (0.45, 0.7, 0.9, 0.99):
+        r, b = S.tune_srp(thr, p_target=0.9)
+        s = 1 - math.acos(thr) / math.pi
+        p_pair = 1 - (1 - s**r) ** b
+        assert p_pair >= 0.9, (thr, r, b, p_pair)
+        assert r * b <= 64
+
+
+def test_near_dup_random_projection_recall(spark, sf_dir):
+    """Default (banded seeded random projections, auto-tuned) vs the
+    exact all-pairs baseline on the real embeddings table: exact
+    precision (verify step) and high recall — deterministic under the
+    fixed seed."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_dup_pairs(emb, 0.45, nbits=0)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_dup_pairs(emb, 0.45)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert exact  # the table actually contains near-dups
+    assert lsh <= exact  # cosine-verified → no false positives
+    assert len(lsh & exact) / len(exact) >= 0.85
+
+
+def test_lsh_topk_random_projection_on_clustered_data(spark):
+    """Multi-band random-projection top-k recovers within-cluster
+    neighbors on data WITH locality (20 tight clusters)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for c in range(20):
+        center = rng.standard_normal(16)
+        center /= np.linalg.norm(center)
+        for j in range(6):
+            v = center + 0.05 * rng.standard_normal(16)
+            rows.append((c * 10 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.where(F.col("vec_id") % 10 == 0)  # one query per cluster
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(df, q, k=3).collect()
+    }
+    lsh = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.lsh_topk(
+            df, q, k=3, nbits=8, projection="random", bands=4
+        ).collect()
+    }
+    assert len(lsh & brute) / len(brute) >= 0.9
+
+
 def test_plan_stays_jvm_side(docs):
     """No Python UDFs in extension plans — BatchEvalPython must not appear."""
     for frame in (
