@@ -23,6 +23,7 @@ class BundleEdits:
         self._df = None
         self._touched_modes: list = []
         self._transforms: list = []
+        self._cleanups: list = []  # run after flush (e.g. cache unpersist)
 
     def add(self, new_df, op, detail, oplog, touched=None,
             transform=None) -> None:
@@ -38,6 +39,13 @@ class BundleEdits:
         return self
 
     def __exit__(self, exc_type, exc, tb):
+        try:
+            return self._flush(exc_type)
+        finally:
+            for fn in self._cleanups:
+                fn()
+
+    def _flush(self, exc_type):
         self.table._bundle = None
         if exc_type is not None:
             # abandon queued edits; reload committed state

@@ -497,6 +497,72 @@ class Base:
         self._commit(name, sdf, "from_frame", {"rows": len(pdf)})
         return self.table(name)
 
+    # low 33 bits of monotonically_increasing_id = row-in-partition
+    _SEQ_LOCAL_MASK = (1 << 33) - 1
+
+    def _with_seq(
+        self, df: DataFrame, cols: list, start: int = 0
+    ) -> tuple[DataFrame, int, "callable"]:
+        """Assign a contiguous ``_seq`` (and ``_id``) following ``df``'s
+        current row order with NO global sort.
+
+        ``monotonically_increasing_id`` encodes
+        ``partition_id << 33 | row_in_partition`` with the low bits dense
+        from 0, so per-partition row counts (a metadata-sized aggregate —
+        one output row per partition) are enough to make it a dense global
+        sequence: ``seq = cum_offset[pid] + low_bits``. The data itself
+        never shuffles and no single-partition window appears — the
+        previous implementation's global ``row_number`` window was the one
+        non-distributed step on the ingest path.
+
+        The stamped frame is persisted for the bracket of (count job,
+        write job): mid is only stable within one materialization, and the
+        offsets are baked into the plan from the count job's partitioning.
+
+        Returns ``(sdf, row_count, unpersist)`` — the caller must invoke
+        ``unpersist()`` once the result has been materialized.
+        """
+        stamped = df.select(*cols).withColumn(
+            "__mid", F.monotonically_increasing_id()
+        )
+        stamped.persist()
+        rows = (
+            stamped.groupBy(F.shiftright("__mid", 33).alias("__pid"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        offsets: dict[int, int] = {}
+        acc = start
+        for r in sorted(rows, key=lambda r: r["__pid"]):
+            offsets[int(r["__pid"])] = acc
+            acc += int(r["__n"])
+        n = acc - start
+        local = F.col("__mid").bitwiseAND(F.lit(self._SEQ_LOCAL_MASK))
+        if not offsets:
+            out = stamped.withColumn("_seq", F.lit(start).cast("long"))
+        elif len(offsets) <= 1024:
+            off = F.create_map(
+                *[F.lit(x) for kv in offsets.items() for x in kv]
+            )[F.shiftright("__mid", 33)]
+            out = stamped.withColumn("_seq", (off + local).cast("long"))
+        else:
+            # many partitions: broadcast-join the offset table rather
+            # than inflating the plan with a huge literal map
+            off_df = self.spark.createDataFrame(
+                list(offsets.items()), "__pid long, __off long"
+            )
+            out = (
+                stamped.withColumn("__pid", F.shiftright("__mid", 33))
+                .join(F.broadcast(off_df), "__pid")
+                .withColumn("_seq", (F.col("__off") + local).cast("long"))
+                .drop("__pid", "__off")
+            )
+        sdf = (
+            out.withColumn("_id", F.format_string("r%08d", F.col("_seq")))
+            .select("_id", "_seq", *cols)
+        )
+        return sdf, n, stamped.unpersist
+
     def from_df(self, df: DataFrame, name: str) -> Table:
         """Distributed ingest: register a Spark DataFrame as a managed
         table with NO driver round-trip (the scale path; ``from_frame``
@@ -505,9 +571,9 @@ class Base:
         partition-ordered, so for a parquet scan this is file order,
         matching the reference's server-row-order contract.
 
-        Scale note: the global row_number window is a one-off cost at
-        import (single sort on an int64 already in scan order); every
-        later positional op reuses the materialized ``_seq``.
+        Scale note: ``_seq`` comes from per-partition offset arithmetic
+        (``_with_seq``) — no global sort, no single-partition stage; the
+        one extra cost is caching the input for the count+write bracket.
         """
         if name in self:
             raise ValueError(f"table {name!r} already exists")
@@ -517,14 +583,7 @@ class Base:
             if f.name not in ("_id", "_seq")
         }
         cols = [c for c in df.columns if c not in ("_id", "_seq")]
-        w = Window.orderBy(F.monotonically_increasing_id())
-        sdf = (
-            df.select(*cols)
-            .withColumn("_seq", F.row_number().over(w).cast("long") - 1)
-            .withColumn("_id", F.format_string("r%08d", F.col("_seq")))
-            .select("_id", "_seq", *cols)
-        )
-        n = df.count()  # metadata-only for parquet scans; avoids the window
+        sdf, n, unpersist = self._with_seq(df, cols)
         os.makedirs(self._tdir(name), exist_ok=True)
         self._write_meta(
             name,
@@ -534,7 +593,10 @@ class Base:
                 "next_key": len(meta_cols),
             },
         )
-        self._commit(name, sdf, "from_df", {"rows": n})
+        try:
+            self._commit(name, sdf, "from_df", {"rows": n})
+        finally:
+            unpersist()
         return self.table(name)
 
     def drop_table(self, name: str) -> None:
@@ -940,13 +1002,7 @@ class Base:
         if not common:
             raise ValueError("no intersecting columns to append")
         start = self._next_seq(table)
-        w = Window.orderBy(F.monotonically_increasing_id())
-        incoming = odf.select(*common).withColumn(
-            "_seq", F.row_number().over(w) - 1 + F.lit(start)
-        )
-        incoming = incoming.withColumn(
-            "_id", F.format_string("r%08d", F.col("_seq"))
-        )
+        incoming, n_new, unpersist = self._with_seq(odf, common, start)
         for c in df.columns:
             if c not in incoming.columns:
                 incoming = incoming.withColumn(
@@ -955,12 +1011,18 @@ class Base:
         incoming = incoming.select(*df.columns)
         for c in common:
             incoming = incoming.withColumn(c, F.col(c).cast(df.schema[c].dataType))
-        n_new = incoming.count()
         self._set_next_seq(table, start + n_new)
         self._stage(
             table, df.unionByName(incoming), "append", {"rows": n_new}, None,
             touched="append", append_df=incoming,
         )
+        bundle = getattr(table, "_bundle", None)
+        if bundle is None:
+            unpersist()
+        else:
+            # commit is deferred to the bundle flush — the cache must
+            # outlive it (mid is only stable within one materialization)
+            bundle._cleanups.append(unpersist)
 
     def _next_seq(self, table: Table) -> int:
         meta = self.meta(table.name)
