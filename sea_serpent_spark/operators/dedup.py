@@ -55,6 +55,64 @@ def _maybe_broadcast(side: DataFrame, flag: bool) -> DataFrame:
     return F.broadcast(side) if flag else side
 
 
+#: Checkpoints (persisted DataFrames) created by the most recent pair
+#: operator call. A pair operator returns a *lazy* plan over its
+#: checkpoints, so they cannot be unpersisted before the caller
+#: materializes the result; instead each operator retires the previous
+#: call's checkpoints on entry, bounding live cache to one call's worth.
+#: Call :func:`release_caches` to drop them eagerly.
+_LIVE_CACHES: list = []
+
+
+def release_caches() -> None:
+    """Unpersist checkpoints from prior pair-operator calls. Results of
+    those calls stay correct — they recompute from source if re-used."""
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+
+
+def _keep_cache(df: DataFrame) -> DataFrame:
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def _dense_token_ids(dfreq: DataFrame) -> tuple[DataFrame, int]:
+    """→ ([s, tid], vocab): dense 1..V token ids in (document_frequency,
+    token) ascending order — the rarest-first total order prefix
+    filtering needs — computed WITHOUT a single-partition global window.
+
+    Range-partition the vocabulary by the sort key, rank within each
+    partition (a distributed window), and add per-partition offsets from
+    a metadata-sized count collect — the same two-phase trick as the
+    mutation store's ``_with_seq``. ``dfreq`` is checkpointed first so
+    the range exchange's sampling pass doesn't recompute the
+    tokenize→groupBy subtree; the range-partitioned frame is
+    checkpointed because its sampled partition boundaries must be
+    identical in the count job and every consumer job."""
+    dfreq = _keep_cache(dfreq)
+    parts = _keep_cache(
+        dfreq.repartitionByRange(
+            dfreq.sparkSession.sparkContext.defaultParallelism,
+            F.asc("df"), F.asc("s"),
+        ).withColumn("__pid", F.spark_partition_id())
+    )
+    cnt = parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
+    offs: dict[int, int] = {}
+    acc = 0
+    for r in sorted(cnt, key=lambda r: r["__pid"]):
+        offs[int(r["__pid"])] = acc
+        acc += int(r["__n"])
+    if not offs:
+        return parts.select("s", F.lit(0).cast("long").alias("tid")), 0
+    om = F.create_map(*[F.lit(x) for kv in offs.items() for x in kv])
+    wl = Window.partitionBy("__pid").orderBy(F.asc("df"), F.asc("s"))
+    dic = parts.withColumn(
+        "tid", (om[F.col("__pid")] + F.row_number().over(wl)).cast("long")
+    ).select("s", "tid")
+    return dic, acc
+
+
 def _salted_pairs(
     indexed: DataFrame,
     keys: list[str],
@@ -222,22 +280,14 @@ def encoded_token_sets(
     union cardinalities — hence Jaccard — are exactly those of the
     original string sets.
 
-    The dictionary build uses a global row_number window (single
-    partition over the vocabulary). Vocabulary is sublinear in corpus
-    size; for extreme vocabularies swap in a two-level ranking
-    (per-partition row_number + partition-count offsets)."""
+    The dictionary is ranked distributedly (``_dense_token_ids``) — no
+    single-partition stage even for extreme vocabularies."""
     tok = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
     )
     dfreq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    dic = dfreq.select(
-        "s",
-        F.row_number()
-        .over(Window.orderBy(F.asc("df"), F.asc("s")))
-        .cast("long")
-        .alias("tid"),
-    )
+    dic, _ = _dense_token_ids(dfreq)
     return tok.join(dic, "s").groupBy("id").agg(
         F.array_sort(F.collect_list("tid")).alias("toks")
     )
@@ -282,6 +332,7 @@ def minhash_lsh_pairs(
     Scale shape: signatures are narrow (id + 16 longs); the band self-join
     shuffles (band_idx, band_key) — documents themselves never move."""
     rows = num_hashes // bands
+    release_caches()
     bcast = _verify_gate(df, broadcast_verify, broadcast_cap)
     sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
 
@@ -324,7 +375,7 @@ def minhash_lsh_pairs(
         sk = F.concat_ws(
             "-", F.transform("sig", lambda x: x.cast("string"))
         )
-        groups = (
+        groups = _keep_cache(
             sigs.withColumn("sk", sk)
             .groupBy("sk")
             .agg(
@@ -333,8 +384,10 @@ def minhash_lsh_pairs(
                 F.first("sig").alias("sig"),
             )
             .drop("sk")
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        # eager fill — the rep/member broadcasts race to populate the
+        # cache otherwise and each re-run the signature pipeline
+        groups.count()
         mem = groups.select("gid", F.explode("members").alias("id"))
         reps = groups.select(F.col("gid").alias("id"), "sig")
         cand = _spread(_salted_pairs(_banded(reps), ["band", "key"]))
@@ -422,107 +475,102 @@ def ngram_jaccard_pairs(
     No false negatives (prefix-filter theorem), so output is identical to
     the quadratic formulation — the DuckDB oracle runs the naive version.
 
-    Token sets are dictionary-encoded (``encoded_token_sets``): ascending
-    token-id order is the rarest-first prefix order, and the verify
-    intersects long arrays instead of strings.
+    Token sets are dictionary-encoded (``_dense_token_ids``, ranked
+    distributedly): ascending token-id order is the rarest-first prefix
+    order, and the verify intersects long arrays instead of strings.
 
-    **Vocabulary-adaptive bitmap verify**: after the dictionary build the
-    vocabulary cardinality V is known (one count over group-by output —
-    metadata-scale, like an AQE statistic). When V ≤ 64·max_bitmap_words,
-    each token set is packed *exactly* (the dictionary is injective) into
-    ⌈V/64⌉ longs, and |a∩b| = Σ bit_count(bmᵢ_a & bmᵢ_b) — computed
-    inside the pair-enumeration join itself: codegen'd, allocation-free,
-    and the threshold prunes *before* the distinct. This is the defense
-    against degenerate corpora (tiny shared vocabulary — e.g. templated
-    boilerplate) where every token is hot and prefix filtering stops
-    pruning: per-candidate cost drops from a hash-set intersection to a
-    handful of AND+popcounts. Larger vocabularies (where prefix filtering
-    actually works) take the array-verify path."""
+    **Plan shape**: one pass builds the per-doc state (size + encoded
+    token set + bitmap), checkpointed so the candidate and verify
+    branches share it instead of re-running the tokenize→encode subtree
+    per branch. Candidate pairs are enumerated *narrow* — ids only —
+    through the salted prefix join, deduplicated, then verified against
+    the (gated) broadcast per-doc state: the expansive join never
+    carries token payloads.
+
+    **Vocabulary-adaptive bitmap verify**: when V ≤ 64·max_bitmap_words,
+    each token set is packed *exactly* (the dictionary is injective)
+    into ⌈V/64⌉ longs and |a∩b| = Σ bit_count(bmᵢ_a & bmᵢ_b) —
+    codegen'd, allocation-free. This is the defense against degenerate
+    corpora (tiny shared vocabulary — e.g. templated boilerplate) where
+    every token is hot and prefix filtering stops pruning: per-candidate
+    cost drops from a hash-set intersection to a handful of
+    AND+popcounts. Larger vocabularies (where prefix filtering actually
+    works) verify with ``array_intersect`` on the encoded sets."""
+    release_caches()
     tok = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
     )
     dfreq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    dic = dfreq.select(
-        "s",
-        F.row_number()
-        .over(Window.orderBy(F.asc("df"), F.asc("s")))
-        .cast("long")
-        .alias("tid"),
-    )
-    vocab = dic.count()
+    dic, vocab = _dense_token_ids(dfreq)
+    bitmap = 0 < vocab <= 64 * max_bitmap_words
 
+    # one checkpointed row per doc: everything both branches need
+    enc = tok.join(dic, "s").select("id", "tid")
+    aggs = [
+        F.count(F.lit(1)).alias("sz"),
+        F.array_sort(F.collect_list("tid")).alias("toks"),
+    ]
+    if bitmap:
+        nwords = (vocab + 63) // 64
+        word = ((F.col("tid") - 1) / 64).cast("int")
+        bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST((tid - 1) % 64 AS INT))")
+        aggs.append(
+            F.array(*[
+                F.sum(F.when(word == l, bit).otherwise(F.lit(0)))
+                for l in range(nwords)
+            ]).alias("bm")
+        )
+    # Materialize eagerly: the verify broadcasts below are built on the
+    # driver's broadcast threads when the consuming job starts — without
+    # an eager fill they'd race the candidate branch to populate the
+    # cache and each recompute the encode subtree.
+    per_doc = _keep_cache(enc.groupBy("id").agg(*aggs))
+    per_doc.count()
+
+    # prefix index: a pair with J ≥ t must share one of each side's
+    # |s| - ceil(t·|s|) + 1 rarest tokens
+    plen = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    inv = per_doc.select(
+        "id", "sz", F.explode(F.slice("toks", F.lit(1), plen)).alias("s")
+    )
     # length filter: J ≥ t requires t·|a| ≤ |b| and t·|b| ≤ |a|
     length_ok = (F.col("x.sz") * threshold <= F.col("y.sz")) & (
         F.col("y.sz") * threshold <= F.col("x.sz")
     )
-
-    if vocab <= 64 * max_bitmap_words:
-        nwords = (vocab + 63) // 64
-        enc = tok.join(dic, "s").select("id", "tid")
-        wp = Window.partitionBy("id")
-        wo = wp.orderBy(F.asc("tid"))
-        bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST((tid - 1) % 64 AS INT))")
-        word = ((F.col("tid") - 1) / 64).cast("int")
-        cols = {
-            "sz": F.count(F.lit(1)).over(wp),
-            "rn": F.row_number().over(wo),
-            **{
-                f"bm{l}": F.sum(
-                    F.when(word == l, bit).otherwise(F.lit(0))
-                ).over(wp)
-                for l in range(nwords)
-            },
-        }
-        prefixed = enc.withColumns(cols).where(
-            F.col("rn")
-            <= (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
-        )
-        bm_names = tuple(f"bm{l}" for l in range(nwords))
-        raw = _salted_pairs(
-            prefixed.withColumnRenamed("tid", "s"),
-            ["s"],
-            sym_cond=length_ok,
-            carry=("sz",) + bm_names,
-            distinct=False,
-        )
-        inter = sum(
-            F.bit_count(F.col(f"bm{l}_a").bitwiseAND(F.col(f"bm{l}_b")))
-            for l in range(nwords)
-        )
-        union = F.col("sz_a") + F.col("sz_b") - inter
-        return (
-            raw.select(
-                "id_a", "id_b", F.round(inter / union, 4).alias("jaccard")
-            )
-            .where(F.col("jaccard") >= threshold)
-            .distinct()
-        )
-
-    sets = tok.join(dic, "s").groupBy("id").agg(
-        F.array_sort(F.collect_list("tid")).alias("toks")
-    )
-    sz = F.size("toks")
-    plen = (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int")
-    inv = sets.select(
-        "id", sz.alias("sz"), F.explode(F.slice("toks", 1, plen)).alias("s")
-    )
     cand = _spread(_salted_pairs(inv, ["s"], sym_cond=length_ok))
+
     # Verify sides are one narrow row per doc — broadcast them (under the
     # size gate) so the larger candidate set never shuffles again; above
     # the cap AQE plans the join, upgrading to broadcast at runtime when
     # the side proves small. See minhash_lsh_pairs.
     bcast = _verify_gate(df, broadcast_verify, broadcast_cap)
+    vcol = "bm" if bitmap else "toks"
     a = _maybe_broadcast(
-        sets.select(F.col("id").alias("id_a"), F.col("toks").alias("t_a")),
+        per_doc.select(
+            F.col("id").alias("id_a"),
+            F.col("sz").alias("sz_a"),
+            F.col(vcol).alias(f"{vcol}_a"),
+        ),
         bcast,
     )
     b = _maybe_broadcast(
-        sets.select(F.col("id").alias("id_b"), F.col("toks").alias("t_b")),
+        per_doc.select(
+            F.col("id").alias("id_b"),
+            F.col("sz").alias("sz_b"),
+            F.col(vcol).alias(f"{vcol}_b"),
+        ),
         bcast,
     )
-    inter = F.size(F.array_intersect("t_a", "t_b"))
-    union = F.size("t_a") + F.size("t_b") - inter
+    if bitmap:
+        inter = F.aggregate(
+            F.zip_with("bm_a", "bm_b", lambda x, y: F.bit_count(x.bitwiseAND(y))),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+    else:
+        inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.col("sz_a") + F.col("sz_b") - inter
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
