@@ -147,6 +147,51 @@ class Base:
         h = int(hashlib.md5(str(row_id).encode()).hexdigest()[:8], 16)
         return h % self.bucket_count
 
+    # -- column mapping (Delta column-mapping analogue) -----------------
+    def _colmap(self, name: str) -> dict[str, str]:
+        """logical column name → PHYSICAL parquet column name.
+
+        Physical names are the stable per-column keys minted at creation
+        (``_with_keys``) and never reused, so: renames are metadata-only
+        (key unchanged), dropped-then-readded names cannot resurrect old
+        file data (new key), and files written under different schema
+        vintages agree on what each physical column means. Reserved
+        engine columns (``_id``/``_seq``) and create-on-assign columns
+        missing from meta map to themselves."""
+        try:
+            cols = self.meta(name).get("columns", {})
+        except FileNotFoundError:
+            cols = {}
+        cm = {c: e.get("key", c) for c, e in cols.items()}
+        phys = list(cm.values())
+        if len(set(phys)) != len(phys):
+            raise RuntimeError(
+                f"physical column-name collision in {name!r}: {sorted(phys)}"
+            )
+        return cm
+
+    def _normalized_read(self, entry: dict, paths: list[str]) -> DataFrame:
+        """Read bucket files and present them under the version's LOGICAL
+        schema: files are scanned with the physical (key-named) schema —
+        columns a file lacks (metadata-only adds) come back NULL, columns
+        it has that the version dropped are pruned by the scan — then
+        aliased back to logical names. No footer-based schema inference."""
+        schema = T.StructType.fromJson(json.loads(entry["schema"]))
+        cm = entry.get("colmap") or {}
+        phys = T.StructType(
+            [
+                T.StructField(cm.get(f.name, f.name), f.dataType, True)
+                for f in schema.fields
+            ]
+        )
+        raw = self.spark.read.schema(phys).parquet(*paths)
+        return raw.select(
+            *[
+                F.col(cm.get(f.name, f.name)).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+
     def _commit(
         self,
         name: str,
@@ -173,7 +218,11 @@ class Base:
           is read back from the just-written oplog parquet (tiny), so the
           change-diff plan is executed once, not twice;
         - ``"append"`` — write ``append_df`` (the incoming rows only) as
-          *additional* bucket files; existing files are never rewritten.
+          *additional* bucket files; existing files are never rewritten;
+        - ``"metadata"`` — schema-only change (add/drop/rename column):
+          the new log entry reuses the previous manifest verbatim and NO
+          files are written — the column-mapped read reconciles (Delta's
+          metadata-only DDL).
 
         ``transform`` is the edit as a ROW-LOCAL closure (src → mutated
         src): when given, the rewrite *scan* is pruned to the touched
@@ -193,14 +242,20 @@ class Base:
             oplog.write.mode("append").parquet(os.path.join(tdir, "_oplog"))
         prev = self._manifest(name, v - 1) if versions else None
         bexpr = self._bucket_expr()
+        cm = self._colmap(name)
         commit_rel = os.path.join("files", f"c{v:05d}")
         commit_dir = os.path.join(tdir, commit_rel)
 
         def _write_bucketed(src: DataFrame) -> dict[int, str]:
             """One parquet leaf dir per touched bucket, one file each
-            (repartition by bucket → no small-file explosion)."""
+            (repartition by bucket → no small-file explosion). Columns
+            land under their PHYSICAL (stable-key) names."""
             (
                 src.withColumn("_b", bexpr)
+                .select(
+                    "_b",
+                    *[F.col(c).alias(cm.get(c, c)) for c in src.columns],
+                )
                 .repartition(self.bucket_count, "_b")
                 .write.partitionBy("_b")
                 .mode("overwrite")
@@ -214,7 +269,10 @@ class Base:
             return out
 
         rewrite = "full"
-        if touched == "append" and prev is not None and append_df is not None:
+        if touched == "metadata" and prev is not None:
+            manifest = prev
+            rewrite = "metadata"
+        elif touched == "append" and prev is not None and append_df is not None:
             leaves = _write_bucketed(append_df)
             manifest = {b: list(ps) for b, ps in prev.items()}
             for b, p in leaves.items():
@@ -249,8 +307,12 @@ class Base:
                         for p in prev[b]
                     ]
                     if tpaths:
+                        replay_entry = {
+                            "schema": df.schema.json(),
+                            "colmap": cm,
+                        }
                         src = transform(
-                            self.spark.read.parquet(*tpaths), opl
+                            self._normalized_read(replay_entry, tpaths), opl
                         )
                         rewrite = "pruned"
                 if src is None:
@@ -274,6 +336,7 @@ class Base:
             "detail": {**(detail or {}), "rewrite": rewrite},
             "files": {str(b): ps for b, ps in sorted(manifest.items())},
             "schema": df.schema.json(),
+            "colmap": cm,
         }
         with open(self._log_path(name), "a") as f:
             f.write(json.dumps(entry) + "\n")
@@ -303,7 +366,7 @@ class Base:
         if not paths:
             schema = T.StructType.fromJson(json.loads(entry["schema"]))
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(*paths)
+        return self._normalized_read(entry, paths)
 
     def _current_version(self, name: str) -> int:
         hist = self.history(name)
@@ -331,11 +394,11 @@ class Base:
         paths = [
             os.path.join(tdir, p) for b in buckets for p in manifest.get(b, [])
         ]
+        entry = self._log_entry(name, v)
         if not paths:  # rows cannot exist in this table
-            entry = self._log_entry(name, v)
             schema = T.StructType.fromJson(json.loads(entry["schema"]))
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(*paths)
+        return self._normalized_read(entry, paths)
 
     # ------------------------------------------------------------------
     # maintenance (Delta OPTIMIZE / VACUUM analogues)
@@ -738,6 +801,8 @@ class Base:
             new_df, oplog, transform = self._aligned_update(
                 table, df, None, col, values
             )
+            if col not in df.columns:
+                self._register_column(table, col, new_df.schema[col].dataType)
         else:
             self._validate_write(table, col, values)
             if col in df.columns:
@@ -759,6 +824,7 @@ class Base:
                 )
                 oplog = None
                 new_df = df.withColumn(col, expr)
+                self._register_column(table, col, new_df.schema[col].dataType)
         self._stage(table, new_df, "set_column", {"column": col}, oplog,
                     touched="oplog" if oplog is not None else None,
                     transform=transform)
@@ -776,6 +842,8 @@ class Base:
         new_df = joined.withColumn(col, F.col("__newval")).drop(
             "__uid", "__newval"
         )
+        if col not in df.columns:
+            self._register_column(table, col, new_df.schema[col].dataType)
         self._stage(table, new_df, "set_column_from_df", {"column": col}, None)
 
     def clear_column(self, table: Table, col: str) -> None:
@@ -1102,7 +1170,10 @@ class Base:
         meta["columns"][col_name] = centry
         self._write_meta(table.name, meta)
         new_df = df.withColumn(col_name, F.lit(None).cast(spark_type(st)))
-        self._stage(table, new_df, "add_column", {"column": col_name}, None)
+        # metadata-only: no files written — existing files simply lack
+        # the new physical key and the column-mapped read NULL-fills it
+        self._stage(table, new_df, "add_column", {"column": col_name}, None,
+                    touched="metadata")
 
     def rename_column(self, table: Table, old: str, new: str) -> None:
         df = table.df
@@ -1114,12 +1185,15 @@ class Base:
         if old in meta.get("columns", {}):
             meta["columns"][new] = meta["columns"].pop(old)
             self._write_meta(table.name, meta)
+        # metadata-only: the stable key is the physical name, so a rename
+        # moves the meta entry and never touches a file
         self._stage(
             table,
             df.withColumnRenamed(old, new),
             "rename_column",
             {"from": old, "to": new},
             None,
+            touched="metadata",
         )
 
     def drop_column(self, table: Table, col: str) -> None:
@@ -1131,11 +1205,30 @@ class Base:
         meta = self.meta(table.name)
         meta.get("columns", {}).pop(col, None)
         self._write_meta(table.name, meta)
-        self._stage(table, df.drop(col), "drop_column", {"column": col}, None)
+        # metadata-only: the physical column stays in old files but no
+        # version's schema selects it (and a re-added name gets a fresh
+        # key, so stale data cannot resurrect)
+        self._stage(table, df.drop(col), "drop_column", {"column": col}, None,
+                    touched="metadata")
 
     # -- column metadata ops (base.py:2106-2128 resize, 2132-2156
     #    freeze/unfreeze, 2222-2258 add_options) — metadata-only, no new
     #    data snapshot --------------------------------------------------
+    def _register_column(self, table: Table, col: str, dtype) -> None:
+        """Mint a meta entry (stable physical key) for a column created
+        outside ``add_column`` — create-on-assign and computed-column
+        sinks — so the column-mapped commit writes it under a key."""
+        if col in ("_id", "_seq"):
+            return
+        meta = self.meta(table.name)
+        cols = meta.setdefault("columns", {})
+        if col in cols:
+            return
+        nk = int(meta.get("next_key", len(cols)))
+        cols[col] = {"type": infer_from_spark_type(dtype), "key": f"c{nk:04d}"}
+        meta["next_key"] = nk + 1
+        self._write_meta(table.name, meta)
+
     def update_column_meta(self, table: Table, col: str, **updates) -> dict:
         if col not in table.df.columns:
             raise KeyError(col)
@@ -1190,6 +1283,10 @@ class Base:
             new_meta["views"] = [dict(v) for v in src_meta["views"]]
         if "next_seq" in src_meta:
             new_meta["next_seq"] = src_meta["next_seq"]
+        if "next_key" in src_meta:
+            # key counter must survive the copy — a fresh counter could
+            # re-mint a key still borne by a copied column
+            new_meta["next_key"] = src_meta["next_key"]
         self._write_meta(new_name, new_meta)
         self._commit(new_name, df, "copy_table", {"from": src.name})
         return self.table(new_name)

@@ -512,3 +512,49 @@ def test_copy_table(base, mytable):
     # clone is independently mutable
     clone["checked"] = True
     assert base.table("mytable").to_frame()["checked"].isna().all()
+
+
+def test_metadata_only_ddl_and_column_mapping(base, mytable):
+    """add/drop/rename commit metadata-only (no files written); the
+    stable-key column mapping keeps renamed data and prevents a
+    dropped-then-readded name from resurrecting old file data."""
+    import os
+
+    def n_files():
+        total = 0
+        for root, _, fs in os.walk(os.path.join(base.path, "mytable", "files")):
+            total += len([f for f in fs if f.endswith(".parquet")])
+        return total
+
+    f0 = n_files()
+    t = mytable
+    t.add_column("score", "number")
+    assert base.history("mytable")[-1]["detail"]["rewrite"] == "metadata"
+    assert n_files() == f0
+    assert base.table("mytable").to_frame()["score"].isna().all()
+
+    labels = list(t.to_frame()["labels"])
+    t.rename_column("labels", "tags")
+    assert base.history("mytable")[-1]["detail"]["rewrite"] == "metadata"
+    assert n_files() == f0
+    assert list(base.table("mytable").to_frame()["tags"]) == labels
+
+    t = base.table("mytable")
+    t.drop_column("tags")
+    assert base.history("mytable")[-1]["detail"]["rewrite"] == "metadata"
+    t = base.table("mytable")
+    t.add_column("tags", "text")
+    # old `labels`/`tags` data must NOT reappear under the re-added name
+    assert base.table("mytable").to_frame()["tags"].isna().all()
+    assert n_files() == f0
+
+    # a write after a metadata-only add fills the new key via COW
+    t = base.table("mytable")
+    t.loc[t["column1"] > 8, "tags"] = "hi"
+    pdf = base.table("mytable").to_frame()
+    assert (pdf.loc[pdf["column1"] > 8, "tags"] == "hi").all()
+    assert pdf.loc[pdf["column1"] <= 8, "tags"].isna().all()
+
+    # time travel still presents each version's own schema
+    v0 = base.table("mytable", version=0).to_frame()
+    assert "column1" in v0.columns and "score" not in v0.columns
