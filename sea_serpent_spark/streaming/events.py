@@ -23,40 +23,30 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str,
                        glob: str = "events.parquet") -> DataFrame:
-    """readStream over the events parquet file(s); nanos → TIMESTAMP ts.
+    """readStream over the events parquet file(s); normalize ``ts``.
 
-    ``sf_dir`` must be a directory (FileStreamSource requirement); the
-    glob filter selects the events file(s) within it."""
-    # nanosAsLong is a session default (session.py); guard for foreign
-    # sessions (driver-created) without mutating conf mid-plan.
-    if (
-        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-        != "true"
-    ):
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    FileStreamSource requires an explicit schema, and ``events.ts`` has
+    shipped as both raw int64 nanos (nanosAsLong) and native
+    TIMESTAMP(MICROS): resolve the actual schema with a footer-only batch
+    read of the same path, then convert whichever ``ts`` encoding arrived
+    to a TIMESTAMP.  ``sf_dir`` must be a directory (FileStreamSource
+    requirement); the glob filter selects the events file(s) within it."""
+    schema = (
+        spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
+    )
     raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 4)
         .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    if isinstance(schema["ts"].dataType, T.LongType):
+        ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    else:
+        ts = F.col("ts").cast("timestamp")
+    return raw.withColumn("ts", ts)
 
 
 def tumbling_counts(

@@ -43,25 +43,20 @@ _ORDER_COLS = {
 def load(spark: SparkSession, sf_dir: str, name: str) -> Table:
     """Open one driver parquet table as an engine Table.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects; we read it as raw int64 nanos (nanosAsLong) and floor
-    to microseconds as TIMESTAMP_NTZ — the same truncation DuckDB's client
-    applies, so oracle comparisons agree."""
+    ``events.ts`` has shipped as both parquet TIMESTAMP(NANOS) (read as
+    raw int64 via nanosAsLong, floored to micros) and TIMESTAMP(MICROS)
+    (read natively).  Normalize either encoding to TIMESTAMP_NTZ micros —
+    the same representation DuckDB's client yields, so oracle comparisons
+    agree — by dispatching on the schema Spark actually resolved."""
     if name == "events":
-        # nanosAsLong is a session default (session.py); guard for foreign
-        # sessions (driver-created) without mutating conf mid-plan.
-        if (
-            spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-            != "true"
-        ):
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql.types import LongType
+
         d = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        d = d.withColumn(
-            "ts",
-            F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast(
-                "timestamp_ntz"
-            ),
-        )
+        if isinstance(d.schema["ts"].dataType, LongType):
+            ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        else:
+            ts = F.col("ts")
+        d = d.withColumn("ts", ts.cast("timestamp_ntz"))
         return Table(d, name, spark, order_col=_ORDER_COLS.get(name))
     return Table.from_parquet(
         f"{sf_dir}/{name}.parquet", name, spark, order_col=_ORDER_COLS.get(name)
