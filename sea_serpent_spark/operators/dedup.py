@@ -447,6 +447,59 @@ def minhash_lsh_pairs(
 # n-gram Jaccard (exact, inverted-index join)
 # ---------------------------------------------------------------------------
 
+def _dense_allpairs(groups: DataFrame, threshold: float) -> DataFrame:
+    """All-pairs popcount verify over distinct-token-set representatives.
+
+    ``groups`` is one cached row per distinct bitmask: (bm, gid, members,
+    sz). The rep×rep comparison is a broadcast nested-loop join —
+    candidates never shuffle, never duplicate, and the verify is a few
+    AND+popcounts per pair in whole-stage codegen. Member expansion joins
+    are broadcasts of the (tiny) group table."""
+    spark = groups.sparkSession
+    k = spark.sparkContext.defaultParallelism
+    reps = groups.select("gid", "sz", "bm")
+    a = reps.select(
+        F.col("gid").alias("id_a"), F.col("sz").alias("sz_a"),
+        F.col("bm").alias("bm_a"),
+    ).repartition(k)
+    b = F.broadcast(reps.select(
+        F.col("gid").alias("id_b"), F.col("sz").alias("sz_b"),
+        F.col("bm").alias("bm_b"),
+    ))
+    length_ok = (F.col("sz_a") * threshold <= F.col("sz_b")) & (
+        F.col("sz_b") * threshold <= F.col("sz_a")
+    )
+    inter = F.aggregate(
+        F.zip_with("bm_a", "bm_b", lambda x, y: F.bit_count(x.bitwiseAND(y))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    union = F.col("sz_a") + F.col("sz_b") - inter
+    gpairs = (
+        a.join(b, (F.col("id_a") < F.col("id_b")) & length_ok)
+        .select(
+            "id_a", "id_b", F.round(inter / union, 4).alias("jaccard")
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    mem = groups.select("gid", F.explode("members").alias("id"))
+    ma = F.broadcast(
+        mem.select(F.col("gid").alias("id_a"), F.col("id").alias("m_a"))
+    )
+    mb = F.broadcast(
+        mem.select(F.col("gid").alias("id_b"), F.col("id").alias("m_b"))
+    )
+    inter_group = gpairs.join(ma, "id_a").join(mb, "id_b").select(
+        F.least("m_a", "m_b").alias("id_a"),
+        F.greatest("m_a", "m_b").alias("id_b"),
+        "jaccard",
+    )
+    # identical token sets: jaccard is exactly 1.0 ≥ any threshold
+    intra_group = _salted_pairs(
+        mem.select(F.col("gid").alias("g"), "id"), ["g"]
+    ).select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+    return inter_group.unionByName(intra_group)
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -456,6 +509,7 @@ def ngram_jaccard_pairs(
     max_bitmap_words: int = 64,
     broadcast_verify: bool | None = None,
     broadcast_cap: int = BROADCAST_VERIFY_CAP,
+    allpairs_rep_cap: int = 8192,
 ) -> DataFrame:
     """→ [id_a, id_b, jaccard ≥ threshold], exact, via **prefix filtering**
     (AllPairs/PPJoin family: Bayardo et al., WWW'07).
@@ -495,7 +549,21 @@ def ngram_jaccard_pairs(
     every token is hot and prefix filtering stops pruning: per-candidate
     cost drops from a hash-set intersection to a handful of
     AND+popcounts. Larger vocabularies (where prefix filtering actually
-    works) verify with ``array_intersect`` on the encoded sets."""
+    works) verify with ``array_intersect`` on the encoded sets.
+
+    **Dense-corpus all-pairs fallback**: in the tiny-vocab regime the
+    prefix index degenerates — every token is in most prefixes, so the
+    inverted-index self-join enumerates nearly all O(n²) pairs *through
+    a shuffle*, each duplicated once per shared prefix token, and pays a
+    giant distinct() to dedupe them. When the bitmap applies, docs are
+    first grouped by identical bitmask (bm uniquely encodes the set); if
+    the number of distinct sets D ≤ ``allpairs_rep_cap``, the operator
+    switches to a broadcast nested-loop join over the D representatives
+    (popcount verify inline, no shuffle, no dedup — D² ≤ 64M cheap
+    codegen comparisons) and expands group members afterwards.
+    Identical-set member pairs are emitted directly with jaccard 1.0 —
+    the same canonicalization minhash_lsh_pairs applies. Output is
+    identical to the prefix formulation; only the join strategy moves."""
     release_caches()
     tok = fan_out(df).select(
         F.col(id_col).alias("id"),
@@ -527,6 +595,20 @@ def ngram_jaccard_pairs(
     # cache and each recompute the encode subtree.
     per_doc = _keep_cache(enc.groupBy("id").agg(*aggs))
     per_doc.count()
+
+    if bitmap:
+        groups = _keep_cache(
+            per_doc.where(F.col("sz") > 0)
+            .groupBy("bm")
+            .agg(
+                F.min("id").alias("gid"),
+                F.collect_list("id").alias("members"),
+                F.first("sz").alias("sz"),
+            )
+        )
+        n_reps = groups.count()
+        if n_reps <= allpairs_rep_cap:
+            return _dense_allpairs(groups, threshold)
 
     # prefix index: a pair with J ≥ t must share one of each side's
     # |s| - ceil(t·|s|) + 1 rarest tokens
