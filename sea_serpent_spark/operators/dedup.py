@@ -418,9 +418,12 @@ def minhash_lsh_pairs(
             F.greatest("m_a", "m_b").alias("id_b"),
             "jaccard",
         )
-        # identical signatures: estimate is exactly 1.0 ≥ any threshold
+        # identical signatures: estimate is exactly 1.0 ≥ any threshold.
+        # distinct=False: groups are disjoint (one group per id), so the
+        # salted enumeration already emits each unordered pair exactly
+        # once — the dedup shuffle would run on the largest output leg.
         intra_group = _salted_pairs(
-            mem.select(F.col("gid").alias("g"), "id"), ["g"]
+            mem.select(F.col("gid").alias("g"), "id"), ["g"], distinct=False
         ).select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
         return inter_group.unionByName(intra_group)
 
@@ -494,9 +497,10 @@ def _dense_allpairs(groups: DataFrame, threshold: float) -> DataFrame:
         F.greatest("m_a", "m_b").alias("id_b"),
         "jaccard",
     )
-    # identical token sets: jaccard is exactly 1.0 ≥ any threshold
+    # identical token sets: jaccard is exactly 1.0 ≥ any threshold.
+    # distinct=False: groups are disjoint, pairs are already unique.
     intra_group = _salted_pairs(
-        mem.select(F.col("gid").alias("g"), "id"), ["g"]
+        mem.select(F.col("gid").alias("g"), "id"), ["g"], distinct=False
     ).select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
     return inter_group.unionByName(intra_group)
 
