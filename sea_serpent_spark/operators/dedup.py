@@ -336,7 +336,7 @@ def minhash_lsh_pairs(
     bcast = _verify_gate(df, broadcast_verify, broadcast_cap)
     sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
 
-    def _banded(src: DataFrame) -> DataFrame:
+    def _banded(src: DataFrame, keep: tuple = ()) -> DataFrame:
         band_cols = [
             F.struct(
                 F.lit(i).alias("band"),
@@ -348,9 +348,10 @@ def minhash_lsh_pairs(
             for i in range(bands)
         ]
         return src.select(
-            "id", F.explode(F.array(*band_cols)).alias("bk")
+            "id", *keep, F.explode(F.array(*band_cols)).alias("bk")
         ).select(
-            "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+            "id", *keep,
+            F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
         )
 
     if verify == "estimate":
@@ -390,26 +391,39 @@ def minhash_lsh_pairs(
         groups.count()
         mem = groups.select("gid", F.explode("members").alias("id"))
         reps = groups.select(F.col("gid").alias("id"), "sig")
-        cand = _spread(_salted_pairs(_banded(reps), ["band", "key"]))
-        a = reps.select(F.col("id").alias("id_a"), F.col("sig").alias("s_a"))
-        b = reps.select(F.col("id").alias("id_b"), F.col("sig").alias("s_b"))
-        a, b = _maybe_broadcast(a, bcast), _maybe_broadcast(b, bcast)
+        # Verify *inside* the enumeration join: the signature rides along
+        # (carry) so no per-side lookup joins are needed, the agreement
+        # count filters band-duplicates before the dedup, and distinct
+        # runs on the (small) survivor set. The verified group-pair set
+        # is then checkpointed: the member-expansion joins otherwise fuse
+        # with the whole enumerate+verify subtree into one oversized
+        # codegen stage that Spark executes an order of magnitude slower
+        # (measured 8s → 0.5s on the bench corpus for the expansion leg).
         matches = sum(
             F.when(
-                F.element_at("s_a", i + 1) == F.element_at("s_b", i + 1), 1
+                F.element_at("sig_a", i + 1) == F.element_at("sig_b", i + 1),
+                1,
             ).otherwise(0)
             for i in range(num_hashes)
         )
-        gpairs = (
-            cand.join(a, "id_a")
-            .join(b, "id_b")
+        gpairs = _keep_cache(
+            _salted_pairs(
+                _banded(reps, keep=("sig",)),
+                ["band", "key"],
+                carry=("sig",),
+                distinct=False,
+            )
             .select(
                 "id_a",
                 "id_b",
-                F.round(matches / F.lit(float(num_hashes)), 4).alias("jaccard"),
+                F.round(
+                    matches / F.lit(float(num_hashes)), 4
+                ).alias("jaccard"),
             )
             .where(F.col("jaccard") >= jaccard_threshold)
+            .distinct()
         )
+        gpairs.count()
         ma = mem.select(F.col("gid").alias("id_a"), F.col("id").alias("m_a"))
         mb = mem.select(F.col("gid").alias("id_b"), F.col("id").alias("m_b"))
         ma, mb = _maybe_broadcast(ma, bcast), _maybe_broadcast(mb, bcast)
