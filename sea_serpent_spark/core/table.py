@@ -111,6 +111,16 @@ class Table:
         return cls(df, name=name, spark=spark, **kw)
 
     @classmethod
+    def from_orc(cls, path: str, name: str | None = None,
+                 spark: SparkSession | None = None, **kw) -> "Table":
+        """Open ORC file(s) as a read-only table."""
+        spark = spark or SparkSession.getActiveSession()
+        df = spark.read.orc(path)
+        if name is None:
+            name = path.rstrip("/").rsplit("/", 1)[-1].split(".")[0]
+        return cls(df, name=name, spark=spark, **kw)
+
+    @classmethod
     def from_catalog(cls, name: str,
                      spark: SparkSession | None = None, **kw) -> "Table":
         """Open a Spark-catalog table (Hive/Delta/Iceberg — whatever the
@@ -130,9 +140,42 @@ class Table:
             w = w.partitionBy(*cols)
         w.parquet(path)
 
-    def to_catalog(self, name: str, mode: str = "error") -> None:
-        """Save as a catalog table (CREATE TABLE AS SELECT)."""
-        self.df.write.mode(mode).saveAsTable(name)
+    def to_orc(self, path: str, mode: str = "error",
+               partition_by: str | Sequence[str] | None = None) -> None:
+        """Distributed ORC write; same layout semantics as to_parquet."""
+        w = self.df.write.mode(mode)
+        if partition_by:
+            cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+            w = w.partitionBy(*cols)
+        w.orc(path)
+
+    def to_catalog(
+        self,
+        name: str,
+        mode: str = "error",
+        bucket_by: str | Sequence[str] | None = None,
+        buckets: int = 32,
+        sort_by: str | Sequence[str] | None = None,
+    ) -> None:
+        """Save as a catalog table (CREATE TABLE AS SELECT).
+
+        ``bucket_by`` hash-buckets the layout on the given key(s) —
+        Spark's persistent co-location contract: a join or aggregation
+        keyed on the bucket columns of two tables bucketed the same way
+        runs with NO shuffle exchange on either side (the scan's output
+        partitioning already satisfies the join's distribution
+        requirement). At 100 TB this converts every fact⋈fact equi-join
+        on the bucket key from a full two-sided shuffle into a zipped
+        per-bucket merge; ``sort_by`` additionally pre-sorts within
+        buckets so sort-merge joins skip the sort."""
+        w = self.df.write.mode(mode)
+        if bucket_by:
+            cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+            w = w.bucketBy(buckets, *cols)
+            if sort_by:
+                scols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+                w = w.sortBy(*scols)
+        w.saveAsTable(name)
 
     def _derive(self, df: DataFrame) -> "Table":
         """New lazy Table sharing identity metadata (reads never mutate)."""

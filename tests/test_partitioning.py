@@ -78,6 +78,61 @@ def test_lsh_verify_shuffle_fallback(spark, sf_dir):
     assert fallback == forced and len(forced) > 0
 
 
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key join WITHOUT a shuffle
+    exchange on either side — the persistent co-location contract that
+    turns fact⋈fact equi-joins into per-bucket merges at scale."""
+    from sea_serpent_spark.core.table import Table
+
+    old_wh = spark.conf.get("spark.sql.warehouse.dir", None)
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.sql("DROP TABLE IF EXISTS bt_orders")
+    spark.sql("DROP TABLE IF EXISTS bt_customer")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        Table.from_parquet(
+            f"{sf_dir}/orders.parquet", "orders", spark
+        ).to_catalog("bt_orders", mode="overwrite",
+                     bucket_by="o_custkey", buckets=8, sort_by="o_custkey")
+        Table.from_parquet(
+            f"{sf_dir}/customer.parquet", "customer", spark
+        ).to_catalog("bt_customer", mode="overwrite",
+                     bucket_by="c_custkey", buckets=8, sort_by="c_custkey")
+        j = spark.table("bt_orders").join(
+            spark.table("bt_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # co-located result equals the plain shuffle join
+        plain = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .join(
+                spark.read.parquet(f"{sf_dir}/customer.parquet"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .count()
+        )
+        assert j.count() == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
+        spark.sql("DROP TABLE IF EXISTS bt_customer")
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    from sea_serpent_spark.core.table import Table
+
+    t = Table.from_parquet(f"{sf_dir}/nation.parquet", "nation", spark)
+    out = str(tmp_path / "nation_orc")
+    t.to_orc(out, mode="overwrite")
+    back = Table.from_orc(out, "nation", spark)
+    assert sorted(r.n_nationkey for r in back.df.collect()) == sorted(
+        r.n_nationkey for r in t.df.collect()
+    )
+
+
 def test_workload_query_layout_independent(spark, sf_dir, tmp_path_factory):
     """A relational query over a re-partitioned lineitem copy equals the
     single-file result (group-by totals are layout-invariant)."""
