@@ -178,6 +178,47 @@ def final_user_totals(drained: DataFrame) -> DataFrame:
     )
 
 
+def read_documents_stream(spark: SparkSession, sf_dir: str,
+                          glob: str = "documents.parquet") -> DataFrame:
+    """readStream over the documents parquet file(s) — the ingest shape
+    of a streaming corpus pipeline (each micro-batch = a shard batch)."""
+    schema = spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .option("pathGlobFilter", glob)
+        .parquet(sf_dir)
+    )
+
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    event_time: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming exact dedup: first-seen doc per content fingerprint.
+
+    ``dropDuplicates`` on the md5 content fingerprint — Spark keeps one
+    state-store entry per distinct fingerprint and drops every later
+    arrival, across micro-batches: the streaming twin of
+    ``operators.dedup.exact_dedup``. With ``event_time``+``watermark``
+    set it uses ``dropDuplicatesWithinWatermark`` so state is EVICTED
+    once the watermark passes — the bounded-state production shape
+    (exactly-once dedup within the horizon); without them state grows
+    with distinct content (fine for bounded backfills, documented here
+    because at 100 TB the watermarked variant is the only safe default).
+    """
+    from ..operators.text import fingerprint
+
+    out = docs.withColumn("fp", fingerprint(F.col(text_col)))
+    if event_time and watermark:
+        return out.withWatermark(event_time, watermark) \
+            .dropDuplicatesWithinWatermark(["fp"])
+    return out.dropDuplicates(["fp"])
+
+
 def oplog_stream(spark: SparkSession, base_path: str, table: str) -> DataFrame:
     """CDC stream over a managed table's cell-level op-log (the Delta
     Change Data Feed pattern; reference analogue: fetch_logs polling,

@@ -211,3 +211,33 @@ def test_plan_stays_jvm_side(docs):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_profile_single_pass(spark, sf_dir):
+    """profile() emits one stats row per column from ONE aggregation —
+    exact n/null counts, sane numeric ranges, and a single-scan plan."""
+    from sea_serpent_spark.operators.profile import profile
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    p = profile(df)
+    rows = {r["column"]: r.asDict() for r in p.collect()}
+    assert set(rows) == set(df.columns)
+    n = df.count()
+    ok = rows["o_totalprice"]
+    assert ok["n"] == n and ok["n_null"] == 0 and ok["null_frac"] == 0.0
+    exact_min = df.agg(F.min("o_totalprice")).collect()[0][0]
+    exact_max = df.agg(F.max("o_totalprice")).collect()[0][0]
+    assert ok["min"] == exact_min and ok["max"] == exact_max
+    assert exact_min <= ok["q50"] <= exact_max
+    # HLL estimate within 15% of exact cardinality
+    exact_d = df.select("o_custkey").distinct().count()
+    est = rows["o_custkey"]["approx_distinct"]
+    assert abs(est - exact_d) / exact_d < 0.15
+    # string stats populated, numeric stats absent for strings
+    st = rows["o_orderstatus"]
+    assert st["avg_len"] is not None and st["min"] is None
+    # single scan: exactly one relation read in the (final) plan — AQE's
+    # toString repeats the initial plan, so trim to the final section
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1

@@ -105,3 +105,26 @@ def test_stateful_user_totals(spark, sf_dir, events_stream):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_exact_dedup(spark, sf_dir):
+    """Streaming dropDuplicates on content fingerprint equals the batch
+    exact-dedup canonical set."""
+    from sea_serpent_spark.operators import dedup as D
+    from sea_serpent_spark.streaming.events import (
+        read_documents_stream,
+        run_to_memory,
+        streaming_exact_dedup,
+    )
+
+    stream = streaming_exact_dedup(read_documents_stream(spark, sf_dir))
+    got = run_to_memory(stream, "t_sdedup", spark, mode="append").toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = (
+        D.exact_dedup_groups(docs)
+        .select("fp")
+        .toPandas()
+    )
+    # one survivor per distinct fingerprint, same fingerprint set
+    assert sorted(got["fp"]) == sorted(batch["fp"])
+    assert got["doc_id"].is_unique
