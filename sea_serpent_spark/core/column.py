@@ -171,16 +171,32 @@ class Column:
         rows = self.table.df.select(self.name).distinct().collect()
         return [r[0] for r in rows]
 
-    def value_counts(self, ascending: bool = False, dropna: bool = True):
-        """Group-by count (base.py:2205-2219 did this client-side in pandas;
-        here it is a distributed partial-agg groupBy)."""
+    def value_counts(self, normalize: bool = False, sort: bool = True,
+                     ascending: bool = False, dropna: bool = True):
+        """Group-by count (base.py:2205-2219 did this client-side in pandas
+        via ``**kwargs`` passthrough; here it is a distributed partial-agg
+        groupBy with the pandas signature mapped into the plan:
+        ``normalize`` divides by the total in-plan, ``sort=False`` keeps
+        group order unspecified like pandas)."""
         df = self.table.df
         if dropna:
             df = df.where(F.col(self.name).isNotNull())
         out = df.groupBy(self.name).agg(F.count(F.lit(1)).alias("count"))
-        order = F.asc("count") if ascending else F.desc("count")
-        pdf = out.orderBy(order, F.asc(self.name)).toPandas()
-        return pdf.set_index(self.name)["count"]
+        if normalize:
+            # broadcast the scalar total instead of an empty window —
+            # a global window would single-partition every group
+            total = out.agg(F.sum("count").alias("__total"))
+            out = (
+                out.crossJoin(F.broadcast(total))
+                .withColumn("count", F.col("count") / F.col("__total"))
+                .drop("__total")
+            )
+        if sort:
+            order = F.asc("count") if ascending else F.desc("count")
+            out = out.orderBy(order, F.asc(self.name))
+        pdf = out.toPandas()
+        name = "proportion" if normalize else "count"
+        return pdf.set_index(self.name)["count"].rename(name)
 
     def min(self):
         return self.table.df.agg(F.min(self.name)).collect()[0][0]

@@ -84,6 +84,13 @@ def test_unique_and_value_counts(lineitem):
     vc = lineitem.l_returnflag.value_counts()
     assert vc.sum() == len(lineitem)
     assert vc.index[0] == "N"  # most frequent
+    norm = lineitem.l_returnflag.value_counts(normalize=True)
+    assert abs(norm.sum() - 1.0) < 1e-9
+    assert norm.name == "proportion"
+    asc = lineitem.l_returnflag.value_counts(ascending=True)
+    assert list(asc.values) == sorted(vc.values)
+    unsorted = lineitem.l_returnflag.value_counts(sort=False)
+    assert set(unsorted.index) == {"A", "N", "R"}
 
 
 def test_shape_len(lineitem):
