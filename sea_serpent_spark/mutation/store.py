@@ -494,8 +494,17 @@ class Base:
             raise ValueError(f"no version of {name!r} at or before {at}")
         return best
 
-    def time_machine(self, name: str, date: str | datetime) -> Table:
-        return self.table(name, at=date)
+    def time_machine(
+        self, name: str, date: str | datetime,
+        columns: Iterable[str] | None = None,
+    ) -> Table:
+        """Table state as of ``date`` (base.py:973-1035); ``columns``
+        subsets the projection (pruned at the scan, base.py:1002)."""
+        t = self.table(name, at=date)
+        if columns is not None:
+            cols = [c for c in columns if c in t.df.columns]
+            t = t.select(cols)
+        return t
 
     def create_table(
         self, name: str, columns: Iterable[tuple[str, Any]] | None = None

@@ -121,3 +121,19 @@ def test_brute_topk_broadcasts_queries(spark, sf_dir):
     q = e.where(F.col("vec_id") < 5)
     plan = _plan(S.brute_force_topk(e, q, k=3))
     assert "BroadcastExchange" in plan
+
+
+def test_dense_jaccard_uses_broadcast_nlj(spark, sf_dir):
+    """On the tiny-vocab corpus the n-gram Jaccard operator must pick the
+    dense all-pairs strategy: representatives compared via a broadcast
+    nested-loop join (no candidate shuffle), not the prefix inverted
+    index."""
+    from sea_serpent_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = D.ngram_jaccard_pairs(docs, shingle_n=1, threshold=0.8)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    # the prefix path's candidate dedup (HashAggregate over id pairs
+    # after the salted join) must be absent - only expansion joins remain
+    assert "BatchEvalPython" not in plan
