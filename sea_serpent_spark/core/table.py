@@ -300,6 +300,24 @@ class Table:
             t = self.sort(self.order_col)
         return t.limit(n).to_frame()
 
+    def describe(self, columns: Sequence[str] | None = None):
+        """Column health stats → pandas (the pandas-feel summary the
+        reference exposes only as per-column value_counts). One
+        aggregation scan regardless of column count — see
+        operators/profile.py for the scale contract."""
+        from ..operators.profile import profile
+
+        cols = list(columns) if columns is not None else None
+        return profile(self.df, cols).toPandas().set_index("column")
+
+    def sample(self, fraction: float, seed: int | None = None) -> "Table":
+        """Bernoulli row sample — pushed into the scan (no full
+        materialization); the standard first step of corpus inspection
+        at 100 TB."""
+        return self._derive(
+            self.df.sample(fraction=fraction, seed=seed)
+        )
+
     def sort(
         self, by: str | Sequence[str], ascending: bool | Sequence[bool] = True
     ) -> "Table":

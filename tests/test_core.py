@@ -250,3 +250,14 @@ def test_map_callable_pandas_udf(spark, sf_dir):
         nation.n_name.map(lambda s: s.lower()).alias("n_name")
     )
     assert tagged.where("n_name = 'nation_3'").count() == 1
+
+
+def test_describe_and_sample(lineitem):
+    d = lineitem.describe(["l_quantity", "l_returnflag"])
+    assert list(d.index) == ["l_quantity", "l_returnflag"]
+    assert d.loc["l_quantity", "n"] == 6000
+    assert d.loc["l_quantity", "min"] == 1.0
+    assert d.loc["l_returnflag", "avg_len"] == 1.0
+    s = lineitem.sample(0.1, seed=7)
+    n = len(s)
+    assert 300 < n < 900  # ~600 expected
