@@ -768,35 +768,96 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     chunks: int = 4,
+    allpairs_rep_cap: int = 8192,
 ) -> DataFrame:
     """→ [id_a, id_b, hamming ≤ max_hamming] via chunk banding.
 
     Pigeonhole: with 4 chunks of 12 bits, any pair within hamming ≤ 3
     agrees exactly on ≥1 chunk — candidates come from equality joins on
-    (chunk_idx, chunk_value), so the shuffle is ids + 12-bit ints."""
+    (chunk_idx, chunk_value), so the shuffle is ids + 12-bit ints.
+
+    Docs are first grouped by identical signature (the sketch-level
+    canonicalization minhash_lsh_pairs applies): enumeration runs on one
+    representative per distinct 48-bit value, identical-signature member
+    pairs are emitted directly with hamming 0, and when the distinct
+    count D ≤ ``allpairs_rep_cap`` the chunk join is skipped entirely in
+    favor of a broadcast nested-loop XOR+popcount over the D reps —
+    D²/2 codegen comparisons with no shuffle and no candidate dedup
+    (the same dense-regime strategy as ``ngram_jaccard_pairs``). On a
+    boilerplate-heavy corpus chunk buckets collapse to a few hot values
+    and banding enumerates nearly all pairs through a shuffle anyway —
+    the dense path is both exact and strictly cheaper there."""
+    release_caches()
     sigs = simhash_signatures(df, text_col, id_col)
-    width = SIMHASH_BITS // chunks
-    mask = (1 << width) - 1
-    chunk_cols = [
-        F.struct(
-            F.lit(i).alias("c"),
-            F.shiftright("sim", i * width).bitwiseAND(F.lit(mask)).alias("v"),
+    groups = _keep_cache(
+        sigs.groupBy("sim").agg(
+            F.min("id").alias("gid"),
+            F.collect_list("id").alias("members"),
         )
-        for i in range(chunks)
-    ]
-    banded = sigs.select(
-        "id", "sim", F.explode(F.array(*chunk_cols)).alias("ck")
-    ).select("id", "sim", F.col("ck.c").alias("c"), F.col("ck.v").alias("v"))
-    # The whole signature is one long — carry it through the chunk join
-    # and verify inside the enumeration stage (one bit_count per raw
-    # pair), then dedupe survivors. No per-id re-joins, and the
-    # signature subtree is computed once instead of three times.
-    raw = _salted_pairs(
-        banded, ["c", "v"], carry=("sim",), distinct=False
     )
+    n_reps = groups.count()
+    reps = groups.select(F.col("gid").alias("id"), "sim")
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
-        raw.select("id_a", "id_b", hamming.alias("hamming"))
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
+    # The dense path is output-equivalent to banding ONLY inside the
+    # pigeonhole-complete regime (max_hamming < chunks). Above it,
+    # banding is a deliberate recall filter (candidates must agree on a
+    # full chunk) and IS the operator's defined semantics — all-pairs
+    # would add pairs banding excludes.
+    if max_hamming < chunks and n_reps <= allpairs_rep_cap:
+        k = df.sparkSession.sparkContext.defaultParallelism
+        a = reps.select(
+            F.col("id").alias("id_a"), F.col("sim").alias("sim_a")
+        ).repartition(k)
+        b = F.broadcast(
+            reps.select(F.col("id").alias("id_b"), F.col("sim").alias("sim_b"))
+        )
+        gpairs = (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", hamming.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+        )
+    else:
+        width = SIMHASH_BITS // chunks
+        mask = (1 << width) - 1
+        chunk_cols = [
+            F.struct(
+                F.lit(i).alias("c"),
+                F.shiftright("sim", i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("v"),
+            )
+            for i in range(chunks)
+        ]
+        banded = reps.select(
+            "id", "sim", F.explode(F.array(*chunk_cols)).alias("ck")
+        ).select("id", "sim", F.col("ck.c").alias("c"), F.col("ck.v").alias("v"))
+        # The whole signature is one long — carry it through the chunk
+        # join and verify inside the enumeration stage (one bit_count per
+        # raw pair), then dedupe survivors.
+        raw = _salted_pairs(banded, ["c", "v"], carry=("sim",), distinct=False)
+        gpairs = (
+            raw.select("id_a", "id_b", hamming.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
+    bcast = _verify_gate(df, None, BROADCAST_VERIFY_CAP)
+    mem = groups.select("gid", F.explode("members").alias("id"))
+    ma = _maybe_broadcast(
+        mem.select(F.col("gid").alias("id_a"), F.col("id").alias("m_a")), bcast
     )
+    mb = _maybe_broadcast(
+        mem.select(F.col("gid").alias("id_b"), F.col("id").alias("m_b")), bcast
+    )
+    inter = gpairs.join(ma, "id_a").join(mb, "id_b").select(
+        F.least("m_a", "m_b").alias("id_a"),
+        F.greatest("m_a", "m_b").alias("id_b"),
+        "hamming",
+    )
+    # identical signatures: hamming is exactly 0; groups are disjoint so
+    # the salted enumeration emits each unordered pair once (no dedup)
+    intra = _salted_pairs(
+        mem.select(F.col("gid").alias("g"), "id"), ["g"], distinct=False
+    ).select(
+        "id_a", "id_b", F.lit(0).cast("int").alias("hamming")
+    )
+    return inter.unionByName(intra)
