@@ -38,9 +38,27 @@ def main() -> None:
     # not first-touch costs.
     next(iter(qs.values()))(spark, sf_dir).count()
 
+    def _quiesce() -> None:
+        """Per-query hygiene: drop operator checkpoints and pay GC debt
+        NOW instead of mid-measurement. Accumulated broadcast/cache
+        garbage across 50 queries otherwise lands a multi-second GC
+        pause inside whichever query happens to trigger it (observed
+        6x outliers on late queries)."""
+        try:
+            from sea_serpent_spark.operators.dedup import release_caches
+
+            release_caches()
+        except Exception:
+            pass
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
     times: dict[str, float] = {}
     total = 0.0
     for name, fn in qs.items():
+        _quiesce()
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
