@@ -1039,6 +1039,12 @@ class Base:
                          keyed["__vidx"] == F.col("__vidx2")).select(
             F.col("_id").alias("__uid"), "__newval"
         )
+        # Materialize the MERGE source once: the oplog-diff job and the
+        # pruned-rewrite job otherwise each re-execute its lineage (a
+        # (_id,_seq) scan of the table + the positional join). k narrow
+        # rows — exactly the rows being written — truncated to a local
+        # checkpoint both jobs read back.
+        upd = upd.localCheckpoint(eager=True)
         upd_src = F.broadcast(upd) if n <= 100_000 else upd
         joined = df.join(upd_src, df["_id"] == F.col("__uid"), "left")
         old = F.lit(None) if is_new else F.col(col)
