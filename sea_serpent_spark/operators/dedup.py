@@ -607,14 +607,13 @@ def ngram_jaccard_pairs(
                 for l in range(nwords)
             ]).alias("bm")
         )
-    # Materialize eagerly: the verify broadcasts below are built on the
-    # driver's broadcast threads when the consuming job starts — without
-    # an eager fill they'd race the candidate branch to populate the
-    # cache and each recompute the encode subtree.
-    per_doc = _keep_cache(enc.groupBy("id").agg(*aggs))
-    per_doc.count()
+    per_doc = enc.groupBy("id").agg(*aggs)
 
     if bitmap:
+        # Dense-regime probe first: groups is the ONLY consumer of
+        # per_doc here, so per_doc needs no cache/eager fill of its own —
+        # one action (groups.count) materializes the whole chain. Only
+        # the prefix fallback below pays the per_doc checkpoint.
         groups = _keep_cache(
             per_doc.where(F.col("sz") > 0)
             .groupBy("bm")
@@ -627,6 +626,13 @@ def ngram_jaccard_pairs(
         n_reps = groups.count()
         if n_reps <= allpairs_rep_cap:
             return _dense_allpairs(groups, threshold)
+
+    # Materialize eagerly: the verify broadcasts below are built on the
+    # driver's broadcast threads when the consuming job starts — without
+    # an eager fill they'd race the candidate branch to populate the
+    # cache and each recompute the encode subtree.
+    per_doc = _keep_cache(per_doc)
+    per_doc.count()
 
     # prefix index: a pair with J ≥ t must share one of each side's
     # |s| - ceil(t·|s|) + 1 rarest tokens
