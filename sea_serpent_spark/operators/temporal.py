@@ -1,0 +1,163 @@
+"""Temporal joins Spark has no native operator for: as-of and range.
+
+Beyond-reference extensions (the reference has no temporal joins; its
+only time feature is log pagination, base.py:1082-1128). Both are
+built from one shuffle + window functions — no UDFs, no nested-loop
+fallback in the hot path.
+
+- **asof_join** — for each left row, the latest right row at-or-before
+  its timestamp (pandas ``merge_asof`` semantics, the standard
+  event⋈snapshot enrichment). Implemented as the union-and-carry-forward
+  plan: tag both sides, union on (key, time), sort within key, carry the
+  last right payload forward with ``last(ignorenulls=True)`` over an
+  unbounded-preceding window, keep left rows. ONE shuffle on the key —
+  the same cost as a plain equi-join — versus the naive
+  join-filter-rank formulation which joins every left row to ALL earlier
+  right rows (quadratic per key) before ranking.
+- **range_join** — points joined to enclosing [start, end] intervals via
+  **binning**: intervals are exploded to the coarse time bins they
+  overlap, points equi-join on their bin, and the exact containment
+  predicate filters inside the join. Candidate volume is
+  |intervals|·avg_span/bin + |points| instead of the |points|·|intervals|
+  broadcast-nested-loop Spark plans for a bare range predicate. Bin
+  width trades replication against selectivity — size it near the median
+  interval span.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | list[str] | None = None,
+    right_on: str | None = None,
+    tolerance: str | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """For each left row: columns of the latest right row with
+    ``right[right_on] <= left[on]`` (within the same ``by`` key group),
+    NULLs when no prior right row exists. ``tolerance`` (an INTERVAL
+    literal, e.g. ``'2 hours'``) drops matches older than
+    ``left[on] - tolerance`` — pandas ``merge_asof`` semantics.
+
+    Plan: union both sides keyed on (by, time), one window pass per key
+    carrying the last right payload forward, filter back to left rows.
+    One shuffle; skew follows the ``by`` key distribution (salt upstream
+    if a single key dominates)."""
+    right_on = right_on or on
+    keys = [by] if isinstance(by, str) else list(by or [])
+    rcols = [c for c in right.columns if c not in keys and c != right_on]
+    lcols = left.columns
+
+    rt_type = right.schema[right_on].dataType
+    l_tag = left.select(
+        *lcols,
+        F.lit(1).alias("__is_l"),
+        F.col(on).alias("__t"),
+        F.lit(None).cast(rt_type).alias("__rt"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in rcols],
+    )
+    r_tag = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lcols if c not in keys],
+        *[F.col(k) for k in keys],
+        F.lit(0).alias("__is_l"),
+        F.col(right_on).alias("__t"),
+        F.col(right_on).alias("__rt"),
+        *[F.col(c).alias(f"__r_{c}") for c in rcols],
+    ).select(  # align column order with l_tag
+        *lcols, "__is_l", "__t", "__rt", *[f"__r_{c}" for c in rcols]
+    )
+    u = l_tag.unionByName(r_tag)
+    # right rows sort before left rows at equal timestamps so a
+    # same-instant snapshot is visible to the event (merge_asof default)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.asc("__t"), F.asc("__is_l"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "*",
+        F.last("__rt", ignorenulls=True).over(w).alias("__m_t"),
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in rcols
+        ],
+    ).where(F.col("__is_l") == 1)
+    if tolerance is not None:
+        in_tol = F.col("__m_t") >= F.col("__t") - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+    else:
+        in_tol = F.lit(True)
+    return carried.select(
+        *lcols,
+        F.when(in_tol, F.col("__m_t")).alias(f"{right_on}{suffix}"),
+        *[
+            F.when(in_tol, F.col(f"__m_{c}")).alias(f"{c}{suffix}")
+            for c in rcols
+        ],
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to every interval row with
+    ``start <= point < end`` — via coarse-bin equi-join + exact filter.
+
+    ``bin_width`` is an INTERVAL literal; both sides are floored to bin
+    ids (intervals exploded across every bin they overlap with
+    ``sequence``), so the join is a plain hash equi-join on the bin and
+    the exact predicate only runs on co-binned candidates. ``how`` may
+    be ``'inner'`` or ``'left'`` (points with no interval kept with
+    NULLs)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    step = F.expr(f"INTERVAL {bin_width}")
+    p_bin = F.window(F.col(point_col), bin_width).getField("start")
+    pts = points.withColumn("__bin", p_bin)
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.window(F.col(start_col), bin_width).getField("start"),
+                # end is exclusive: a zero-length or bin-aligned end
+                # contributes no extra bin
+                F.window(
+                    F.col(end_col) - F.expr("INTERVAL 1 microsecond"),
+                    bin_width,
+                ).getField("start"),
+                step,
+            )
+        ),
+    )
+    exact = (F.col(start_col) <= F.col(point_col)) & (
+        F.col(point_col) < F.col(end_col)
+    )
+    if how == "inner":
+        return pts.join(iv, "__bin").where(exact).drop("__bin")
+    matched = pts.join(iv, "__bin").where(exact).drop("__bin")
+    iv_cols = [c for c in intervals.columns]
+    unmatched = pts.drop("__bin").join(
+        matched.select(*points.columns).distinct(),
+        on=points.columns,
+        how="left_anti",
+    )
+    for c in iv_cols:
+        unmatched = unmatched.withColumn(
+            c, F.lit(None).cast(intervals.schema[c].dataType)
+        )
+    return matched.unionByName(unmatched)
