@@ -1,0 +1,153 @@
+"""Streaming minhash-LSH near-duplicate detection.
+
+Beyond-reference extension: the batch LSH pipeline
+(``operators.dedup.minhash_lsh_pairs``) re-expressed over Structured
+Streaming — each arriving document is checked against everything seen so
+far, emitting (new_id, seen_id, jaccard-estimate) pairs as the stream is
+drained. This is the online-ingest dedup shape of a training-data
+pipeline: shards arrive as micro-batches and near-dups against the whole
+history are flagged without re-running a batch job.
+
+Design:
+
+- **Stateless signatures.** A streaming groupBy-aggregate would need
+  watermarks and would hold doc state; instead the minhash signature is
+  computed per-row with higher-order array functions
+  (``array_min(transform(words, ...))`` per permutation). Interpreted
+  HOFs are slower per element than the batch explode→groupBy plan, but
+  micro-batches are small by construction — and the expression is the
+  bit-identical portable hash family, so streaming and batch signatures
+  agree exactly.
+- **State = LSH buckets.** Band keys shuffle the stream by
+  (band, key) and ``applyInPandasWithState`` keeps, per bucket, the
+  (id, signature) list seen so far — exactly the inverted index a batch
+  band self-join materializes, built incrementally. A new doc compares
+  against only its bucket's members (the LSH candidate guarantee), and
+  every k-batch split of the input yields the same final pair set as the
+  batch operator (tested batch==stream).
+- **Scale posture.** State is per-bucket and proportional to distinct
+  signatures per bucket — the same cardinality the batch band join
+  shuffles; hot buckets are bounded by ``max_bucket`` (oldest entries
+  evicted FIFO, trading recall for bounded state — the standard online
+  LSH compromise, off by default).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..operators.hashing import MINHASH_COEFFS, P, h32
+
+
+def streaming_minhash_signature(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+) -> DataFrame:
+    """→ [id, sig array<bigint>] per-row (stateless) minhash — the
+    streaming twin of ``operators.dedup.minhash_signature``, same hash
+    family, bit-identical output."""
+    ws = F.array_distinct(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    )
+    h = F.transform(ws, lambda w: h32(w) % F.lit(P))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(h, lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(P))
+            )
+            for a, b in MINHASH_COEFFS[:num_hashes]
+        ]
+    )
+    return docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("estimate", T.DoubleType()),
+    ]
+)
+_STATE_SCHEMA = "ids ARRAY<BIGINT>, sigs ARRAY<ARRAY<BIGINT>>"
+
+
+def streaming_minhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """→ streaming [id_a, id_b, estimate ≥ threshold]: near-dup pairs of
+    each arriving doc against every doc seen so far in a shared band
+    bucket. The same pair can surface from several bands — dedupe at the
+    sink (``drained.dropDuplicates(["id_a","id_b"])``); estimates are
+    deterministic per pair so the duplicates are identical rows."""
+    rows = num_hashes // bands
+    sigs = streaming_minhash_signature(docs, text_col, id_col, num_hashes)
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.concat_ws(
+                "-",
+                *[
+                    F.element_at("sig", i * rows + r + 1).cast("string")
+                    for r in range(rows)
+                ],
+            ).alias("key"),
+        )
+        for i in range(bands)
+    ]
+    banded = sigs.select(
+        "id", "sig", F.explode(F.array(*band_cols)).alias("bk")
+    ).select(
+        "id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+    thresh = float(jaccard_threshold)
+    nh = num_hashes
+    cap = max_bucket
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        ids, sigs_seen = state.get if state.exists else ([], [])
+        ids, sigs_seen = list(ids), [list(s) for s in sigs_seen]
+        out_a, out_b, out_e = [], [], []
+        for pdf in pdfs:
+            # deterministic order regardless of batch split
+            pdf = pdf.sort_values("id")
+            for rid, sig in zip(pdf["id"], pdf["sig"]):
+                rid = int(rid)  # plain Python values: state is pickled
+                sig = [int(x) for x in sig]
+                for sid, ssig in zip(ids, sigs_seen):
+                    if sid == rid:
+                        continue
+                    m = sum(1 for x, y in zip(sig, ssig) if x == y)
+                    est = round(m / nh, 4)
+                    if est >= thresh:
+                        out_a.append(min(rid, sid))
+                        out_b.append(max(rid, sid))
+                        out_e.append(est)
+                ids.append(rid)
+                sigs_seen.append(sig)
+        if cap is not None and len(ids) > cap:
+            ids, sigs_seen = ids[-cap:], sigs_seen[-cap:]
+        state.update((ids, sigs_seen))
+        yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "estimate": out_e})
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return banded.groupBy("band", "key").applyInPandasWithState(
+        update,
+        outputStructType=PAIR_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

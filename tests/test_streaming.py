@@ -128,3 +128,45 @@ def test_streaming_exact_dedup(spark, sf_dir):
     # one survivor per distinct fingerprint, same fingerprint set
     assert sorted(got["fp"]) == sorted(batch["fp"])
     assert got["doc_id"].is_unique
+
+
+def test_streaming_minhash_signature_parity(spark, sf_dir):
+    """The stateless per-row streaming signature must be bit-identical
+    to the batch explode+groupBy signature."""
+    from sea_serpent_spark.operators import dedup as D
+    from sea_serpent_spark.streaming.dedup import streaming_minhash_signature
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = {(r.id, tuple(r.sig)) for r in D.minhash_signature(docs).collect()}
+    stream_expr = {
+        (r.id, tuple(r.sig))
+        for r in streaming_minhash_signature(docs).collect()
+    }
+    assert batch == stream_expr
+
+
+def test_streaming_minhash_pairs_equals_batch(spark, sf_dir):
+    """Draining the stateful LSH stream yields exactly the batch
+    operator's near-dup pair set — regardless of micro-batch split
+    (maxFilesPerTrigger forces multiple batches on multi-file input)."""
+    from sea_serpent_spark.operators import dedup as D
+    from sea_serpent_spark.streaming.dedup import streaming_minhash_pairs
+    from sea_serpent_spark.streaming.events import (
+        read_documents_stream,
+        run_to_memory,
+    )
+
+    stream = streaming_minhash_pairs(
+        read_documents_stream(spark, sf_dir), jaccard_threshold=0.5
+    )
+    drained = run_to_memory(stream, "t_sminhash", spark, mode="update")
+    got = {
+        (r.id_a, r.id_b)
+        for r in drained.dropDuplicates(["id_a", "id_b"]).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    assert got == batch and len(batch) > 0
