@@ -287,6 +287,117 @@ def ivf_topk(
     )
 
 
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 5,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Distributed spherical k-means (Lloyd's) — the IVF coarse-quantizer
+    trainer. Returns ``k`` unit-norm centroids.
+
+    Iterative algorithm on DataFrames: per iteration, (1) each vector is
+    assigned to the argmax-cosine centroid via a broadcast literal array
+    (no join, no shuffle for assignment), (2) new centroids are the
+    per-cluster elementwise means — ``posexplode`` + one groupBy over
+    (cluster, dim): k·dim cells shuffle, never vectors. Only the k×dim
+    centroid matrix ever reaches the driver; the corpus is scanned once
+    per iteration. At 100 TB one would sample the fit set (standard
+    practice) — assignment cost is the same either way.
+
+    Empty clusters are re-seeded from the corpus sample, so ``k``
+    centroids always come back."""
+    import random
+
+    samp = [
+        [float(x) for x in r[vec_col]]
+        for r in df.select(vec_col)
+        .where(F.size(vec_col) > 0)
+        .limit(max(k * 20, 100))
+        .collect()
+    ]
+    if len(samp) < k:
+        raise ValueError(f"need at least {k} vectors to fit {k} centroids")
+    rng = random.Random(seed)
+    cents = rng.sample(samp, k)
+
+    def _unit(v):
+        n = sum(x * x for x in v) ** 0.5 or 1.0
+        return [x / n for x in v]
+
+    cents = [_unit(c) for c in cents]
+    for _ in range(iters):
+        cent_lits = [
+            F.array(*[F.lit(float(x)) for x in c]) for c in cents
+        ]
+        scores = F.array(
+            *[
+                F.struct(
+                    (dot(F.col("__v"), cl) / F.greatest(norm(F.col("__v")),
+                                                        F.lit(1e-12))
+                     ).alias("s"),
+                    F.lit(i).alias("i"),
+                )
+                for i, cl in enumerate(cent_lits)
+            ]
+        )
+        assigned = (
+            fan_out(df.select(F.col(vec_col).alias("__v")))
+            .where(F.size("__v") > 0)
+            .select("__v", F.array_max(scores).getField("i").alias("__c"))
+        )
+        sums = (
+            assigned.select(
+                "__c", F.posexplode("__v").alias("__p", "__x")
+            )
+            .groupBy("__c", "__p")
+            .agg(F.avg("__x").alias("__m"))
+            .groupBy("__c")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__p", "__m"))
+                    ),
+                    lambda s: s.getField("__m"),
+                ).alias("__cent")
+            )
+            .collect()
+        )
+        new = {int(r["__c"]): [float(x) for x in r["__cent"]] for r in sums}
+        cents = [
+            _unit(new[i]) if i in new else _unit(rng.choice(samp))
+            for i in range(k)
+        ]
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+) -> DataFrame:
+    """Attach the argmax-cosine centroid index as ``cluster_col`` — the
+    IVF list assignment, a pure broadcast-literal expression (no
+    shuffle)."""
+    scores = F.array(
+        *[
+            F.struct(
+                (
+                    dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+                    / F.greatest(norm(F.col(vec_col)), F.lit(1e-12))
+                ).alias("s"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return df.withColumn(
+        cluster_col, F.array_max(scores).getField("i")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.45,

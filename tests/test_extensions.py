@@ -241,3 +241,45 @@ def test_profile_single_pass(spark, sf_dir):
     plan = p._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Scan parquet") == 1
+
+
+def test_kmeans_ivf_end_to_end(spark):
+    """Learned IVF: k-means recovers the synthetic cluster structure and
+    ivf_topk over the learned labels matches brute force for
+    within-cluster neighbors."""
+    import numpy as np
+
+    from sea_serpent_spark.operators import similarity as S
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for c in range(4):
+        center = rng.standard_normal(16)
+        center /= np.linalg.norm(center)
+        for j in range(25):
+            v = center + 0.05 * rng.standard_normal(16)
+            rows.append((c * 100 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    cents = S.kmeans_fit(df, k=4, iters=4, seed=3)
+    assert len(cents) == 4 and all(len(c) == 16 for c in cents)
+    lab = S.ivf_assign(df, cents)
+    # every synthetic cluster maps to exactly one learned cluster
+    purity = (
+        lab.withColumn("truth", (F.col("vec_id") / 100).cast("int"))
+        .groupBy("truth")
+        .agg(F.countDistinct("label").alias("nl"))
+        .agg(F.max("nl"))
+        .collect()[0][0]
+    )
+    assert purity == 1
+    q = lab.where(F.col("vec_id") % 100 == 0)
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(lab, q, k=3).collect()
+    }
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(df, q, k=3).collect()
+    }
+    assert ivf == brute
