@@ -210,6 +210,31 @@ class Column:
     def mean(self):
         return self.table.df.agg(F.avg(self.name)).collect()[0][0]
 
+    def quantile(self, q: float | list[float] = 0.5, accuracy: int = 10000):
+        """Approximate quantile(s) via the Greenwald-Khanna sketch
+        (``percentile_approx`` — bounded memory, one pass; an exact
+        percentile needs a full sort). Scalar in → scalar out."""
+        qs = [q] if isinstance(q, (int, float)) else list(q)
+        row = self.table.df.agg(
+            F.percentile_approx(self.name, qs, accuracy).alias("q")
+        ).collect()[0]["q"]
+        return row[0] if isinstance(q, (int, float)) else list(row)
+
+    def median(self, accuracy: int = 10000):
+        return self.quantile(0.5, accuracy)
+
+    def fillna(self, value) -> SparkColumn:
+        """NULL-replaced expression (pandas Series.fillna analogue);
+        compose with select/assignment. Empty-string≡NULL duality applies
+        to string columns (the reference's download sanitizer,
+        utils.py:177-182)."""
+        expr = self.expr
+        if self._is_string():
+            expr = F.when(expr == "", None).otherwise(expr)
+        return F.coalesce(
+            expr, F.lit(value).cast(self.table.df.schema[self.name].dataType)
+        ).alias(self.name)
+
     # -- scalar transforms (base.py:1861-1880, 2052-2069) ------------------
     def astype(self, dtype: str, errors: str = "raise") -> SparkColumn:
         """Cast; ``errors='ignore'`` maps to try_cast (NULL on failure)."""

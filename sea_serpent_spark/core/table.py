@@ -334,6 +334,90 @@ class Table:
     def distinct(self) -> "Table":
         return self._derive(self.df.distinct())
 
+    def merge(
+        self,
+        other: "Table",
+        on: str | Sequence[str] | None = None,
+        left_on: str | Sequence[str] | None = None,
+        right_on: str | Sequence[str] | None = None,
+        how: str = "inner",
+        suffixes: tuple[str, str] = ("", "_y"),
+        broadcast: bool | None = None,
+    ) -> "Table":
+        """pandas-style relational merge (the general equi-join the
+        reference only exposes through links). Overlapping non-key right
+        columns take ``suffixes[1]``. ``broadcast=True`` forces a
+        broadcast hash join (dimension-sized right side); default leaves
+        the strategy to Catalyst/AQE."""
+        odf = other.df if isinstance(other, Table) else other
+        ldf = self.df
+        if on is not None:
+            keys = [on] if isinstance(on, str) else list(on)
+            lkeys = rkeys = keys
+        else:
+            if left_on is None or right_on is None:
+                raise ValueError("pass either on= or both left_on=/right_on=")
+            lkeys = [left_on] if isinstance(left_on, str) else list(left_on)
+            rkeys = [right_on] if isinstance(right_on, str) else list(right_on)
+        dup = [
+            c for c in odf.columns if c in ldf.columns and c not in rkeys
+        ]
+        for c in dup:
+            if suffixes[0]:
+                ldf = ldf.withColumnRenamed(c, f"{c}{suffixes[0]}")
+            odf = odf.withColumnRenamed(c, f"{c}{suffixes[1]}")
+        right = F.broadcast(odf) if broadcast else odf
+        if on is not None:
+            out = ldf.join(right, on=lkeys, how=how)
+        else:
+            cond = None
+            for lk, rk in zip(lkeys, rkeys):
+                c = ldf[lk] == right[rk]
+                cond = c if cond is None else (cond & c)
+            out = ldf.join(right, on=cond, how=how)
+        return Table(out, name=self.name, spark=self.spark)
+
+    def dropna(self, subset: Sequence[str] | None = None,
+               how: str = "any") -> "Table":
+        """Drop rows with NULLs (pandas semantics); string columns also
+        treat ``''`` as missing (empty-string duality)."""
+        cols = list(subset) if subset is not None else list(self.df.columns)
+        from pyspark.sql.types import StringType
+
+        checks = []
+        for c in cols:
+            chk = F.col(c).isNull()
+            if isinstance(self.df.schema[c].dataType, StringType):
+                chk = chk | (F.col(c) == "")
+            checks.append(chk)
+        import functools
+        import operator
+
+        if how == "any":
+            drop = functools.reduce(operator.or_, checks)
+        elif how == "all":
+            drop = functools.reduce(operator.and_, checks)
+        else:
+            raise ValueError(f"how must be 'any' or 'all', got {how!r}")
+        return self._derive(self.df.where(~drop))
+
+    def fillna(self, value, subset: Sequence[str] | None = None) -> "Table":
+        """Replace NULLs (and ``''`` in string columns) with ``value``."""
+        from pyspark.sql.types import StringType
+
+        cols = list(subset) if subset is not None else list(self.df.columns)
+        out = self.df
+        for c in cols:
+            expr = F.col(c)
+            if isinstance(out.schema[c].dataType, StringType):
+                expr = F.when(expr == "", None).otherwise(expr)
+            try:
+                lit = F.lit(value).cast(out.schema[c].dataType)
+            except Exception:
+                continue
+            out = out.withColumn(c, F.coalesce(expr, lit))
+        return self._derive(out)
+
     def slice(self, start, stop, step=None) -> "Table":
         """Positional slice via row_number window (base.py:2546-2567's
         ``LIMIT start, count`` + client-side step).

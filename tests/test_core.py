@@ -261,3 +261,39 @@ def test_describe_and_sample(lineitem):
     s = lineitem.sample(0.1, seed=7)
     n = len(s)
     assert 300 < n < 900  # ~600 expected
+
+
+def test_merge_pandas_style(spark, sf_dir):
+    o = Table.from_parquet(f"{sf_dir}/orders.parquet", "orders", spark)
+    c = Table.from_parquet(f"{sf_dir}/customer.parquet", "customer", spark)
+    m = o.merge(c, left_on="o_custkey", right_on="c_custkey", how="left",
+                broadcast=True)
+    assert m.count() == o.count()
+    assert "c_name" in m.columns
+    inner = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    assert inner.count() <= o.count()
+    # suffix handling on overlapping columns
+    o2 = o.merge(o, on="o_orderkey")
+    assert "o_totalprice_y" in o2.columns
+
+
+def test_dropna_fillna_empty_str_duality(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "", 2.0), (3, None, None)], ["k", "s", "v"]
+    )
+    t = Table(df, "tna", spark)
+    assert t.dropna().count() == 1            # '' counts as missing
+    assert t.dropna(subset=["v"]).count() == 2
+    assert t.dropna(how="all").count() == 3   # no all-missing row
+    filled = t.fillna("x", subset=["s"])
+    got = {r.k: r.s for r in filled.df.collect()}
+    assert got == {1: "a", 2: "x", 3: "x"}
+
+
+def test_column_quantile_median_fillna(lineitem):
+    med = lineitem.l_quantity.median()
+    lo, hi = lineitem.l_quantity.quantile([0.1, 0.9])
+    assert lo <= med <= hi
+    assert 1.0 <= med <= 50.0
+    filled = lineitem.df.select(lineitem.l_comment.fillna("?")) \
+        if "l_comment" in lineitem.columns else None
