@@ -47,6 +47,25 @@ def token_count(col: Column) -> Column:
     )
 
 
+#: BPE-ish pre-tokenizer classes: letter runs, digit runs, or single
+#: non-alnum symbols — the split a byte-pair tokenizer applies before
+#: merges, so counts track real LLM token counts far better than
+#: whitespace (contractions, punctuation, numbers each count).
+BPE_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """array<string> of BPE-style pre-tokens of the lowercased text."""
+    return F.regexp_extract_all(F.lower(col), F.lit(BPE_TOKEN_RE), 0)
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Token count under the BPE-ish regex (empty text → 0) — the
+    training-data budgeting metric; whitespace counting undercounts
+    punctuation-heavy and code-like text badly."""
+    return F.size(bpe_tokens(col))
+
+
 def char_count(col: Column) -> Column:
     return F.length(col)
 
@@ -122,6 +141,7 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
         "*",
         char_count(c).alias("n_chars_computed"),
         token_count(c).alias("n_tokens"),
+        bpe_token_count(c).alias("n_tokens_bpe"),
         F.round(punct_ratio(c), 4).alias("punct_ratio"),
         F.round(stopword_ratio(c), 4).alias("stopword_ratio"),
         quality_score(c).alias("quality"),

@@ -283,3 +283,24 @@ def test_kmeans_ivf_end_to_end(spark):
         for r in S.brute_force_topk(df, q, k=3).collect()
     }
     assert ivf == brute
+
+
+def test_bpe_token_count(spark):
+    rows = [
+        (1, "don't stop—counting 123 tokens!"),
+        (2, "plain words here"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.ws, r.bpe)
+        for r in df.select(
+            "doc_id",
+            X.token_count(F.col("text")).alias("ws"),
+            X.bpe_token_count(F.col("text")).alias("bpe"),
+        ).collect()
+    }
+    # don ' t stop — counting 123 tokens !  => 9 BPE vs 4 whitespace
+    assert out[1] == (4, 9)
+    assert out[2] == (3, 3)
+    assert out[3][1] == 0
