@@ -205,24 +205,40 @@ def q16_rollup_aggs(spark, sf_dir):
     (base.py:775-806, summary_method split :805-806). One shuffle serves
     every aggregate — map-side partial agg applies to all of them.
 
-    avg uses round_half_up (operators/text.py): Spark ROUND(AVG(double))
-    and DuckDB ROUND disagree at x.xx5 representation boundaries (11/1500
-    rows at sf0.01), floor(x*100+0.5)/100 is bit-identical in both."""
-    from .operators.text import round_half_up
-
+    sum/avg are computed in the integer-cents domain: o_totalprice has 2
+    decimals, so ROUND(price*100) AS BIGINT is lossless, and half-up avg
+    becomes pure integer math floor((2*sum_cents + n) / (2*n)). Any
+    post-hoc rounding of a float AVG flips at IEEE ulp boundaries
+    (partial-agg order differs between Spark and DuckDB — e.g.
+    888598.53/6 = 148099.755 exactly at the half-cent boundary); integer
+    cents is bit-exact by construction. Divide by 100.0 only for display:
+    identical integers yield identical doubles on both engines."""
     c = df(spark, sf_dir, "customer")
     o = df(spark, sf_dir, "orders")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "inner")
+        .withColumn(
+            "cents", F.round(F.col("o_totalprice") * 100).cast("long")
+        )
         .groupBy("c_custkey")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
-            round_half_up(F.avg("o_totalprice"), 2).alias("avg_total"),
+            F.sum("cents").alias("sum_cents"),
+            F.count("cents").alias("n"),
             F.concat_ws(
                 ",", F.array_sort(F.collect_list("o_orderpriority"))
             ).alias("priorities"),
             F.min("o_orderdate").alias("first_date"),
             F.max("o_orderdate").alias("last_date"),
+        )
+        .select(
+            "c_custkey",
+            (F.col("sum_cents") / 100.0).alias("sum_total"),
+            (
+                F.expr("(2 * sum_cents + n) div (2 * n)") / 100.0
+            ).alias("avg_total"),
+            "priorities",
+            "first_date",
+            "last_date",
         )
     )
 
@@ -486,9 +502,12 @@ ORACLES: dict[str, str] = {
         "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey"
     ),
     "q16_rollup_aggs": (
-        "SELECT c_custkey, ROUND(SUM(o_totalprice), 2) AS sum_total, "
-        "FLOOR(AVG(o_totalprice) * 100 + CAST(0.5 AS DOUBLE)) / 100 "
-        "AS avg_total, "
+        # integer-cents on both sides: bit-exact, no float-rounding boundary
+        "SELECT c_custkey, "
+        "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 "
+        "AS sum_total, "
+        "((2 * SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) + COUNT(*)) "
+        "// (2 * COUNT(*))) / 100.0 AS avg_total, "
         "string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) "
         "AS priorities, "
         "MIN(o_orderdate) AS first_date, MAX(o_orderdate) AS last_date "

@@ -61,19 +61,27 @@ def q05_empty_str_null(spark, sf_dir):
     F2 `alltypes` table through the managed store (full from_frame write
     path, type inference included) and evaluates all four predicate
     variants per row. empty_str only applies to string columns — the
-    numeric column proves the type gate."""
-    import pandas as pd
+    numeric column proves the type gate.
 
+    The fixture is built with an explicit Spark schema and plain Python
+    ``None``s — NOT via pandas extension dtypes through
+    ``createDataFrame(pdf)``: the driver supplies its own SparkSession,
+    and with Arrow disabled (Spark's default) ``pd.NA`` in an ``Int64``
+    column silently becomes NaN-double, corrupting ``num IS NULL``
+    (round-2 driver failure). Tuples + DDL schema are
+    session-config-independent."""
     tmp = tempfile.mkdtemp(prefix="ss_alltypes_")
     base = Base(tmp, spark)
-    pdf = pd.DataFrame(
-        {
-            "k": pd.Series([0, 1, 2, 3, 4, 5], dtype="int64"),
-            "txt": ["alpha", "", None, " ", "beta", ""],
-            "num": pd.Series([1, None, 3, None, 0, 2], dtype="Int64"),
-        }
-    )
-    t = base.from_frame(pdf, "alltypes")
+    rows = [
+        (0, "alpha", 1),
+        (1, "", None),
+        (2, None, 3),
+        (3, " ", None),
+        (4, "beta", 0),
+        (5, "", 2),
+    ]
+    sdf = spark.createDataFrame(rows, schema="k long, txt string, num long")
+    t = base.from_df(sdf, "alltypes")
     return t.df.select(
         "k",
         t.txt.isnull().expr.alias("txt_null_dual"),

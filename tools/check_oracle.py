@@ -35,7 +35,9 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        # full precision: %.6g masked cent-level diffs at ~150k magnitude
+        # (hid the q16 ulp failure for two rounds)
+        return repr(v)
     if isinstance(v, (datetime.datetime,)):
         return v.strftime("%Y-%m-%d %H:%M:%S")
     if isinstance(v, (list, tuple)):
