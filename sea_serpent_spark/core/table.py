@@ -359,9 +359,17 @@ class Table:
                 raise ValueError("pass either on= or both left_on=/right_on=")
             lkeys = [left_on] if isinstance(left_on, str) else list(left_on)
             rkeys = [right_on] if isinstance(right_on, str) else list(right_on)
-        dup = [
-            c for c in odf.columns if c in ldf.columns and c not in rkeys
-        ]
+        if on is not None:
+            # name-joined keys coalesce into one output column — no clash
+            dup = [
+                c for c in odf.columns if c in ldf.columns and c not in rkeys
+            ]
+        else:
+            # condition joins keep BOTH key columns, so a right key that
+            # shares a name with any left column must be suffixed too —
+            # otherwise the output has two identically-named columns
+            # (pandas suffixes these overlaps as well)
+            dup = [c for c in odf.columns if c in ldf.columns]
         for c in dup:
             if suffixes[0]:
                 ldf = ldf.withColumnRenamed(c, f"{c}{suffixes[0]}")
@@ -372,7 +380,9 @@ class Table:
         else:
             cond = None
             for lk, rk in zip(lkeys, rkeys):
-                c = ldf[lk] == right[rk]
+                lk2 = f"{lk}{suffixes[0]}" if lk in dup and suffixes[0] else lk
+                rk2 = f"{rk}{suffixes[1]}" if rk in dup else rk
+                c = ldf[lk2] == right[rk2]
                 cond = c if cond is None else (cond & c)
             out = ldf.join(right, on=cond, how=how)
         return Table(out, name=self.name, spark=self.spark)

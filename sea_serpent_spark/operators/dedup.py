@@ -464,14 +464,21 @@ def minhash_lsh_pairs(
 # n-gram Jaccard (exact, inverted-index join)
 # ---------------------------------------------------------------------------
 
-def _dense_allpairs(groups: DataFrame, threshold: float) -> DataFrame:
+def _dense_allpairs(
+    groups: DataFrame, threshold: float, bcast_members: bool = True
+) -> DataFrame:
     """All-pairs popcount verify over distinct-token-set representatives.
 
     ``groups`` is one cached row per distinct bitmask: (bm, gid, members,
     sz). The rep×rep comparison is a broadcast nested-loop join —
     candidates never shuffle, never duplicate, and the verify is a few
-    AND+popcounts per pair in whole-stage codegen. Member expansion joins
-    are broadcasts of the (tiny) group table."""
+    AND+popcounts per pair in whole-stage codegen. The reps table is
+    bounded by ``allpairs_rep_cap`` (≤8192 rows) so broadcasting it is
+    always safe; the member-expansion table has one row per DOCUMENT, not
+    per representative, so its broadcast is gated by ``bcast_members``
+    (the same ``_verify_gate`` size check every other expansion path
+    uses) — a dense corpus with billions of docs must shuffle the
+    expansion, not broadcast it."""
     spark = groups.sparkSession
     k = spark.sparkContext.defaultParallelism
     reps = groups.select("gid", "sz", "bm")
@@ -500,11 +507,13 @@ def _dense_allpairs(groups: DataFrame, threshold: float) -> DataFrame:
         .where(F.col("jaccard") >= threshold)
     )
     mem = groups.select("gid", F.explode("members").alias("id"))
-    ma = F.broadcast(
-        mem.select(F.col("gid").alias("id_a"), F.col("id").alias("m_a"))
+    ma = _maybe_broadcast(
+        mem.select(F.col("gid").alias("id_a"), F.col("id").alias("m_a")),
+        bcast_members,
     )
-    mb = F.broadcast(
-        mem.select(F.col("gid").alias("id_b"), F.col("id").alias("m_b"))
+    mb = _maybe_broadcast(
+        mem.select(F.col("gid").alias("id_b"), F.col("id").alias("m_b")),
+        bcast_members,
     )
     inter_group = gpairs.join(ma, "id_a").join(mb, "id_b").select(
         F.least("m_a", "m_b").alias("id_a"),
@@ -625,7 +634,11 @@ def ngram_jaccard_pairs(
         )
         n_reps = groups.count()
         if n_reps <= allpairs_rep_cap:
-            return _dense_allpairs(groups, threshold)
+            return _dense_allpairs(
+                groups,
+                threshold,
+                bcast_members=_verify_gate(df, broadcast_verify, broadcast_cap),
+            )
 
     # Materialize eagerly: the verify broadcasts below are built on the
     # driver's broadcast threads when the consuming job starts — without

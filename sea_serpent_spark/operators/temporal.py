@@ -128,8 +128,11 @@ def range_join(
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     step = F.expr(f"INTERVAL {bin_width}")
     p_bin = F.window(F.col(point_col), bin_width).getField("start")
-    pts = points.withColumn("__bin", p_bin)
-    iv = intervals.withColumn(
+    # degenerate (end <= start) or NULL-bounded intervals match nothing
+    # under start <= point < end; drop them BEFORE exploding — otherwise
+    # sequence(start_bin, end_bin) has stop < start with a positive step
+    # and throws 'Illegal sequence boundaries' at runtime
+    iv = intervals.where(F.col(end_col) > F.col(start_col)).withColumn(
         "__bin",
         F.explode(
             F.sequence(
@@ -148,16 +151,21 @@ def range_join(
         F.col(point_col) < F.col(end_col)
     )
     if how == "inner":
+        pts = points.withColumn("__bin", p_bin)
         return pts.join(iv, "__bin").where(exact).drop("__bin")
+    # left: anti-join on a surrogate row id, not the point columns —
+    # NULL = NULL is never true, so a matched row containing a NULL
+    # attribute would survive a column-wise anti-join and be re-emitted
+    # NULL-padded (and duplicate point rows would collapse)
+    pts = points.withColumn(
+        "__pid", F.monotonically_increasing_id()
+    ).withColumn("__bin", p_bin)
     matched = pts.join(iv, "__bin").where(exact).drop("__bin")
-    iv_cols = [c for c in intervals.columns]
     unmatched = pts.drop("__bin").join(
-        matched.select(*points.columns).distinct(),
-        on=points.columns,
-        how="left_anti",
+        matched.select("__pid").distinct(), on="__pid", how="left_anti"
     )
-    for c in iv_cols:
+    for c in intervals.columns:
         unmatched = unmatched.withColumn(
             c, F.lit(None).cast(intervals.schema[c].dataType)
         )
-    return matched.unionByName(unmatched)
+    return matched.unionByName(unmatched).drop("__pid")

@@ -32,7 +32,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     TIMESTAMP(MICROS): resolve the actual schema with a footer-only batch
     read of the same path, then convert whichever ``ts`` encoding arrived
     to a TIMESTAMP.  ``sf_dir`` must be a directory (FileStreamSource
-    requirement); the glob filter selects the events file(s) within it."""
+    requirement); the glob filter selects the events file(s) within it.
+
+    The nanosAsLong conf is (re)set before the schema probe: on a
+    driver-created session without it, a TIMESTAMP(NANOS) events file
+    fails the footer schema read itself — the LongType dispatch below
+    never gets a chance."""
+    from ..workload import ensure_nanos_readable
+
+    ensure_nanos_readable(spark)
     schema = (
         spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
     )

@@ -40,6 +40,19 @@ _ORDER_COLS = {
 }
 
 
+def ensure_nanos_readable(spark: SparkSession) -> None:
+    """Set ``spark.sql.legacy.parquet.nanosAsLong`` so a TIMESTAMP(NANOS)
+    parquet column resolves (as raw int64) instead of failing the footer
+    schema read. The driver supplies its own SparkSession — nothing from
+    ``session.py`` is guaranteed — and ``events.ts`` has shipped as NANOS
+    before; the conf is a no-op for MICROS files, so it is always safe."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf locked down (e.g. Spark Connect policy) — the
+        # schema dispatch below still works for MICROS files
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> Table:
     """Open one driver parquet table as an engine Table.
 
@@ -51,6 +64,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> Table:
     if name == "events":
         from pyspark.sql.types import LongType
 
+        ensure_nanos_readable(spark)
         d = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(d.schema["ts"].dataType, LongType):
             ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))

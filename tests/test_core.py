@@ -277,6 +277,24 @@ def test_merge_pandas_style(spark, sf_dir):
     assert "o_totalprice_y" in o2.columns
 
 
+def test_merge_condition_join_key_collision(spark):
+    """left_on/right_on where the right key shares a name with a left
+    column: the right key must be suffixed (condition joins keep both
+    key columns), leaving no ambiguous duplicate names."""
+    l = Table(
+        spark.createDataFrame([(1, "x"), (2, "y")], ["k", "lv"]), "l", spark
+    )
+    r = Table(
+        spark.createDataFrame([(1, "A"), (3, "B")], ["k", "rv"]), "r", spark
+    )
+    m = l.merge(r, left_on="k", right_on="k", how="left")
+    assert sorted(m.columns) == ["k", "k_y", "lv", "rv"]
+    got = {r2["k"]: (r2["k_y"], r2["rv"]) for r2 in m.df.collect()}
+    assert got == {1: (1, "A"), 2: (None, None)}
+    # every column individually selectable (no ambiguity)
+    m.df.select("k", "k_y").collect()
+
+
 def test_dropna_fillna_empty_str_duality(spark):
     df = spark.createDataFrame(
         [(1, "a", 1.0), (2, "", 2.0), (3, None, None)], ["k", "s", "v"]

@@ -119,6 +119,66 @@ def test_range_join_left_keeps_unmatched(spark, events):
     assert out.where(F.col("win").isNotNull()).count() > 0
 
 
+def test_range_join_degenerate_intervals(spark):
+    """Zero-length / inverted / NULL-bounded intervals match nothing under
+    start <= point < end — they must contribute zero rows, not throw
+    'Illegal sequence boundaries' from the bin explode."""
+    pts = spark.createDataFrame(
+        [(1, "2024-01-01 10:30:00")], "pid long, ts string"
+    ).select("pid", F.col("ts").cast("timestamp").alias("ts"))
+    iv = spark.createDataFrame(
+        [
+            # zero-length, end ON a bin boundary (the sequence-crash case)
+            ("z", "2024-01-01 10:00:00", "2024-01-01 10:00:00"),
+            # inverted
+            ("inv", "2024-01-01 12:00:00", "2024-01-01 09:00:00"),
+            # NULL end
+            ("nul", "2024-01-01 09:00:00", None),
+            # a real match
+            ("ok", "2024-01-01 10:00:00", "2024-01-01 11:00:00"),
+        ],
+        "win string, start string, end string",
+    ).select(
+        "win",
+        F.col("start").cast("timestamp").alias("start"),
+        F.col("end").cast("timestamp").alias("end"),
+    )
+    got = range_join(pts, iv, "ts", "start", "end", bin_width="1 hour")
+    assert [r["win"] for r in got.collect()] == ["ok"]
+    # left join: the point survives exactly once even though three
+    # intervals are degenerate
+    left = range_join(pts, iv, "ts", "start", "end", bin_width="1 hour",
+                      how="left")
+    assert left.count() == 1
+
+
+def test_range_join_left_null_point_attrs(spark):
+    """how='left' must not re-emit matched points that carry a NULL
+    attribute (NULL = NULL is never true in a column-wise anti-join) and
+    must keep duplicate point rows distinct."""
+    pts = spark.createDataFrame(
+        [
+            (1, None, "2024-01-01 10:30:00"),   # matches, NULL attr
+            (2, "a", "2024-01-01 23:00:00"),    # no match
+            (3, "b", "2024-01-01 10:15:00"),    # matches
+            (3, "b", "2024-01-01 10:15:00"),    # duplicate row, matches
+        ],
+        "pid long, tag string, ts string",
+    ).select("pid", "tag", F.col("ts").cast("timestamp").alias("ts"))
+    iv = spark.createDataFrame(
+        [("w0", "2024-01-01 10:00:00", "2024-01-01 11:00:00")],
+        "win string, start string, end string",
+    ).select(
+        "win",
+        F.col("start").cast("timestamp").alias("start"),
+        F.col("end").cast("timestamp").alias("end"),
+    )
+    out = range_join(pts, iv, "ts", "start", "end", how="left").collect()
+    assert len(out) == 4  # 3 matched + 1 unmatched, no NULL-padded dupes
+    by_pid = sorted((r["pid"], r["win"]) for r in out)
+    assert by_pid == [(1, "w0"), (2, None), (3, "w0"), (3, "w0")]
+
+
 def test_asof_join_no_python_in_plan(spark, events):
     ev = events.select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
     snap = events.select(
