@@ -554,6 +554,7 @@ class Base:
             meta_cols[str(c)] = {"type": st, **m}
             if isinstance(pdf[c].dtype, pd.CategoricalDtype):
                 pdf[c] = pdf[c].astype(str).where(pdf[c].notna(), None)
+        pdf = _arrow_safe_pdf(pdf)
         pdf.insert(0, "_seq", range(len(pdf)))
         pdf.insert(0, "_id", [_row_id(i) for i in range(len(pdf))])
         sdf = self.spark.createDataFrame(pdf)
@@ -1076,7 +1077,9 @@ class Base:
         elif isinstance(other, DataFrame):
             odf = other
         elif isinstance(other, pd.DataFrame):
-            odf = self.spark.createDataFrame(other)
+            odf = self.spark.createDataFrame(
+                _arrow_safe_pdf(other.reset_index(drop=True).copy())
+            )
         else:
             raise TypeError(f"cannot append {type(other)}")
         common = [
@@ -1309,6 +1312,26 @@ class Base:
 
 def _row_id(i: int) -> str:
     return f"r{i:08d}"
+
+
+def _arrow_safe_pdf(pdf):
+    """Convert pandas nullable extension columns (Int64/boolean/string/
+    Float64…) to object-with-``None`` so ``createDataFrame`` round-trips
+    NULLs identically whether or not the session has Arrow enabled.
+
+    On the non-Arrow path ``pd.NA`` silently becomes a NaN double —
+    ``IS NULL`` turns false and integer columns arrive as doubles (the
+    round-2 driver q05 failure mode). Callers own ``pdf`` (already
+    copied)."""
+    import pandas as pd
+
+    for c in pdf.columns:
+        dt = pdf[c].dtype
+        if pd.api.types.is_extension_array_dtype(dt) and not isinstance(
+            dt, pd.CategoricalDtype
+        ):
+            pdf[c] = pdf[c].astype(object).where(pdf[c].notna(), None)
+    return pdf
 
 
 def _with_keys(meta_cols: dict) -> dict:

@@ -50,11 +50,32 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
         .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
-    if isinstance(schema["ts"].dataType, T.LongType):
-        ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    else:
-        ts = F.col("ts").cast("timestamp")
-    return raw.withColumn("ts", ts)
+    # Event time must be TIMESTAMP (LTZ) — watermarks reject NTZ. Build
+    # the LTZ from epoch micros so its instant EQUALS the data's naive-UTC
+    # wall time regardless of session timezone (``cast("timestamp")`` on
+    # NTZ would interpret values in the session zone instead); window
+    # boundaries convert back to NTZ on output (`_ntz_out`).
+    from ..workload import epoch_us_from_ntz
+
+    dt = schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        us = (F.col("ts") / 1000).cast("long")
+    elif isinstance(dt, T.TimestampNTZType):
+        us = epoch_us_from_ntz(F.col("ts"))
+    else:  # already TIMESTAMP (LTZ)
+        us = F.unix_micros(F.col("ts"))
+    return raw.withColumn("ts", F.timestamp_micros(us))
+
+
+def _ntz_out(events: DataFrame, col) -> "F.Column":
+    """Convert a window-boundary column back to UTC-naive NTZ, session-TZ
+    independently. When the input frame's ``ts`` is already NTZ (the
+    batch-parity path) the boundary is NTZ too — returned as-is."""
+    from ..workload import ntz_from_epoch_us
+
+    if isinstance(events.schema["ts"].dataType, T.TimestampNTZType):
+        return col
+    return ntz_from_epoch_us(F.unix_micros(col))
 
 
 def tumbling_counts(
@@ -71,7 +92,7 @@ def tumbling_counts(
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
         .select(
-            F.col("w.start").alias("window_start"),
+            _ntz_out(events, F.col("w.start")).alias("window_start"),
             "event_type",
             "n",
             "sum_value",
@@ -89,7 +110,11 @@ def sliding_counts(
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .select(
+            _ntz_out(events, F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+        )
     )
 
 
@@ -110,8 +135,8 @@ def session_counts(
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
         .select(
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
+            _ntz_out(events, F.col("w.start")).alias("session_start"),
+            _ntz_out(events, F.col("w.end")).alias("session_end"),
             "user_id",
             "n_events",
             "sum_value",

@@ -145,16 +145,16 @@ def q40_ann_brute_topk(spark, sf_dir):
     return S.brute_force_topk(e, q, k=5)
 
 
-def q41_ann_lsh_topk(spark, sf_dir):
+def q41_ann_bucketed_topk(spark, sf_dir):
+    """Both bucketed ANN candidate-generation shapes — signed-random-
+    projection LSH and IVF coarse partitions — in ONE oracle row (tagged
+    union), freeing a driver slot for the temporal joins while keeping
+    each operator independently hash-checked."""
     e = df(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 20)
-    return S.lsh_topk(e, q, k=3, nbits=8)
-
-
-def q42_ann_ivf_topk(spark, sf_dir):
-    e = df(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") < 20)
-    return S.ivf_topk(e, q, k=3)
+    lsh = S.lsh_topk(e, q, k=3, nbits=8).withColumn("method", F.lit("lsh"))
+    ivf = S.ivf_topk(e, q, k=3).withColumn("method", F.lit("ivf"))
+    return lsh.unionByName(ivf)
 
 
 def q43_embedding_near_dup(spark, sf_dir):
@@ -176,9 +176,12 @@ def q44_sessionize(spark, sf_dir):
     of streaming/F.session_window (lag + cumulative-sum pattern)."""
     e = df(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # integer microseconds (session tz = UTC) — exact gap arithmetic that
-    # matches DuckDB's epoch_us() with no float truncation hazards
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    # integer microseconds via pure NTZ wall-clock arithmetic — exact, and
+    # independent of the session timezone (unix_micros(cast LTZ) would
+    # shift by the zone offset and distort gaps across DST transitions)
+    from .workload import epoch_us_from_ntz
+
+    us = epoch_us_from_ntz(F.col("ts"))
     gap = us - F.lag(us).over(w)
     new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     sess = e.withColumn(
@@ -191,6 +194,53 @@ def q44_sessionize(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# temporal joins (operators/temporal.py — beyond-reference §2.4)
+# ---------------------------------------------------------------------------
+
+def q58_asof_join(spark, sf_dir):
+    """As-of join: each event enriched with the latest at-or-before
+    purchase snapshot of the same user (union+carry-forward plan — ONE
+    shuffle on the by-key). Snapshots are deduped to one row per
+    (user, ts) so the match is a total order and the ANSI correlated
+    row_number oracle is deterministic."""
+    from .operators.temporal import asof_join
+
+    e = df(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    snap = (
+        df(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("snap_ts"))
+        .agg(F.max("value").alias("snap_value"))
+    )
+    out = asof_join(e, snap, on="ts", by="user_id", right_on="snap_ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("snap_ts_r").alias("snap_ts"),
+        F.col("snap_value_r").alias("snap_value"),
+    )
+
+
+def q59_range_join(spark, sf_dir):
+    """Interval-containment range join via coarse-bin equi-join: every
+    event against each user's first-24h activity window. Candidate volume
+    is |intervals|·(span/bin) + |points| — never the |points|·|intervals|
+    broadcast-nested-loop a bare range predicate plans."""
+    from .operators.temporal import range_join
+
+    e = df(spark, sf_dir, "events")
+    pts = e.select("event_id", "ts")
+    iv = e.groupBy("user_id").agg(
+        F.min("ts").alias("win_start"),
+        (F.min("ts") + F.expr("INTERVAL 1 DAY")).alias("win_end"),
+    )
+    out = range_join(pts, iv, "ts", "win_start", "win_end",
+                     bin_width="6 hours")
+    return out.select("event_id", "user_id", "win_start")
 
 
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -279,34 +329,56 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
                        ORDER BY cos DESC, neighbor_id ASC) AS rank
   FROM scored) WHERE rank <= 5
 """,
-    "q41_ann_lsh_topk": f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
-           {_bucket_sql('embedding')} AS bucket FROM embeddings
-           WHERE vec_id < 20),
-c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
-      {_bucket_sql('embedding')} AS bucket FROM embeddings),
-scored AS (
-  SELECT query_id, neighbor_id, {COS_SQL} AS cos
-  FROM c JOIN q USING (bucket) WHERE neighbor_id != query_id)
-SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
-  SELECT query_id, neighbor_id,
-    ROW_NUMBER() OVER (PARTITION BY query_id
-                       ORDER BY cos DESC, neighbor_id ASC) AS rank
-  FROM scored) WHERE rank <= 3
+    "q41_ann_bucketed_topk": f"""
+WITH lsh AS (
+  WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+             {_bucket_sql('embedding')} AS bucket FROM embeddings
+             WHERE vec_id < 20),
+  c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+        {_bucket_sql('embedding')} AS bucket FROM embeddings),
+  scored AS (
+    SELECT query_id, neighbor_id, {COS_SQL} AS cos
+    FROM c JOIN q USING (bucket) WHERE neighbor_id != query_id)
+  SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM scored) WHERE rank <= 3),
+ivf AS (
+  WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS cl
+             FROM embeddings WHERE vec_id < 20),
+  c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS cl
+        FROM embeddings),
+  scored AS (
+    SELECT query_id, neighbor_id, {COS_SQL} AS cos
+    FROM c JOIN q USING (cl) WHERE neighbor_id != query_id)
+  SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM scored) WHERE rank <= 3)
+SELECT 'lsh' AS method, * FROM lsh
+UNION ALL SELECT 'ivf' AS method, * FROM ivf
 """,
-    "q42_ann_ivf_topk": f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS cl
-           FROM embeddings WHERE vec_id < 20),
-c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS cl
-      FROM embeddings),
-scored AS (
-  SELECT query_id, neighbor_id, {COS_SQL} AS cos
-  FROM c JOIN q USING (cl) WHERE neighbor_id != query_id)
-SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
-  SELECT query_id, neighbor_id,
-    ROW_NUMBER() OVER (PARTITION BY query_id
-                       ORDER BY cos DESC, neighbor_id ASC) AS rank
-  FROM scored) WHERE rank <= 3
+    "q58_asof_join": """
+WITH snap AS (
+  SELECT user_id, ts AS snap_ts, MAX(value) AS snap_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+j AS (
+  SELECT e.event_id, e.user_id, e.ts, s.snap_ts, s.snap_value,
+    ROW_NUMBER() OVER (PARTITION BY e.event_id
+                       ORDER BY s.snap_ts DESC) AS rn
+  FROM events e LEFT JOIN snap s
+    ON s.user_id = e.user_id AND s.snap_ts <= e.ts)
+SELECT event_id, user_id, ts, snap_ts, snap_value FROM j WHERE rn = 1
+""",
+    "q59_range_join": """
+WITH iv AS (
+  SELECT user_id, MIN(ts) AS win_start,
+         MIN(ts) + INTERVAL 1 DAY AS win_end
+  FROM events GROUP BY user_id)
+SELECT e.event_id, iv.user_id, iv.win_start
+FROM events e JOIN iv ON iv.win_start <= e.ts AND e.ts < iv.win_end
 """,
     "q43_embedding_near_dup": f"""
 WITH a AS (SELECT vec_id AS id_a, embedding AS qv FROM embeddings),
