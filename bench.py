@@ -56,6 +56,7 @@ def main() -> None:
             pass
 
     times: dict[str, float] = {}
+    warm_times: dict[str, float] = {}
     total = 0.0
     for name, fn in qs.items():
         _quiesce()
@@ -65,15 +66,15 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             if dt > 2.0:
-                # slow queries get a second run and keep the better
-                # time: first-execution JIT/codegen and GC noise
-                # otherwise dominates exactly the queries where the
-                # plan shape matters most
+                # slow queries also get a WARM run (JIT/codegen paid,
+                # plan cached) — reported separately so cold stays the
+                # headline: the round-2 best-of-two silently redefined
+                # the metric and flattered round-over-round comparisons
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
-                dt = min(dt, time.perf_counter() - t0)
+                warm_times[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # a failing query must not hide the rest
             print(f"# bench error {name}: {e}", file=sys.stderr)
             dt = -1.0
@@ -95,14 +96,25 @@ def main() -> None:
         times[name] = round(dt, 3)
         if dt > 0:
             total += dt
-        print(f"# {name}: {dt:.2f}s", file=sys.stderr, flush=True)
+        wnote = (
+            f" (warm {warm_times[name]:.2f}s)" if name in warm_times else ""
+        )
+        print(f"# {name}: {dt:.2f}s{wnote}", file=sys.stderr, flush=True)
+    warm_total = sum(
+        warm_times.get(n, t) for n, t in times.items() if t > 0
+    )
     print(
         json.dumps(
             {
+                # headline value = COLD sum (first-execution times, what a
+                # one-shot pipeline pays); warm re-runs of >2s queries are
+                # reported alongside, never substituted
                 "metric": "workload_total",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": times,
+                "warm_queries": warm_times,
+                "warm_total": round(warm_total, 3),
                 "sf": sf,
             }
         )

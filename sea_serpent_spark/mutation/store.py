@@ -85,11 +85,37 @@ class Base:
             spark = get_spark()
         self.spark = spark
         self.user = user
-        #: number of _id-hash buckets per table — the copy-on-write file
-        #: granularity. A mutation rewrites only the buckets owning
+        #: MAX number of _id-hash buckets per table — the copy-on-write
+        #: file granularity. A mutation rewrites only the buckets owning
         #: changed rows; at cluster scale this is sized so a bucket ≈ a
-        #: healthy parquet file (hundreds of MB).
+        #: healthy parquet file (hundreds of MB). The EFFECTIVE count is
+        #: sized per table at creation (``_sized_buckets``) and recorded
+        #: in its meta: a 25-row dimension gets ONE bucket (one file, one
+        #: write task), not 16 near-empty files per commit.
         self.bucket_count = int(bucket_count)
+
+    #: bucket sizing target at creation: ≈rows for a healthy ~100 MB
+    #: parquet file at typical row widths. Tables below it get one bucket
+    #: — their full rewrite is cheaper than the COW bookkeeping.
+    TARGET_ROWS_PER_BUCKET = 1_000_000
+
+    def _sized_buckets(self, n_rows: int) -> int:
+        import math as _math
+
+        return max(
+            1,
+            min(self.bucket_count,
+                _math.ceil(n_rows / self.TARGET_ROWS_PER_BUCKET)),
+        )
+
+    def _bcount(self, name: str) -> int:
+        """Effective bucket count of a table (recorded at creation;
+        stores written before per-table sizing fall back to the base
+        default, which matches what they were written with)."""
+        try:
+            return int(self.meta(name).get("bucket_count", self.bucket_count))
+        except FileNotFoundError:
+            return self.bucket_count
 
     # ------------------------------------------------------------------
     # paths / log helpers
@@ -132,20 +158,20 @@ class Base:
     # ------------------------------------------------------------------
     # commit
     # ------------------------------------------------------------------
-    def _bucket_expr(self, col: str = "_id"):
+    def _bucket_expr(self, name: str, col: str = "_id"):
         """Bucket of a row id — md5-based so the DRIVER can compute it too
         (``_bucket_of``): point lookups and row-id writes then know which
         bucket files to read without a Spark job. Same portable-hash
         rationale as operators/hashing.py."""
         return F.pmod(
             F.conv(F.substring(F.md5(F.col(col)), 1, 8), 16, 10).cast("long"),
-            F.lit(self.bucket_count),
+            F.lit(self._bcount(name)),
         ).cast("int")
 
-    def _bucket_of(self, row_id: str) -> int:
+    def _bucket_of(self, name: str, row_id: str) -> int:
         """Driver-side twin of ``_bucket_expr`` (bit-identical)."""
         h = int(hashlib.md5(str(row_id).encode()).hexdigest()[:8], 16)
-        return h % self.bucket_count
+        return h % self._bcount(name)
 
     # -- column mapping (Delta column-mapping analogue) -----------------
     def _colmap(self, name: str) -> dict[str, str]:
@@ -238,10 +264,23 @@ class Base:
         v = (max(versions) + 1) if versions else 0
         tdir = self._tdir(name)
         os.makedirs(tdir, exist_ok=True)
+        opdir = os.path.join(tdir, "_oplog")
+        new_oplog_files: list[str] = []
         if oplog is not None:
-            oplog.write.mode("append").parquet(os.path.join(tdir, "_oplog"))
+            # remember which files THIS commit adds: the stats read-back
+            # below then opens only them, not the whole history-sized dir
+            before = (
+                set(os.listdir(opdir)) if os.path.isdir(opdir) else set()
+            )
+            oplog.write.mode("append").parquet(opdir)
+            new_oplog_files = [
+                os.path.join(opdir, f)
+                for f in os.listdir(opdir)
+                if f.endswith(".parquet") and f not in before
+            ]
         prev = self._manifest(name, v - 1) if versions else None
-        bexpr = self._bucket_expr()
+        n_buckets = self._bcount(name)
+        bexpr = self._bucket_expr(name)
         cm = self._colmap(name)
         commit_rel = os.path.join("files", f"c{v:05d}")
         commit_dir = os.path.join(tdir, commit_rel)
@@ -256,7 +295,7 @@ class Base:
                     "_b",
                     *[F.col(c).alias(cm.get(c, c)) for c in src.columns],
                 )
-                .repartition(self.bucket_count, "_b")
+                .repartition(n_buckets, "_b")
                 .write.partitionBy("_b")
                 .mode("overwrite")
                 .parquet(commit_dir)
@@ -279,11 +318,19 @@ class Base:
                 manifest.setdefault(b, []).append(p)
             rewrite = "append"
         elif touched == "oplog" and prev is not None and oplog is not None:
-            opl = self.spark.read.parquet(os.path.join(tdir, "_oplog")).where(
-                F.col("op_id") == v
-            )
+            # read back ONLY this commit's oplog files (listed above) —
+            # the change-diff plan still runs once, and the probe no
+            # longer scans an O(history) directory
+            if new_oplog_files:
+                opl = self.spark.read.parquet(*new_oplog_files).where(
+                    F.col("op_id") == v
+                )
+            else:
+                opl = self.spark.read.parquet(opdir).where(
+                    F.col("op_id") == v
+                )
             stats = (
-                opl.groupBy(self._bucket_expr("row_id").alias("b"))
+                opl.groupBy(self._bucket_expr(name, "row_id").alias("b"))
                 .agg(F.countDistinct("row_id").alias("n"))
                 .collect()
             )
@@ -387,7 +434,7 @@ class Base:
         manifest = self._manifest(name, v)
         if manifest is None:
             return None
-        buckets = sorted({self._bucket_of(r) for r in row_ids})
+        buckets = sorted({self._bucket_of(name, r) for r in row_ids})
         if len(buckets) >= len(manifest):
             return None
         tdir = self._tdir(name)
@@ -531,6 +578,9 @@ class Base:
                     {c: {"type": normalize_type(t)} for c, t in cols}
                 ),
                 "next_key": len(cols),
+                # empty table: rows arrive via append; keep the base cap
+                # so appends spread across buckets as the table grows
+                "bucket_count": self.bucket_count,
             },
         )
         self._commit(name, df, "create", {"columns": names})
@@ -565,6 +615,7 @@ class Base:
                 "columns": _with_keys(meta_cols),
                 "next_seq": len(pdf),
                 "next_key": len(meta_cols),
+                "bucket_count": self._sized_buckets(len(pdf)),
             },
         )
         self._commit(name, sdf, "from_frame", {"rows": len(pdf)})
@@ -636,7 +687,9 @@ class Base:
         )
         return sdf, n, stamped.unpersist
 
-    def from_df(self, df: DataFrame, name: str) -> Table:
+    def from_df(
+        self, df: DataFrame, name: str, buckets: int | None = None
+    ) -> Table:
         """Distributed ingest: register a Spark DataFrame as a managed
         table with NO driver round-trip (the scale path; ``from_frame``
         is the pandas-parity edge). ``_seq`` follows the DataFrame's
@@ -647,7 +700,10 @@ class Base:
         Scale note: ``_seq`` comes from per-partition offset arithmetic
         (``_with_seq``) — no global sort, no single-partition stage; the
         one extra cost is caching the input for the count+write bracket.
-        """
+
+        ``buckets`` overrides the row-count-based COW bucket sizing —
+        set it when the table is expected to grow far past its ingest
+        size (appends keep the creation-time count)."""
         if name in self:
             raise ValueError(f"table {name!r} already exists")
         meta_cols = {
@@ -664,6 +720,9 @@ class Base:
                 "columns": _with_keys(meta_cols),
                 "next_seq": n,
                 "next_key": len(meta_cols),
+                "bucket_count": (
+                    int(buckets) if buckets else self._sized_buckets(n)
+                ),
             },
         )
         try:
@@ -1305,6 +1364,8 @@ class Base:
             # key counter must survive the copy — a fresh counter could
             # re-mint a key still borne by a copied column
             new_meta["next_key"] = src_meta["next_key"]
+        if "bucket_count" in src_meta:
+            new_meta["bucket_count"] = src_meta["bucket_count"]
         self._write_meta(new_name, new_meta)
         self._commit(new_name, df, "copy_table", {"from": src.name})
         return self.table(new_name)

@@ -319,8 +319,11 @@ def test_cow_commit_rewrites_only_touched_buckets(base, spark, sf_dir):
     """File-granular copy-on-write: a 1-row mutation rewrites exactly the
     bucket owning that row; every other bucket file is reused by
     reference in the new version's manifest (r1 verdict §6/§7)."""
+    # explicit buckets=16: the sized default gives this small table ONE
+    # bucket; the COW reuse invariant needs a multi-bucket layout
     t = base.from_df(
-        spark.read.parquet(f"{sf_dir}/orders.parquet"), "orders_cow"
+        spark.read.parquet(f"{sf_dir}/orders.parquet"), "orders_cow",
+        buckets=16,
     )
     m0 = base._manifest("orders_cow", 0)
     assert m0 and len(m0) > 1  # multiple buckets populated
@@ -356,13 +359,32 @@ def test_bucket_hash_portable(base, spark):
 
     ids = [f"r{i:08d}" for i in range(50)] + ["abc", "zzz-42"]
     sdf = spark.createDataFrame([(i,) for i in ids], ["_id"])
+    # unknown table → the base-default bucket count (16): exercises the
+    # full-width hash spread
     got = {
         r["_id"]: r["b"]
-        for r in sdf.select("_id", base._bucket_expr().alias("b")).collect()
+        for r in sdf.select(
+            "_id", base._bucket_expr("no_such_table").alias("b")
+        ).collect()
     }
     for i in ids:
-        assert base._bucket_of(i) == got[i], i
+        assert base._bucket_of("no_such_table", i) == got[i], i
     assert len(set(got.values())) > 1  # ids actually spread
+
+
+def test_bucket_count_sized_to_table(base, spark):
+    """Tiny tables get ONE bucket (one file per commit, one write task) —
+    the 16-near-empty-files-per-commit constant the round-2 bench
+    flagged on nation-sized commits."""
+    sdf = spark.createDataFrame([(i, f"n{i}") for i in range(25)], ["k", "v"])
+    t = base.from_df(sdf, "tiny_sized")
+    assert base._bcount("tiny_sized") == 1
+    m = base._manifest("tiny_sized", 0)
+    assert set(m.keys()) == {0} and len(m[0]) == 1
+    # mutations keep using the recorded count
+    t.loc[t.k < 5, "v"] = "small"
+    m1 = base._manifest("tiny_sized", 1)
+    assert set(m1.keys()) == {0}
 
 
 def test_pruned_rewrite_scan(base, spark, sf_dir):
