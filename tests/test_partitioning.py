@@ -154,3 +154,56 @@ def test_workload_query_layout_independent(spark, sf_dir, tmp_path_factory):
         }
 
     assert agg(f"{sf_dir}/lineitem.parquet") == agg(out)
+
+
+def test_salted_pairs_bounds_hot_bucket(spark):
+    """Skew stress: one LSH-style bucket holds 10% of the corpus. The
+    k-way salted self-join must (a) enumerate exactly the right pairs
+    and (b) split the hot bucket's B^2 work across sub-joins so no
+    single task owns it — the property that survives a boilerplate
+    bucket at 100 TB where an unsalted bucket join serializes the
+    stage."""
+    from sea_serpent_spark.operators.dedup import _salted_pairs
+
+    n, hot = 2000, 200
+    # bucket 'HOT' owns 10% of ids; everyone else is in tiny buckets
+    rows = [
+        (f"d{i:05d}", "HOT" if i < hot else f"b{i % 600}") for i in range(n)
+    ]
+    indexed = spark.createDataFrame(rows, "id string, bkey string")
+    k = spark.sparkContext.defaultParallelism
+
+    pairs = _salted_pairs(indexed, ["bkey"], distinct=False).collect()
+
+    # (a) exactness: every unordered co-bucket pair exactly once
+    from collections import Counter
+
+    by_bucket = Counter(b for _, b in rows)
+    expected = sum(c * (c - 1) // 2 for c in by_bucket.values())
+    assert len(pairs) == expected
+    assert len({(p.id_a, p.id_b) for p in pairs}) == expected
+
+    # (b) boundedness: a pair lands in sub-join chunk t = max(c_a, c_b)
+    # (the build row's chunk); reconstruct each pair's chunk with the
+    # operator's own hash and assert the hot bucket's largest sub-join
+    # carries ~B^2/k pairs, not B^2.
+    chunk_df = spark.createDataFrame(
+        [(i,) for i in {x for p in pairs for x in (p.id_a, p.id_b)}],
+        "id string",
+    ).select("id", F.pmod(F.hash("id"), F.lit(k)).alias("c"))
+    cmap = {r.id: r.c for r in chunk_df.collect()}
+    hot_ids = {f"d{i:05d}" for i in range(hot)}
+    hot_total = hot * (hot - 1) // 2
+    sub = Counter(
+        max(cmap[p.id_a], cmap[p.id_b])
+        for p in pairs
+        if p.id_a in hot_ids  # hot-bucket pairs only
+    )
+    assert sum(sub.values()) == hot_total
+    largest = max(sub.values())
+    if k > 1:
+        # largest sub-join (t = k-1) ideally carries
+        # (1 - ((k-1)/k)^2) ≈ 2/k of the hot pairs; allow 2x hash slack
+        assert largest <= 2 * (2 * hot_total // k)
+        assert len(sub) == k  # every chunk got a share of the hot bucket
+        assert largest < hot_total / 2  # no task owns the hot bucket
