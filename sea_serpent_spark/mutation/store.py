@@ -587,10 +587,12 @@ class Base:
         return self.table(name)
 
     def from_frame(
-        self, frame, name: str, id_col: int | str | None = None
+        self, frame, name: str, id_col: int | str | None = None,
+        buckets: int | None = None,
     ) -> Table:
         """Import a pandas DataFrame with SeaTable-style type inference
-        (Table.from_frame, base.py:372-481)."""
+        (Table.from_frame, base.py:372-481). ``buckets`` as in
+        :meth:`from_df`."""
         import pandas as pd
 
         if not isinstance(frame, pd.DataFrame):
@@ -615,7 +617,9 @@ class Base:
                 "columns": _with_keys(meta_cols),
                 "next_seq": len(pdf),
                 "next_key": len(meta_cols),
-                "bucket_count": self._sized_buckets(len(pdf)),
+                "bucket_count": (
+                    int(buckets) if buckets else self._sized_buckets(len(pdf))
+                ),
             },
         )
         self._commit(name, sdf, "from_frame", {"rows": len(pdf)})
@@ -1105,7 +1109,13 @@ class Base:
         # rows — exactly the rows being written — truncated to a local
         # checkpoint both jobs read back.
         upd = upd.localCheckpoint(eager=True)
-        upd_src = F.broadcast(upd) if n <= 100_000 else upd
+        # MERGE-source broadcast gate: rows are narrow (_id string +
+        # value ≈ 40 B), so 1M rows ≈ 40 MB — well inside executor
+        # memory, and it converts BOTH downstream joins (oplog diff and
+        # bucket rewrite) from full-table shuffles into broadcast-hash
+        # probes. Above the gate the joins fall back to shuffle (AQE may
+        # still upgrade at runtime).
+        upd_src = F.broadcast(upd) if n <= 1_000_000 else upd
         joined = df.join(upd_src, df["_id"] == F.col("__uid"), "left")
         old = F.lit(None) if is_new else F.col(col)
         expr = F.when(F.col("__uid").isNotNull(), F.col("__newval")).otherwise(old)

@@ -440,8 +440,11 @@ def test_bundle_flush_is_pruned(base, spark, sf_dir):
 def test_point_lookup_prunes_files(base, spark, sf_dir):
     """t.loc[row_id] opens only the owning bucket's files (read-side COW
     pruning), and still returns exactly that row."""
+    # explicit buckets: the sized default gives this small table ONE
+    # bucket, and pruning below a single file is unobservable
     t = base.from_df(
-        spark.read.parquet(f"{sf_dir}/orders.parquet"), "orders_pl"
+        spark.read.parquet(f"{sf_dir}/orders.parquet"), "orders_pl",
+        buckets=16,
     )
     all_files = set(t.df.inputFiles())
     rid = str(t.row_ids[7])
