@@ -880,3 +880,125 @@ def simhash_pairs(
         "id_a", "id_b", F.lit(0).cast("int").alias("hamming")
     )
     return inter.unionByName(intra)
+
+
+# ---------------------------------------------------------------------------
+# near-dup clusters → corpus-level dedup
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """→ [id, component]: connected components over an undirected pair
+    edge list, component = MIN reachable id (the canonical-doc choice
+    every dedup pipeline makes). Pair operators emit *pairs*; an actual
+    corpus dedup needs the transitive closure — A~B, B~C must collapse
+    A, B, C together even though (A, C) was never emitted.
+
+    Algorithm: iterative min-label propagation. Each round every node
+    takes the minimum label over itself and its neighbors; terminates
+    when no label changes (rounds = graph diameter, small for near-dup
+    clusters — boilerplate clusters are dense, chains are short). Per
+    round: one groupBy over the (edges ⋈ labels) frame — shuffles only
+    (id, label) longs/strings, never documents. Labels are
+    ``localCheckpoint``-ed every round: without the lineage cut, round k
+    re-executes all k-1 predecessors and the plan grows quadratically
+    (the classic iterative-algorithm-on-Spark failure).
+
+    For diameter-heavy graphs (millions of chained nodes) the
+    alternating small-star/large-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) converges
+    in O(log n) rounds with the same per-round shuffle shape — noted as
+    the swap-in if profiling ever shows label propagation dominated by
+    round count rather than round cost."""
+    # ids keep their native type: MIN as canonical choice must follow the
+    # id column's own ordering (a string cast would pick '100' over '2')
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # undirected: propagate both ways
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        # min over self + neighbor labels
+        nbr = (
+            sym.join(labels, sym["v"] == labels["id"])
+            .select(F.col("u").alias("id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str = "minhash",
+    threshold: float = 0.8,
+    **kwargs,
+) -> DataFrame:
+    """End-to-end corpus dedup: near-dup pairs → connected components →
+    keep ONE canonical doc (min id) per cluster. Returns the surviving
+    rows of ``df`` (all original columns).
+
+    ``method``: 'exact' (md5 fingerprint groups — no pair stage),
+    'minhash' (LSH, ``jaccard_threshold``=threshold), 'ngram'
+    (exact Jaccard), or 'simhash' (``max_hamming`` via kwargs).
+
+    Scale shape: pairs and components shuffle only ids; the final keep
+    is a broadcast-gated anti-join of the (small) non-canonical id set
+    against the corpus — documents move exactly once, at the end."""
+    if method == "exact":
+        keep = exact_dedup(df, text_col, id_col).where("is_canonical")
+        keep_ids = keep.select(F.col(id_col).alias("__kid"))
+        return df.join(
+            keep_ids, F.col(id_col) == F.col("__kid"), "left_semi"
+        )
+    if method == "minhash":
+        pairs = minhash_lsh_pairs(
+            df, text_col, id_col, jaccard_threshold=threshold, **kwargs
+        )
+    elif method == "ngram":
+        pairs = ngram_jaccard_pairs(
+            df, text_col, id_col, threshold=threshold, **kwargs
+        )
+    elif method == "simhash":
+        pairs = simhash_pairs(df, text_col, id_col, **kwargs)
+    else:
+        raise ValueError(f"unknown dedup method: {method!r}")
+    comp = connected_components(pairs)
+    # drop every clustered doc that is not its component's minimum
+    losers = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias("__lid")
+    )
+    losers = _maybe_broadcast(
+        losers, _verify_gate(losers, None, BROADCAST_VERIFY_CAP)
+    )
+    return df.join(losers, F.col(id_col) == F.col("__lid"), "left_anti")

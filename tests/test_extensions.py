@@ -304,3 +304,86 @@ def test_bpe_token_count(spark):
     assert out[1] == (4, 9)
     assert out[2] == (3, 3)
     assert out[3][1] == 0
+
+
+def test_connected_components_vs_union_find(spark, sf_dir):
+    """Min-label components over the real LSH pair output must equal a
+    driver-side union-find on the same edges (transitive closure: A~B,
+    B~C collapses A,B,C even though (A,C) was never emitted)."""
+    from sea_serpent_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = D.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    edges = [(r.id_a, r.id_b) for r in pairs.collect()]
+    got = {
+        r.id: r.component
+        for r in D.connected_components(pairs).collect()
+    }
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    exp = {x: find(x) for x in parent}
+    # normalize: component label = min member id on both sides
+    from collections import defaultdict
+    def canon(m):
+        groups = defaultdict(set)
+        for k, v in m.items():
+            groups[v].add(k)
+        out = {}
+        for members in groups.values():
+            lo = min(members)
+            for x in members:
+                out[x] = lo
+        return out
+    assert canon(got) == canon(exp)
+    assert len(got) > 0
+
+
+def test_connected_components_chain(spark):
+    """A pure chain (worst diameter case) collapses to one component."""
+    from sea_serpent_spark.operators.dedup import connected_components
+
+    n = 20
+    pairs = spark.createDataFrame(
+        [(f"d{i:03d}", f"d{i + 1:03d}") for i in range(n)],
+        "id_a string, id_b string",
+    )
+    got = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert set(got.values()) == {"d000"}
+    assert len(got) == n + 1
+
+
+def test_dedup_corpus_end_to_end(spark, sf_dir):
+    """dedup_corpus keeps exactly one doc (the min id) per near-dup
+    cluster and every unclustered doc."""
+    from sea_serpent_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = D.dedup_corpus(docs, method="minhash", threshold=0.5)
+    comp = {
+        r.id: r.component
+        for r in D.connected_components(
+            D.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+        ).collect()
+    }
+    losers = {i for i, c in comp.items() if i != c}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    expected = all_ids - losers
+    got = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert got == expected
+    assert kept.columns == docs.columns
+    # exact mode: one survivor per distinct content
+    ex = D.dedup_corpus(docs, method="exact")
+    n_content = docs.selectExpr("count(distinct text)").collect()[0][0]
+    assert ex.count() == n_content
