@@ -1,0 +1,107 @@
+"""Deterministic sampling & splitting for training-data curation.
+
+Beyond-reference extensions (SURVEY §7 Phase 5). Random sampling is the
+wrong tool for dataset curation at scale: ``df.sample`` depends on
+partition layout and seed plumbing, re-runs don't reproduce, and a doc's
+split assignment changes when the corpus is re-sharded. Everything here
+keys off the PORTABLE md5 hash of a stable id (operators/hashing.py), so
+
+- assignment is a pure function of the row id — layout-, partition- and
+  engine-independent (DuckDB computes the identical buckets, so pipelines
+  can be audited off-cluster);
+- adding documents never reassigns existing ones (the property that keeps
+  a train/test split honest across corpus versions);
+- everything is one narrow projection — no shuffle, no state.
+
+Ops:
+- :func:`hash_bucket` — uniform bucket 0..buckets-1 from md5(id).
+- :func:`deterministic_split` — train/val/test (any weights) split
+  column via hash-bucket ranges.
+- :func:`stratified_sample` — EXACT floor(n_s·fraction) rows per
+  stratum, chosen by hash order (deterministic top-k per group).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from .hashing import h48
+
+#: bucket space for split assignment — fine enough that a 0.1% slice is
+#: expressible, coarse enough that bucket boundaries are exact doubles
+SPLIT_BUCKETS = 1_000_000
+
+
+def hash_bucket(col, buckets: int = SPLIT_BUCKETS):
+    """Uniform deterministic bucket in [0, buckets) from the portable
+    48-bit md5 prefix of ``col`` (cast to string first so numeric and
+    string ids hash identically across engines)."""
+    return F.pmod(h48(F.col(col).cast("string")), F.lit(buckets))
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a split label by hash-bucket range.
+
+    ``weights`` maps label → fraction (normalized if they don't sum to
+    1). A row's label depends only on its id: re-sharding, re-ordering,
+    or growing the corpus never moves an existing row between splits —
+    the contamination guarantee a train/test split needs across dataset
+    versions."""
+    weights = dict(weights or {"train": 0.9, "val": 0.05, "test": 0.05})
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError(f"invalid split weights: {weights!r}")
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("split weights sum to zero")
+    b = hash_bucket(id_col)
+    expr = None
+    hi = 0.0
+    labels = list(weights)
+    for label in labels[:-1]:
+        hi += weights[label] / total * SPLIT_BUCKETS
+        cond = b < F.lit(int(round(hi)))
+        expr = (
+            F.when(cond, label)
+            if expr is None
+            else expr.when(cond, label)
+        )
+    # last label takes the remainder — no row can fall through
+    expr = (
+        F.lit(labels[-1]) if expr is None else expr.otherwise(labels[-1])
+    )
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fraction: float,
+    id_col: str,
+) -> DataFrame:
+    """Exactly ``floor(n_s * fraction)`` rows from every stratum
+    (per-group deterministic top-k by hash order).
+
+    ``df.sample`` gives binomial counts that wobble per run and per
+    layout; curation recipes ("2% of every language") need exact,
+    reproducible counts. Rows are ranked inside each stratum by
+    (md5-hash, id) — a uniform, stable order — and the first
+    floor(n_s·fraction) are kept. One shuffle on the stratum key; ranking
+    state is (hash, id) pairs, never payloads."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_bucket(id_col), F.col(id_col)
+    )
+    cnt = Window.partitionBy(strata_col)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(cnt))
+        .where(F.col("__rk") <= F.floor(F.col("__n") * fraction))
+        .drop("__rk", "__n")
+    )

@@ -387,3 +387,65 @@ def test_dedup_corpus_end_to_end(spark, sf_dir):
     ex = D.dedup_corpus(docs, method="exact")
     n_content = docs.selectExpr("count(distinct text)").collect()[0][0]
     assert ex.count() == n_content
+
+
+def test_deterministic_split_properties(spark, sf_dir):
+    """Split fractions near weights, layout-independent, and STABLE under
+    corpus growth (existing rows never move between splits)."""
+    from sea_serpent_spark.operators.sampling import deterministic_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = deterministic_split(docs, "doc_id")
+    counts = {r["split"]: r["n"] for r in
+              s.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = docs.count()
+    assert abs(counts.get("train", 0) / n - 0.9) < 0.05
+    assert set(counts) <= {"train", "val", "test"}
+    # layout independence
+    multi = docs.repartition(13)
+    a = {(r.doc_id, r.split) for r in s.select("doc_id", "split").collect()}
+    b = {(r.doc_id, r.split) for r in
+         deterministic_split(multi, "doc_id").select("doc_id", "split").collect()}
+    assert a == b
+    # growth stability: splitting HALF the corpus assigns the same labels
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    h = {(r.doc_id, r.split) for r in
+         deterministic_split(half, "doc_id").select("doc_id", "split").collect()}
+    assert h <= a
+    # portable: DuckDB computes identical buckets from the same md5
+    import duckdb
+    buckets = {
+        r.doc_id: r.b for r in s.select(
+            "doc_id",
+            F.pmod(
+                F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+                       16, 10).cast("long"),
+                F.lit(1_000_000),
+            ).alias("b"),
+        ).collect()
+    }
+    from sea_serpent_spark.operators.hashing import h48_sql
+
+    dd = duckdb.sql(
+        f"SELECT doc_id, {h48_sql('CAST(doc_id AS VARCHAR)')} % 1000000 "
+        f"AS b FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    assert {k: v for k, v in dd} == buckets
+
+
+def test_stratified_sample_exact_counts(spark, sf_dir):
+    """Exactly floor(n_s * fraction) per stratum, deterministic across
+    layouts."""
+    from sea_serpent_spark.operators.sampling import stratified_sample
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    frac = 0.1
+    got = stratified_sample(ev, "event_type", frac, "event_id")
+    per = {r["event_type"]: r["n"] for r in
+           got.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    base = {r["event_type"]: r["n"] for r in
+            ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {k: int(v * frac) for k, v in base.items() if int(v * frac)}
+    again = stratified_sample(ev.repartition(9), "event_type", frac, "event_id")
+    assert {r.event_id for r in got.select("event_id").collect()} == \
+           {r.event_id for r in again.select("event_id").collect()}
