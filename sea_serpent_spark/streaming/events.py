@@ -264,16 +264,38 @@ def oplog_stream(spark: SparkSession, base_path: str, table: str) -> DataFrame:
 
 
 def run_to_memory(stream: DataFrame, name: str, spark: SparkSession,
-                  mode: str | None = None):
+                  mode: str | None = None, state_partitions: int = 16):
     """Drain all available input into an in-memory table (test/dev sink).
     Returns after the availableNow trigger completes. ``mode`` overrides
-    the output mode (stateful update-mode operators need ``update``)."""
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode or ("complete" if stream.isStreaming else "append"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    the output mode (stateful update-mode operators need ``update``).
+
+    ``state_partitions`` caps ``spark.sql.shuffle.partitions`` for the
+    duration of the stream start: the state store inherits the session's
+    shuffle-partition count at a checkpoint's FIRST start, and a bare
+    driver session's default of 200 means 200 state tasks per
+    micro-batch for a dev-scale drain. The conf is restored afterwards
+    (Spark snapshots it into the query at start). Pass ``None`` to keep
+    the session value (production streams size this deliberately)."""
+    conf = spark.conf
+    old = conf.get("spark.sql.shuffle.partitions", "200")
+    if state_partitions:
+        try:
+            clamp = str(min(int(old), int(state_partitions)))
+        except (TypeError, ValueError):
+            clamp = str(state_partitions)
+        conf.set("spark.sql.shuffle.partitions", clamp)
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(
+                mode or ("complete" if stream.isStreaming else "append")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions:
+            conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
