@@ -191,22 +191,24 @@ def q08_value_counts(spark, sf_dir):
     return t.df.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("count"))
 
 
-def q09_topn_sort(spark, sf_dir):
-    """Multi-key sort + limit → TakeOrderedAndProject (no full sort at scale)."""
+def q09_topn_slice(spark, sf_dir):
+    """Tagged union of BOTH limit shapes, one oracle row (frees a driver
+    slot for q60): multi-key sort + limit → TakeOrderedAndProject (no
+    full sort at scale), and the positional slice rows [100,110) in
+    o_orderkey order (create_query LIMIT a,b — base.py:2546-2567)."""
     t = load(spark, sf_dir, "orders")
-    return (
+    top = (
         t.sort(["o_totalprice", "o_orderkey"], ascending=[False, True])
         .limit(10)
         .select(["o_orderkey", "o_totalprice"])
-        .df
+        .df.withColumn("op", F.lit("topn"))
     )
-
-
-def q10_slice(spark, sf_dir):
-    """Positional slice rows [100,110) in o_orderkey order
-    (create_query LIMIT a,b — base.py:2546-2567)."""
-    t = load(spark, sf_dir, "orders")
-    return t.slice(100, 110).select(["o_orderkey", "o_totalprice"]).df
+    sl = (
+        t.slice(100, 110)
+        .select(["o_orderkey", "o_totalprice"])
+        .df.withColumn("op", F.lit("slice"))
+    )
+    return top.unionByName(sl)
 
 
 def q12_null_semantics(spark, sf_dir):
@@ -522,13 +524,14 @@ ORACLES: dict[str, str] = {
         "SELECT o_orderpriority, COUNT(*) AS count FROM orders "
         "GROUP BY o_orderpriority"
     ),
-    "q09_topn_sort": (
+    "q09_topn_slice": (
+        "SELECT o_orderkey, o_totalprice, 'topn' AS op FROM ("
         "SELECT o_orderkey, o_totalprice FROM orders "
-        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
-    ),
-    "q10_slice": (
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10) "
+        "UNION ALL "
+        "SELECT o_orderkey, o_totalprice, 'slice' AS op FROM ("
         "SELECT o_orderkey, o_totalprice FROM orders "
-        "ORDER BY o_orderkey LIMIT 10 OFFSET 100"
+        "ORDER BY o_orderkey LIMIT 10 OFFSET 100)"
     ),
     "q12_null_semantics": (
         "SELECT CAST(COUNT(*) FILTER (WHERE text IS NOT NULL AND text != '') "

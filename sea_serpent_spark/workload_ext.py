@@ -243,6 +243,22 @@ def q59_range_join(spark, sf_dir):
     return out.select("event_id", "user_id", "win_start")
 
 
+# ---------------------------------------------------------------------------
+# deterministic sampling (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+def q60_deterministic_split(spark, sf_dir):
+    """Train/val/test assignment for every document — a pure function of
+    md5(doc_id), so the DuckDB oracle computes the identical labels from
+    the same hash arithmetic (the auditable-off-cluster property)."""
+    from .operators.sampling import deterministic_split
+
+    docs = df(spark, sf_dir, "documents")
+    return deterministic_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: fn
     for name, fn in sorted(globals().items())
@@ -372,6 +388,14 @@ j AS (
     ON s.user_id = e.user_id AND s.snap_ts <= e.ts)
 SELECT event_id, user_id, ts, snap_ts, snap_value FROM j WHERE rn = 1
 """,
+    "q60_deterministic_split": (
+        "SELECT doc_id, CASE "
+        "WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) "
+        "AS BIGINT) % 1000000 < 800000 THEN 'train' "
+        "WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) "
+        "AS BIGINT) % 1000000 < 900000 THEN 'val' "
+        "ELSE 'test' END AS split FROM documents"
+    ),
     "q59_range_join": """
 WITH iv AS (
   SELECT user_id, MIN(ts) AS win_start,
