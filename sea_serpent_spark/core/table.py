@@ -318,6 +318,50 @@ class Table:
             self.df.sample(fraction=fraction, seed=seed)
         )
 
+    def split(
+        self,
+        id_col: str,
+        weights: dict[str, float] | None = None,
+        split_col: str = "split",
+    ) -> "Table":
+        """Deterministic train/val/test assignment by portable id hash
+        (operators/sampling.py): layout-independent, stable under corpus
+        growth, auditable off-cluster."""
+        from ..operators.sampling import deterministic_split
+
+        return self._derive(
+            deterministic_split(self.df, id_col, weights, split_col)
+        )
+
+    def stratified_sample(
+        self, strata_col: str, fraction: float, id_col: str
+    ) -> "Table":
+        """Exactly floor(n·fraction) rows per stratum, deterministic by
+        portable id hash (operators/sampling.py)."""
+        from ..operators.sampling import stratified_sample
+
+        return self._derive(
+            stratified_sample(self.df, strata_col, fraction, id_col)
+        )
+
+    def dedup(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        method: str = "minhash",
+        threshold: float = 0.8,
+        **kwargs,
+    ) -> "Table":
+        """Corpus-level deduplication: near-dup pairs → connected
+        components → keep the min-id canonical per cluster
+        (operators/dedup.py dedup_corpus)."""
+        from ..operators.dedup import dedup_corpus
+
+        return self._derive(
+            dedup_corpus(self.df, text_col, id_col, method, threshold,
+                         **kwargs)
+        )
+
     def sort(
         self, by: str | Sequence[str], ascending: bool | Sequence[bool] = True
     ) -> "Table":

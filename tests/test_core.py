@@ -315,3 +315,26 @@ def test_column_quantile_median_fillna(lineitem):
     assert 1.0 <= med <= 50.0
     filled = lineitem.df.select(lineitem.l_comment.fillna("?")) \
         if "l_comment" in lineitem.columns else None
+
+
+def test_table_split_sample_dedup_conveniences(spark, sf_dir):
+    """Table-level delegates for the curation ops (split / stratified /
+    dedup) return Tables and match the operator outputs."""
+    from sea_serpent_spark import Table
+
+    docs = Table.from_parquet(f"{sf_dir}/documents.parquet", "documents",
+                              spark)
+    s = docs.split("doc_id")
+    assert "split" in s.columns
+    assert set(
+        r["split"] for r in s.df.select("split").distinct().collect()
+    ) <= {"train", "val", "test"}
+    assert s.count() == docs.count()
+
+    ev = Table.from_parquet(f"{sf_dir}/events.parquet", "events", spark)
+    samp = ev.stratified_sample("event_type", 0.1, "event_id")
+    assert 0 < samp.count() < ev.count()
+
+    kept = docs.dedup(method="exact")
+    n_content = docs.df.selectExpr("count(distinct text)").collect()[0][0]
+    assert kept.count() == n_content
