@@ -168,14 +168,26 @@ def q03_string_preds(spark, sf_dir):
 
 
 def q06_count(spark, sf_dir):
-    """COUNT(*) pushdown (base.py:357-360, parquet metadata-only scan)
-    plus the `value in column` existence probe (Column.__contains__,
-    base.py:1782-1792 — a pushdown LIMIT-1 scan)."""
+    """COUNT(*) pushdown (base.py:357-360, parquet metadata-only scan),
+    the `value in column` existence probe (Column.__contains__,
+    base.py:1782-1792 — a pushdown LIMIT-1 scan), AND the isnull/notnull
+    empty-string≡NULL duality aggregates (base.py:2014-2050 — formerly
+    q12, folded in to free a driver slot for q61): all single-row
+    scalar shapes, combined via a 1×1 cross join."""
     t = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
+    d = load(spark, sf_dir, "documents")
     present = "Brand#7" in p.p_brand  # LIMIT-1 probe through the engine API
-    return t.df.agg(F.count(F.lit(1)).alias("n")).withColumn(
-        "present", F.lit(bool(present))
+    notnull = d.text.notnull().expr
+    isnull = d.text.isnull().expr
+    nulls = d.df.agg(
+        F.count(F.when(notnull, 1)).alias("n_notnull"),
+        F.count(F.when(isnull, 1)).alias("n_null"),
+    )
+    return (
+        t.df.agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("present", F.lit(bool(present)))
+        .crossJoin(nulls)
     )
 
 
@@ -211,16 +223,10 @@ def q09_topn_slice(spark, sf_dir):
     return top.unionByName(sl)
 
 
-def q12_null_semantics(spark, sf_dir):
-    """isnull/notnull with empty-string≡NULL duality (base.py:2014-2050).
-    documents.text has no ''/NULL at these SFs, so the filter exercises the
-    predicate shape; count by notnull keeps output deterministic."""
-    t = load(spark, sf_dir, "documents")
-    notnull = F.col("text").isNotNull() & (F.col("text") != "")
-    return t.df.agg(
-        F.count(F.when(notnull, 1)).alias("n_notnull"),
-        F.count(F.when(~notnull | F.col("text").isNull(), 1)).alias("n_null"),
-    )
+# q12_null_semantics was folded into q06_count (both single-row scalar
+# aggregates; the duality predicates now run through the engine's
+# Column.isnull/notnull API there) — the freed slot carries
+# q61_connected_components (workload_ext).
 
 
 def q13_sql_passthrough(spark, sf_dir):
@@ -517,7 +523,11 @@ ORACLES: dict[str, str] = {
     ),
     "q06_count": (
         "SELECT (SELECT COUNT(*) FROM lineitem) AS n, "
-        "(SELECT COUNT(*) > 0 FROM part WHERE p_brand = 'Brand#7') AS present"
+        "(SELECT COUNT(*) > 0 FROM part WHERE p_brand = 'Brand#7') AS present, "
+        "(SELECT CAST(COUNT(*) FILTER (WHERE text IS NOT NULL AND text != '') "
+        "AS BIGINT) FROM documents) AS n_notnull, "
+        "(SELECT CAST(COUNT(*) FILTER (WHERE text IS NULL OR text = '') "
+        "AS BIGINT) FROM documents) AS n_null"
     ),
     "q07_distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "q08_value_counts": (
@@ -532,12 +542,6 @@ ORACLES: dict[str, str] = {
         "SELECT o_orderkey, o_totalprice, 'slice' AS op FROM ("
         "SELECT o_orderkey, o_totalprice FROM orders "
         "ORDER BY o_orderkey LIMIT 10 OFFSET 100)"
-    ),
-    "q12_null_semantics": (
-        "SELECT CAST(COUNT(*) FILTER (WHERE text IS NOT NULL AND text != '') "
-        "AS BIGINT) AS n_notnull, "
-        "CAST(COUNT(*) FILTER (WHERE text IS NULL OR text = '') AS BIGINT) "
-        "AS n_null FROM documents"
     ),
     "q13_sql_passthrough": (
         "SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty "

@@ -247,6 +247,21 @@ def q59_range_join(spark, sf_dir):
 # deterministic sampling (operators/sampling.py)
 # ---------------------------------------------------------------------------
 
+def q61_connected_components(spark, sf_dir):
+    """Transitive closure of the embedding near-dup graph → (id,
+    component=min reachable id). The oracle is a recursive CTE over the
+    SAME pair SQL — proving cross-engine agreement on the closure, not
+    just on pairs (A~B, B~C must collapse A,B,C). The LSH-scale pair
+    graphs are covered by the union-find pytest; this row uses the exact
+    cosine graph (sparse) so the DuckDB recursion stays cheap."""
+    from .operators.dedup import connected_components
+
+    pairs = S.embedding_near_dup_pairs(
+        df(spark, sf_dir, "embeddings"), threshold=0.45, nbits=0
+    )
+    return connected_components(pairs)
+
+
 def q60_deterministic_split(spark, sf_dir):
     """Train/val/test assignment for every document — a pure function of
     md5(doc_id), so the DuckDB oracle computes the identical labels from
@@ -410,6 +425,26 @@ b AS (SELECT vec_id AS id_b, embedding AS cv FROM embeddings)
 SELECT id_a, id_b, ROUND({COS_SQL}, 4) AS cos
 FROM a CROSS JOIN b
 WHERE id_a < id_b AND ROUND({COS_SQL}, 4) >= 0.45
+""",
+    # transitive closure by recursive CTE over the same pair SQL as q43:
+    # labels spread one hop per iteration until fixpoint, component = MIN
+    "q61_connected_components": f"""
+WITH RECURSIVE prs AS (
+  SELECT id_a, id_b FROM (
+    WITH a AS (SELECT vec_id AS id_a, embedding AS qv FROM embeddings),
+    b AS (SELECT vec_id AS id_b, embedding AS cv FROM embeddings)
+    SELECT id_a, id_b
+    FROM a CROSS JOIN b
+    WHERE id_a < id_b AND ROUND({COS_SQL}, 4) >= 0.45)),
+edges AS (SELECT id_a AS u, id_b AS v FROM prs
+          UNION SELECT id_b, id_a FROM prs),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+walk(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.id
+)
+SELECT id, MIN(lbl) AS component FROM walk GROUP BY id
 """,
     "q44_sessionize": """
 WITH g AS (
