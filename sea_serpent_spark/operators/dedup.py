@@ -1002,3 +1002,87 @@ def dedup_corpus(
         losers, _verify_gate(losers, None, BROADCAST_VERIFY_CAP)
     )
     return df.join(losers, F.col(id_col) == F.col("__lid"), "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus decontamination (train/test n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def contamination_check(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+    min_hits: int = 1,
+    broadcast_reference: bool | None = None,
+) -> DataFrame:
+    """→ [id, n_hits]: corpus docs sharing ≥``min_hits`` distinct
+    ``ngram``-grams with ANY reference doc — the train/test
+    decontamination sweep every eval-honest training pipeline runs
+    (8-gram overlap is the GPT-3/Pile convention). Join the survivors
+    back with ``left_anti`` to drop them.
+
+    Scale shape: both sides reduce to DISTINCT 64-bit n-gram hashes
+    (never strings) — the reference side (an eval set, typically ≪
+    corpus) is broadcast by default, so the corpus-side gram stream is
+    probed map-side with NO shuffle of corpus data; the only shuffle is
+    the per-doc hit count (id, n_hits). With ``broadcast_reference=
+    False`` (a reference too big to broadcast) it degrades to a
+    shuffle semi-join on the gram hash. Short docs (< ngram tokens)
+    produce no grams and can never be flagged — by design, matching the
+    convention."""
+    def grams(df, idc):
+        toks = words(F.col(text_col))
+        n_tok = F.size(toks)
+        # sequence(1, 0) DESCENDS (auto step -1) — short docs must yield
+        # an empty index array, not indices [1, 0]
+        idx = F.when(
+            n_tok >= ngram, F.sequence(F.lit(1), n_tok - ngram + 1)
+        ).otherwise(F.array().cast("array<int>"))
+        g = F.explode(
+            F.transform(
+                idx,
+                lambda i: h48(
+                    F.concat_ws(" ", F.slice(toks, i, F.lit(ngram)))
+                ),
+            )
+        )
+        return df.select(F.col(idc).alias("__cid"), g.alias("__g")).distinct()
+
+    ref_grams = grams(reference, id_col).select("__g").distinct()
+    if broadcast_reference is None or broadcast_reference:
+        ref_grams = F.broadcast(ref_grams)
+    hits = (
+        grams(corpus, id_col)
+        .join(ref_grams, "__g", "left_semi")
+        .groupBy("__cid")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .where(F.col("n_hits") >= min_hits)
+        .select(F.col("__cid").alias("id"), "n_hits")
+    )
+    return hits
+
+
+def decontaminate(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+    min_hits: int = 1,
+    **kwargs,
+) -> DataFrame:
+    """Drop every corpus row flagged by :func:`contamination_check`;
+    returns the clean corpus with all original columns. The flagged-id
+    set is contamination-sized (small), so the final anti-join
+    broadcasts under the usual gate."""
+    flagged = contamination_check(
+        corpus, reference, text_col, id_col, ngram, min_hits, **kwargs
+    ).select(F.col("id").alias("__bad"))
+    flagged = _maybe_broadcast(
+        flagged, _verify_gate(flagged, None, BROADCAST_VERIFY_CAP)
+    )
+    return corpus.join(
+        flagged, F.col(id_col) == F.col("__bad"), "left_anti"
+    )

@@ -449,3 +449,57 @@ def test_stratified_sample_exact_counts(spark, sf_dir):
     again = stratified_sample(ev.repartition(9), "event_type", frac, "event_id")
     assert {r.event_id for r in got.select("event_id").collect()} == \
            {r.event_id for r in again.select("event_id").collect()}
+
+
+def test_contamination_check_and_decontaminate(spark):
+    """Train docs sharing an 8-gram with the eval set are flagged;
+    decontaminate drops exactly those. Short docs (< n tokens) can
+    never be flagged."""
+    from sea_serpent_spark.operators.dedup import (
+        contamination_check,
+        decontaminate,
+    )
+
+    leak = "the quick brown fox jumps over the lazy dog tonight"
+    train = spark.createDataFrame(
+        [
+            (1, f"some intro text then {leak} and a long tail of words"),
+            (2, "totally original content with no overlap at all here "
+                "spanning more than eight tokens easily"),
+            (3, "short doc"),  # < 8 tokens: cannot be flagged
+            (4, f"{leak}"),    # the leaked phrase verbatim
+        ],
+        ["doc_id", "text"],
+    )
+    evalset = spark.createDataFrame(
+        [(100, f"benchmark question: {leak} answer choices follow")],
+        ["doc_id", "text"],
+    )
+    flagged = {r.id: r.n_hits for r in
+               contamination_check(train, evalset, ngram=8).collect()}
+    assert set(flagged) == {1, 4}
+    assert all(v >= 1 for v in flagged.values())
+    clean = decontaminate(train, evalset, ngram=8)
+    assert sorted(r.doc_id for r in clean.select("doc_id").collect()) == [2, 3]
+    assert clean.columns == train.columns
+    # min_hits raises the bar
+    strict = contamination_check(train, evalset, ngram=8, min_hits=100)
+    assert strict.count() == 0
+
+
+def test_contamination_shuffle_fallback(spark):
+    """broadcast_reference=False must produce identical flags (the
+    big-reference degrade path)."""
+    from sea_serpent_spark.operators.dedup import contamination_check
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta iota"
+    train = spark.createDataFrame(
+        [(1, f"pre {leak} post"), (2, "nothing in common here at all "
+                                      "with nine plus tokens present")],
+        ["doc_id", "text"],
+    )
+    ref = spark.createDataFrame([(9, leak)], ["doc_id", "text"])
+    a = {r.id for r in contamination_check(train, ref).collect()}
+    b = {r.id for r in contamination_check(
+        train, ref, broadcast_reference=False).collect()}
+    assert a == b == {1}
