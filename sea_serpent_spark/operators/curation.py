@@ -1,0 +1,283 @@
+"""Corpus-curation operators: PII redaction, repetition filters, shard
+packing.
+
+Beyond-reference extensions (SURVEY §7 Phase 5; the reference's text
+surface stops at typed text columns, utils.py:22 — it has no corpus
+hygiene). The three families a pre-training data pipeline needs between
+dedup and tokenization:
+
+- :func:`redact_pii` / :func:`normalize_text` — regex scrubbing and
+  canonicalization, pure ``regexp_replace`` chains (JVM-side, one
+  codegen'd projection, no Python);
+- :func:`repetition_metrics` / :func:`gopher_filter` — Gopher-style
+  (Rae et al. 2021, arXiv:2112.11446 §A1.1) repetition/shape signals,
+  all computed per-row with higher-order array functions — zero
+  shuffles, so the filter runs at scan speed on any corpus size;
+- :func:`pack_shards` — assign documents to fixed-token-budget training
+  shards by global running token count WITHOUT a global sort: range
+  repartition + per-partition offsets (the ``_with_seq`` pattern,
+  mutation/store.py:631) keeps every stage distributed.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from .text import words
+
+# ---------------------------------------------------------------------------
+# PII redaction / normalization
+# ---------------------------------------------------------------------------
+
+#: Redaction patterns, applied in declaration order. Order matters:
+#: email first (its local part can look like anything), ipv4 before phone
+#: (dotted octet pairs match the phone shape), card before phone (a
+#: 16-digit run must not be half-eaten). Digit patterns bound by
+#: lookarounds, not ``\b`` — a leading ``+`` or trailing space is a word
+#: boundary too, which let ``\b`` start matches mid-number.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"(?<![\d.])(?:\d{1,3}\.){3}\d{1,3}(?![\d.])", "<IP>"),
+    "ssn": (r"(?<![\d-])\d{3}-\d{2}-\d{4}(?![\d-])", "<SSN>"),
+    "card": (r"(?<!\d)\d(?:[ -]?\d){12,15}(?!\d)", "<CARD>"),
+    "phone": (
+        r"(?<!\d)(?:\+?\d{1,3}[ .-])?(?:\(\d{2,4}\)[ .-]?)?"
+        r"\d{3}[ .-]\d{3,4}(?:[ .-]\d{3,4})?(?!\d)",
+        "<PHONE>",
+    ),
+}
+
+
+def redact_pii(col: Column, kinds: list[str] | None = None) -> Column:
+    """Replace PII spans with typed placeholder tokens.
+
+    A chained ``regexp_replace`` — one JVM projection per kind, fused by
+    whole-stage codegen into a single pass; no UDF, so redaction runs at
+    scan throughput on the full corpus. ``kinds`` subsets/orders the
+    patterns (default: all, in :data:`PII_PATTERNS` order)."""
+    for kind in kinds or list(PII_PATTERNS):
+        pat, repl = PII_PATTERNS[kind]
+        col = F.regexp_replace(col, pat, repl)
+    return col
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonicalize whitespace: strip C0 control chars (except \\n/\\t),
+    collapse horizontal runs to one space, collapse 3+ newlines to 2,
+    trim. Pure regexp chain — the cheap half of a Unicode normalizer;
+    NFC/NFKC needs ICU, which is a tokenizer-side concern."""
+    c = F.regexp_replace(col, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    return F.trim(c)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition / shape metrics
+# ---------------------------------------------------------------------------
+
+def _ngrams(toks: Column, n: int) -> Column:
+    """array<string> of word n-grams of ``toks`` (empty when < n)."""
+    if n == 1:
+        return toks
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def dup_frac(arr: Column) -> Column:
+    """Fraction of array elements that are repeats of an earlier element
+    (0 for empty arrays): 1 - |distinct| / |all|."""
+    return F.when(F.size(arr) <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(arr)) / F.size(arr)
+    )
+
+
+def top_ngram_frac(toks: Column, n: int) -> Column:
+    """Fraction of all n-gram slots covered by the single most frequent
+    n-gram — the boilerplate signal (a nav bar repeated 40× dominates).
+    Computed per-row with ``aggregate`` over the distinct grams: for each
+    candidate gram count its occurrences, keep the max. Cost is
+    O(|grams|·|distinct|) per row — bounded by document length, still
+    zero-shuffle."""
+    grams = _ngrams(toks, n)
+    top = F.aggregate(
+        F.array_distinct(grams),
+        F.lit(0),
+        lambda acc, g: F.greatest(
+            acc, F.size(F.filter(grams, lambda x: x == g))
+        ),
+    )
+    return F.when(F.size(grams) <= 0, F.lit(0.0)).otherwise(
+        top / F.size(grams)
+    )
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Append the Gopher repetition/shape columns in ONE projection:
+
+    - ``dup_line_frac`` — duplicated lines / lines;
+    - ``dup_word_frac`` — duplicated tokens / tokens;
+    - ``dup_2gram_frac`` / ``dup_3gram_frac`` — duplicated word n-grams;
+    - ``top_2gram_frac`` — share of the most frequent 2-gram;
+    - ``mean_word_len`` — mean token length;
+    - ``alpha_word_frac`` — fraction of tokens containing a letter.
+
+    Every metric is row-local (higher-order array functions) — the whole
+    frame is a single codegen'd scan, no shuffle, no Python."""
+    c = F.col(text_col)
+    toks = words(c)
+    lines = F.filter(F.split(c, r"\n"), lambda l: F.trim(l) != "")
+    return df.select(
+        "*",
+        F.round(dup_frac(lines), 4).alias("dup_line_frac"),
+        F.round(dup_frac(toks), 4).alias("dup_word_frac"),
+        F.round(dup_frac(_ngrams(toks, 2)), 4).alias("dup_2gram_frac"),
+        F.round(dup_frac(_ngrams(toks, 3)), 4).alias("dup_3gram_frac"),
+        F.round(top_ngram_frac(toks, 2), 4).alias("top_2gram_frac"),
+        F.round(
+            F.when(F.size(toks) <= 0, F.lit(0.0)).otherwise(
+                F.aggregate(
+                    toks, F.lit(0), lambda a, w: a + F.length(w)
+                )
+                / F.size(toks)
+            ),
+            4,
+        ).alias("mean_word_len"),
+        F.round(
+            F.when(F.size(toks) <= 0, F.lit(0.0)).otherwise(
+                F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+                / F.size(toks)
+            ),
+            4,
+        ).alias("alpha_word_frac"),
+    )
+
+
+#: Gopher rule thresholds (arXiv:2112.11446 Table A1, adapted to the
+#: whitespace tokenizer): reject when any bound is breached.
+GOPHER_RULES: dict[str, tuple[float, float]] = {
+    # metric: (min allowed, max allowed)
+    "dup_line_frac": (0.0, 0.30),
+    "dup_2gram_frac": (0.0, 0.20),
+    "dup_3gram_frac": (0.0, 0.18),
+    "top_2gram_frac": (0.0, 0.20),
+    "mean_word_len": (3.0, 10.0),
+    "alpha_word_frac": (0.80, 1.0),
+}
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    rules: dict[str, tuple[float, float]] | None = None,
+    keep_metrics: bool = False,
+) -> DataFrame:
+    """Quality-filter a corpus by the Gopher repetition rules + length
+    bounds. Returns surviving rows (original columns; pass
+    ``keep_metrics=True`` to keep the metric columns for auditing).
+    Still one scan: metrics and predicate fuse into the same stage."""
+    rules = rules if rules is not None else GOPHER_RULES
+    m = repetition_metrics(df, text_col)
+    toks = F.size(words(F.col(text_col)))
+    pred = toks.between(min_tokens, max_tokens)
+    for name, (lo, hi) in rules.items():
+        pred = pred & F.col(name).between(lo, hi)
+    out = m.where(pred)
+    return out if keep_metrics else out.select(*df.columns)
+
+
+# ---------------------------------------------------------------------------
+# token-budget shard packing
+# ---------------------------------------------------------------------------
+
+def pack_shards(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_col: str,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Assign each document a training-shard id so consecutive documents
+    (in ``order_col`` order) fill ~``budget``-token shards:
+    ``shard = floor(cumulative_tokens_before_doc / budget)``.
+
+    Semantically this is ``floor((SUM(tokens) OVER (ORDER BY order_col) -
+    tokens) / budget)`` — but a bare global window is ONE partition and
+    dies at scale. The distributed plan:
+
+    1. ``repartitionByRange(order_col)`` + in-partition sort — partitions
+       are globally ordered ranges (one range-exchange shuffle);
+    2. per-partition token sums via ``spark_partition_id`` — a
+       metadata-sized aggregate (rows = #partitions) collected to build
+       cumulative partition offsets;
+    3. in-partition running sum by a window PARTITIONED BY the partition
+       id — every window group is one already-sorted partition, never a
+       single global one — plus the broadcast offset.
+
+    The data shuffles once for the range exchange and once for the pid
+    window hash — both full-width, never a 1-task stage. Deterministic
+    for a given ``order_col`` (ties broken by it being unique)."""
+    num = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    part = (
+        df.repartitionByRange(num, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    part.persist()
+    try:
+        sums = (
+            part.groupBy("__pid")
+            .agg(F.sum(token_col).alias("__t"))
+            .collect()
+        )
+        offsets: dict[int, int] = {}
+        acc = 0
+        for r in sorted(sums, key=lambda r: r["__pid"]):
+            offsets[int(r["__pid"])] = acc
+            acc += int(r["__t"] or 0)
+        if not offsets:
+            off = F.lit(0).cast("long")
+        elif len(offsets) <= 1024:
+            mapping = F.create_map(
+                *[
+                    F.lit(x)
+                    for pid, o in offsets.items()
+                    for x in (pid, o)
+                ]
+            )
+            off = mapping[F.col("__pid")].cast("long")
+        else:
+            # thousands of partitions: a literal map bloats the plan —
+            # broadcast-join the (pid → offset) table instead
+            odf = df.sparkSession.createDataFrame(
+                list(offsets.items()), "__pid int, __cum_off long"
+            )
+            part = part.join(F.broadcast(odf), "__pid", "left")
+            off = F.coalesce(F.col("__cum_off"), F.lit(0)).cast("long")
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy("__pid")
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = part.withColumn(
+            shard_col,
+            F.floor(
+                (off + F.sum(token_col).over(w) - F.col(token_col))
+                / F.lit(budget)
+            ),
+        ).drop("__pid", "__cum_off")
+        out = out.localCheckpoint(eager=True)
+    finally:
+        part.unpersist()
+    return out

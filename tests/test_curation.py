@@ -1,0 +1,167 @@
+"""Curation operator tests: PII redaction, repetition filters, shard
+packing — cross-checked against brute-force Python / DuckDB oracles."""
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+from sea_serpent_spark.operators import curation as C
+
+
+@pytest.fixture(scope="module")
+def pii_df(spark):
+    rows = [
+        (1, "contact me at jane.doe+spam@example.co.uk for details"),
+        (2, "call 555-867-5309 or +1 (212) 555-0199 now"),
+        (3, "server at 192.168.1.254 port 8080"),
+        (4, "ssn 123-45-6789 card 4111 1111 1111 1111 ok"),
+        (5, "no pii here just words"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, ["id", "text"])
+
+
+def test_redact_pii(pii_df):
+    out = dict(
+        pii_df.select(
+            "id", C.redact_pii(F.col("text")).alias("t")
+        ).collect()
+    )
+    assert out[1] == "contact me at <EMAIL> for details"
+    assert "<PHONE>" in out[2] and "555" not in out[2]
+    assert out[3] == "server at <IP> port 8080"
+    assert "<SSN>" in out[4] and "<CARD>" in out[4]
+    assert "6789" not in out[4] and "4111" not in out[4]
+    assert out[5] == "no pii here just words"
+    assert out[6] == ""
+
+
+def test_redact_pii_subset(pii_df):
+    out = dict(
+        pii_df.select(
+            "id", C.redact_pii(F.col("text"), kinds=["email"]).alias("t")
+        ).collect()
+    )
+    assert "<EMAIL>" in out[1]
+    assert "555-867-5309" in out[2]  # phone untouched
+
+
+def test_normalize_text(spark):
+    rows = [(1, "  a\tb   c\x07d\n\n\n\n\ne  ")]
+    out = spark.createDataFrame(rows, ["id", "text"]).select(
+        C.normalize_text(F.col("text")).alias("t")
+    ).collect()[0]["t"]
+    assert out == "a b cd\n\ne"
+
+
+@pytest.fixture(scope="module")
+def rep_df(spark):
+    rows = [
+        # clean prose: no repeated lines/ngrams
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        # heavy word repetition: "spam" 8/10 tokens
+        (2, "spam spam spam spam spam spam spam spam ham eggs"),
+        # duplicated lines (nav-bar boilerplate shape)
+        (3, "home | about\ncontent line one\nhome | about\nhome | about"),
+        (4, ""),
+    ]
+    return spark.createDataFrame(rows, ["id", "text"])
+
+
+def test_repetition_metrics(rep_df):
+    m = {
+        r["id"]: r.asDict()
+        for r in C.repetition_metrics(rep_df).collect()
+    }
+    assert m[1]["dup_word_frac"] == 0.0
+    assert m[1]["dup_2gram_frac"] == 0.0
+    # 10 tokens, 3 distinct → dup = 1 - 3/10
+    assert m[2]["dup_word_frac"] == 0.7
+    # "spam spam" covers 7 of 9 2-gram slots
+    assert m[2]["top_2gram_frac"] == round(7 / 9, 4)
+    # 4 non-empty lines, 2 distinct
+    assert m[3]["dup_line_frac"] == 0.5
+    assert m[4]["dup_word_frac"] == 0.0
+    assert m[4]["mean_word_len"] == 0.0
+
+
+def test_repetition_metrics_python_oracle(spark, sf_dir):
+    """Cross-check dup fractions on real documents against pure Python."""
+    import decimal
+
+    def r4(x):  # HALF_UP like Spark's F.round (python round is banker's)
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    got = {
+        r["doc_id"]: r
+        for r in C.repetition_metrics(d).collect()
+    }
+    for r in d.collect():
+        toks = r["text"].strip().lower().split() if r["text"] else []
+        toks = [t for t in toks if t]
+        g2 = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        want_w = 0.0 if not toks else 1 - len(set(toks)) / len(toks)
+        want_2 = 0.0 if not g2 else 1 - len(set(g2)) / len(g2)
+        assert got[r["doc_id"]]["dup_word_frac"] == r4(want_w)
+        assert got[r["doc_id"]]["dup_2gram_frac"] == r4(want_2)
+
+
+def test_gopher_filter(spark):
+    long_clean = " ".join(f"tok{i}word" for i in range(60))
+    long_repeat = " ".join(["spam maps"] * 30)
+    rows = [
+        (1, long_clean),          # survives
+        (2, long_repeat),         # killed: dup/top 2-gram fracs
+        (3, "too short"),         # killed: min_tokens
+        (4, long_clean + " !!! ### $$$ " + " ".join(["%"] * 20)),  # symbols
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    kept = {r["id"] for r in C.gopher_filter(df).collect()}
+    assert kept == {1}
+    audit = C.gopher_filter(df, keep_metrics=True)
+    assert "dup_2gram_frac" in audit.columns
+
+
+def test_pack_shards_matches_global_window(spark, sf_dir):
+    """Distributed packing == the single-window SQL oracle, and shard
+    sizes respect the budget (each shard starts before the boundary)."""
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "n_chars")
+    )
+    out = C.pack_shards(d, "n_chars", budget=5000, order_col="doc_id")
+    got = {r["doc_id"]: r["shard"] for r in out.collect()}
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW d AS SELECT doc_id, n_chars FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = dict(
+        con.sql(
+            "SELECT doc_id, CAST(FLOOR((SUM(n_chars) OVER "
+            "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars) "
+            "/ 5000.0) AS BIGINT) FROM d"
+        ).fetchall()
+    )
+    assert got == want
+    # shards are contiguous in doc order and non-empty
+    shards = sorted(set(got.values()))
+    assert shards == list(range(len(shards)))
+
+
+def test_pack_shards_stable_after_materialization(spark):
+    """The shard assignment must not drift when the result is consumed
+    twice (the range-exchange re-sample hazard pack_shards checkpoints
+    away)."""
+    rows = [(i, 10 + (i % 7)) for i in range(500)]
+    d = spark.createDataFrame(rows, ["id", "toks"]).repartition(8)
+    out = C.pack_shards(d, "toks", budget=100, order_col="id")
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, out.collect()))
+    assert a == b
