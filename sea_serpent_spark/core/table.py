@@ -362,6 +362,70 @@ class Table:
                          **kwargs)
         )
 
+    def clean_text(
+        self,
+        text_col: str = "text",
+        redact: bool = True,
+        pii_kinds: list[str] | None = None,
+    ) -> "Table":
+        """Normalize whitespace/control chars and (by default) redact PII
+        spans in ``text_col`` — one codegen'd regexp projection, no
+        Python (operators/curation.py)."""
+        from ..operators.curation import normalize_text, redact_pii
+
+        c = normalize_text(F.col(text_col))
+        if redact:
+            c = redact_pii(c, pii_kinds)
+        return self._derive(self.df.withColumn(text_col, c))
+
+    def repetition_metrics(self, text_col: str = "text") -> "Table":
+        """Append the Gopher repetition/shape signal columns — row-local
+        array math, zero shuffles (operators/curation.py)."""
+        from ..operators.curation import repetition_metrics
+
+        return self._derive(repetition_metrics(self.df, text_col))
+
+    def quality_filter(
+        self,
+        text_col: str = "text",
+        min_tokens: int = 50,
+        max_tokens: int = 100_000,
+        rules: dict | None = None,
+        keep_metrics: bool = False,
+    ) -> "Table":
+        """Drop low-quality rows by the Gopher repetition rules + token
+        bounds (operators/curation.py gopher_filter); metrics and
+        predicate fuse into the scan stage."""
+        from ..operators.curation import gopher_filter
+
+        return self._derive(
+            gopher_filter(self.df, text_col, min_tokens, max_tokens,
+                          rules, keep_metrics)
+        )
+
+    def pack_shards(
+        self,
+        token_col: str,
+        budget: int,
+        order_col: str | None = None,
+        shard_col: str = "shard",
+    ) -> "Table":
+        """Assign rows to fixed-token-budget training shards by global
+        running token count — distributed via range repartition +
+        per-partition offsets, never a single global window
+        (operators/curation.py)."""
+        from ..operators.curation import pack_shards
+
+        oc = order_col or self.order_col
+        if oc is None:
+            raise ValueError(
+                "pack_shards needs order_col (or a table order_col) — "
+                "shard assignment must follow a deterministic total order"
+            )
+        return self._derive(
+            pack_shards(self.df, token_col, budget, oc, shard_col)
+        )
+
     def sort(
         self, by: str | Sequence[str], ascending: bool | Sequence[bool] = True
     ) -> "Table":

@@ -24,7 +24,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from .text import words
+from .text import round_half_up, words
 
 # ---------------------------------------------------------------------------
 # PII redaction / normalization
@@ -130,18 +130,20 @@ def repetition_metrics(
     - ``alpha_word_frac`` — fraction of tokens containing a letter.
 
     Every metric is row-local (higher-order array functions) — the whole
-    frame is a single codegen'd scan, no shuffle, no Python."""
+    frame is a single codegen'd scan, no shuffle, no Python. Rounding is
+    ``round_half_up`` (floor(x·10⁴+0.5)) so the DuckDB oracle agrees
+    bit-for-bit at representation boundaries."""
     c = F.col(text_col)
     toks = words(c)
     lines = F.filter(F.split(c, r"\n"), lambda l: F.trim(l) != "")
     return df.select(
         "*",
-        F.round(dup_frac(lines), 4).alias("dup_line_frac"),
-        F.round(dup_frac(toks), 4).alias("dup_word_frac"),
-        F.round(dup_frac(_ngrams(toks, 2)), 4).alias("dup_2gram_frac"),
-        F.round(dup_frac(_ngrams(toks, 3)), 4).alias("dup_3gram_frac"),
-        F.round(top_ngram_frac(toks, 2), 4).alias("top_2gram_frac"),
-        F.round(
+        round_half_up(dup_frac(lines), 4).alias("dup_line_frac"),
+        round_half_up(dup_frac(toks), 4).alias("dup_word_frac"),
+        round_half_up(dup_frac(_ngrams(toks, 2)), 4).alias("dup_2gram_frac"),
+        round_half_up(dup_frac(_ngrams(toks, 3)), 4).alias("dup_3gram_frac"),
+        round_half_up(top_ngram_frac(toks, 2), 4).alias("top_2gram_frac"),
+        round_half_up(
             F.when(F.size(toks) <= 0, F.lit(0.0)).otherwise(
                 F.aggregate(
                     toks, F.lit(0), lambda a, w: a + F.length(w)
@@ -150,7 +152,7 @@ def repetition_metrics(
             ),
             4,
         ).alias("mean_word_len"),
-        F.round(
+        round_half_up(
             F.when(F.size(toks) <= 0, F.lit(0.0)).otherwise(
                 F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
                 / F.size(toks)

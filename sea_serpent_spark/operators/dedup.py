@@ -916,15 +916,21 @@ def connected_components(
     round count rather than round cost."""
     # ids keep their native type: MIN as canonical choice must follow the
     # id column's own ordering (a string cast would pick '100' over '2')
+    # Checkpoint BEFORE the symmetric union: both union branches read
+    # ``edges``, and without the lineage cut each one re-executes the
+    # whole upstream pair computation (for the exact near-dup graph
+    # that's the scored crossJoin — observed 3× its cost at sf0.1).
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    # undirected: propagate both ways
+    # undirected: propagate both ways (narrow union over the checkpoint —
+    # cheap to recompute per round, no second materialization needed)
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("u").alias("id"))
         .distinct()

@@ -85,7 +85,10 @@ def q30_text_analysis(spark, sf_dir):
     (operators/text.py). All pure pyspark.sql.functions — one codegen'd
     projection, no Python in the hot path, one pass over the corpus
     instead of four."""
+    from .operators.curation import _ngrams, dup_frac
+
     d = df(spark, sf_dir, "documents")
+    toks = X.words(F.col("text"))
     return d.select(
         "doc_id",
         X.token_count(F.col("text")).alias("n_tokens"),
@@ -96,6 +99,10 @@ def q30_text_analysis(spark, sf_dir):
         X.quality_score(F.col("text")).alias("quality"),
         X.lang_id(F.col("text")).alias("lang_pred"),
         X.fingerprint(F.col("text")).alias("fp"),
+        X.round_half_up(dup_frac(toks), 4).alias("dup_word_frac"),
+        X.round_half_up(dup_frac(_ngrams(toks, 2)), 4).alias(
+            "dup_2gram_frac"
+        ),
     )
 
 
@@ -263,15 +270,24 @@ def q61_connected_components(spark, sf_dir):
 
 
 def q60_deterministic_split(spark, sf_dir):
-    """Train/val/test assignment for every document — a pure function of
-    md5(doc_id), so the DuckDB oracle computes the identical labels from
-    the same hash arithmetic (the auditable-off-cluster property)."""
+    """Two deterministic curation assignments in one oracle row:
+
+    - ``split`` — train/val/test as a pure function of md5(doc_id), so
+      the DuckDB oracle computes identical labels from the same hash
+      arithmetic (the auditable-off-cluster property);
+    - ``shard`` — token-budget shard packing by global running n_chars
+      in doc_id order (operators/curation.py pack_shards). The oracle is
+      the single-window SQL the distributed range-partition +
+      partition-offset plan must equal exactly."""
+    from .operators.curation import pack_shards
     from .operators.sampling import deterministic_split
 
     docs = df(spark, sf_dir, "documents")
-    return deterministic_split(
+    out = deterministic_split(
         docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
-    ).select("doc_id", "split")
+    ).select("doc_id", "n_chars", "split")
+    return pack_shards(out, "n_chars", budget=50_000, order_col="doc_id"
+                       ).select("doc_id", "split", "shard")
 
 
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -409,7 +425,10 @@ SELECT event_id, user_id, ts, snap_ts, snap_value FROM j WHERE rn = 1
         "AS BIGINT) % 1000000 < 800000 THEN 'train' "
         "WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) "
         "AS BIGINT) % 1000000 < 900000 THEN 'val' "
-        "ELSE 'test' END AS split FROM documents"
+        "ELSE 'test' END AS split, "
+        "CAST(FLOOR((SUM(n_chars) OVER (ORDER BY doc_id "
+        "ROWS UNBOUNDED PRECEDING) - n_chars) / 50000.0) AS BIGINT) "
+        "AS shard FROM documents"
     ),
     "q59_range_join": """
 WITH iv AS (
@@ -496,9 +515,19 @@ SELECT doc_id,
             - abs(sw - CAST(0.3 AS DOUBLE)) / CAST(0.7 AS DOUBLE)))
       * 10000 + CAST(0.5 AS DOUBLE)) / 10000 AS quality,
   {_CASE} AS lang_pred,
-  fp
+  fp,
+  FLOOR((CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+        ELSE CAST(1.0 AS DOUBLE)
+             - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) END)
+      * 10000 + CAST(0.5 AS DOUBLE)) / 10000 AS dup_word_frac,
+  FLOOR((CASE WHEN len(g2) = 0 THEN CAST(0.0 AS DOUBLE)
+        ELSE CAST(1.0 AS DOUBLE)
+             - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE) END)
+      * 10000 + CAST(0.5 AS DOUBLE)) / 10000 AS dup_2gram_frac
 FROM (
   SELECT doc_id, text, toks, ws, fp,
+    list_transform(generate_series(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1]) AS g2,
     CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE)
          ELSE (length(text) - length(regexp_replace(text,
               '[^a-zA-Z0-9\\s]', '', 'g'))) / CAST(length(text) AS DOUBLE)

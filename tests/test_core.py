@@ -338,3 +338,30 @@ def test_table_split_sample_dedup_conveniences(spark, sf_dir):
     kept = docs.dedup(method="exact")
     n_content = docs.df.selectExpr("count(distinct text)").collect()[0][0]
     assert kept.count() == n_content
+
+
+def test_table_text_curation_conveniences(spark, sf_dir):
+    """Table-level delegates for clean_text / repetition_metrics /
+    quality_filter / pack_shards."""
+    from sea_serpent_spark import Table
+
+    docs = Table.from_parquet(f"{sf_dir}/documents.parquet", "documents",
+                              spark, order_col="doc_id")
+    cleaned = docs.clean_text()
+    assert cleaned.columns == docs.columns
+    assert cleaned.count() == docs.count()
+
+    m = docs.repetition_metrics()
+    assert "dup_2gram_frac" in m.columns and "top_2gram_frac" in m.columns
+
+    # synthetic docs are short: everything dies on min_tokens=50,
+    # everything survives at min_tokens=1 with repetition rules off
+    assert docs.quality_filter(min_tokens=50).count() < docs.count()
+    assert docs.quality_filter(min_tokens=0, rules={}).count() == docs.count()
+
+    packed = docs.pack_shards("n_chars", budget=5000)
+    assert "shard" in packed.columns
+    shards = sorted(
+        r["shard"] for r in packed.df.select("shard").distinct().collect()
+    )
+    assert shards == list(range(len(shards)))
