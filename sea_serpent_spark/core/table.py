@@ -403,6 +403,46 @@ class Table:
                           rules, keep_metrics)
         )
 
+    def chunk(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        chunk_tokens: int = 512,
+        overlap: int = 64,
+    ) -> "Table":
+        """Sliding-window document chunking (sequence-length prep) —
+        row-local explode, no shuffle (operators/curation.py
+        chunk_documents)."""
+        from ..operators.curation import chunk_documents
+
+        return self._derive(
+            chunk_documents(self.df, text_col, id_col, chunk_tokens,
+                            overlap)
+        )
+
+    def cap_per_group(self, group_col: str, n: int, id_col: str) -> "Table":
+        """At most n rows per group, deterministic by portable id hash
+        (operators/sampling.py) — the domain-quota rule."""
+        from ..operators.sampling import cap_per_group
+
+        return self._derive(cap_per_group(self.df, group_col, n, id_col))
+
+    def mix(
+        self,
+        source_col: str,
+        rates: dict[str, float],
+        id_col: str,
+        default_rate: float = 0.0,
+    ) -> "Table":
+        """Training-mixture down-sampling: keep each source at its rate,
+        deterministic and monotone in the rate (operators/sampling.py
+        mix_corpora)."""
+        from ..operators.sampling import mix_corpora
+
+        return self._derive(
+            mix_corpora(self.df, source_col, rates, id_col, default_rate)
+        )
+
     def pack_shards(
         self,
         token_col: str,

@@ -291,3 +291,56 @@ def pack_shards(
     finally:
         part.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# sliding-window document chunking (sequence-length prep)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split each document into overlapping fixed-token windows —
+    the sequence-length prep step between curation and tokenization.
+    → [id_col, chunk_id, chunk_text, n_chunk_tokens]; chunk ``k`` covers
+    tokens [k·step, k·step + chunk_tokens), step = chunk_tokens −
+    overlap; every doc yields ≥ 1 chunk (empty text → one empty chunk).
+
+    Row-local: token split + posexplode over the chunk-start sequence +
+    one slice/concat per chunk — no shuffle, output cardinality
+    Σ ceil(tokens/step), each chunk built once. The explode multiplies
+    rows before any downstream shuffle, so partition sizing follows
+    output tokens (≈ input·(1+overlap/step)), not input rows."""
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})"
+        )
+    step = chunk_tokens - overlap
+    toks = words(F.col(text_col))
+    n = F.size(toks)
+    # k_max = ceil(max(n - overlap, 1) / step) - 1, floor-div form
+    k_max = F.greatest(
+        (n - overlap + step - 1), F.lit(1)
+    ).cast("long") / F.lit(step)
+    k_max = F.floor(k_max) - 1
+    k_max = F.greatest(k_max, F.lit(0))
+    out = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.posexplode(F.sequence(F.lit(0), k_max.cast("int"))).alias(
+            "chunk_id", "__k"
+        ),
+    )
+    piece = F.slice(
+        F.col("__toks"), F.col("__k") * step + 1, chunk_tokens
+    )
+    return out.select(
+        id_col,
+        "chunk_id",
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).alias("n_chunk_tokens"),
+    )

@@ -105,3 +105,61 @@ def stratified_sample(
         .where(F.col("__rk") <= F.floor(F.col("__n") * fraction))
         .drop("__rk", "__n")
     )
+
+
+def epoch_key(col, seed: int = 0):
+    """Deterministic per-epoch shuffle key: the portable 48-bit md5 of
+    ``seed || ':' || id``. Ordering by it is a reproducible global
+    shuffle of the corpus that changes completely between epochs (seed)
+    but never between re-runs — feed it to ``pack_shards(order_col=...)``
+    to cut shuffled fixed-token training shards. A different-seed order
+    is uncorrelated, so epoch boundaries don't re-read the same shard
+    neighborhoods."""
+    return h48(
+        F.concat(F.lit(str(seed)), F.lit(":"), F.col(col).cast("string"))
+    )
+
+
+def cap_per_group(
+    df: DataFrame, group_col: str, n: int, id_col: str
+) -> DataFrame:
+    """At most ``n`` rows per group, chosen deterministically by hash
+    order (the domain-quota rule: no single source may dominate the
+    mix). Same shape as :func:`stratified_sample` — one shuffle on the
+    group key, rank state only."""
+    if n < 0:
+        raise ValueError(f"cap must be >= 0, got {n}")
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(id_col), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n)
+        .drop("__rk")
+    )
+
+
+def mix_corpora(
+    df: DataFrame,
+    source_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Down-sample each source to its mixture rate — the training-mix
+    recipe ("keep 100% of wiki, 30% of crawl"). Keep iff
+    ``hash_bucket(id) < rate(source)·BUCKETS``: a pure row-local
+    predicate (no shuffle, fuses into the scan), deterministic per id,
+    and monotone in the rate — raising a source's rate only ADDS
+    documents, never swaps them, so mixture revisions stay comparable.
+    Unknown sources get ``default_rate`` (drop, by default)."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
+    b = hash_bucket(id_col)
+    expr = F.lit(int(round(default_rate * SPLIT_BUCKETS)))
+    for s, r in rates.items():
+        expr = F.when(
+            F.col(source_col) == s, F.lit(int(round(r * SPLIT_BUCKETS)))
+        ).otherwise(expr)
+    return df.where(b < expr)

@@ -365,3 +365,23 @@ def test_table_text_curation_conveniences(spark, sf_dir):
         r["shard"] for r in packed.df.select("shard").distinct().collect()
     )
     assert shards == list(range(len(shards)))
+
+
+def test_table_chunk_cap_mix_conveniences(spark, sf_dir):
+    from sea_serpent_spark import Table
+
+    docs = Table.from_parquet(f"{sf_dir}/documents.parquet", "documents",
+                              spark, order_col="doc_id")
+    ch = docs.chunk(chunk_tokens=16, overlap=4)
+    assert set(ch.columns) == {"doc_id", "chunk_id", "chunk_text",
+                               "n_chunk_tokens"}
+    assert ch.count() >= docs.count()
+
+    capped = docs.cap_per_group("source", 5, "doc_id")
+    assert capped.df.groupBy("source").count().agg(
+        {"count": "max"}).collect()[0][0] <= 5
+
+    srcs = [r["source"] for r in
+            docs.df.select("source").distinct().limit(1).collect()]
+    mixed = docs.mix("source", {srcs[0]: 0.5}, "doc_id")
+    assert 0 < mixed.count() < docs.count()

@@ -165,3 +165,106 @@ def test_pack_shards_stable_after_materialization(spark):
     a = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, out.collect()))
     assert a == b
+
+
+def test_chunk_documents_duckdb_oracle(spark, sf_dir):
+    """Chunk boundaries and text match the window-arithmetic SQL oracle."""
+    from sea_serpent_spark.operators.curation import chunk_documents
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = chunk_documents(d, chunk_tokens=16, overlap=4)
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_chunk_tokens"])
+        for r in out.collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW d AS SELECT doc_id, "
+        f"regexp_split_to_array(lower(trim(text)), '\\s+') AS toks "
+        f"FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.sql(
+                """
+    WITH n AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+    k AS (SELECT doc_id, toks,
+          unnest(generate_series(0,
+            GREATEST(CAST(CEIL(GREATEST(n - 4, 1) / 12.0) AS BIGINT) - 1,
+                     0))) AS k
+          FROM n)
+    SELECT doc_id, CAST(k AS INT) AS chunk_id,
+      array_to_string(toks[k * 12 + 1 : k * 12 + 16], ' ') AS chunk_text,
+      CAST(len(toks[k * 12 + 1 : k * 12 + 16]) AS INT) AS n
+    FROM k
+    """
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    # overlap property: consecutive chunks share exactly `overlap` tokens
+    by_doc = {}
+    for doc, cid, txt, _ in got:
+        by_doc.setdefault(doc, []).append((cid, txt.split()))
+    for doc, chunks in by_doc.items():
+        chunks.sort()
+        for (_, a), (_, b) in zip(chunks, chunks[1:]):
+            assert a[12:] == b[: len(a[12:])]
+
+
+def test_chunk_documents_single_chunk_and_validation(spark):
+    from sea_serpent_spark.operators.curation import chunk_documents
+
+    d = spark.createDataFrame(
+        [(1, "only three tokens"), (2, "")], ["doc_id", "text"]
+    )
+    out = chunk_documents(d, chunk_tokens=8, overlap=2).collect()
+    assert {(r["doc_id"], r["chunk_id"]) for r in out} == {(1, 0), (2, 0)}
+    with pytest.raises(ValueError):
+        chunk_documents(d, chunk_tokens=8, overlap=8)
+
+
+def test_cap_and_mix(spark, sf_dir):
+    from sea_serpent_spark.operators.sampling import (
+        cap_per_group, hash_bucket, mix_corpora)
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    capped = cap_per_group(d, "source", 10, "doc_id")
+    per = capped.groupBy("source").count().collect()
+    assert all(r["count"] <= 10 for r in per)
+    # deterministic: same ids on re-run
+    a = {r["doc_id"] for r in capped.collect()}
+    b = {r["doc_id"] for r in cap_per_group(d, "source", 10, "doc_id").collect()}
+    assert a == b
+
+    srcs = [r["source"] for r in d.select("source").distinct().collect()]
+    rates = {srcs[0]: 1.0, srcs[1]: 0.3}
+    mixed = mix_corpora(d, "source", rates, "doc_id")
+    n_all = d.where(F.col("source") == srcs[0]).count()
+    assert mixed.where(F.col("source") == srcs[0]).count() == n_all
+    n1 = d.where(F.col("source") == srcs[1]).count()
+    k1 = mixed.where(F.col("source") == srcs[1]).count()
+    assert 0 < k1 < n1
+    # unknown sources drop by default
+    assert mixed.select("source").distinct().count() == 2
+    # monotone: raising a rate only ADDS rows
+    more = mix_corpora(d, "source", {srcs[0]: 1.0, srcs[1]: 0.6}, "doc_id")
+    kept_03 = {r["doc_id"] for r in mixed.collect()}
+    kept_06 = {r["doc_id"] for r in more.collect()}
+    assert kept_03 <= kept_06
+
+
+def test_epoch_key_reshuffles(spark, sf_dir):
+    from sea_serpent_spark.operators.sampling import epoch_key
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    o0 = [r["doc_id"] for r in
+          d.orderBy(epoch_key("doc_id", 0), "doc_id").collect()]
+    o0b = [r["doc_id"] for r in
+           d.orderBy(epoch_key("doc_id", 0), "doc_id").collect()]
+    o1 = [r["doc_id"] for r in
+          d.orderBy(epoch_key("doc_id", 1), "doc_id").collect()]
+    assert o0 == o0b          # reproducible within an epoch
+    assert o0 != o1           # different across epochs
+    assert sorted(o0) == sorted(o1)
