@@ -121,6 +121,46 @@ class Table:
         return cls(df, name=name, spark=spark, **kw)
 
     @classmethod
+    def from_json(cls, path: str, name: str | None = None,
+                  spark: SparkSession | None = None,
+                  schema: str | None = None, multiline: bool = False,
+                  **kw) -> "Table":
+        """Open JSON-lines file(s) as a read-only table — the interchange
+        format of most LLM-corpus distributions. Pass an explicit
+        ``schema`` ("col TYPE, ...") to skip the inference pass (which
+        reads the data TWICE at scale); jsonl is line-splittable so
+        reads parallelize per block, but gzipped jsonl is NOT — one
+        whole file per task (note ``multiline=True`` has the same
+        single-task-per-file cost)."""
+        spark = spark or SparkSession.getActiveSession()
+        r = spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        df = r.option("multiLine", multiline).json(path)
+        if name is None:
+            name = path.rstrip("/").rsplit("/", 1)[-1].split(".")[0]
+        return cls(df, name=name, spark=spark, **kw)
+
+    @classmethod
+    def from_csv(cls, path: str, name: str | None = None,
+                 spark: SparkSession | None = None,
+                 schema: str | None = None, header: bool = True,
+                 **options) -> "Table":
+        """Open CSV file(s) as a read-only table. Explicit ``schema``
+        avoids the inference scan; extra ``options`` pass through to the
+        reader (sep, quote, nullValue, ...)."""
+        spark = spark or SparkSession.getActiveSession()
+        r = spark.read.option("header", header)
+        for k, v in options.items():
+            r = r.option(k, v)
+        if schema is not None:
+            r = r.schema(schema)
+        df = r.csv(path)
+        if name is None:
+            name = path.rstrip("/").rsplit("/", 1)[-1].split(".")[0]
+        return cls(df, name=name, spark=spark)
+
+    @classmethod
     def from_catalog(cls, name: str,
                      spark: SparkSession | None = None, **kw) -> "Table":
         """Open a Spark-catalog table (Hive/Delta/Iceberg — whatever the
@@ -148,6 +188,57 @@ class Table:
             cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
             w = w.partitionBy(*cols)
         w.orc(path)
+
+    def to_json(self, path: str, mode: str = "error",
+                partition_by: str | Sequence[str] | None = None,
+                compression: str | None = None) -> None:
+        """Distributed JSON-lines write (one object per line); same
+        layout semantics as to_parquet. Prefer ``compression='zstd'``
+        blocks over whole-file gzip for re-readable shards."""
+        w = self.df.write.mode(mode)
+        if compression:
+            w = w.option("compression", compression)
+        if partition_by:
+            cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+            w = w.partitionBy(*cols)
+        w.json(path)
+
+    def to_csv(self, path: str, mode: str = "error", header: bool = True,
+               **options) -> None:
+        """Distributed CSV write; ``options`` pass through (sep, quote,
+        nullValue, ...)."""
+        w = self.df.write.mode(mode).option("header", header)
+        for k, v in options.items():
+            w = w.option(k, v)
+        w.csv(path)
+
+    def write_shards(self, path: str, shard_col: str = "shard",
+                     fmt: str = "parquet", mode: str = "error") -> None:
+        """Materialize training shards: one directory per ``shard_col``
+        value (``shard=K/``), rows of a shard colocated in its own
+        file set. Repartitions BY the shard key first so each shard is
+        written by the tasks that own it — without this, every task
+        holds a writer per shard it sees (the classic
+        partitionBy-small-files failure: T tasks × S shards files);
+        with it, file count ≈ shard count. Compose:
+        ``t.pack_shards("n_tokens", B).write_shards(path)``."""
+        (self.df.repartition(F.col(shard_col))
+             .write.mode(mode).partitionBy(shard_col)
+             .format(fmt).save(path))
+
+    def map_batches(self, fn, schema, batch_size: int | None = None) -> "Table":
+        """Arrow-batched Python transform over the whole row stream:
+        ``fn(iterator[pandas.DataFrame]) -> iterator[pandas.DataFrame]``
+        via ``mapInPandas`` — the engine's escape hatch for logic the
+        built-ins can't express (model scoring, custom tokenizers).
+        Python IS the slow path; everything in operators/ stays JVM-side
+        precisely so this is only needed at the edges. ``batch_size``
+        caps Arrow batch rows (peak per-task memory)."""
+        if batch_size is not None:
+            self.spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch",
+                str(batch_size))
+        return self._derive(self.df.mapInPandas(fn, schema))
 
     def to_catalog(
         self,

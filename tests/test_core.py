@@ -385,3 +385,69 @@ def test_table_chunk_cap_mix_conveniences(spark, sf_dir):
             docs.df.select("source").distinct().limit(1).collect()]
     mixed = docs.mix("source", {srcs[0]: 0.5}, "doc_id")
     assert 0 < mixed.count() < docs.count()
+
+
+def test_json_csv_roundtrip(spark, sf_dir, tmp_path):
+    from sea_serpent_spark import Table
+
+    nat = Table.from_parquet(f"{sf_dir}/nation.parquet", "nation", spark)
+    jp, cp = str(tmp_path / "nat_json"), str(tmp_path / "nat_csv")
+    nat.to_json(jp)
+    nat.to_csv(cp)
+
+    back_j = Table.from_json(
+        jp, "nation", spark,
+        schema="n_nationkey long, n_name string, n_regionkey long, "
+               "n_comment string")
+    assert back_j.count() == nat.count()
+    assert sorted(map(tuple, back_j.df.select(*nat.columns).collect())) == \
+        sorted(map(tuple, nat.df.collect()))
+
+    back_c = Table.from_csv(
+        cp, "nation", spark,
+        schema="n_nationkey long, n_name string, n_regionkey long, "
+               "n_comment string")
+    assert back_c.count() == nat.count()
+    assert sorted(
+        r["n_name"] for r in back_c.df.collect()
+    ) == sorted(r["n_name"] for r in nat.df.collect())
+
+
+def test_write_shards_layout(spark, sf_dir, tmp_path):
+    import os
+
+    from sea_serpent_spark import Table
+
+    docs = Table.from_parquet(f"{sf_dir}/documents.parquet", "documents",
+                              spark, order_col="doc_id")
+    packed = docs.pack_shards("n_chars", budget=20_000)
+    out = str(tmp_path / "shards")
+    packed.write_shards(out)
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    n_shards = packed.df.select("shard").distinct().count()
+    assert len(dirs) == n_shards
+    # round-trip: partition column comes back, all rows survive
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # one file set per shard dir (repartition-by-key, no writer fanout)
+    for d in dirs:
+        files = [f for f in os.listdir(f"{out}/{d}")
+                 if f.endswith(".parquet")]
+        assert len(files) == 1
+
+
+def test_map_batches(spark, sf_dir):
+    from sea_serpent_spark import Table
+
+    nat = Table.from_parquet(f"{sf_dir}/nation.parquet", "nation", spark)
+
+    def double_key(batches):
+        for b in batches:
+            b = b[["n_nationkey"]].copy()
+            b["doubled"] = b["n_nationkey"] * 2
+            yield b
+
+    out = nat.map_batches(double_key, "n_nationkey long, doubled long")
+    rows = {r["n_nationkey"]: r["doubled"] for r in out.df.collect()}
+    assert rows == {k: 2 * k for k in rows}
+    assert len(rows) == nat.count()
