@@ -215,6 +215,7 @@ def pack_shards(
     budget: int,
     order_col: str,
     shard_col: str = "shard",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Assign each document a training-shard id so consecutive documents
     (in ``order_col`` order) fill ~``budget``-token shards:
@@ -287,10 +288,18 @@ def pack_shards(
                 / F.lit(budget)
             ),
         ).drop("__pid", "__cum_off")
-        out = out.localCheckpoint(eager=True)
-    finally:
+        # Checkpoint by default: the baked offsets are only valid for
+        # THIS materialization — a later recompute would re-sample the
+        # range boundaries and shift pids. checkpoint=False hands back
+        # the lazy plan (inspection/tests); the persisted input is then
+        # deliberately left pinned to keep the offsets honest.
+        if checkpoint:
+            out = out.localCheckpoint(eager=True)
+            part.unpersist()
+        return out
+    except Exception:
         part.unpersist()
-    return out
+        raise
 
 
 # ---------------------------------------------------------------------------

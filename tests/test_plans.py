@@ -137,3 +137,53 @@ def test_dense_jaccard_uses_broadcast_nlj(spark, sf_dir):
     # the prefix path's candidate dedup (HashAggregate over id pairs
     # after the salted join) must be absent - only expansion joins remain
     assert "BatchEvalPython" not in plan
+
+
+def test_curation_metrics_single_scan_no_exchange(spark, sf_dir):
+    """Repetition metrics + quality predicate are one scan stage: no
+    shuffle anywhere in the plan (the zero-shuffle filter contract)."""
+    from sea_serpent_spark.operators.curation import (gopher_filter,
+                                                      repetition_metrics)
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert "Exchange" not in _plan(repetition_metrics(d))
+    assert "Exchange" not in _plan(gopher_filter(d, min_tokens=5))
+
+
+def test_chunk_documents_no_exchange(spark, sf_dir):
+    """Chunking is explode + projection — row-local, no shuffle."""
+    from sea_serpent_spark.operators.curation import chunk_documents
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(chunk_documents(d))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the posexplode
+
+
+def test_mix_and_split_fuse_into_scan_stage(spark, sf_dir):
+    """Hash-predicate sampling ops are pure filters/projections — no
+    shuffle, no extra pass."""
+    from sea_serpent_spark.operators.sampling import (deterministic_split,
+                                                      mix_corpora)
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert "Exchange" not in _plan(mix_corpora(
+        d, "source", {"src0": 0.5}, "doc_id"))
+    assert "Exchange" not in _plan(deterministic_split(d, "doc_id"))
+
+
+def test_pack_shards_no_single_partition_stage(spark, sf_dir):
+    """Shard packing must never collapse to one partition: the window
+    is keyed by the (many-valued) partition id, the order exchange is a
+    range partitioning — no SinglePartition / global-window stage."""
+    from sea_serpent_spark.operators.curation import pack_shards
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "n_chars")
+    out = pack_shards(d, "n_chars", budget=20_000, order_col="doc_id",
+                      checkpoint=False)
+    plan = _plan(out)
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan
+    # the running-sum window is keyed by the partition id, never empty
+    assert "windowspecdefinition(__pid" in plan
