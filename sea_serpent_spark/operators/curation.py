@@ -108,18 +108,28 @@ def dup_frac(arr: Column) -> Column:
 def top_ngram_frac(toks: Column, n: int) -> Column:
     """Fraction of all n-gram slots covered by the single most frequent
     n-gram — the boilerplate signal (a nav bar repeated 40× dominates).
-    Computed per-row with ``aggregate`` over the distinct grams: for each
-    candidate gram count its occurrences, keep the max. Cost is
-    O(|grams|·|distinct|) per row — bounded by document length, still
-    zero-shuffle."""
+
+    Computed as the longest equal run of the SORTED gram array — one
+    ``aggregate`` pass carrying (prev, run, best) state. O(g log g) per
+    row; the naive count-each-distinct-gram form is O(g·distinct),
+    quadratic on exactly the long repetitive documents this metric
+    exists to catch. Still row-local: zero shuffles."""
     grams = _ngrams(toks, n)
-    top = F.aggregate(
-        F.array_distinct(grams),
-        F.lit(0),
-        lambda acc, g: F.greatest(
-            acc, F.size(F.filter(grams, lambda x: x == g))
-        ),
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
     )
+
+    def step(acc, x):
+        run = F.when(acc.prev.eqNullSafe(x), acc.run + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.best, run).alias("best"),
+        )
+
+    top = F.aggregate(F.array_sort(grams), zero, step, lambda acc: acc.best)
     return F.when(F.size(grams) <= 0, F.lit(0.0)).otherwise(
         top / F.size(grams)
     )

@@ -107,8 +107,13 @@ def test_repetition_metrics_python_oracle(spark, sf_dir):
         g2 = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
         want_w = 0.0 if not toks else 1 - len(set(toks)) / len(toks)
         want_2 = 0.0 if not g2 else 1 - len(set(g2)) / len(g2)
+        want_top = (
+            0.0 if not g2
+            else max(g2.count(g) for g in set(g2)) / len(g2)
+        )
         assert got[r["doc_id"]]["dup_word_frac"] == r4(want_w)
         assert got[r["doc_id"]]["dup_2gram_frac"] == r4(want_2)
+        assert got[r["doc_id"]]["top_2gram_frac"] == r4(want_top)
 
 
 def test_gopher_filter(spark):
