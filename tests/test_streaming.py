@@ -170,3 +170,37 @@ def test_streaming_minhash_pairs_equals_batch(spark, sf_dir):
         for r in D.minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
     }
     assert got == batch and len(batch) > 0
+
+
+def test_streaming_curation_pipeline(spark, sf_dir):
+    """The stateless curation stages (normalize/redact → repetition
+    filter → chunk) apply unchanged to a document stream — each
+    micro-batch flows through the same codegen'd projections, no state
+    store involved — and the drained result equals the batch run."""
+    import pyspark.sql.functions as F
+
+    from sea_serpent_spark.operators.curation import (chunk_documents,
+                                                      gopher_filter,
+                                                      normalize_text,
+                                                      redact_pii)
+    from sea_serpent_spark.streaming.events import (read_documents_stream,
+                                                    run_to_memory)
+
+    def pipeline(df):
+        cleaned = df.withColumn(
+            "text", redact_pii(normalize_text(F.col("text")))
+        )
+        kept = gopher_filter(cleaned, min_tokens=5, rules={
+            "dup_line_frac": (0.0, 1.0)})
+        return chunk_documents(kept, chunk_tokens=16, overlap=4)
+
+    stream = pipeline(read_documents_stream(spark, sf_dir))
+    assert stream.isStreaming
+    got = run_to_memory(stream, "t_cur", spark, mode="append").toPandas()
+
+    batch = pipeline(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).toPandas()
+    key = ["doc_id", "chunk_id"]
+    assert sorted(map(tuple, got[key + ["chunk_text"]].values.tolist())) == \
+        sorted(map(tuple, batch[key + ["chunk_text"]].values.tolist()))
