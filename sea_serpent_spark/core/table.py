@@ -213,7 +213,9 @@ class Table:
         w.csv(path)
 
     def write_shards(self, path: str, shard_col: str = "shard",
-                     fmt: str = "parquet", mode: str = "error") -> None:
+                     fmt: str = "parquet", mode: str = "error",
+                     token_col: str | None = None,
+                     manifest: bool = True) -> None:
         """Materialize training shards: one directory per ``shard_col``
         value (``shard=K/``), rows of a shard colocated in its own
         file set. Repartitions BY the shard key first so each shard is
@@ -221,10 +223,39 @@ class Table:
         holds a writer per shard it sees (the classic
         partitionBy-small-files failure: T tasks × S shards files);
         with it, file count ≈ shard count. Compose:
-        ``t.pack_shards("n_tokens", B).write_shards(path)``."""
+        ``t.pack_shards("n_tokens", B).write_shards(path)``.
+
+        ``manifest=True`` also writes ``_manifest.json`` — per-shard row
+        (and, with ``token_col``, token) counts a training dataloader
+        reads instead of listing/scanning the shards. The stats come
+        from one groupBy whose result is shard-count-sized: a metadata
+        collect, not a data collect."""
         (self.df.repartition(F.col(shard_col))
              .write.mode(mode).partitionBy(shard_col)
              .format(fmt).save(path))
+        if manifest:
+            import json
+            import os
+
+            aggs = [F.count(F.lit(1)).alias("rows")]
+            if token_col:
+                aggs.append(F.sum(token_col).alias("tokens"))
+            stats = {
+                str(r[shard_col]): {
+                    k: int(r[k]) for k in (
+                        ["rows", "tokens"] if token_col else ["rows"])
+                }
+                for r in self.df.groupBy(shard_col).agg(*aggs).collect()
+            }
+            man = {
+                "format": fmt,
+                "shard_col": shard_col,
+                "n_shards": len(stats),
+                "shards": dict(sorted(stats.items(),
+                                      key=lambda kv: int(kv[0]))),
+            }
+            with open(os.path.join(path, "_manifest.json"), "w") as f:
+                json.dump(man, f, indent=1)
 
     def map_batches(self, fn, schema, batch_size: int | None = None) -> "Table":
         """Arrow-batched Python transform over the whole row stream:

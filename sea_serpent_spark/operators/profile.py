@@ -118,3 +118,72 @@ def profile(
     return wide.select(
         F.explode(F.array(*rows)).alias("p")
     ).select("p.*")
+
+
+def corpus_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str | None = None,
+    top_k_tokens: int = 20,
+) -> dict:
+    """Corpus-level summary for a documents table → a small dict:
+    ``{n_docs, total_tokens, total_chars, avg_doc_tokens, p50_doc_tokens,
+    vocab, top_tokens: [(token, count)...], langs: {lang: docs}}``.
+
+    TWO passes, both fully distributed and metadata-sized on the driver:
+
+    1. one wide agg over per-doc scalars (counts, char/token totals,
+       GK-sketch quantile) — same shape as :func:`profile`;
+    2. one explode→groupBy over tokens for the exact vocabulary size and
+       heavy-hitter top-k (the token groupBy is shared by both) — the groupBy is map-side partially aggregated
+       so the shuffle carries (token, partial count), bounded by vocab
+       size, not corpus size; top-k is TakeOrdered, never a full sort.
+
+    The result is a plain dict (collected): this is a REPORT, not a
+    relation — the inputs to every number stay distributed."""
+    from .text import token_count, words
+
+    c = F.col(text_col)
+    base = df.select(
+        token_count(c).alias("__nt"),
+        F.length(c).alias("__nc"),
+        *( [F.col(lang_col).alias("__lang")] if lang_col else [] ),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("total_tokens"),
+        F.sum("__nc").alias("total_chars"),
+        F.avg("__nt").alias("avg_doc_tokens"),
+        F.percentile_approx("__nt", 0.5).alias("p50_doc_tokens"),
+    ]
+    row = base.agg(*aggs).collect()[0].asDict()
+    toks = (
+        df.select(F.explode(words(c)).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = toks.agg(
+        F.count(F.lit(1)).alias("v")
+    ).collect()[0]["v"]
+    top = [
+        (r["tok"], r["n"])
+        for r in toks.orderBy(F.desc("n"), F.asc("tok"))
+        .limit(top_k_tokens).collect()
+    ]
+    out = {
+        "n_docs": row["n_docs"],
+        "total_tokens": int(row["total_tokens"] or 0),
+        "total_chars": int(row["total_chars"] or 0),
+        "avg_doc_tokens": float(row["avg_doc_tokens"] or 0.0),
+        "p50_doc_tokens": int(row["p50_doc_tokens"] or 0),
+        "vocab": int(vocab),
+        "top_tokens": top,
+    }
+    if lang_col:
+        out["langs"] = {
+            r["__lang"]: r["n"]
+            for r in base.groupBy("__lang")
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+    return out

@@ -434,6 +434,17 @@ def test_write_shards_layout(spark, sf_dir, tmp_path):
         files = [f for f in os.listdir(f"{out}/{d}")
                  if f.endswith(".parquet")]
         assert len(files) == 1
+    # manifest: per-shard row+token counts match the data
+    import json
+    man = json.load(open(f"{out}/_manifest.json"))
+    assert man["n_shards"] == n_shards
+    assert sum(s["rows"] for s in man["shards"].values()) == docs.count()
+
+    out2 = str(tmp_path / "shards_tok")
+    packed.write_shards(out2, token_col="n_chars")
+    man2 = json.load(open(f"{out2}/_manifest.json"))
+    total = docs.df.agg({"n_chars": "sum"}).collect()[0][0]
+    assert sum(s["tokens"] for s in man2["shards"].values()) == total
 
 
 def test_map_batches(spark, sf_dir):

@@ -503,3 +503,32 @@ def test_contamination_shuffle_fallback(spark):
     b = {r.id for r in contamination_check(
         train, ref, broadcast_reference=False).collect()}
     assert a == b == {1}
+
+
+def test_corpus_profile(spark, sf_dir):
+    """corpus_profile vs DuckDB-computed ground truth."""
+    import duckdb
+
+    from sea_serpent_spark.operators.profile import corpus_profile
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = corpus_profile(d, lang_col="lang")
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW d AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'")
+    n_docs, total_chars = con.sql(
+        "SELECT COUNT(*), SUM(LENGTH(text)) FROM d").fetchall()[0]
+    assert got["n_docs"] == n_docs
+    assert got["total_chars"] == total_chars
+    vocab, total_toks = con.sql(
+        "SELECT COUNT(DISTINCT t), COUNT(*) FROM (SELECT unnest("
+        "regexp_split_to_array(lower(trim(text)), '\\s+')) AS t FROM d) "
+        "WHERE t != ''").fetchall()[0]
+    assert got["vocab"] == vocab
+    top1 = con.sql(
+        "SELECT t, COUNT(*) AS n FROM (SELECT unnest("
+        "regexp_split_to_array(lower(trim(text)), '\\s+')) AS t FROM d) "
+        "WHERE t != '' GROUP BY t ORDER BY n DESC, t LIMIT 1").fetchall()[0]
+    assert got["top_tokens"][0] == top1
+    assert sum(got["langs"].values()) == n_docs
