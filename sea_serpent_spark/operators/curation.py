@@ -16,7 +16,9 @@ dedup and tokenization:
 - :func:`pack_shards` — assign documents to fixed-token-budget training
   shards by global running token count WITHOUT a global sort: range
   repartition + per-partition offsets (the ``_with_seq`` pattern,
-  mutation/store.py:631) keeps every stage distributed.
+  mutation/store.py:631) keeps every stage distributed;
+- :func:`chunk_documents` — overlapping fixed-token windows
+  (sequence-length prep), row-local explode.
 """
 
 from __future__ import annotations

@@ -532,3 +532,60 @@ def test_corpus_profile(spark, sf_dir):
         "WHERE t != '' GROUP BY t ORDER BY n DESC, t LIMIT 1").fetchall()[0]
     assert got["top_tokens"][0] == top1
     assert sum(got["langs"].values()) == n_docs
+
+
+def test_sql_functions_match_column_api(spark, sf_dir):
+    """The generated SQL UDF bodies produce bit-identical output to the
+    Column operators over the whole corpus (one source of truth)."""
+    import pyspark.sql.functions as F
+
+    from sea_serpent_spark.operators import text as X
+    from sea_serpent_spark.operators.curation import (_ngrams, dup_frac,
+                                                      normalize_text,
+                                                      redact_pii)
+    from sea_serpent_spark.operators.sqlfuncs import register_sql_functions
+
+    names = register_sql_functions(spark)
+    assert "ss_quality" in names
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    # the corpus has no PII/control chars: exercise redact/normalize too
+    extra = spark.createDataFrame(
+        [(100001, "mail a@b.io call 555-123-4567 ip 10.0.0.1  x\ty\n\n\n\nz"),
+         (100002, "ssn 123-45-6789 card 4111 1111 1111 1111")],
+        ["doc_id", "text"])
+    d = d.unionByName(extra)
+    d.createOrReplaceTempView("sqlf_docs")
+
+    got = spark.sql(
+        "SELECT doc_id, ss_token_count(text) AS tc, "
+        "ss_bpe_token_count(text) AS btc, ss_punct_ratio(text) AS pr, "
+        "ss_stopword_ratio(text) AS sw, ss_quality(text) AS q, "
+        "ss_lang_id(text) AS lang, ss_fingerprint(text) AS fp, "
+        "ss_dup_word_frac(text) AS dw, ss_dup_2gram_frac(text) AS d2, "
+        "ss_redact_pii(text) AS red, ss_normalize_text(text) AS norm "
+        "FROM sqlf_docs"
+    ).collect()
+
+    c = F.col("text")
+    toks = X.words(c)
+    want = d.select(
+        "doc_id",
+        X.token_count(c).alias("tc"),
+        X.bpe_token_count(c).alias("btc"),
+        X.punct_ratio(c).alias("pr"),
+        X.stopword_ratio(c).alias("sw"),
+        X.quality_score(c).alias("q"),
+        X.lang_id(c).alias("lang"),
+        X.fingerprint(c).alias("fp"),
+        X.round_half_up(dup_frac(toks), 4).alias("dw"),
+        X.round_half_up(dup_frac(_ngrams(toks, 2)), 4).alias("d2"),
+        redact_pii(c).alias("red"),
+        normalize_text(c).alias("norm"),
+    ).collect()
+    gd = {r["doc_id"]: r for r in got}
+    for w in want:
+        g = gd[w["doc_id"]]
+        for f in ["tc", "btc", "pr", "sw", "q", "lang", "fp", "dw", "d2",
+                  "red", "norm"]:
+            assert g[f] == w[f], (w["doc_id"], f, g[f], w[f])
