@@ -657,6 +657,56 @@ class Table:
             out = ldf.join(right, on=cond, how=how)
         return Table(out, name=self.name, spark=self.spark)
 
+    def groupby(
+        self,
+        by: str | Sequence[str],
+        agg: dict[str, str | Sequence[str]],
+    ) -> "Table":
+        """pandas-feel grouped aggregation:
+        ``t.groupby("k", {"x": "sum", "y": ["min", "max"]})`` → columns
+        ``x_sum, y_min, y_max``. Compiles to one Spark ``groupBy().agg``
+        — map-side partial aggregation, one shuffle on the keys."""
+        keys = [by] if isinstance(by, str) else list(by)
+        fns = {"sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg,
+               "mean": F.avg, "count": F.count, "first": F.first,
+               "last": F.last, "collect_set": F.collect_set,
+               "stddev": F.stddev, "var": F.variance,
+               "approx_distinct": F.approx_count_distinct}
+        exprs = []
+        for col, hows in agg.items():
+            for how in ([hows] if isinstance(hows, str) else hows):
+                if how not in fns:
+                    raise ValueError(
+                        f"unsupported aggregate {how!r}; "
+                        f"use Table.query for arbitrary SQL aggregates"
+                    )
+                exprs.append(fns[how](col).alias(f"{col}_{how}"))
+        return self._derive(self.df.groupBy(*keys).agg(*exprs))
+
+    def pivot(
+        self,
+        index: str,
+        columns: str,
+        values: str,
+        aggfunc: str = "sum",
+        pivot_values: Sequence | None = None,
+    ) -> "Table":
+        """pandas ``pivot_table``: one row per ``index``, one column per
+        distinct ``columns`` value, cells aggregated from ``values``.
+
+        Pass ``pivot_values`` (the expected column set) at scale —
+        without it Spark first runs a distinct scan over ``columns`` to
+        discover the pivot domain (fine for enum-like fields, an extra
+        pass on 100 TB)."""
+        fns = {"sum": "sum", "avg": "avg", "mean": "avg", "min": "min",
+               "max": "max", "count": "count"}
+        if aggfunc not in fns:
+            raise ValueError(f"unsupported aggfunc {aggfunc!r}")
+        g = self.df.groupBy(index)
+        p = g.pivot(columns, list(pivot_values)) if pivot_values \
+            else g.pivot(columns)
+        return self._derive(p.agg(getattr(F, fns[aggfunc])(values)))
+
     def dropna(self, subset: Sequence[str] | None = None,
                how: str = "any") -> "Table":
         """Drop rows with NULLs (pandas semantics); string columns also

@@ -462,3 +462,42 @@ def test_map_batches(spark, sf_dir):
     rows = {r["n_nationkey"]: r["doubled"] for r in out.df.collect()}
     assert rows == {k: 2 * k for k in rows}
     assert len(rows) == nat.count()
+
+
+def test_groupby_pivot_conveniences(spark, sf_dir):
+    import duckdb
+
+    from sea_serpent_spark import Table
+
+    o = Table.from_parquet(f"{sf_dir}/orders.parquet", "orders", spark)
+    g = o.groupby("o_orderpriority",
+                  {"o_totalprice": ["sum", "max"], "o_orderkey": "count"})
+    got = {
+        r["o_orderpriority"]: (round(r["o_totalprice_sum"], 2),
+                               r["o_totalprice_max"], r["o_orderkey_count"])
+        for r in g.df.collect()
+    }
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW o AS SELECT * FROM '{sf_dir}/orders.parquet'")
+    want = {
+        r[0]: (round(r[1], 2), r[2], r[3])
+        for r in con.sql(
+            "SELECT o_orderpriority, SUM(o_totalprice), MAX(o_totalprice), "
+            "COUNT(o_orderkey) FROM o GROUP BY 1").fetchall()
+    }
+    assert got == want
+
+    with pytest.raises(ValueError):
+        o.groupby("o_orderpriority", {"o_totalprice": "median"})
+
+    p = o.pivot("o_orderpriority", "o_orderstatus", "o_totalprice",
+                aggfunc="count")
+    pdf = p.to_frame().set_index("o_orderpriority")
+    want_n = con.sql(
+        "SELECT COUNT(*) FROM o WHERE o_orderstatus='F' "
+        "AND o_orderpriority='1-URGENT'").fetchall()[0][0]
+    assert pdf.loc["1-URGENT", "F"] == want_n
+    # explicit pivot domain skips the discovery pass
+    p2 = o.pivot("o_orderpriority", "o_orderstatus", "o_totalprice",
+                 aggfunc="count", pivot_values=["F", "O", "P"])
+    assert set(p2.columns) == {"o_orderpriority", "F", "O", "P"}
