@@ -1,0 +1,101 @@
+"""Property-based mutation-store equivalence: a random sequence of edits
+(scalar assignment, predicate write, append, predicate delete) applied
+through the versioned store must leave exactly the state a pandas mirror
+reaches applying the same edits — for EVERY random interleaving, not
+just the README walkthrough the directed tests replay.
+
+Each hypothesis example builds a fresh managed table (commits are real
+file-granular COW writes), so examples are capped low; the value is the
+interleaving coverage, not the count.
+"""
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sea_serpent_spark import Base
+
+LABELS = ["A", "B", "C", "D"]
+
+
+def _op_strategy():
+    scalar_write = st.tuples(
+        st.just("set_scalar"),
+        st.sampled_from(["val", "flag"]),
+        st.one_of(st.integers(-5, 5), st.none()),
+    )
+    pred_write = st.tuples(
+        st.just("pred_write"),
+        st.integers(0, 25),          # key threshold
+        st.sampled_from(LABELS),     # new label
+    )
+    append = st.tuples(
+        st.just("append"),
+        st.integers(1, 3),           # rows to add
+    )
+    delete = st.tuples(
+        st.just("delete"),
+        st.integers(0, 19),          # delete the row with this key
+    )
+    return st.one_of(scalar_write, pred_write, append, delete)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(ops=st.lists(_op_strategy(), min_size=1, max_size=4))
+def test_mutation_sequence_matches_pandas(spark, tmp_path_factory, ops):
+    wh = tmp_path_factory.mktemp("wh")
+    base = Base(str(wh), spark, user="prop")
+    start = pd.DataFrame({
+        "key": range(20),
+        "val": [i % 7 for i in range(20)],
+        "labels": [LABELS[i % 4] for i in range(20)],
+    })
+    name = "t_prop"
+    base.from_frame(start, name)
+    t = base.table(name)
+    mirror = start.copy()
+    next_key = 100
+
+    for op in ops:
+        if op[0] == "set_scalar":
+            _, col, v = op
+            if col == "flag" and "flag" not in t.columns:
+                t.add_column("flag", int)
+                mirror["flag"] = pd.Series([None] * len(mirror),
+                                           dtype="object")
+            t[col] = v
+            mirror[col] = v
+        elif op[0] == "pred_write":
+            _, thr, lab = op
+            t.loc[t.key >= thr, "labels"] = lab
+            mirror.loc[mirror["key"] >= thr, "labels"] = lab
+        elif op[0] == "append":
+            _, n = op
+            add = pd.DataFrame({
+                "key": range(next_key, next_key + n),
+                "val": [0] * n,
+                "labels": ["A"] * n,
+            })
+            next_key += n
+            t.append(add)
+            mirror = pd.concat([mirror, add], ignore_index=True)
+        else:  # delete
+            _, d = op
+            t.delete_rows(t.key == d)
+            mirror = mirror[mirror["key"] != d]
+
+    got = (
+        t.to_frame(row_id_index=False)
+        .drop(columns=["_seq", "_id"], errors="ignore")
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    cols = [c for c in mirror.columns]
+    assert sorted(got.columns) == sorted(cols)
+    for c in cols:
+        g = got[c].tolist()
+        m = mirror.sort_values("key")[c].tolist()
+        norm = lambda x: (None if pd.isna(x) else x)
+        assert [norm(x) for x in g] == [norm(x) for x in m], (c, ops)
