@@ -484,6 +484,25 @@ class Table:
                          **kwargs)
         )
 
+    def semantic_dedup(
+        self,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        k: int = 8,
+        threshold: float = 0.95,
+        **kwargs,
+    ) -> "Table":
+        """SemDeDup over an embedding column: spherical k-means clusters
+        → within-cluster cosine duplicate groups → keep one
+        representative per group (operators/similarity.py
+        semantic_dedup; keep policy via ``keep=`` kwarg)."""
+        from ..operators.similarity import semantic_dedup
+
+        return self._derive(
+            semantic_dedup(self.df, id_col, vec_col, k, threshold,
+                           **kwargs)
+        )
+
     def clean_text(
         self,
         text_col: str = "text",

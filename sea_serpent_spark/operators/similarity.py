@@ -377,10 +377,13 @@ def ivf_assign(
     centroids: list[list[float]],
     vec_col: str = "embedding",
     cluster_col: str = "label",
+    sim_col: str | None = None,
 ) -> DataFrame:
     """Attach the argmax-cosine centroid index as ``cluster_col`` — the
     IVF list assignment, a pure broadcast-literal expression (no
-    shuffle)."""
+    shuffle). ``sim_col`` additionally emits the winning cosine itself
+    (centroid affinity — SemDeDup's keep-policy signal) from the same
+    argmax, no extra pass."""
     scores = F.array(
         *[
             F.struct(
@@ -393,9 +396,11 @@ def ivf_assign(
             for i, c in enumerate(centroids)
         ]
     )
-    return df.withColumn(
-        cluster_col, F.array_max(scores).getField("i")
-    )
+    best = F.array_max(scores)
+    out = df.withColumn(cluster_col, best.getField("i"))
+    if sim_col is not None:
+        out = out.withColumn(sim_col, best.getField("s"))
+    return out
 
 
 def embedding_near_dup_pairs(
@@ -408,6 +413,7 @@ def embedding_near_dup_pairs(
     projection: str = "random",
     seed: int = 42,
     p_target: float = 0.9,
+    group_col: str | None = None,
 ) -> DataFrame:
     """→ [id_a, id_b, cos ≥ threshold] near-duplicate vectors.
 
@@ -421,11 +427,23 @@ def embedding_near_dup_pairs(
 
     ``nbits=0`` → exact all-pairs (correctness baseline for oracle
     checks; quadratic — small corpora only). ``projection='axis'`` →
-    single-band raw sign bits (oracle-portable stand-in)."""
+    single-band raw sign bits (oracle-portable stand-in).
+
+    ``group_col`` scopes candidates to rows sharing that column (it must
+    already exist on ``df``): the group id joins ahead of (band, bucket),
+    so cross-group pairs are never enumerated — the SemDeDup
+    within-cluster shape. With ``nbits=0`` the exact path becomes a
+    per-group equi-join instead of a global crossJoin."""
     if nbits is None:
         nbits, tuned_bands = tune_srp(threshold, p_target)
         bands = bands or tuned_bands
     bands = bands or 1
+    ga: dict = (
+        {"ga": F.col(group_col)} if group_col is not None else {}
+    )
+    gb: dict = (
+        {"gb": F.col(group_col)} if group_col is not None else {}
+    )
     if nbits:
         if projection == "random":
             dim = _vec_dim(df, vec_col)
@@ -438,25 +456,43 @@ def embedding_near_dup_pairs(
                 return F.array(sign_bucket(col, nbits))
 
         a = fan_out(
-            _sided(df, id_col, vec_col, "id_a", "va", "na")
+            _sided(df, id_col, vec_col, "id_a", "va", "na", **ga)
         ).select(
             "*", F.posexplode(bucketize(F.col("va"))).alias("band", "bucket")
         )
-        b = _sided(df, id_col, vec_col, "id_b", "vb", "nb").select(
+        b = _sided(df, id_col, vec_col, "id_b", "vb", "nb", **gb).select(
             "*", F.posexplode(bucketize(F.col("vb"))).alias("band", "bucket")
         )
-        joined = (
-            a.join(b, ["band", "bucket"])
-            .where(F.col("id_a") < F.col("id_b"))
-            # a pair can match in several bands — verify each cosine once
-            .dropDuplicates(["id_a", "id_b"])
-        )
+        keys = ["band", "bucket"]
+        if group_col is not None:
+            joined = (
+                a.join(
+                    b,
+                    (F.col("ga") == F.col("gb"))
+                    & (a["band"] == b["band"])
+                    & (a["bucket"] == b["bucket"]),
+                )
+                .where(F.col("id_a") < F.col("id_b"))
+                .dropDuplicates(["id_a", "id_b"])
+            )
+        else:
+            joined = (
+                a.join(b, keys)
+                .where(F.col("id_a") < F.col("id_b"))
+                # a pair can match in several bands — verify each cosine once
+                .dropDuplicates(["id_a", "id_b"])
+            )
     else:
-        a = fan_out(_sided(df, id_col, vec_col, "id_a", "va", "na"))
-        b = _sided(df, id_col, vec_col, "id_b", "vb", "nb")
-        joined = a.crossJoin(F.broadcast(b)).where(
-            F.col("id_a") < F.col("id_b")
-        )
+        a = fan_out(_sided(df, id_col, vec_col, "id_a", "va", "na", **ga))
+        b = _sided(df, id_col, vec_col, "id_b", "vb", "nb", **gb)
+        if group_col is not None:
+            joined = a.join(b, F.col("ga") == F.col("gb")).where(
+                F.col("id_a") < F.col("id_b")
+            )
+        else:
+            joined = a.crossJoin(F.broadcast(b)).where(
+                F.col("id_a") < F.col("id_b")
+            )
     return (
         joined.select(
             "id_a",
@@ -468,3 +504,99 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    threshold: float = 0.95,
+    centroids: list[list[float]] | None = None,
+    keep: str = "far_from_centroid",
+    nbits: int | None = None,
+    bands: int | None = None,
+    seed: int = 42,
+    p_target: float = 0.9,
+    kmeans_iters: int = 5,
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with spherical
+    k-means, find cosine-≥-threshold duplicate pairs WITHIN each
+    cluster, and keep one representative per duplicate group. Returns
+    the surviving rows of ``df`` (all original columns).
+
+    ``keep`` picks the representative: ``'far_from_centroid'`` (the
+    paper's policy — keep the group member with the LOWEST centroid
+    affinity, preserving the diverse tail; ties broken by id) or
+    ``'min_id'`` (the canonical-id policy every other dedup op here
+    uses — fully deterministic under re-clustering).
+
+    Scale shape, stage by stage:
+    - centroid fit: sampled driver-side seed + per-iteration
+      (cluster, dim) cell aggregation — only the k×dim matrix is ever
+      collected (``kmeans_fit``);
+    - assignment: broadcast-literal argmax, zero shuffle
+      (``ivf_assign``);
+    - pairs: banded SRP-LSH *scoped by cluster id*
+      (``embedding_near_dup_pairs(group_col=...)``) — candidates never
+      cross clusters, so the quadratic term is per (cluster, band,
+      bucket), not per corpus;
+    - groups: transitive closure over id pairs only
+      (``dedup.connected_components``);
+    - final keep: broadcast-gated anti-join of the loser id set —
+      embeddings move exactly once, at the end.
+
+    Cross-cluster near-duplicates are invisible by construction —
+    that is SemDeDup's documented approximation, not a defect of this
+    implementation."""
+    if keep not in ("far_from_centroid", "min_id"):
+        raise ValueError(f"unknown keep policy: {keep!r}")
+    from .dedup import (
+        BROADCAST_VERIFY_CAP,
+        _maybe_broadcast,
+        _verify_gate,
+        connected_components,
+    )
+
+    if centroids is None:
+        centroids = kmeans_fit(
+            df, vec_col, k, iters=kmeans_iters, seed=seed
+        )
+    assigned = ivf_assign(
+        df, centroids, vec_col, cluster_col="__sem_c", sim_col="__sem_s"
+    )
+    pairs = embedding_near_dup_pairs(
+        assigned,
+        threshold,
+        id_col,
+        vec_col,
+        nbits=nbits,
+        bands=bands,
+        seed=seed,
+        p_target=p_target,
+        group_col="__sem_c",
+    )
+    comp = connected_components(pairs)
+    if keep == "min_id":
+        losers = comp.where(F.col("id") != F.col("component"))
+    else:
+        sims = assigned.select(
+            F.col(id_col).alias("id"), F.col("__sem_s").alias("__s")
+        )
+        labeled = comp.join(sims, "id")
+        # deterministic argmin over (affinity, id) via struct MIN —
+        # min_by's tie behavior is engine-defined, struct ordering isn't
+        keepers = labeled.groupBy("component").agg(
+            F.min(F.struct(F.col("__s"), F.col("id")))
+            .getField("id")
+            .alias("__keep_id")
+        )
+        losers = labeled.join(keepers, "component").where(
+            F.col("id") != F.col("__keep_id")
+        )
+    losers = losers.select(F.col("id").alias("__lid"))
+    losers = _maybe_broadcast(
+        losers, _verify_gate(losers, None, BROADCAST_VERIFY_CAP)
+    )
+    return df.join(losers, F.col(id_col) == F.col("__lid"), "left_anti")

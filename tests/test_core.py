@@ -501,3 +501,12 @@ def test_groupby_pivot_conveniences(spark, sf_dir):
     p2 = o.pivot("o_orderpriority", "o_orderstatus", "o_totalprice",
                  aggfunc="count", pivot_values=["F", "O", "P"])
     assert set(p2.columns) == {"o_orderpriority", "F", "O", "P"}
+
+
+def test_table_semantic_dedup_convenience(spark, sf_dir):
+    """Table-level delegate for operators/similarity.semantic_dedup."""
+    emb = Table.from_parquet(f"{sf_dir}/embeddings.parquet", "embeddings",
+                             spark)
+    kept = emb.semantic_dedup(k=4, threshold=0.45, keep="min_id")
+    assert set(kept.columns) == set(emb.columns)
+    assert 0 < kept.count() <= emb.count()

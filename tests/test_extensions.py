@@ -589,3 +589,132 @@ def test_sql_functions_match_column_api(spark, sf_dir):
         for f in ["tc", "btc", "pr", "sw", "q", "lang", "fp", "dw", "d2",
                   "red", "norm"]:
             assert g[f] == w[f], (w["doc_id"], f, g[f], w[f])
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup semantic dedup
+# ---------------------------------------------------------------------------
+
+def test_semantic_dedup_min_id(spark):
+    """Exact-direction duplicate groups (cos = 1.0 → identical SRP
+    buckets, so the default banded-LSH path finds every pair
+    deterministically): one survivor per group, min id, singletons
+    untouched."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for g in range(3):
+        d = rng.standard_normal(8)
+        d /= np.linalg.norm(d)
+        for j, scale in enumerate([1.0, 0.5, 2.0]):  # same direction
+            rows.append((g * 10 + j, [float(x) for x in d * scale]))
+        lone = rng.standard_normal(8)  # a genuinely distinct vector
+        lone /= np.linalg.norm(lone)
+        rows.append((g * 10 + 9, [float(x) for x in lone]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = S.semantic_dedup(
+        df, k=3, threshold=0.999, keep="min_id", seed=9
+    )
+    ids = {r["vec_id"] for r in out.collect()}
+    # every dup-group collapses to its min id; all loners survive
+    assert {0, 10, 20} <= ids
+    assert not ids & {1, 2, 11, 12, 21, 22}
+    assert {9, 19, 29} <= ids
+
+
+def test_semantic_dedup_far_from_centroid(spark):
+    """The paper's keep policy: within a duplicate group the member with
+    the LOWEST centroid affinity survives. Explicit centroids + exact
+    within-cluster pairs (nbits=0) make the expectation computable by
+    hand."""
+    import numpy as np
+
+    def unit(v):
+        v = np.asarray(v, dtype=float)
+        return (v / np.linalg.norm(v)).tolist()
+
+    e0 = [1.0] + [0.0] * 7
+    e2 = [0.0, 0.0, 1.0] + [0.0] * 5
+    rows = [
+        # cluster 0: three near-dups tilting away from the centroid
+        (1, unit(np.array(e0) + 0.01 * np.eye(8)[1])),
+        (2, unit(np.array(e0) + 0.05 * np.eye(8)[1])),  # farthest out
+        (3, unit(np.array(e0) + 0.02 * np.eye(8)[1])),
+        # cluster 1: two distinct singletons (below threshold)
+        (4, unit(np.array(e2) + 0.4 * np.eye(8)[4])),
+        (5, unit(np.array(e2) - 0.4 * np.eye(8)[4])),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = S.semantic_dedup(
+        df,
+        threshold=0.995,
+        centroids=[e0, e2],
+        keep="far_from_centroid",
+        nbits=0,
+    )
+    ids = sorted(r["vec_id"] for r in out.collect())
+    assert ids == [2, 4, 5]
+
+
+def test_semantic_dedup_matches_union_find_oracle(spark, sf_dir):
+    """End-to-end vs an independent driver-side oracle on the real
+    embeddings table: exact within-cluster pairs → Python union-find →
+    far-from-centroid keeper, recomputed with numpy from the same
+    centroids. Proves the closure + keep stages, not just the pair
+    stage."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = S.kmeans_fit(emb, k=4, iters=3, seed=13)
+    got = {
+        r["vec_id"]
+        for r in S.semantic_dedup(
+            emb, threshold=0.45, centroids=cents, nbits=0
+        ).select("vec_id").collect()
+    }
+
+    # --- independent oracle ---------------------------------------------
+    data = emb.select("vec_id", "embedding").collect()
+    V = {r["vec_id"]: np.asarray(r["embedding"], dtype=float) for r in data}
+    C = np.asarray(cents)
+
+    def affinity(v):
+        n = np.linalg.norm(v)
+        return (C @ v) / max(n, 1e-12)
+
+    cluster = {i: int(np.argmax(affinity(v))) for i, v in V.items()}
+    sim = {i: float(np.max(affinity(v))) for i, v in V.items()}
+
+    parent = {i: i for i in V}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(V)
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            i, j = ids[a], ids[b]
+            if cluster[i] != cluster[j]:
+                continue
+            vi, vj = V[i], V[j]
+            cos = round(
+                float(vi @ vj)
+                / (np.linalg.norm(vi) * np.linalg.norm(vj)),
+                4,
+            )
+            if cos >= 0.45:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+
+    groups: dict = {}
+    for i in V:
+        groups.setdefault(find(i), []).append(i)
+    want = set()
+    for members in groups.values():
+        want.add(min(members, key=lambda i: (sim[i], i)))
+    assert got == want
