@@ -503,6 +503,59 @@ class Table:
                            **kwargs)
         )
 
+    def build_dedup_index(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        method: str = "minhash",
+        **kwargs,
+    ) -> "Table":
+        """The persistable dedup index for this corpus: minhash LSH band
+        rows (``method='minhash'``) or content-fingerprint groups
+        (``'exact'``) — write it out once, probe it with
+        ``dedup_against`` on every later batch
+        (operators/incremental.py)."""
+        from ..operators.dedup import exact_dedup_groups
+        from ..operators.incremental import minhash_band_index
+
+        if method == "minhash":
+            return self._derive(
+                minhash_band_index(self.df, text_col, id_col, **kwargs)
+            )
+        if method == "exact":
+            return self._derive(
+                exact_dedup_groups(self.df, text_col, id_col)
+            )
+        raise ValueError(f"unknown index method: {method!r}")
+
+    def dedup_against(
+        self,
+        index,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        method: str = "minhash",
+        **kwargs,
+    ) -> "Table":
+        """Incremental dedup: drop rows duplicating the indexed corpus
+        (or an earlier kept row of this batch) without touching history
+        (operators/incremental.py). ``index`` is a Table or DataFrame
+        from ``build_dedup_index`` (possibly read back from storage)."""
+        from ..operators.incremental import (
+            incremental_dedup,
+            incremental_exact_dedup,
+        )
+
+        idx = index.df if isinstance(index, Table) else index
+        if method == "minhash":
+            return self._derive(
+                incremental_dedup(self.df, idx, text_col, id_col, **kwargs)
+            )
+        if method == "exact":
+            return self._derive(
+                incremental_exact_dedup(self.df, idx, text_col, id_col)
+            )
+        raise ValueError(f"unknown dedup method: {method!r}")
+
     def clean_text(
         self,
         text_col: str = "text",

@@ -510,3 +510,19 @@ def test_table_semantic_dedup_convenience(spark, sf_dir):
     kept = emb.semantic_dedup(k=4, threshold=0.45, keep="min_id")
     assert set(kept.columns) == set(emb.columns)
     assert 0 < kept.count() <= emb.count()
+
+
+def test_table_incremental_dedup_conveniences(spark, sf_dir):
+    """Table-level build_dedup_index / dedup_against delegates."""
+    docs = Table.from_parquet(f"{sf_dir}/documents.parquet", "documents",
+                              spark)
+    old = docs.loc[docs.doc_id < 250]
+    new = docs.loc[docs.doc_id >= 250]
+    idx = old.build_dedup_index()
+    assert {"id", "band", "key", "sig"} <= set(idx.columns)
+    kept = new.dedup_against(idx, jaccard_threshold=0.5)
+    assert 0 < kept.count() < new.count()
+
+    seen = old.build_dedup_index(method="exact")
+    kept2 = new.dedup_against(seen, method="exact")
+    assert 0 < kept2.count() <= new.count()

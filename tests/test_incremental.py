@@ -1,0 +1,137 @@
+"""Incremental dedup against a persisted index == batch dedup over the
+union — the contract that lets an ingest pipeline stop re-shuffling
+history. The documents table is split at the id median into a 'history'
+half and a 'delta' half; every property is checked against the batch
+operators on the union."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from sea_serpent_spark.operators import dedup as D
+from sea_serpent_spark.operators import incremental as I
+
+THRESH = 0.5
+
+
+@pytest.fixture(scope="module")
+def halves(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    old = docs.where(F.col("doc_id") <= mid)
+    new = docs.where(F.col("doc_id") > mid)
+    return old, new
+
+
+def test_incremental_pairs_match_batch_restriction(spark, halves):
+    """Pairs from (delta vs index ∪ delta) == batch pairs over the union
+    restricted to pairs touching the delta — banding and the agreement
+    estimate are deterministic, so the sets are identical."""
+    old, new = halves
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    idx = I.minhash_band_index(old)
+    inc = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in I.incremental_minhash_pairs(
+            new, idx, jaccard_threshold=THRESH
+        ).collect()
+    }
+    batch = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.minhash_lsh_pairs(
+            old.unionByName(new), jaccard_threshold=THRESH
+        ).collect()
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    }
+    assert inc == batch
+    assert inc  # the corpus actually contains cross-half near-dups
+
+
+def test_incremental_dedup_matches_batch_on_prededuped_history(
+    spark, halves
+):
+    """With history pre-deduped (no old-old pairs remain) and old ids
+    below new ids (min of an old-touching component is old), the
+    incremental survivors equal the batch survivors' new side."""
+    old_raw, new = halves
+    old = D.dedup_corpus(old_raw, threshold=THRESH)
+    idx = I.minhash_band_index(old)
+
+    inc = {
+        r["doc_id"]
+        for r in I.incremental_dedup(
+            new, idx, jaccard_threshold=THRESH
+        ).select("doc_id").collect()
+    }
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    batch = {
+        r["doc_id"]
+        for r in D.dedup_corpus(
+            old.unionByName(new), threshold=THRESH
+        ).select("doc_id").collect()
+    } & new_ids
+    assert inc == batch
+    assert inc < new_ids  # something was actually dropped
+
+
+def test_incremental_exact_matches_batch(spark, halves):
+    old, new = halves
+    seen = D.exact_dedup_groups(old)  # the persisted exact index
+    inc = {
+        r["doc_id"]
+        for r in I.incremental_exact_dedup(new, seen)
+        .select("doc_id")
+        .collect()
+    }
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    batch = {
+        r["doc_id"]
+        for r in D.dedup_corpus(
+            old.unionByName(new), method="exact"
+        ).select("doc_id").collect()
+    } & new_ids
+    assert inc == batch
+
+
+def test_unique_delta_survives_whole(spark, halves):
+    """A delta with no duplicates (against history or itself) passes
+    through untouched, full schema preserved."""
+    old, _ = halves
+    uniq = spark.createDataFrame(
+        [
+            (100_000, "zyx wvu tsr qpo nml", "en", "synth", 19),
+            (100_001, "aaa bbb ccc ddd eee fff", "en", "synth", 23),
+        ],
+        schema=old.schema,
+    )
+    idx = I.minhash_band_index(old)
+    out = I.incremental_dedup(uniq, idx, jaccard_threshold=THRESH)
+    assert {r["doc_id"] for r in out.collect()} == {100_000, 100_001}
+    assert out.columns == old.columns
+
+    seen = D.exact_dedup_groups(old)
+    out2 = I.incremental_exact_dedup(uniq, seen)
+    assert out2.count() == 2
+
+
+def test_index_roundtrip_through_parquet(spark, halves, tmp_path):
+    """The index is a plain DataFrame artifact: writing it out
+    (partitioned by band — the probe join's first key) and reading it
+    back yields identical incremental results."""
+    old, new = halves
+    idx = I.minhash_band_index(old)
+    p = str(tmp_path / "lsh_index")
+    idx.write.partitionBy("band").parquet(p)
+    idx2 = spark.read.parquet(p)
+    a = {
+        (r["id_a"], r["id_b"])
+        for r in I.incremental_minhash_pairs(
+            new, idx, jaccard_threshold=THRESH
+        ).collect()
+    }
+    b = {
+        (r["id_a"], r["id_b"])
+        for r in I.incremental_minhash_pairs(
+            new, idx2, jaccard_threshold=THRESH
+        ).collect()
+    }
+    assert a == b
