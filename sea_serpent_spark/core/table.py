@@ -637,6 +637,32 @@ class Table:
             mix_corpora(self.df, source_col, rates, id_col, default_rate)
         )
 
+    def temperature_mix(
+        self,
+        source_col: str,
+        id_col: str,
+        alpha: float = 0.3,
+        target_rows: int | None = None,
+    ) -> "Table":
+        """Temperature resampling across sources (p ∝ n^α — the
+        multilingual mixing law): rates derived from source sizes, then
+        applied as a deterministic row-local hash predicate
+        (operators/sampling.py temperature_mix)."""
+        from ..operators.sampling import temperature_mix
+
+        return self._derive(
+            temperature_mix(self.df, source_col, id_col, alpha,
+                            target_rows)
+        )
+
+    def skew_report(self, key_cols: list[str], top: int = 20) -> "Table":
+        """Heaviest values of a would-be shuffle key with row shares —
+        the pre-flight check before keying a join/groupBy on these
+        columns at scale (operators/profile.py skew_report)."""
+        from ..operators.profile import skew_report
+
+        return self._derive(skew_report(self.df, key_cols, top))
+
     def pack_shards(
         self,
         token_col: str,

@@ -187,3 +187,55 @@ def corpus_profile(
             .agg(F.count(F.lit(1)).alias("n")).collect()
         }
     return out
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top: int = 20,
+) -> DataFrame:
+    """→ [key, n, share, cum_share, rank]: the ``top`` heaviest values of
+    the would-be shuffle key, with each value's share of all rows — the
+    pre-flight check before keying a join/groupBy on ``key_cols`` at
+    scale. A top key holding >1% of a 100 TB table means one reducer
+    gets >1 TB: that join wants salting (``dedup._salted_pairs``-style),
+    AQE skew splitting, or a different key — this report is how you find
+    out BEFORE the 6-hour stage, not during it.
+
+    Cost: one groupBy on the key (the exact shuffle the real job would
+    do, but reduced to counts — map-side partials make the exchange
+    ~|distinct keys|, not |rows|) + a driver-side top-k. The key is
+    rendered as a concat'd string so multi-column keys profile the
+    same."""
+    from pyspark.sql import Window
+
+    key = (
+        F.concat_ws("␟", *[F.col(c).cast("string") for c in key_cols])
+        if len(key_cols) > 1
+        else F.col(key_cols[0]).cast("string")
+    )
+    counts = df.select(key.alias("key")).groupBy("key").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total_n = df.count() or 1
+    # orderBy+limit compiles to TakeOrderedAndProject (k-bounded per
+    # partition, no global sort); rank/cum-share windows then run over
+    # the k survivors only — never a single-partition window across all
+    # distinct keys
+    topk = counts.orderBy(F.desc("n"), F.asc("key")).limit(top)
+    w = Window.orderBy(F.desc("n"), F.asc("key"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .withColumn("share", F.round(F.col("n") / F.lit(total_n), 6))
+        .withColumn(
+            "cum_share",
+            F.round(
+                F.sum("n").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                )
+                / F.lit(total_n),
+                6,
+            ),
+        )
+        .select("key", "n", "share", "cum_share", "rank")
+    )

@@ -163,3 +163,55 @@ def mix_corpora(
             F.col(source_col) == s, F.lit(int(round(r * SPLIT_BUCKETS)))
         ).otherwise(expr)
     return df.where(b < expr)
+
+
+def temperature_rates(
+    df: DataFrame,
+    source_col: str,
+    alpha: float = 0.3,
+    target_rows: int | None = None,
+) -> dict[str, float]:
+    """Per-source keep rates implementing temperature sampling
+    (p_g ∝ n_g^α — the multilingual mixing law of mT5/XLM-R; α=1 is the
+    natural distribution, α→0 uniform across sources).
+
+    With ``target_rows`` unset, rates are normalized so the most
+    up-weighted source keeps 100% (pure down-sampling — no source is
+    replicated); with it set, rate_g = min(1, target·p_g / n_g) sizes
+    the output toward ``target_rows`` (sources whose quota exceeds
+    their size saturate at 1 — repetition/up-sampling is an epoch-level
+    concern, see ``epoch_key``, not a sampling one).
+
+    One count-by-source aggregate (group-cardinality rows to the
+    driver — metadata-sized); feed the dict to :func:`mix_corpora`,
+    which applies it as a row-local hash predicate."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    sizes = {
+        r[source_col]: r["n"]
+        for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not sizes:
+        return {}
+    tot = sum(n**alpha for n in sizes.values())
+    p = {s: n**alpha / tot for s, n in sizes.items()}
+    ratio = {s: p[s] / sizes[s] for s in sizes}
+    if target_rows is None:
+        top = max(ratio.values())
+        return {s: ratio[s] / top for s in sizes}
+    return {s: min(1.0, target_rows * ratio[s]) for s in sizes}
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    alpha: float = 0.3,
+    target_rows: int | None = None,
+) -> DataFrame:
+    """Apply :func:`temperature_rates` through :func:`mix_corpora`:
+    deterministic, layout-independent temperature resampling in one
+    row-local predicate after one count aggregate."""
+    rates = temperature_rates(df, source_col, alpha, target_rows)
+    return mix_corpora(df, source_col, rates, id_col)

@@ -526,3 +526,16 @@ def test_table_incremental_dedup_conveniences(spark, sf_dir):
     seen = old.build_dedup_index(method="exact")
     kept2 = new.dedup_against(seen, method="exact")
     assert 0 < kept2.count() <= new.count()
+
+
+def test_table_temperature_and_skew_conveniences(spark, sf_dir):
+    """Table-level delegates for temperature_mix and skew_report."""
+    docs = Table.from_parquet(f"{sf_dir}/documents.parquet", "documents",
+                              spark)
+    out = docs.temperature_mix("source", "doc_id", alpha=0.5)
+    assert 0 < out.count() <= docs.count()
+
+    rep = docs.skew_report(["lang"], top=3)
+    rows = rep.df.collect()
+    assert 0 < len(rows) <= 3
+    assert {"key", "n", "share", "cum_share", "rank"} <= set(rep.columns)

@@ -273,3 +273,76 @@ def test_epoch_key_reshuffles(spark, sf_dir):
     assert o0 == o0b          # reproducible within an epoch
     assert o0 != o1           # different across epochs
     assert sorted(o0) == sorted(o1)
+
+
+def test_temperature_rates_math(spark):
+    """Rates follow the n^α law exactly: α=1 → natural distribution
+    (all rates 1, nothing resampled); α<1 → smallest source keeps 100%
+    and rates decrease with size; target_rows sizes the output."""
+    from sea_serpent_spark.operators.sampling import temperature_rates
+
+    rows = (
+        [("big", i) for i in range(800)]
+        + [("mid", i) for i in range(150)]
+        + [("small", i) for i in range(50)]
+    )
+    d = spark.createDataFrame(rows, ["source", "i"])
+
+    r1 = temperature_rates(d, "source", alpha=1.0)
+    assert r1 == {"big": 1.0, "mid": 1.0, "small": 1.0}
+
+    r = temperature_rates(d, "source", alpha=0.5)
+    assert r["small"] == 1.0
+    assert r["small"] > r["mid"] > r["big"]
+    # exact law: rate_g ∝ n_g^(α-1), normalized to the smallest group
+    assert abs(r["big"] - (800 / 50) ** -0.5) < 1e-12
+    assert abs(r["mid"] - (150 / 50) ** -0.5) < 1e-12
+
+    rt = temperature_rates(d, "source", alpha=0.5, target_rows=500)
+    # p ∝ sqrt(n): sqrt(800),sqrt(150),sqrt(50) → quota·p/n, capped at 1
+    import math
+
+    tot = math.sqrt(800) + math.sqrt(150) + math.sqrt(50)
+    for s, n in [("big", 800), ("mid", 150), ("small", 50)]:
+        want = min(1.0, 500 * (math.sqrt(n) / tot) / n)
+        assert abs(rt[s] - want) < 1e-12
+
+    with pytest.raises(ValueError):
+        temperature_rates(d, "source", alpha=0.0)
+
+
+def test_temperature_mix_end_to_end(spark):
+    """temperature_mix flattens a skewed source distribution: kept
+    fractions decrease with source size, the largest source is actually
+    down-sampled, and the result is deterministic. (The driver's
+    documents table has uniform sources, so skew is synthesized.)"""
+    from sea_serpent_spark.operators.sampling import temperature_mix
+
+    rows = (
+        [("crawl", i) for i in range(2000)]
+        + [("books", 10_000 + i) for i in range(400)]
+        + [("wiki", 20_000 + i) for i in range(100)]
+    )
+    d = spark.createDataFrame(rows, ["source", "doc_id"])
+    sizes = {
+        r["source"]: r["count"]
+        for r in d.groupBy("source").count().collect()
+    }
+    out = temperature_mix(d, "source", "doc_id", alpha=0.3)
+    kept = {
+        r["source"]: r["count"]
+        for r in out.groupBy("source").count().collect()
+    }
+    fracs = {s: kept.get(s, 0) / n for s, n in sizes.items()}
+    big = max(sizes, key=sizes.get)
+    small = min(sizes, key=sizes.get)
+    assert fracs[small] == 1.0
+    assert fracs[big] < 1.0
+    # deterministic re-run
+    again = {
+        r["doc_id"]
+        for r in temperature_mix(
+            d, "source", "doc_id", alpha=0.3
+        ).select("doc_id").collect()
+    }
+    assert again == {r["doc_id"] for r in out.select("doc_id").collect()}

@@ -718,3 +718,43 @@ def test_semantic_dedup_matches_union_find_oracle(spark, sf_dir):
     for members in groups.values():
         want.add(min(members, key=lambda i: (sim[i], i)))
     assert got == want
+
+
+def test_skew_report(spark, sf_dir):
+    """Top-key shuffle diagnostic vs a DuckDB oracle: same heavy keys,
+    counts, shares; multi-column keys supported; plan uses a k-bounded
+    top-k sort, not a global-window rank."""
+    import duckdb
+
+    from sea_serpent_spark.operators.profile import skew_report
+
+    d = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rep = skew_report(d, ["o_orderpriority"], top=3)
+    got = [
+        (r["key"], r["n"], r["share"], r["cum_share"], r["rank"])
+        for r in rep.orderBy("rank").collect()
+    ]
+    want = duckdb.sql(
+        f"""
+        WITH c AS (
+            SELECT CAST(o_orderpriority AS VARCHAR) AS key, COUNT(*) AS n
+            FROM '{sf_dir}/orders.parquet' GROUP BY 1
+        ), t AS (SELECT SUM(n) AS tot FROM c)
+        SELECT key, n,
+               ROUND(n / tot, 6) AS share,
+               ROUND(SUM(n) OVER (ORDER BY n DESC, key
+                     ROWS UNBOUNDED PRECEDING) / tot, 6) AS cum_share,
+               ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rank
+        FROM c, t ORDER BY rank LIMIT 3
+        """
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
+
+    # multi-column key
+    rep2 = skew_report(d, ["o_orderstatus", "o_orderpriority"], top=5)
+    assert rep2.count() == 5
+    assert "␟" in rep2.collect()[0]["key"]
+
+    # the distinct-key side must be a TakeOrdered, not a global window
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
