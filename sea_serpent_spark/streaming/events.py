@@ -252,6 +252,38 @@ def streaming_exact_dedup(
     return out.dropDuplicates(["fp"])
 
 
+def streaming_dedup_against(
+    docs: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    event_time: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming twin of ``operators.incremental.incremental_exact_dedup``:
+    drop stream documents whose content fingerprint is already in the
+    STATIC ``seen`` index (any DataFrame with an ``fp`` column —
+    ``exact_dedup_groups`` output, typically read back from the ingest
+    pipeline's index location), then keep the first arrival per fresh
+    fingerprint within the stream.
+
+    Plan shape: the fingerprint is a row-local projection; the index
+    check is a stream-static anti-join (the static side is planned per
+    micro-batch, broadcast when small — no stream state); only the
+    first-seen dedup holds state, and with ``event_time``/``watermark``
+    that state is evicted at the horizon. History stays on disk,
+    exactly like the batch incremental path."""
+    from ..operators.text import fingerprint
+
+    out = docs.withColumn("fp", fingerprint(F.col(text_col))).join(
+        seen.select("fp").distinct(), "fp", "left_anti"
+    )
+    if event_time and watermark:
+        return out.withWatermark(event_time, watermark) \
+            .dropDuplicatesWithinWatermark(["fp"])
+    return out.dropDuplicates(["fp"])
+
+
 def oplog_stream(spark: SparkSession, base_path: str, table: str) -> DataFrame:
     """CDC stream over a managed table's cell-level op-log (the Delta
     Change Data Feed pattern; reference analogue: fetch_logs polling,

@@ -204,3 +204,42 @@ def test_streaming_curation_pipeline(spark, sf_dir):
     key = ["doc_id", "chunk_id"]
     assert sorted(map(tuple, got[key + ["chunk_text"]].values.tolist())) == \
         sorted(map(tuple, batch[key + ["chunk_text"]].values.tolist()))
+
+
+def test_streaming_dedup_against_static_index(spark, sf_dir):
+    """Stream-static incremental dedup == batch incremental_exact_dedup:
+    content already in the static seen-index never reaches the stateful
+    dedup; fresh content keeps exactly one survivor per fingerprint.
+    (Fingerprint sets compared — stream arrival order makes the
+    surviving *id* per group nondeterministic, same as batch min-id only
+    by accident.)"""
+    import pyspark.sql.functions as F
+
+    from sea_serpent_spark.operators import dedup as D
+    from sea_serpent_spark.operators.text import fingerprint
+    from sea_serpent_spark.streaming.events import (
+        read_documents_stream,
+        run_to_memory,
+        streaming_dedup_against,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.where(F.col("doc_id") < 250)
+    seen = D.exact_dedup_groups(old)
+
+    stream = streaming_dedup_against(
+        read_documents_stream(spark, sf_dir), seen
+    )
+    got = run_to_memory(stream, "t_sinc", spark, mode="append").toPandas()
+
+    want = {
+        r["fp"]
+        for r in docs.select(
+            fingerprint(F.col("text")).alias("fp")
+        ).distinct().join(seen.select("fp"), "fp", "left_anti").collect()
+    }
+    assert set(got["fp"]) == want
+    assert got["fp"].is_unique
+    # nothing from the indexed half's content survives
+    old_fps = {r["fp"] for r in seen.select("fp").collect()}
+    assert not (set(got["fp"]) & old_fps)
