@@ -556,6 +556,21 @@ class Table:
             )
         raise ValueError(f"unknown dedup method: {method!r}")
 
+    def strip_duplicate_spans(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        span_tokens: int = 32,
+    ) -> "Table":
+        """Remove repeated ≥span_tokens-token passages (boilerplate,
+        license blocks), keeping the corpus-wide first occurrence —
+        fixed-window exact-substring dedup (operators/spans.py)."""
+        from ..operators.spans import strip_duplicate_spans
+
+        return self._derive(
+            strip_duplicate_spans(self.df, text_col, id_col, span_tokens)
+        )
+
     def clean_text(
         self,
         text_col: str = "text",

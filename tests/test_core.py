@@ -539,3 +539,12 @@ def test_table_temperature_and_skew_conveniences(spark, sf_dir):
     rows = rep.df.collect()
     assert 0 < len(rows) <= 3
     assert {"key", "n", "share", "cum_share", "rank"} <= set(rep.columns)
+
+
+def test_table_strip_duplicate_spans_convenience(spark, sf_dir):
+    """Table-level delegate for operators/spans.strip_duplicate_spans."""
+    docs = Table.from_parquet(f"{sf_dir}/documents.parquet", "documents",
+                              spark)
+    out = docs.strip_duplicate_spans(span_tokens=8)
+    assert out.count() == docs.count()        # removal, not row dropping
+    assert set(out.columns) == set(docs.columns)

@@ -758,3 +758,85 @@ def test_skew_report(spark, sf_dir):
     # the distinct-key side must be a TakeOrdered, not a global window
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# duplicate-span (exact-substring) dedup
+# ---------------------------------------------------------------------------
+
+def _py_spans(texts, span):
+    """Brute-force window occurrences: {(id, pos): span_string}."""
+    occ = {}
+    for i, t in texts:
+        ws = t.split()
+        for p in range(max(len(ws) - span + 1, 0)):
+            occ[(i, p)] = " ".join(ws[p:p + span])
+    return occ
+
+
+def test_duplicate_spans_vs_bruteforce(spark):
+    """Flagged (id, pos) set == Python brute force: all repeat
+    occurrences minus the corpus-wide first per span string."""
+    from sea_serpent_spark.operators import spans as SP
+
+    boiler = "terms of service apply to all users of this site"
+    texts = [
+        (1, f"alpha bravo charlie {boiler} delta echo"),
+        (2, f"foxtrot golf {boiler} hotel india juliet kilo"),
+        (3, "lima mike november oscar papa quebec romeo sierra"),
+        (4, f"tango {boiler} uniform"),
+    ]
+    span = 5
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {
+        (r["id"], r["pos"])
+        for r in SP.duplicate_spans(
+            df, span_tokens=span, keep_first=True
+        ).collect()
+    }
+
+    occ = _py_spans(texts, span)
+    by_str = {}
+    for k, s in occ.items():
+        by_str.setdefault(s, []).append(k)
+    want = set()
+    for s, ks in by_str.items():
+        if len(ks) >= 2:
+            ks = sorted(ks)
+            want.update(ks[1:])  # all but the corpus-wide first
+    assert got == want
+    assert got  # the boilerplate actually repeats
+
+
+def test_strip_duplicate_spans(spark):
+    """The first document keeps the boilerplate; later ones lose every
+    token the flagged windows cover; clean docs pass byte-identical."""
+    from sea_serpent_spark.operators import spans as SP
+
+    boiler = "one two three four five"
+    texts = [
+        (1, f"aa bb {boiler} cc"),
+        (2, f"dd {boiler} ee ff"),
+        (3, "gg hh ii jj kk ll"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["text"]
+        for r in SP.strip_duplicate_spans(df, span_tokens=5).collect()
+    }
+    assert out[1] == texts[0][1]          # first occurrence kept
+    assert "one" not in out[2] and "five" not in out[2]
+    assert out[2].split() == ["dd", "ee", "ff"]  # surroundings survive
+    assert out[3] == texts[2][1]          # untouched doc byte-identical
+
+
+def test_duplicate_spans_short_docs_empty(spark):
+    """Docs shorter than the span produce no windows and never flag."""
+    from sea_serpent_spark.operators import spans as SP
+
+    df = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc")], ["doc_id", "text"]
+    )
+    assert SP.duplicate_spans(df, span_tokens=5).count() == 0
+    out = SP.strip_duplicate_spans(df, span_tokens=5)
+    assert {r["text"] for r in out.collect()} == {"tiny doc"}
