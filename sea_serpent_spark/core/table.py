@@ -556,6 +556,16 @@ class Table:
             )
         raise ValueError(f"unknown dedup method: {method!r}")
 
+    def explain_report(self) -> dict:
+        """The scale checklist for this table's plan as a dict: scans
+        (columns read, filters pushed), shuffle/broadcast counts, join
+        strategies, cartesian flag, Python-eval operators
+        (operators/plan_report.py). Assert on it in pipelines to fail
+        fast on plan regressions."""
+        from ..operators.plan_report import plan_report
+
+        return plan_report(self.df)
+
     def strip_duplicate_spans(
         self,
         text_col: str = "text",

@@ -187,3 +187,69 @@ def test_pack_shards_no_single_partition_stage(spark, sf_dir):
     assert "rangepartitioning" in plan
     # the running-sum window is keyed by the partition id, never empty
     assert "windowspecdefinition(__pid" in plan
+
+
+def test_plan_report_fields(lineitem, spark, sf_dir):
+    """plan_report answers the scale checklist on known shapes:
+    pushdown+pruning on a filtered projection, broadcast join
+    detection, cartesian flagging, python-eval counting."""
+    from sea_serpent_spark.operators.plan_report import plan_report
+
+    q = lineitem.loc[
+        lineitem.l_quantity >= 45, ["l_orderkey", "l_quantity"]
+    ]
+    r = plan_report(q.df)
+    assert r["n_scans"] == 1
+    assert r["scans"][0]["pushed_filters"]
+    assert set(r["scans"][0]["columns"]) == {"l_orderkey", "l_quantity"}
+    assert r["n_exchanges"] == 0 and not r["has_cartesian"]
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rj = plan_report(
+        o.join(c.hint("broadcast"), o.o_custkey == c.c_custkey)
+    )
+    assert "BroadcastHashJoin" in rj["joins"]
+    assert rj["n_broadcasts"] >= 1
+
+    rx = plan_report(o.limit(5).crossJoin(c.limit(5)))
+    assert rx["has_cartesian"]
+
+    # Table-level delegate
+    assert lineitem.explain_report()["n_scans"] == 1
+
+
+def test_new_dedup_ops_plan_shapes(spark, sf_dir):
+    """Pin the scale-critical plan properties of the round-3 operators:
+    no cartesian joins, shuffles bounded, no Python in the path."""
+    import pyspark.sql.functions as F
+
+    from sea_serpent_spark.operators import incremental as I
+    from sea_serpent_spark.operators import similarity as S
+    from sea_serpent_spark.operators import spans as SP
+    from sea_serpent_spark.operators.plan_report import plan_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    # incremental probe: equi-join against the index, python-free
+    idx = I.minhash_band_index(docs.where(F.col("doc_id") < 250))
+    rp = plan_report(
+        I.incremental_minhash_pairs(docs.where(F.col("doc_id") >= 250), idx)
+    )
+    assert not rp["has_cartesian"] and rp["python_evals"] == 0
+
+    # semantic-dedup pair stage: cluster-scoped LSH equi-join
+    cents = S.kmeans_fit(emb, k=2, iters=1, seed=1)
+    assigned = S.ivf_assign(emb, cents, cluster_col="__c")
+    rs = plan_report(
+        S.embedding_near_dup_pairs(assigned, 0.45, group_col="__c")
+    )
+    assert not rs["has_cartesian"] and rs["python_evals"] == 0
+
+    # span dedup: no python, no cartesian; scans read only (id, text)
+    rd = plan_report(SP.duplicate_spans(docs, span_tokens=8))
+    assert not rd["has_cartesian"] and rd["python_evals"] == 0
+    assert all(
+        set(s["columns"]) <= {"doc_id", "text"} for s in rd["scans"]
+    )
