@@ -556,6 +556,24 @@ class Table:
             )
         raise ValueError(f"unknown dedup method: {method!r}")
 
+    def fuzzy_pairs(
+        self,
+        text_col: str,
+        id_col: str,
+        max_distance: int = 2,
+        **kwargs,
+    ) -> "Table":
+        """All row pairs whose ``text_col`` values are within
+        ``max_distance`` Levenshtein edits — entity-resolution /
+        typo-cluster join via q-gram prefix filtering
+        (operators/fuzzy.py edit_distance_pairs)."""
+        from ..operators.fuzzy import edit_distance_pairs
+
+        return self._derive(
+            edit_distance_pairs(self.df, text_col, id_col, max_distance,
+                                **kwargs)
+        )
+
     def explain_report(self) -> dict:
         """The scale checklist for this table's plan as a dict: scans
         (columns read, filters pushed), shuffle/broadcast counts, join

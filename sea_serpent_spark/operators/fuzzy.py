@@ -1,0 +1,143 @@
+"""Edit-distance similarity self-join (entity resolution / typo
+clustering): all pairs of strings within Levenshtein distance k.
+
+The naive formulation is a cross join with a levenshtein predicate —
+quadratic, dead at scale. This uses the q-gram count-filtering family
+(Gravano et al., VLDB'01) with a rarest-first prefix index, the same
+design as ``dedup.ngram_jaccard_pairs``:
+
+1. strings within edit distance k share at least
+   ``max(|Ga|,|Gb|) − k·q`` of their q-grams (each edit destroys ≤ q
+   grams), so any qualifying pair shares ≥1 gram among the **k·q + 1
+   rarest** grams of each side — only that constant-size prefix is
+   indexed;
+2. candidates are enumerated through the salted prefix self-join
+   (ids + gram ids only — skew-proof, no string payloads in the
+   expansive join), pruned in-join by the ±k length filter;
+3. survivors are verified with the codegen'd ``levenshtein`` built-in
+   (Spark ≥3.5 takes the threshold argument form; cost is O(k·min(m,n))
+   banded, not O(m·n)).
+
+Strings too short for the prefix theorem to bite (|s| ≤ q·(k+1) − 1:
+fewer than k·q+1 grams, so zero shared grams are required and the
+filter is vacuous) are handled exactly by a separate length-bucket
+join: each short string probes the k·q+1 length buckets it could match
+— the short set is by construction a bounded slice of the corpus, and
+the join stays an equi-join on the bucket.
+
+No reference analogue; beyond-reference extension (SURVEY §7 Phase 5).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from .dedup import (
+    BROADCAST_VERIFY_CAP,
+    _maybe_broadcast,
+    _salted_pairs,
+    _verify_gate,
+)
+from .util import fan_out, spread as _spread
+
+
+def qgrams(col: Column, q: int = 2) -> Column:
+    """array<string>: distinct character q-grams of ``col`` (empty for
+    strings shorter than q)."""
+    n = F.greatest(F.length(col) - (q - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n), lambda i: F.substring(col, i, q)
+        )
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_distance: int = 2,
+    q: int = 2,
+    broadcast_verify: bool | None = None,
+    broadcast_cap: int = BROADCAST_VERIFY_CAP,
+) -> DataFrame:
+    """→ [id_a, id_b, distance]: every unordered pair with
+    ``levenshtein ≤ max_distance``. Exact — the prefix filter has no
+    false negatives and every candidate is verified.
+
+    NULL strings never match (SQL comparison semantics); empty strings
+    participate (they sit in the short-string path and match anything
+    of length ≤ k)."""
+    k = max_distance
+    if k < 0:
+        raise ValueError(f"max_distance must be >= 0, got {k}")
+    short_len = q * (k + 1) - 1  # below this the gram filter is vacuous
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("s"),
+        F.length(text_col).alias("ln"),
+    ).where(F.col("s").isNotNull())
+
+    # ---- long strings: rarest-first q-gram prefix join ----------------
+    long_side = fan_out(base.where(F.col("ln") > short_len))
+    tok = long_side.select(
+        "id", "ln", F.explode(qgrams(F.col("s"), q)).alias("g")
+    )
+    dfreq = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    # rank grams rarest-first; the (df, gram) order is a total order so
+    # prefixes are deterministic
+    from pyspark.sql import Window
+
+    ranked = tok.join(dfreq, "g").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy(F.asc("df"), F.asc("g"))
+        ),
+    )
+    prefix = ranked.where(F.col("rk") <= k * q + 1).select("id", "ln", "g")
+    sym_len = (
+        F.abs(F.col("x.ln") - F.col("y.ln")) <= F.lit(k)
+    )
+    cand = _spread(
+        _salted_pairs(prefix, ["g"], sym_cond=sym_len, carry=())
+    )
+
+    # ---- short strings: exact length-bucket join ----------------------
+    shorts = base.where(F.col("ln") <= short_len)
+    probe = shorts.select(
+        F.col("id").alias("id_a"),
+        F.explode(
+            F.sequence(F.col("ln") - k, F.col("ln") + k)
+        ).alias("lb"),
+    ).where(F.col("lb") >= 0)
+    build = base.select(
+        F.col("id").alias("id_b"), F.col("ln").alias("lb")
+    )
+    cand_short = (
+        probe.join(build, "lb")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+
+    allcand = cand.unionByName(cand_short).distinct()
+
+    # ---- verify -------------------------------------------------------
+    lk = base.select(F.col("id"), F.col("s"))
+    a = lk.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
+    b = lk.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
+    bcast = _verify_gate(df, broadcast_verify, broadcast_cap)
+    a, b = _maybe_broadcast(a, bcast), _maybe_broadcast(b, bcast)
+    return (
+        allcand.join(a, "id_a")
+        .join(b, "id_b")
+        # threshold form: banded O(k·len) and early-exits past k
+        .withColumn("distance", F.levenshtein("sa", "sb", k))
+        .where((F.col("distance") >= 0) & (F.col("distance") <= k))
+        .select("id_a", "id_b", "distance")
+    )

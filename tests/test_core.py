@@ -548,3 +548,12 @@ def test_table_strip_duplicate_spans_convenience(spark, sf_dir):
     out = docs.strip_duplicate_spans(span_tokens=8)
     assert out.count() == docs.count()        # removal, not row dropping
     assert set(out.columns) == set(docs.columns)
+
+
+def test_table_fuzzy_pairs_convenience(spark, sf_dir):
+    """Table-level delegate for operators/fuzzy.edit_distance_pairs."""
+    sup = Table.from_parquet(f"{sf_dir}/supplier.parquet", "supplier",
+                             spark)
+    pairs = sup.fuzzy_pairs("s_name", "s_suppkey", max_distance=2)
+    assert set(pairs.columns) == {"id_a", "id_b", "distance"}
+    assert pairs.count() > 0

@@ -840,3 +840,95 @@ def test_duplicate_spans_short_docs_empty(spark):
     assert SP.duplicate_spans(df, span_tokens=5).count() == 0
     out = SP.strip_duplicate_spans(df, span_tokens=5)
     assert {r["text"] for r in out.collect()} == {"tiny doc"}
+
+
+# ---------------------------------------------------------------------------
+# edit-distance similarity join
+# ---------------------------------------------------------------------------
+
+def _brute_ed_pairs(rows, k):
+    """Driver-side oracle: full quadratic Levenshtein."""
+    def lev(a, b):
+        if a == b:
+            return 0
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[n]
+
+    out = set()
+    for x in range(len(rows)):
+        for y in range(x + 1, len(rows)):
+            (ia, sa), (ib, sb) = rows[x], rows[y]
+            d = lev(sa, sb)
+            if d <= k:
+                out.add((min(ia, ib), max(ia, ib), d))
+    return out
+
+
+@pytest.mark.parametrize("k", [0, 1, 2])
+def test_edit_distance_pairs_vs_bruteforce(spark, k):
+    """Exact pair set at k=0/1/2 on a corpus mixing typo clusters,
+    short strings (below the gram-filter floor), and empties."""
+    from sea_serpent_spark.operators.fuzzy import edit_distance_pairs
+
+    rows = [
+        (1, "apache spark"),
+        (2, "apache spark"),     # exact dup
+        (3, "apache sparkk"),    # 1 insert
+        (4, "apacha spark"),     # 1 sub
+        (5, "apache hadoop"),    # far
+        (6, "ab"),               # short path
+        (7, "abc"),
+        (8, "abd"),
+        (9, ""),                 # empty
+        (10, "b"),
+        (11, "levenshtein"),
+        (12, "levenshtien"),     # transposition = 2 edits
+    ]
+    df = spark.createDataFrame(rows, ["sid", "name"])
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in edit_distance_pairs(df, "name", "sid", k).collect()
+    }
+    assert got == _brute_ed_pairs(rows, k)
+
+
+def test_edit_distance_pairs_on_real_column(spark, sf_dir):
+    """Against a DuckDB levenshtein oracle on real data (supplier
+    names: structured, shared prefixes — the worst case for a gram
+    filter's selectivity, the best case for catching bugs)."""
+    import duckdb
+
+    from sea_serpent_spark.operators.fuzzy import edit_distance_pairs
+
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in edit_distance_pairs(
+            sup, "s_name", "s_suppkey", max_distance=2
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in duckdb.sql(
+            f"""
+            SELECT a.s_suppkey, b.s_suppkey,
+                   levenshtein(a.s_name, b.s_name) AS d
+            FROM '{sf_dir}/supplier.parquet' a,
+                 '{sf_dir}/supplier.parquet' b
+            WHERE a.s_suppkey < b.s_suppkey
+              AND levenshtein(a.s_name, b.s_name) <= 2
+            """
+        ).fetchall()
+    }
+    assert got == want
+    assert want  # supplier names actually contain near-matches
