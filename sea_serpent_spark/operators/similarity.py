@@ -600,3 +600,250 @@ def semantic_dedup(
         losers, _verify_gate(losers, None, BROADCAST_VERIFY_CAP)
     )
     return df.join(losers, F.col(id_col) == F.col("__lid"), "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# product quantization (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011)
+#
+# Vectors are L2-NORMALIZED before codebook fit / encode / query: on unit
+# vectors ‖a−b‖² = 2 − 2·cos(a,b), so ADC's L2 ranking is exactly the
+# cosine ranking the rest of this module uses — one similarity semantics
+# across brute/LSH/IVF/PQ.
+# ---------------------------------------------------------------------------
+
+def _unit(vec: Column) -> Column:
+    n = F.greatest(norm(vec), F.lit(1e-12))
+    return F.transform(vec, lambda x: x / n)
+
+
+def pq_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 4,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train ``m`` per-subspace codebooks of ``ksub`` L2 centroids each
+    (dims must divide evenly by ``m``). Returns
+    ``codebooks[j][c] = centroid c of subspace j``.
+
+    Scale shape mirrors ``kmeans_fit`` but amortized across subspaces:
+    every Lloyd's iteration assigns ALL m subspaces in one corpus pass
+    (m broadcast-literal argmins in a single projection), and the new
+    centroids come from one (subspace, code, dim) cell aggregation —
+    m·ksub·dsub cells shuffle, never vectors. Only the codebook matrix
+    (m·ksub·dsub floats) reaches the driver."""
+    import random
+
+    dim = _vec_dim(df, vec_col)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    def _u(v):
+        n = sum(x * x for x in v) ** 0.5 or 1.0
+        return [float(x) / n for x in v]
+
+    samp = [
+        _u(r[vec_col])
+        for r in df.select(vec_col)
+        .where(F.size(vec_col) == dim)
+        .limit(max(ksub * 20, 200))
+        .collect()
+    ]
+    if len(samp) < ksub:
+        raise ValueError(f"need ≥{ksub} vectors to fit {ksub} codes")
+    rng = random.Random(seed)
+    books = [
+        [list(v[j * dsub:(j + 1) * dsub]) for v in rng.sample(samp, ksub)]
+        for j in range(m)
+    ]
+
+    src = fan_out(
+        df.select(_unit(F.col(vec_col)).alias("__v")).where(
+            F.size("__v") == dim
+        )
+    )
+    for _ in range(iters):
+        # one pass: argmin-L2 code for every subspace at once
+        code_cols = []
+        for j in range(m):
+            sub = F.slice("__v", j * dsub + 1, dsub)
+            scored = F.array(*[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sub,
+                            F.array(*[F.lit(float(x)) for x in c]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("d"),
+                    F.lit(ci).alias("c"),
+                )
+                for ci, c in enumerate(books[j])
+            ])
+            code_cols.append(
+                F.array_min(scored).getField("c").alias(f"__c{j}")
+            )
+        assigned = src.select("__v", *code_cols)
+        # one cell aggregation for all subspaces: (j, code, dim) → mean
+        cells = assigned.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.col(f"__c{j}").alias("c"),
+                        F.slice("__v", j * dsub + 1, dsub).alias("sv"),
+                    )
+                    for j in range(m)
+                ])
+            ).alias("e")
+        ).select(
+            "e.j", "e.c", F.posexplode("e.sv").alias("p", "x")
+        )
+        means = (
+            cells.groupBy("j", "c", "p")
+            .agg(F.avg("x").alias("mu"))
+            .groupBy("j", "c")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "mu"))),
+                    lambda s: s.getField("mu"),
+                ).alias("cent")
+            )
+            .collect()
+        )
+        new = {(int(r["j"]), int(r["c"])): [float(x) for x in r["cent"]]
+               for r in means}
+        books = [
+            [
+                new.get(
+                    (j, c),
+                    # empty code: re-seed from the sample
+                    list(rng.choice(samp)[j * dsub:(j + 1) * dsub]),
+                )
+                for c in range(ksub)
+            ]
+            for j in range(m)
+        ]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Attach the ``m``-byte PQ code (array<int>, one code id per
+    subspace) — broadcast-literal argmin per subspace, zero shuffle.
+    At 100 TB this is the point: the stored index is m small ints per
+    vector instead of the float vector itself (e.g. 768-dim float32 →
+    8 bytes, a 384× compression), and it is all the search reads."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    uv = _unit(F.col(vec_col))
+    codes = []
+    for j in range(m):
+        sub = F.slice(uv, j * dsub + 1, dsub)
+        scored = F.array(*[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                F.lit(ci).alias("c"),
+            )
+            for ci, c in enumerate(codebooks[j])
+        ])
+        codes.append(F.array_min(scored).getField("c"))
+    return df.withColumn(code_col, F.array(*codes))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    cluster_col: str | None = None,
+) -> DataFrame:
+    """→ [query_id, neighbor_id, rank]: approximate top-k by asymmetric
+    distance (ADC): the query stays a full vector, each corpus item is
+    its m-code; distance ≈ Σⱼ ‖q_j − C_j[code_j]‖².
+
+    Per query row a lookup table of all m·ksub subdistances is built
+    once (row-local, constant-folded codebook literals); scoring a
+    corpus code is then m array lookups — no vector math per pair. The
+    corpus side carries ONLY (id, code): it never shuffles (queries are
+    broadcast) and never re-reads embeddings. With ``cluster_col``
+    present on both sides (``ivf_assign``), the scan narrows to
+    same-cluster candidates — IVF-PQ, the standard billion-scale
+    layout.
+
+    ``corpus`` must already carry ``code_col`` (``pq_encode``); ties
+    break by neighbor id for determinism."""
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    # per-query LUT: luts[j*ksub + c] = ‖q_j − C_j[c]‖²
+    lut = F.array(*[
+        F.aggregate(
+            F.zip_with(
+                F.slice(_unit(F.col(vec_col)), j * dsub + 1, dsub),
+                F.array(*[F.lit(float(x)) for x in codebooks[j][c]]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for j in range(m)
+        for c in range(ksub)
+    ])
+    qsel = [
+        F.col(id_col).alias("query_id"),
+        lut.alias("__lut"),
+    ]
+    csel = [
+        F.col(id_col).alias("neighbor_id"),
+        F.col(code_col).alias("__code"),
+    ]
+    if cluster_col is not None:
+        qsel.append(F.col(cluster_col).alias("__qc"))
+        csel.append(F.col(cluster_col).alias("__cc"))
+    q = queries.select(*qsel)
+    c = fan_out(corpus.select(*csel))
+    if cluster_col is not None:
+        joined = c.join(
+            F.broadcast(q), F.col("__cc") == F.col("__qc")
+        )
+    else:
+        joined = c.crossJoin(F.broadcast(q))
+    dist = None
+    for j in range(m):
+        term = F.element_at(
+            "__lut",
+            F.lit(j * ksub + 1) + F.element_at("__code", j + 1),
+        )
+        dist = term if dist is None else dist + term
+    scored = joined.where(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select("query_id", "neighbor_id", dist.alias("__d"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("__d"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

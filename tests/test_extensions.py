@@ -932,3 +932,85 @@ def test_edit_distance_pairs_on_real_column(spark, sf_dir):
     }
     assert got == want
     assert want  # supplier names actually contain near-matches
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+def test_pq_roundtrip_and_topk_recall(spark):
+    """PQ on tightly clustered data: codebook shapes, deterministic
+    encoding, and ADC top-k recovering within-cluster neighbors that
+    exact brute force finds."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for c in range(8):
+        center = rng.standard_normal(16)
+        center /= np.linalg.norm(center)
+        for j in range(12):
+            v = center + 0.03 * rng.standard_normal(16)
+            rows.append((c * 100 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    books = S.pq_fit(df, m=4, ksub=8, iters=3, seed=7)
+    assert len(books) == 4
+    assert all(len(b) == 8 for b in books)
+    assert all(len(c) == 4 for b in books for c in b)
+
+    enc = S.pq_encode(df, books)
+    codes = {r["vec_id"]: r["pq_code"] for r in enc.collect()}
+    assert all(len(v) == 4 for v in codes.values())
+    # deterministic re-encode
+    codes2 = {r["vec_id"]: r["pq_code"] for r in S.pq_encode(df, books).collect()}
+    assert codes == codes2
+    # all codes within the codebook range
+    assert all(0 <= x < 8 for v in codes.values() for x in v)
+
+    q = df.where(F.col("vec_id") % 100 == 0)
+    pq10 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.pq_topk(enc, q, books, k=10).collect()
+    }
+    brute3 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(df, q, k=3).collect()
+    }
+    # standard ANN measure (recall@10 vs exact top-3): a 4×8 code can't
+    # rank within a tight cluster (distances quantize to ties) but the
+    # true nearest must land in the shortlist a re-ranker would rescore
+    recall = len(pq10 & brute3) / len(brute3)
+    assert recall >= 0.9, recall
+    # and the coarse geometry holds: retrieved = the query's own cluster
+    assert all(qid // 100 == nid // 100 for qid, nid in pq10)
+
+
+def test_ivf_pq_same_cluster_only(spark):
+    """IVF-PQ: with cluster labels on both sides, only same-cluster
+    candidates are scored (and the join is a broadcast equi-join, not a
+    cross join)."""
+    import numpy as np
+
+    from sea_serpent_spark.operators.plan_report import plan_report
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for c in range(4):
+        center = rng.standard_normal(8)
+        center /= np.linalg.norm(center)
+        for j in range(10):
+            v = center + 0.02 * rng.standard_normal(8)
+            rows.append((c * 100 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = S.kmeans_fit(df, k=4, iters=3, seed=2)
+    lab = S.ivf_assign(df, cents)
+    books = S.pq_fit(df, m=2, ksub=8, iters=2, seed=2)
+    enc = S.pq_encode(lab, books)
+    q = enc.where(F.col("vec_id") % 100 == 0)
+    out = S.pq_topk(enc, q, books, k=3, cluster_col="label")
+    pairs = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+    assert pairs
+    assert all(a // 100 == b // 100 for a, b in pairs)
+    rep = plan_report(out)
+    assert not rep["has_cartesian"]
