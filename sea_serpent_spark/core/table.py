@@ -556,6 +556,57 @@ class Table:
             )
         raise ValueError(f"unknown dedup method: {method!r}")
 
+    def ann_topk(
+        self,
+        queries,
+        k: int = 5,
+        method: str = "brute",
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_clusters: int = 8,
+        seed: int = 42,
+        **kwargs,
+    ) -> "Table":
+        """Top-k nearest neighbors of ``queries`` (Table or DataFrame)
+        in this table's ``vec_col`` by cosine, → [query_id, neighbor_id,
+        rank] (operators/similarity.py).
+
+        ``method``: ``'brute'`` (exact — broadcast queries, corpus never
+        shuffles), ``'lsh'`` (signed-random-projection buckets),
+        ``'ivf'`` (train/assign ``n_clusters`` coarse cells, probe the
+        query's cell) or ``'pq'`` (IVF-free product-quantization ADC;
+        pass ``codebooks=`` to reuse a trained codebook, ``m=``/``ksub=``
+        to size one)."""
+        from ..operators import similarity as S
+
+        qdf = queries.df if isinstance(queries, Table) else queries
+        if method == "brute":
+            out = S.brute_force_topk(self.df, qdf, k, id_col, vec_col)
+        elif method == "lsh":
+            out = S.lsh_topk(
+                self.df, qdf, k, id_col=id_col, vec_col=vec_col,
+                projection=kwargs.pop("projection", "random"), **kwargs,
+            )
+        elif method == "ivf":
+            cents = S.kmeans_fit(
+                self.df, vec_col, n_clusters, seed=seed
+            )
+            lab_c = S.ivf_assign(self.df, cents, vec_col)
+            lab_q = S.ivf_assign(qdf, cents, vec_col)
+            out = S.ivf_topk(lab_c, lab_q, k, id_col, vec_col)
+        elif method == "pq":
+            books = kwargs.pop("codebooks", None) or S.pq_fit(
+                self.df, vec_col, m=kwargs.pop("m", 4),
+                ksub=kwargs.pop("ksub", 16), seed=seed,
+            )
+            enc = S.pq_encode(self.df, books, vec_col)
+            out = S.pq_topk(
+                enc, qdf, books, k, id_col, vec_col, **kwargs
+            )
+        else:
+            raise ValueError(f"unknown ANN method: {method!r}")
+        return self._derive(out)
+
     def fuzzy_pairs(
         self,
         text_col: str,

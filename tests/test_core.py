@@ -557,3 +557,21 @@ def test_table_fuzzy_pairs_convenience(spark, sf_dir):
     pairs = sup.fuzzy_pairs("s_name", "s_suppkey", max_distance=2)
     assert set(pairs.columns) == {"id_a", "id_b", "distance"}
     assert pairs.count() > 0
+
+
+def test_table_ann_topk_convenience(spark, sf_dir):
+    """Table-level ANN dispatcher: all four methods produce ranked
+    neighbor lists; brute is exact, the rest return valid subsets."""
+    emb = Table.from_parquet(f"{sf_dir}/embeddings.parquet", "embeddings",
+                             spark)
+    q = emb.df.where("vec_id < 3")
+    brute = emb.ann_topk(q, k=3, method="brute")
+    assert brute.count() == 9
+    assert set(brute.columns) == {"query_id", "neighbor_id", "rank"}
+    for m in ("lsh", "ivf", "pq"):
+        out = emb.ann_topk(q, k=3, method=m, n_clusters=4)
+        rows = out.df.collect()
+        assert 0 < len(rows) <= 9, m
+        assert all(1 <= r["rank"] <= 3 for r in rows), m
+    with pytest.raises(ValueError):
+        emb.ann_topk(q, method="nope")
