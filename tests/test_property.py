@@ -115,3 +115,93 @@ def test_filter_algebra_matches_pandas(li, tree):
         map(tuple, want[["l_orderkey", "l_linenumber"]].values.tolist())
     )
     assert got_keys == want_keys
+
+
+# ---------------------------------------------------------------------------
+# fuzzy edit-distance join vs brute force, random corpora
+# ---------------------------------------------------------------------------
+
+def _lev(a, b):
+    m, n = len(a), len(b)
+    if m == 0:
+        return n
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[n]
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.text(alphabet="abcx ", min_size=0, max_size=12),
+        min_size=2, max_size=14,
+    ),
+    k=st.integers(0, 2),
+)
+def test_edit_distance_pairs_property(spark, data, k):
+    """Random small-alphabet corpora (high collision rates, boundary
+    lengths around the gram-filter floor): the q-gram path must equal
+    quadratic Levenshtein exactly — no false negatives from the prefix
+    filter, no false positives past the verify."""
+    from sea_serpent_spark.operators.fuzzy import edit_distance_pairs
+
+    rows = [(i, s) for i, s in enumerate(data)]
+    df = spark.createDataFrame(rows, ["sid", "txt"])
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in edit_distance_pairs(df, "txt", "sid", k).collect()
+    }
+    want = {
+        (a, b, _lev(sa, sb))
+        for a, sa in rows
+        for b, sb in rows
+        if a < b and _lev(sa, sb) <= k
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]),
+            min_size=0, max_size=12,
+        ),
+        min_size=2, max_size=8,
+    ),
+    span=st.integers(2, 4),
+)
+def test_duplicate_spans_property(spark, docs, span):
+    """Random token sequences over a tiny vocabulary (maximal window
+    collisions): flagged occurrences must equal brute force — every
+    repeat window except the corpus-wide (id, pos)-min occurrence."""
+    from sea_serpent_spark.operators import spans as SP
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id"], r["pos"])
+        for r in SP.duplicate_spans(
+            df, span_tokens=span, keep_first=True
+        ).collect()
+    }
+    occ = {}
+    for i, toks in enumerate(docs):
+        for p in range(max(len(toks) - span + 1, 0)):
+            occ.setdefault(tuple(toks[p:p + span]), []).append((i, p))
+    want = set()
+    for ks in occ.values():
+        if len(ks) >= 2:
+            want.update(sorted(ks)[1:])
+    assert got == want
