@@ -749,6 +749,22 @@ class Table:
                             target_rows)
         )
 
+    def profile(self, columns: list[str] | None = None) -> "Table":
+        """One-pass column health stats (null fracs, HLL cardinality,
+        ranges, approx quantiles, string lengths) — one row per column
+        (operators/profile.py profile)."""
+        from ..operators.profile import profile
+
+        return self._derive(profile(self.df, columns))
+
+    def corpus_profile(self, text_col: str = "text", **kwargs) -> dict:
+        """Corpus-level summary dict (doc/token/char totals, p50 doc
+        length, exact vocab, heavy-hitter tokens, language mix) in two
+        distributed passes (operators/profile.py corpus_profile)."""
+        from ..operators.profile import corpus_profile
+
+        return corpus_profile(self.df, text_col, **kwargs)
+
     def skew_report(self, key_cols: list[str], top: int = 20) -> "Table":
         """Heaviest values of a would-be shuffle key with row shares —
         the pre-flight check before keying a join/groupBy on these

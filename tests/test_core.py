@@ -575,3 +575,18 @@ def test_table_ann_topk_convenience(spark, sf_dir):
         assert all(1 <= r["rank"] <= 3 for r in rows), m
     with pytest.raises(ValueError):
         emb.ann_topk(q, method="nope")
+
+
+def test_table_profile_conveniences(spark, sf_dir):
+    """Table-level delegates for profile and corpus_profile."""
+    docs = Table.from_parquet(f"{sf_dir}/documents.parquet", "documents",
+                              spark)
+    prof = docs.profile(["doc_id", "text", "n_chars"])
+    rows = {r["column"]: r for r in prof.df.collect()}
+    assert set(rows) == {"doc_id", "text", "n_chars"}
+    assert rows["doc_id"]["null_frac"] == 0.0
+
+    cp = docs.corpus_profile(lang_col="lang")
+    assert cp["n_docs"] == docs.count()
+    assert cp["vocab"] > 0 and cp["top_tokens"]
+    assert set(cp["langs"]) >= {"en"}
