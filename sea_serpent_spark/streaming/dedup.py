@@ -151,3 +151,62 @@ def streaming_minhash_pairs(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def incremental_dedup_sink(
+    index_path: str,
+    output_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 1,
+    jaccard_threshold: float = 0.5,
+):
+    """→ a ``foreachBatch`` function closing the full streaming ingest
+    loop: each micro-batch is deduped against the persisted LSH index
+    (``operators.incremental.incremental_dedup``), survivors append to
+    ``output_path``, and their band rows append to ``index_path`` — so
+    batch N+1 automatically dedups against batches 1..N *and* all
+    history the index started with.
+
+    This is the recommended shape for streaming NEAR-dup ingest: the
+    stateful in-query variant (``streaming_minhash_pairs``) holds the
+    inverted index in stream state, which the state store rebuilds from
+    the checkpoint on restart and cannot share with batch jobs; a
+    parquet/Delta index is durable, shared, and append-only. Exact-dup
+    streaming stays in-query (``events.streaming_dedup_against``) where
+    a fingerprint anti-join needs no verification step.
+
+    Usage::
+
+        stream.writeStream.foreachBatch(
+            incremental_dedup_sink("/idx", "/clean")
+        ).trigger(availableNow=True).start()
+
+    The index directory must exist with ≥1 band file (seed it with
+    ``minhash_band_index(history)`` — or an empty frame for a cold
+    start). Batches are processed serially by Structured Streaming, so
+    the read-modify-append on the index is race-free."""
+    from ..operators.incremental import (
+        incremental_dedup,
+        minhash_band_index,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        idx = spark.read.parquet(index_path)
+        kept = incremental_dedup(
+            batch_df, idx, text_col, id_col,
+            num_hashes, bands, shingle_n, jaccard_threshold,
+        )
+        # materialize survivors BEFORE touching the index so the band
+        # append below cannot observe its own output
+        kept.persist()
+        kept.write.mode("append").parquet(output_path)
+        minhash_band_index(
+            kept, text_col, id_col, num_hashes, bands, shingle_n
+        ).write.mode("append").partitionBy("band").parquet(index_path)
+        kept.unpersist()
+
+    return _sink

@@ -243,3 +243,68 @@ def test_streaming_dedup_against_static_index(spark, sf_dir):
     # nothing from the indexed half's content survives
     old_fps = {r["fp"] for r in seen.select("fp").collect()}
     assert not (set(got["fp"]) & old_fps)
+
+
+def test_incremental_dedup_sink_loop(spark, sf_dir, tmp_path):
+    """The foreachBatch ingest loop: multi-batch stream deduped against
+    a seeded index; survivors land in the output, their bands grow the
+    index, and the final output contains no near-dup of the seed
+    history or of itself."""
+    import pyspark.sql.functions as F
+
+    from sea_serpent_spark.operators import dedup as D
+    from sea_serpent_spark.operators import incremental as I
+    from sea_serpent_spark.streaming.dedup import incremental_dedup_sink
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seed = docs.where(F.col("doc_id") < 100)
+    delta = docs.where(F.col("doc_id") >= 100)
+
+    src = str(tmp_path / "arrivals")
+    idxp = str(tmp_path / "idx")
+    outp = str(tmp_path / "clean")
+    # history pre-deduped, its bands seed the index
+    hist = D.dedup_corpus(seed, threshold=0.5)
+    I.minhash_band_index(hist).write.partitionBy("band").parquet(idxp)
+    # the delta arrives as 4 files → multiple micro-batches
+    delta.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            incremental_dedup_sink(idxp, outp, jaccard_threshold=0.5)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(outp)
+    survivors = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert survivors  # something made it through
+    assert survivors <= {
+        r["doc_id"] for r in delta.select("doc_id").collect()
+    }
+
+    # invariant 1: nothing in the output near-dups the seeded history
+    cross = I.incremental_minhash_pairs(
+        out, I.minhash_band_index(hist), jaccard_threshold=0.5
+    )
+    hist_ids = {r["doc_id"] for r in hist.select("doc_id").collect()}
+    bad = [
+        r for r in cross.collect()
+        if (r["id_a"] in hist_ids) != (r["id_b"] in hist_ids)
+    ]
+    assert not bad
+    # invariant 2: the output contains no internal near-dup pair
+    assert D.minhash_lsh_pairs(out, jaccard_threshold=0.5).count() == 0
+    # invariant 3: the index grew by exactly the survivors' bands
+    idx = spark.read.parquet(idxp)
+    assert {r["id"] for r in idx.select("id").distinct().collect()} == (
+        hist_ids | survivors
+    )
