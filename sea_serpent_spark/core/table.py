@@ -556,6 +556,61 @@ class Table:
             )
         raise ValueError(f"unknown dedup method: {method!r}")
 
+    def decontaminate(
+        self,
+        reference,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        ngram: int = 8,
+        min_hits: int = 1,
+        **kwargs,
+    ) -> "Table":
+        """Drop rows sharing ≥min_hits word n-grams with ``reference``
+        (Table or DataFrame) — train/test decontamination
+        (operators/dedup.py decontaminate)."""
+        from ..operators.dedup import decontaminate
+
+        ref = reference.df if isinstance(reference, Table) else reference
+        return self._derive(
+            decontaminate(self.df, ref, text_col, id_col, ngram,
+                          min_hits, **kwargs)
+        )
+
+    def asof_join(
+        self,
+        right,
+        on: str,
+        by: str | list[str] | None = None,
+        **kwargs,
+    ) -> "Table":
+        """pandas merge_asof semantics against ``right`` (Table or
+        DataFrame): latest right row at-or-before each left timestamp,
+        per ``by`` key (operators/temporal.py asof_join — one-shuffle
+        union + carry-forward)."""
+        from ..operators.temporal import asof_join
+
+        r = right.df if isinstance(right, Table) else right
+        return self._derive(asof_join(self.df, r, on, by, **kwargs))
+
+    def range_join(
+        self,
+        intervals,
+        point_col: str,
+        start_col: str,
+        end_col: str,
+        **kwargs,
+    ) -> "Table":
+        """Point-in-interval join against ``intervals`` (Table or
+        DataFrame): start ≤ point < end via coarse-bin equi-join
+        (operators/temporal.py range_join)."""
+        from ..operators.temporal import range_join
+
+        iv = intervals.df if isinstance(intervals, Table) else intervals
+        return self._derive(
+            range_join(self.df, iv, point_col, start_col, end_col,
+                       **kwargs)
+        )
+
     def ann_topk(
         self,
         queries,

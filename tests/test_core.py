@@ -590,3 +590,36 @@ def test_table_profile_conveniences(spark, sf_dir):
     assert cp["n_docs"] == docs.count()
     assert cp["vocab"] > 0 and cp["top_tokens"]
     assert set(cp["langs"]) >= {"en"}
+
+
+def test_table_temporal_and_decontaminate_conveniences(spark, sf_dir):
+    """Table-level delegates for asof_join / range_join / decontaminate."""
+    import pyspark.sql.functions as F
+
+    from sea_serpent_spark.workload import df as _wl_df
+
+    evdf = _wl_df(spark, sf_dir, "events")
+    ev = Table(evdf, "events", spark)
+    pts = Table(
+        evdf.select("user_id", "ts").limit(50), "pts", spark
+    )
+    joined = pts.asof_join(ev.select(["user_id", "ts", "event_type"]),
+                           on="ts", by="user_id")
+    assert joined.count() == 50
+    assert "event_type_r" in joined.columns or "event_type" in joined.columns
+
+    iv = Table(
+        evdf.select(
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 30 minutes")).alias("end"),
+        ).limit(20),
+        "iv", spark,
+    )
+    rj = pts.range_join(iv, "ts", "start", "end")
+    assert rj.count() >= 0  # shape check; semantics pinned in test_temporal
+
+    docs = Table.from_parquet(f"{sf_dir}/documents.parquet", "documents",
+                              spark)
+    ref = Table(docs.df.limit(10), "ref", spark)
+    clean = docs.decontaminate(ref)
+    assert clean.count() < docs.count()
