@@ -804,6 +804,27 @@ class Table:
                             target_rows)
         )
 
+    def curation_funnel(self, stages) -> tuple["Table", list[dict]]:
+        """Run (name, fn) curation stages with per-stage drop accounting
+        → (final Table, funnel report). Each fn receives a Table and
+        returns a Table or DataFrame — e.g.
+        ``[("quality", lambda t: t.quality_filter()),
+        ("dedup", lambda t: t.dedup())]``
+        (operators/curation.py curation_funnel)."""
+        from ..operators.curation import curation_funnel
+
+        def _lift(fn):
+            def g(d):
+                res = fn(Table(d, self.name, self.spark))
+                return res.df if isinstance(res, Table) else res
+
+            return g
+
+        out, rep = curation_funnel(
+            self.df, [(n, _lift(f)) for n, f in stages]
+        )
+        return self._derive(out), rep
+
     def profile(self, columns: list[str] | None = None) -> "Table":
         """One-pass column health stats (null fracs, HLL cardinality,
         ranges, approx quantiles, string lengths) — one row per column

@@ -365,3 +365,43 @@ def chunk_documents(
         F.concat_ws(" ", piece).alias("chunk_text"),
         F.size(piece).alias("n_chunk_tokens"),
     )
+
+
+def curation_funnel(
+    df: DataFrame,
+    stages: list[tuple[str, "object"]],
+) -> tuple[DataFrame, list[dict]]:
+    """Run a sequence of (name, DataFrame→DataFrame) curation stages and
+    return (final_df, report) where report rows are
+    ``{stage, rows_in, rows_out, dropped, drop_frac}`` — the funnel
+    every data-quality review asks for ("where did my corpus go?").
+
+    Each boundary is counted, so the pipeline executes roughly once per
+    stage instead of once total — this is a DIAGNOSTIC mode for sampling
+    runs and dashboards, not the production path (which chains the same
+    stages unobserved and pays one pass). Intermediate frames are
+    localCheckpointed so stage N+1 starts from N's materialization
+    instead of re-running the whole prefix — total cost is the sum of
+    single stages, not quadratic in their number."""
+    report: list[dict] = []
+    cur = df
+    n_in = cur.count()
+    for name, fn in stages:
+        nxt = fn(cur)
+        if nxt.isStreaming:
+            raise ValueError("curation_funnel is batch-only")
+        nxt = nxt.localCheckpoint(eager=True)
+        n_out = nxt.count()
+        report.append(
+            {
+                "stage": name,
+                "rows_in": n_in,
+                "rows_out": n_out,
+                "dropped": n_in - n_out,
+                "drop_frac": round((n_in - n_out) / n_in, 6)
+                if n_in
+                else 0.0,
+            }
+        )
+        cur, n_in = nxt, n_out
+    return cur, report

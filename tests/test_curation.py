@@ -346,3 +346,33 @@ def test_temperature_mix_end_to_end(spark):
         ).select("doc_id").collect()
     }
     assert again == {r["doc_id"] for r in out.select("doc_id").collect()}
+
+
+def test_curation_funnel(spark, sf_dir):
+    """Per-stage funnel accounting: counts chain exactly, the final
+    frame equals running the stages unobserved, and a no-op stage
+    reports zero drops."""
+    from sea_serpent_spark import Table
+
+    docs = Table.from_parquet(f"{sf_dir}/documents.parquet", "documents",
+                              spark)
+    stages = [
+        ("noop", lambda t: t),
+        ("min50tok", lambda t: t.quality_filter(min_tokens=50)),
+        ("exact_dedup", lambda t: t.dedup(method="exact")),
+    ]
+    out, rep = docs.curation_funnel(stages)
+
+    assert [r["stage"] for r in rep] == ["noop", "min50tok", "exact_dedup"]
+    assert rep[0]["dropped"] == 0
+    assert rep[0]["rows_in"] == docs.count()
+    for prev, nxt in zip(rep, rep[1:]):
+        assert prev["rows_out"] == nxt["rows_in"]
+    assert rep[-1]["rows_out"] == out.count()
+
+    unobserved = docs.quality_filter(min_tokens=50).dedup(method="exact")
+    assert out.count() == unobserved.count()
+    assert (
+        {r["doc_id"] for r in out.df.select("doc_id").collect()}
+        == {r["doc_id"] for r in unobserved.df.select("doc_id").collect()}
+    )
