@@ -786,6 +786,23 @@ class Table:
             mix_corpora(self.df, source_col, rates, id_col, default_rate)
         )
 
+    def weighted_sample(
+        self,
+        weight_col: str,
+        target_rows: int,
+        id_col: str,
+        max_weight: float | None = None,
+    ) -> "Table":
+        """Deterministic importance sampling sized toward target_rows:
+        keep probability ∝ weight (DSIR-style selection given
+        precomputed weights; operators/sampling.py weighted_sample)."""
+        from ..operators.sampling import weighted_sample
+
+        return self._derive(
+            weighted_sample(self.df, weight_col, target_rows, id_col,
+                            max_weight)
+        )
+
     def temperature_mix(
         self,
         source_col: str,

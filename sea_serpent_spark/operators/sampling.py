@@ -215,3 +215,43 @@ def temperature_mix(
     row-local predicate after one count aggregate."""
     rates = temperature_rates(df, source_col, alpha, target_rows)
     return mix_corpora(df, source_col, rates, id_col)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    target_rows: int,
+    id_col: str,
+    max_weight: float | None = None,
+) -> DataFrame:
+    """Deterministic importance sampling: keep each row with probability
+    proportional to ``weight_col``, sized toward ``target_rows`` — the
+    quality-/importance-weighted resampling step of data-selection
+    pipelines (DSIR, Xie et al. 2023, arXiv:2302.03169: importance
+    weights in, kept subset out; this implements the *selection* given
+    precomputed weights).
+
+    keep ⇔ hash_bucket(id) < p(row)·BUCKETS with
+    p = min(1, target·w / Σw): a row-local predicate over one
+    sum-aggregate, so the pass is layout-independent, reproducible, and
+    monotone — raising a row's weight or the target only ever ADDS rows.
+    Zero/negative weights never keep. ``max_weight`` clips weights
+    before normalization (heavy-tail control — standard importance-
+    sampling hygiene).
+
+    Expected output size is ≈ target_rows minus the mass lost where
+    p saturates at 1 (rows can't be kept twice; up-replication is an
+    epoch concern, not a sampling one)."""
+    if target_rows < 0:
+        raise ValueError(f"target_rows must be >= 0, got {target_rows}")
+    w = F.col(weight_col).cast("double")
+    if max_weight is not None:
+        w = F.least(w, F.lit(float(max_weight)))
+    w = F.greatest(w, F.lit(0.0))
+    total = df.agg(F.sum(w)).collect()[0][0] or 0.0
+    if total <= 0:
+        return df.where(F.lit(False))
+    p = F.least(F.lit(1.0), w * F.lit(float(target_rows)) / F.lit(total))
+    return df.where(
+        hash_bucket(id_col) < (p * SPLIT_BUCKETS).cast("long")
+    )

@@ -376,3 +376,48 @@ def test_curation_funnel(spark, sf_dir):
         {r["doc_id"] for r in out.df.select("doc_id").collect()}
         == {r["doc_id"] for r in unobserved.df.select("doc_id").collect()}
     )
+
+
+def test_weighted_sample(spark):
+    """Importance sampling: kept fraction tracks the weight ratio,
+    deterministic, monotone in target, zero weights never kept."""
+    from sea_serpent_spark.operators.sampling import weighted_sample
+
+    rows = (
+        [(i, "hi", 4.0) for i in range(4000)]
+        + [(10_000 + i, "lo", 1.0) for i in range(4000)]
+        + [(20_000 + i, "zero", 0.0) for i in range(100)]
+    )
+    d = spark.createDataFrame(rows, ["doc_id", "grp", "w"])
+    out = weighted_sample(d, "w", target_rows=2000, id_col="doc_id")
+    kept = {
+        r["grp"]: r["count"]
+        for r in out.groupBy("grp").count().collect()
+    }
+    assert "zero" not in kept
+    # p_hi = 2000·4/20000 = 0.4, p_lo = 0.1 → ≈4:1 kept ratio
+    ratio = kept["hi"] / kept["lo"]
+    assert 3.0 < ratio < 5.5, (kept, ratio)
+    assert abs(out.count() - 2000) < 300
+
+    # deterministic + monotone
+    a = {r["doc_id"] for r in out.select("doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in weighted_sample(d, "w", 2000, "doc_id")
+        .select("doc_id").collect()
+    }
+    assert a == b
+    bigger = {
+        r["doc_id"]
+        for r in weighted_sample(d, "w", 4000, "doc_id")
+        .select("doc_id").collect()
+    }
+    assert a <= bigger
+
+    # weight clipping caps the heavy tail
+    d2 = spark.createDataFrame(
+        [(1, 1e9), (2, 1.0), (3, 1.0)], ["doc_id", "w"]
+    )
+    clipped = weighted_sample(d2, "w", 2, "doc_id", max_weight=2.0)
+    assert clipped.count() <= 3
