@@ -786,6 +786,25 @@ class Table:
             mix_corpora(self.df, source_col, rates, id_col, default_rate)
         )
 
+    def dsir_select(
+        self,
+        target,
+        target_rows: int,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        **kwargs,
+    ) -> "Table":
+        """DSIR data selection: keep rows distributionally similar to
+        ``target`` (Table or DataFrame), resampled toward target_rows by
+        hashed-n-gram importance weights (operators/selection.py)."""
+        from ..operators.selection import dsir_select
+
+        t = target.df if isinstance(target, Table) else target
+        return self._derive(
+            dsir_select(self.df, t, target_rows, text_col, id_col,
+                        **kwargs)
+        )
+
     def weighted_sample(
         self,
         weight_col: str,

@@ -1,0 +1,173 @@
+"""Data selection by distributional importance weighting (DSIR).
+
+DSIR (Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling", arXiv:2302.03169) selects raw-corpus documents
+that look like a small target corpus: fit cheap bag-of-hashed-n-gram
+models of both distributions, weight every raw document by the
+likelihood ratio p_target/p_raw of its features, and resample
+proportionally to the weights. ``dsir_weights`` computes the weights;
+``sampling.weighted_sample`` is the resampling step; ``dsir_select``
+composes the two.
+
+Spark shape (no driver-side model, no Python in the path):
+
+- featurization is a row-local projection: words → hashed buckets via
+  the portable md5 family (``hashing.h48``), so features are identical
+  across runs, layouts, and engines;
+- each corpus' bucket distribution is ONE groupBy over the hashed
+  buckets (map-side combined: ≤ ``buckets`` rows shuffle);
+- the per-document score joins the exploded features against the
+  bucket-ratio table — ``buckets`` rows, broadcast — and sums
+  count·log(p_t/p_r): one more shuffle of (doc, partial-sum) pairs;
+- weights are normalized to (0, 1] by the corpus max log-weight (one
+  scalar aggregate), ready for the hash-predicate sampler without
+  overflow.
+
+Add-α smoothing over the bucket vocabulary keeps unseen buckets finite
+on both sides; hash collisions are the technique's documented
+dimensionality reduction, not an error source.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from .hashing import h48
+from .sampling import weighted_sample
+from .text import words
+from .util import fan_out
+
+DSIR_BUCKETS = 10_000
+
+
+def _feature_buckets(
+    col: Column, buckets: int, ngram: int = 2
+) -> Column:
+    """array<long>: hashed buckets of the word n-grams (unigrams when
+    the doc is shorter than ``ngram``) — row-local, portable. Empty
+    documents yield an empty array (split('') is [''], not [])."""
+    ws = F.filter(words(col), lambda w: w != "")
+    if ngram > 1:
+        m = F.greatest(F.size(ws) - (ngram - 1), F.lit(0))
+        out = F.slice(ws, 1, m)
+        for k in range(1, ngram):
+            out = F.zip_with(
+                out,
+                F.slice(ws, k + 1, m),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        grams = F.when(F.size(ws) < ngram, ws).otherwise(out)
+    else:
+        grams = ws
+    return F.transform(grams, lambda g: F.pmod(h48(g), F.lit(buckets)))
+
+
+def _bucket_logprobs(
+    df: DataFrame, text_col: str, buckets: int, ngram: int, alpha: float,
+) -> tuple[DataFrame, float]:
+    """([b, logp], unseen_floor): add-α-smoothed log probability per
+    hashed bucket, plus the floor for buckets this corpus never saw."""
+    counts = (
+        fan_out(df)
+        .select(F.explode(_feature_buckets(F.col(text_col), buckets,
+                                           ngram)).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n")).collect()[0][0] or 0
+    denom = math.log(total + alpha * buckets)
+    lp = counts.select(
+        "b", (F.log(F.col("n") + F.lit(alpha)) - F.lit(denom)).alias("logp")
+    )
+    return lp, math.log(alpha) - denom
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = DSIR_BUCKETS,
+    ngram: int = 2,
+    alpha: float = 0.1,
+    length_normalize: bool = True,
+) -> DataFrame:
+    """→ ``raw`` + [dsir_logw, dsir_weight]: per-document importance of
+    looking like ``target``. ``dsir_logw`` = Σ_features log(p_t/p_r)
+    (divided by the feature count when ``length_normalize`` — without
+    it long documents dominate on length, not on similarity);
+    ``dsir_weight`` = exp(logw − max logw) ∈ (0, 1], directly usable by
+    ``weighted_sample``."""
+    t_lp, t_floor = _bucket_logprobs(target, text_col, buckets, ngram,
+                                     alpha)
+    r_lp, r_floor = _bucket_logprobs(raw, text_col, buckets, ngram, alpha)
+    # buckets unseen in BOTH corpora contribute floor−floor' — a
+    # constant — to every doc equally after length normalization only
+    # if present; keep them via the outer join so the ratio table is
+    # complete for every bucket either corpus saw
+    ratios = (
+        t_lp.withColumnRenamed("logp", "lt")
+        .join(r_lp.withColumnRenamed("logp", "lr"), "b", "outer")
+        .select(
+            "b",
+            (
+                F.coalesce(F.col("lt"), F.lit(t_floor))
+                - F.coalesce(F.col("lr"), F.lit(r_floor))
+            ).alias("lratio"),
+        )
+    )
+
+    feats = fan_out(raw).select(
+        F.col(id_col).alias("__did"),
+        F.explode(
+            _feature_buckets(F.col(text_col), buckets, ngram)
+        ).alias("b"),
+    )
+    per_doc = (
+        feats.join(F.broadcast(ratios), "b")
+        .groupBy("__did")
+        .agg(
+            F.sum("lratio").alias("__lsum"),
+            F.count(F.lit(1)).alias("__nf"),
+        )
+    )
+    logw = (
+        F.col("__lsum") / F.col("__nf")
+        if length_normalize
+        else F.col("__lsum")
+    )
+    per_doc = per_doc.select("__did", logw.alias("dsir_logw"))
+    mx = per_doc.agg(F.max("dsir_logw")).collect()[0]
+    mx = mx[0] if mx and mx[0] is not None else 0.0
+    scored = raw.join(
+        per_doc, F.col(id_col) == F.col("__did"), "left"
+    ).drop("__did")
+    # docs with no features (empty text): weight 0 — nothing to match on
+    return scored.withColumn(
+        "dsir_logw", F.coalesce("dsir_logw", F.lit(float("-inf")))
+    ).withColumn(
+        "dsir_weight",
+        F.when(F.col("dsir_logw") == float("-inf"), F.lit(0.0)).otherwise(
+            F.exp(F.col("dsir_logw") - F.lit(float(mx)))
+        ),
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    target_rows: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """DSIR end-to-end: weight ``raw`` against ``target`` and
+    deterministically resample toward ``target_rows`` (original columns
+    only)."""
+    scored = dsir_weights(raw, target, text_col, id_col, **kwargs)
+    return weighted_sample(
+        scored, "dsir_weight", target_rows, id_col
+    ).drop("dsir_logw", "dsir_weight")

@@ -421,3 +421,68 @@ def test_weighted_sample(spark):
     )
     clipped = weighted_sample(d2, "w", 2, "doc_id", max_weight=2.0)
     assert clipped.count() <= 3
+
+
+def test_dsir_weights_and_select(spark):
+    """DSIR on a separable corpus: target-like documents get higher
+    importance weights and dominate the selection; empty docs weight 0;
+    deterministic."""
+    from sea_serpent_spark.operators.selection import (
+        dsir_select,
+        dsir_weights,
+    )
+
+    sci = ["proton", "neutron", "quark", "lepton", "boson", "photon"]
+    spam = ["click", "free", "winner", "prize", "offer", "deal"]
+
+    def doc(vocab, i, n=30):
+        return " ".join(vocab[(i + j) % len(vocab)] for j in range(n))
+
+    raw_rows = (
+        [(i, doc(sci, i)) for i in range(100)]
+        + [(1000 + i, doc(spam, i)) for i in range(100)]
+        + [(9999, "")]
+    )
+    target_rows_ = [(i, doc(sci, i + 3)) for i in range(20)]
+    raw = spark.createDataFrame(raw_rows, ["doc_id", "text"])
+    target = spark.createDataFrame(target_rows_, ["doc_id", "text"])
+
+    scored = dsir_weights(raw, target)
+    w = {r["doc_id"]: r["dsir_weight"] for r in scored.collect()}
+    sci_w = [w[i] for i in range(100)]
+    spam_w = [w[1000 + i] for i in range(100)]
+    assert min(sci_w) > max(spam_w)
+    assert w[9999] == 0.0
+    assert max(w.values()) == 1.0  # normalized to the corpus max
+
+    sel = dsir_select(raw, target, target_rows=60)
+    ids = {r["doc_id"] for r in sel.select("doc_id").collect()}
+    assert ids  # non-empty selection
+    assert all(i < 1000 for i in ids)  # only science docs selected
+    assert set(sel.columns) == {"doc_id", "text"}  # weights dropped
+
+    again = {
+        r["doc_id"]
+        for r in dsir_select(raw, target, target_rows=60)
+        .select("doc_id").collect()
+    }
+    assert again == ids
+
+
+def test_dsir_orders_languages_on_real_docs(spark, sf_dir):
+    """On the driver corpus, targeting one language ranks that
+    language's documents highest on average."""
+    import pyspark.sql.functions as F
+
+    from sea_serpent_spark.operators.selection import dsir_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.where(F.col("lang") == "zh").limit(30)
+    by_lang = {
+        r["lang"]: r["lw"]
+        for r in dsir_weights(docs, target)
+        .groupBy("lang")
+        .agg(F.avg("dsir_logw").alias("lw"))
+        .collect()
+    }
+    assert by_lang["zh"] == max(by_lang.values())
