@@ -805,6 +805,24 @@ class Table:
                         **kwargs)
         )
 
+    def perplexity_score(
+        self,
+        reference=None,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        **kwargs,
+    ) -> "Table":
+        """CCNet-style quality signal: per-doc cross-entropy under a
+        reference corpus's hashed n-gram model (self-model when None) —
+        high = unlike the reference (operators/selection.py
+        ngram_cross_entropy)."""
+        from ..operators.selection import ngram_cross_entropy
+
+        ref = reference.df if isinstance(reference, Table) else reference
+        return self._derive(
+            ngram_cross_entropy(self.df, ref, text_col, id_col, **kwargs)
+        )
+
     def weighted_sample(
         self,
         weight_col: str,

@@ -171,3 +171,46 @@ def dsir_select(
     return weighted_sample(
         scored, "dsir_weight", target_rows, id_col
     ).drop("dsir_logw", "dsir_weight")
+
+
+def ngram_cross_entropy(
+    df: DataFrame,
+    reference: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = DSIR_BUCKETS,
+    ngram: int = 2,
+    alpha: float = 0.1,
+    score_col: str = "xent",
+) -> DataFrame:
+    """→ ``df`` + ``score_col``: per-document cross-entropy (mean
+    −log p, nats/feature) under ``reference``'s hashed n-gram model —
+    the CCNet-style perplexity quality signal (Wenzek et al. 2020,
+    arXiv:1911.00359, with a hashed count model standing in for the
+    KenLM the sandbox can't ship): documents unlike the reference
+    (gibberish, wrong language, boilerplate soup) score HIGH and can be
+    cut at a threshold or fed to ``weighted_sample`` inverted.
+
+    ``reference=None`` scores ``df`` against its own distribution
+    (self-perplexity — outlier detection). Empty documents score NULL.
+
+    Same scale shape as ``dsir_weights``: one bounded groupBy for the
+    model, one broadcast join + per-doc aggregation for the scores."""
+    ref = reference if reference is not None else df
+    lp, floor = _bucket_logprobs(ref, text_col, buckets, ngram, alpha)
+    feats = fan_out(df).select(
+        F.col(id_col).alias("__did"),
+        F.explode(
+            _feature_buckets(F.col(text_col), buckets, ngram)
+        ).alias("b"),
+    )
+    per_doc = (
+        feats.join(F.broadcast(lp), "b", "left")
+        .groupBy("__did")
+        .agg(
+            (-F.avg(F.coalesce("logp", F.lit(floor)))).alias(score_col)
+        )
+    )
+    return df.join(
+        per_doc, F.col(id_col) == F.col("__did"), "left"
+    ).drop("__did")

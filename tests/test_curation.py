@@ -486,3 +486,33 @@ def test_dsir_orders_languages_on_real_docs(spark, sf_dir):
         .collect()
     }
     assert by_lang["zh"] == max(by_lang.values())
+
+
+def test_ngram_cross_entropy(spark, sf_dir):
+    """Perplexity-style quality scoring: gibberish scores higher (worse)
+    than in-distribution text under a real-document reference; empty
+    docs score NULL; self-reference works."""
+    import pyspark.sql.functions as F
+
+    from sea_serpent_spark.operators.selection import ngram_cross_entropy
+
+    ref = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sample = [r["text"] for r in ref.limit(3).collect()]
+    probe = spark.createDataFrame(
+        [
+            (1, sample[0]),
+            (2, sample[1]),
+            (3, "zxqv jkwp mmxr ttyz qqpl wvnb zzkr xxjw"),  # gibberish
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["xent"]
+        for r in ngram_cross_entropy(probe, ref).collect()
+    }
+    assert out[4] is None
+    assert out[3] > out[1] and out[3] > out[2]
+
+    selfscored = ngram_cross_entropy(ref.limit(50))
+    assert selfscored.where(F.col("xent").isNotNull()).count() == 50
