@@ -1248,6 +1248,12 @@ class Table:
         """Insert rows (base.py:822-861) — intersecting columns only."""
         self._require_store().append(self, other)
 
+    def upsert(self, source, on, update_cols=None) -> dict:
+        """MERGE by business key: matched keys update, new keys insert
+        (beyond-reference; mutation/store.py upsert). Returns
+        {'updated': n, 'inserted': n}."""
+        return self._require_store().upsert(self, source, on, update_cols)
+
     def delete_rows(self, rows, skip_confirmation: bool = True):
         self._require_store().delete_rows(self, rows)
 

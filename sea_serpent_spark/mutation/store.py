@@ -1179,6 +1179,86 @@ class Base:
             # outlive it (mid is only stable within one materialization)
             bundle._cleanups.append(unpersist)
 
+    def upsert(self, table: Table, source, on, update_cols=None) -> dict:
+        """MERGE by business key (beyond the reference, which only
+        appends or updates by ``_id``; this is Delta's
+        ``MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT``):
+        source rows whose key exists update the matching row's columns,
+        new keys append. Returns ``{"updated": n, "inserted": n}``
+        (cells actually changed are what the oplog records — a matched
+        row with identical values logs nothing).
+
+        Two commits through the proven paths: the update phase stages a
+        keyed left join with cell-level oplog (bucket-pruned rewrite —
+        ``touched='oplog'``), the insert phase reuses ``append``
+        (append-only files). Source keys must be unique — a multi-match
+        MERGE is ambiguous and raises, mirroring Delta's
+        ``DeltaUnsupportedOperationException`` on duplicate matches."""
+        import pandas as pd
+
+        df = table.df
+        if isinstance(source, Table):
+            sdf = source.df
+        elif isinstance(source, DataFrame):
+            sdf = source
+        elif isinstance(source, pd.DataFrame):
+            sdf = self.spark.createDataFrame(
+                _arrow_safe_pdf(source.reset_index(drop=True).copy())
+            )
+        else:
+            raise TypeError(f"cannot upsert {type(source)}")
+        keys = [on] if isinstance(on, str) else list(on)
+        for k in keys:
+            if k not in df.columns or k not in sdf.columns:
+                raise ValueError(f"upsert key {k!r} missing from a side")
+        dup = (
+            sdf.groupBy(*keys).count().where(F.col("count") > 1).limit(1)
+        )
+        if dup.count():
+            raise ValueError("duplicate keys in upsert source")
+        cols = update_cols or [
+            c
+            for c in sdf.columns
+            if c in df.columns and c not in (*keys, "_id", "_seq")
+        ]
+        s_sel = sdf.select(
+            *[F.col(k) for k in keys],
+            *[F.col(c).alias(f"__s_{c}") for c in cols],
+            F.lit(True).alias("__m"),
+        )
+        joined = df.join(s_sel, keys, "left")
+        oplogs = []
+        n_updated = (
+            joined.where(F.col("__m").isNotNull()).count()
+        )
+        new_df = joined
+        for c in cols:
+            new_val = F.when(
+                F.col("__m").isNotNull(),
+                F.col(f"__s_{c}").cast(df.schema[c].dataType),
+            ).otherwise(F.col(c))
+            oplogs.append(
+                self._oplog_entries(table, joined, c, new_val)
+            )
+            new_df = new_df.withColumn(c, new_val)
+        new_df = new_df.select(*df.columns)
+        oplog = oplogs[0]
+        for o in oplogs[1:]:
+            oplog = oplog.unionByName(o)
+        if n_updated:
+            self._stage(
+                table, new_df, "upsert",
+                {"keys": keys, "updated": n_updated},
+                oplog, touched="oplog",
+            )
+        inserts = sdf.join(df.select(*keys), keys, "left_anti")
+        n_inserted = inserts.count()
+        if n_inserted:
+            # _stage already refreshed table.df (commit or bundle), so
+            # append sees the post-update state on the same handle
+            self.append(table, inserts)
+        return {"updated": n_updated, "inserted": n_inserted}
+
     def _next_seq(self, table: Table) -> int:
         meta = self.meta(table.name)
         if "next_seq" in meta:

@@ -583,3 +583,67 @@ def test_metadata_only_ddl_and_column_mapping(base, mytable):
     # time travel still presents each version's own schema
     v0 = base.table("mytable", version=0).to_frame()
     assert "column1" in v0.columns and "score" not in v0.columns
+
+
+def test_upsert_merge_by_key(base, mytable):
+    """MERGE semantics: matched keys update (including to NULL), new
+    keys insert, untouched rows intact, oplog records changed cells,
+    time travel sees the pre-merge state."""
+    v0 = base._current_version("mytable")
+    src = pd.DataFrame(
+        {
+            "column1": [3, 5, 100],          # 3,5 exist; 100 is new
+            "labels": ["C2", None, "NEW"],
+        }
+    )
+    res = mytable.upsert(src, on="column1")
+    assert res == {"updated": 2, "inserted": 1}
+
+    pdf = mytable.to_frame().sort_values("_seq")
+    assert len(pdf) == 11
+    by_key = dict(zip(pdf["column1"], pdf["labels"]))
+    assert by_key[3] == "C2"
+    assert pd.isna(by_key[5])            # explicit NULL update applied
+    assert by_key[4] == "D"              # untouched row intact
+    assert by_key[100] == "NEW"
+
+    # oplog: exactly the two changed cells of this merge
+    logs = mytable.fetch_logs().collect()
+    top_op = max(r["op_id"] for r in logs)  # append logs no cells, so
+    cells = sorted(                          # top = the update commit
+        (r["old_value"], r["new_value"])
+        for r in logs
+        if r["op_id"] == top_op and r["column"] == "labels"
+    )
+    assert cells == [("C", "C2"), ("E", None)]
+    # history records the merge op by name
+    assert any(e["op"] == "upsert" for e in base.history("mytable"))
+
+    # time travel: pre-merge state is reachable
+    old = base.table("mytable", version=v0).to_frame()
+    assert dict(zip(old["column1"], old["labels"]))[3] == "C"
+    assert 100 not in set(old["column1"])
+
+
+def test_upsert_guards(base, mytable):
+    dup = pd.DataFrame({"column1": [3, 3], "labels": ["x", "y"]})
+    with pytest.raises(ValueError):
+        mytable.upsert(dup, on="column1")
+    with pytest.raises(ValueError):
+        mytable.upsert(
+            pd.DataFrame({"nope": [1]}), on="nope"
+        )
+
+
+def test_upsert_insert_only_and_update_only(base, mytable):
+    # pure insert
+    r1 = mytable.upsert(
+        pd.DataFrame({"column1": [500], "labels": ["Z"]}), on="column1"
+    )
+    assert r1 == {"updated": 0, "inserted": 1}
+    # pure update (no change → zero changed cells but counted as matched)
+    r2 = mytable.upsert(
+        pd.DataFrame({"column1": [500], "labels": ["Z"]}), on="column1"
+    )
+    assert r2 == {"updated": 1, "inserted": 0}
+    assert mytable.to_frame()["column1"].tolist().count(500) == 1
