@@ -898,22 +898,23 @@ def connected_components(
     corpus dedup needs the transitive closure — A~B, B~C must collapse
     A, B, C together even though (A, C) was never emitted.
 
-    Algorithm: iterative min-label propagation. Each round every node
-    takes the minimum label over itself and its neighbors; terminates
-    when no label changes (rounds = graph diameter, small for near-dup
-    clusters — boilerplate clusters are dense, chains are short). Per
-    round: one groupBy over the (edges ⋈ labels) frame — shuffles only
-    (id, label) longs/strings, never documents. Labels are
+    Algorithm: iterative min-label propagation with **pointer doubling**
+    — each round every node takes the min label over itself and its
+    neighbors, then shortcuts through its label's own label
+    (label[x] ← label[label[x]]). The shortcut halves every label
+    chain, so rounds are O(log diameter), not O(diameter): a
+    million-node chain converges in ~20 rounds instead of a million
+    (the same guarantee the alternating small-star/large-star algorithm
+    of Kiveris et al., SoCC'14, gives, at one extra narrow join per
+    round). Per round: one groupBy + one self-join over (id, label)
+    pairs — longs/strings only, never documents. Labels are
     ``localCheckpoint``-ed every round: without the lineage cut, round k
     re-executes all k-1 predecessors and the plan grows quadratically
     (the classic iterative-algorithm-on-Spark failure).
 
-    For diameter-heavy graphs (millions of chained nodes) the
-    alternating small-star/large-star algorithm (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC'14) converges
-    in O(log n) rounds with the same per-round shuffle shape — noted as
-    the swap-in if profiling ever shows label propagation dominated by
-    round count rather than round cost."""
+    Raises ``RuntimeError`` if ``max_iterations`` rounds don't converge
+    — a silently-partial clustering would dedup incorrectly downstream,
+    and with doubling 25 rounds cover graphs of diameter ~2²⁵."""
     # ids keep their native type: MIN as canonical choice must follow the
     # id column's own ordering (a string cast would pick '100' over '2')
     # Checkpoint BEFORE the symmetric union: both union branches read
@@ -943,10 +944,28 @@ def connected_components(
             sym.join(labels, sym["v"] == labels["id"])
             .select(F.col("u").alias("id"), "component")
         )
-        new_labels = (
+        stepped = (
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer doubling: follow the label's own label (left join —
+        # a component root's label is itself and has a row, but keep
+        # the coalesce for safety under partial label frames)
+        hop = stepped.select(
+            F.col("id").alias("__lid"), F.col("component").alias("__lc")
+        )
+        new_labels = (
+            stepped.join(
+                hop, stepped["component"] == hop["__lid"], "left"
+            )
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("__lc"), F.col("component")),
+                ).alias("component"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -958,8 +977,11 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} "
+        "rounds — graph diameter exceeds 2^rounds; raise max_iterations"
+    )
 
 
 def dedup_corpus(

@@ -1014,3 +1014,23 @@ def test_ivf_pq_same_cluster_only(spark):
     assert all(a // 100 == b // 100 for a, b in pairs)
     rep = plan_report(out)
     assert not rep["has_cartesian"]
+
+
+def test_connected_components_long_chain_pointer_doubling(spark):
+    """A 200-link chain (diameter ≫ the old per-hop round budget) still
+    collapses to one component — pointer doubling needs only
+    O(log n) rounds — and an impossible budget raises instead of
+    returning silently-partial labels."""
+    from sea_serpent_spark.operators.dedup import connected_components
+
+    n = 200
+    pairs = spark.createDataFrame(
+        [(f"d{i:04d}", f"d{i + 1:04d}") for i in range(n)],
+        "id_a string, id_b string",
+    )
+    got = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert set(got.values()) == {"d0000"}
+    assert len(got) == n + 1
+
+    with pytest.raises(RuntimeError):
+        connected_components(pairs, max_iterations=2)
