@@ -38,7 +38,15 @@ def _op_strategy():
         st.just("delete"),
         st.integers(0, 19),          # delete the row with this key
     )
-    return st.one_of(scalar_write, pred_write, append, delete)
+    upsert = st.tuples(
+        st.just("upsert"),
+        st.lists(                    # (key, new label) pairs, unique keys
+            st.tuples(st.integers(0, 30), st.sampled_from(LABELS)),
+            min_size=1, max_size=3,
+            unique_by=lambda kv: kv[0],
+        ),
+    )
+    return st.one_of(scalar_write, pred_write, append, delete, upsert)
 
 
 @settings(max_examples=8, deadline=None,
@@ -81,10 +89,27 @@ def test_mutation_sequence_matches_pandas(spark, tmp_path_factory, ops):
             next_key += n
             t.append(add)
             mirror = pd.concat([mirror, add], ignore_index=True)
-        else:  # delete
+        elif op[0] == "delete":
             _, d = op
             t.delete_rows(t.key == d)
             mirror = mirror[mirror["key"] != d]
+        else:  # upsert: matched keys update labels, new keys insert
+            _, kvs = op
+            src = pd.DataFrame(
+                {"key": [k for k, _ in kvs],
+                 "labels": [l for _, l in kvs]}
+            )
+            t.upsert(src, on="key")
+            existing = set(mirror["key"])
+            for k, lab in kvs:
+                if k in existing:
+                    mirror.loc[mirror["key"] == k, "labels"] = lab
+                else:
+                    row = {c: None for c in mirror.columns}
+                    row["key"], row["labels"] = k, lab
+                    mirror = pd.concat(
+                        [mirror, pd.DataFrame([row])], ignore_index=True
+                    )
 
     got = (
         t.to_frame(row_id_index=False)
