@@ -227,9 +227,12 @@ class Table:
 
         ``manifest=True`` also writes ``_manifest.json`` — per-shard row
         (and, with ``token_col``, token) counts a training dataloader
-        reads instead of listing/scanning the shards. The stats come
-        from one groupBy whose result is shard-count-sized: a metadata
-        collect, not a data collect."""
+        reads instead of listing/scanning the shards. The stats are
+        aggregated from the files JUST WRITTEN, not by re-running the
+        upstream plan: re-execution would pay the whole curation
+        pipeline a second time and — under any nondeterministic stage —
+        could disagree with what's actually on disk; the manifest must
+        describe the artifact, not the plan."""
         (self.df.repartition(F.col(shard_col))
              .write.mode(mode).partitionBy(shard_col)
              .format(fmt).save(path))
@@ -237,6 +240,7 @@ class Table:
             import json
             import os
 
+            written = self.spark.read.format(fmt).load(path)
             aggs = [F.count(F.lit(1)).alias("rows")]
             if token_col:
                 aggs.append(F.sum(token_col).alias("tokens"))
@@ -245,7 +249,7 @@ class Table:
                     k: int(r[k]) for k in (
                         ["rows", "tokens"] if token_col else ["rows"])
                 }
-                for r in self.df.groupBy(shard_col).agg(*aggs).collect()
+                for r in written.groupBy(shard_col).agg(*aggs).collect()
             }
             man = {
                 "format": fmt,
@@ -264,11 +268,23 @@ class Table:
         built-ins can't express (model scoring, custom tokenizers).
         Python IS the slow path; everything in operators/ stays JVM-side
         precisely so this is only needed at the edges. ``batch_size``
-        caps Arrow batch rows (peak per-task memory)."""
+        caps the rows ``fn`` sees per pandas frame by re-chunking the
+        incoming Arrow batches — scoped to THIS transform (mutating the
+        session's ``arrow.maxRecordsPerBatch`` would leak to every later
+        Arrow exchange: the conf is read at execution time, so a
+        set-and-restore around the lazy plan definition is a no-op)."""
         if batch_size is not None:
-            self.spark.conf.set(
-                "spark.sql.execution.arrow.maxRecordsPerBatch",
-                str(batch_size))
+            n = int(batch_size)
+
+            def chunked(it):
+                def rechunk():
+                    for pdf in it:
+                        for lo in range(0, len(pdf), n):
+                            yield pdf.iloc[lo:lo + n]
+
+                yield from fn(rechunk())
+
+            return self._derive(self.df.mapInPandas(chunked, schema))
         return self._derive(self.df.mapInPandas(fn, schema))
 
     def to_catalog(

@@ -1221,36 +1221,40 @@ class Base:
             for c in sdf.columns
             if c in df.columns and c not in (*keys, "_id", "_seq")
         ]
-        s_sel = sdf.select(
-            *[F.col(k) for k in keys],
-            *[F.col(c).alias(f"__s_{c}") for c in cols],
-            F.lit(True).alias("__m"),
-        )
-        joined = df.join(s_sel, keys, "left")
-        oplogs = []
-        n_updated = (
-            joined.where(F.col("__m").isNotNull()).count()
-        )
-        new_df = joined
-        for c in cols:
-            new_val = F.when(
-                F.col("__m").isNotNull(),
-                F.col(f"__s_{c}").cast(df.schema[c].dataType),
-            ).otherwise(F.col(c))
-            oplogs.append(
-                self._oplog_entries(table, joined, c, new_val)
+        if cols:
+            s_sel = sdf.select(
+                *[F.col(k) for k in keys],
+                *[F.col(c).alias(f"__s_{c}") for c in cols],
+                F.lit(True).alias("__m"),
             )
-            new_df = new_df.withColumn(c, new_val)
-        new_df = new_df.select(*df.columns)
-        oplog = oplogs[0]
-        for o in oplogs[1:]:
-            oplog = oplog.unionByName(o)
-        if n_updated:
-            self._stage(
-                table, new_df, "upsert",
-                {"keys": keys, "updated": n_updated},
-                oplog, touched="oplog",
+            joined = df.join(s_sel, keys, "left")
+            oplogs = []
+            n_updated = (
+                joined.where(F.col("__m").isNotNull()).count()
             )
+            new_df = joined
+            for c in cols:
+                new_val = F.when(
+                    F.col("__m").isNotNull(),
+                    F.col(f"__s_{c}").cast(df.schema[c].dataType),
+                ).otherwise(F.col(c))
+                oplogs.append(
+                    self._oplog_entries(table, joined, c, new_val)
+                )
+                new_df = new_df.withColumn(c, new_val)
+            new_df = new_df.select(*df.columns)
+            oplog = oplogs[0]
+            for o in oplogs[1:]:
+                oplog = oplog.unionByName(o)
+            if n_updated:
+                self._stage(
+                    table, new_df, "upsert",
+                    {"keys": keys, "updated": n_updated},
+                    oplog, touched="oplog",
+                )
+        else:
+            # key-only source: nothing to update — insert-if-absent only
+            n_updated = 0
         inserts = sdf.join(df.select(*keys), keys, "left_anti")
         n_inserted = inserts.count()
         if n_inserted:

@@ -156,6 +156,15 @@ def repetition_metrics(
     c = F.col(text_col)
     toks = words(c)
     lines = F.filter(F.split(c, r"\n"), lambda l: F.trim(l) != "")
+    # re-running over a frame that already carries metric columns (a
+    # keep_metrics=True output fed back through quality_filter) must
+    # REPLACE them, not produce ambiguous duplicates
+    metric_names = (
+        "dup_line_frac", "dup_word_frac", "dup_2gram_frac",
+        "dup_3gram_frac", "top_2gram_frac", "mean_word_len",
+        "alpha_word_frac",
+    )
+    df = df.drop(*[m for m in metric_names if m in df.columns])
     return df.select(
         "*",
         round_half_up(dup_frac(lines), 4).alias("dup_line_frac"),

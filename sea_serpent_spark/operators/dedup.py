@@ -293,6 +293,34 @@ def encoded_token_sets(
     )
 
 
+def banded_signatures(
+    src: DataFrame, num_hashes: int, bands: int, keep: tuple = ()
+) -> DataFrame:
+    """[id, *keep, band, key] — the ONE definition of the LSH band key
+    layout (band i = concat of its rows' minhash values). Both the batch
+    self-join (``minhash_lsh_pairs``) and the persisted incremental
+    index (``incremental.minhash_band_index``) band through this
+    function, so index/probe bit-parity is structural, not a convention
+    two copies have to keep."""
+    rows = num_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.concat_ws(
+                "-", *[F.element_at("sig", i * rows + r + 1).cast("string")
+                       for r in range(rows)]
+        ).alias("key"),
+        )
+        for i in range(bands)
+    ]
+    return src.select(
+        "id", *keep, F.explode(F.array(*band_cols)).alias("bk")
+    ).select(
+        "id", *keep,
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -337,22 +365,7 @@ def minhash_lsh_pairs(
     sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
 
     def _banded(src: DataFrame, keep: tuple = ()) -> DataFrame:
-        band_cols = [
-            F.struct(
-                F.lit(i).alias("band"),
-                F.concat_ws(
-                    "-", *[F.element_at("sig", i * rows + r + 1).cast("string")
-                           for r in range(rows)]
-            ).alias("key"),
-            )
-            for i in range(bands)
-        ]
-        return src.select(
-            "id", *keep, F.explode(F.array(*band_cols)).alias("bk")
-        ).select(
-            "id", *keep,
-            F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
-        )
+        return banded_signatures(src, num_hashes, bands, keep)
 
     if verify == "estimate":
         # Canonicalize identical signatures first: banding, pair
@@ -1105,9 +1118,16 @@ def decontaminate(
     returns the clean corpus with all original columns. The flagged-id
     set is contamination-sized (small), so the final anti-join
     broadcasts under the usual gate."""
-    flagged = contamination_check(
-        corpus, reference, text_col, id_col, ngram, min_hits, **kwargs
-    ).select(F.col("id").alias("__bad"))
+    flagged = (
+        contamination_check(
+            corpus, reference, text_col, id_col, ngram, min_hits, **kwargs
+        )
+        .select(F.col("id").alias("__bad"))
+        # materialize once: the broadcast gate's count() would otherwise
+        # run the full n-gram pipeline and the anti-join would run it
+        # again — 2x the operator's dominant cost
+        .localCheckpoint(eager=True)
+    )
     flagged = _maybe_broadcast(
         flagged, _verify_gate(flagged, None, BROADCAST_VERIFY_CAP)
     )

@@ -52,9 +52,11 @@ from .dedup import (
     _keep_cache,
     _maybe_broadcast,
     _verify_gate,
+    banded_signatures,
     connected_components,
     fingerprint,
     minhash_signature,
+    release_caches,
 )
 
 
@@ -69,30 +71,12 @@ def minhash_band_index(
     """→ [id, band, key, sig]: the persistable LSH index — one row per
     (document, band), carrying the full signature so probes verify
     inside the join without revisiting text. Banding is bit-identical
-    to ``minhash_lsh_pairs`` (same signature family, same key layout),
-    so an index built today matches a probe built tomorrow."""
-    rows = num_hashes // bands
+    to ``minhash_lsh_pairs`` structurally — both band through
+    ``dedup.banded_signatures``, so an index built today matches a
+    probe built tomorrow."""
     sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
-    band_cols = [
-        F.struct(
-            F.lit(i).alias("band"),
-            F.concat_ws(
-                "-",
-                *[
-                    F.element_at("sig", i * rows + r + 1).cast("string")
-                    for r in range(rows)
-                ],
-            ).alias("key"),
-        )
-        for i in range(bands)
-    ]
-    return sigs.select(
-        "id", "sig", F.explode(F.array(*band_cols)).alias("bk")
-    ).select(
-        "id",
-        F.col("bk.band").alias("band"),
-        F.col("bk.key").alias("key"),
-        "sig",
+    return banded_signatures(sigs, num_hashes, bands, keep=("sig",)).select(
+        "id", "band", "key", "sig"
     )
 
 
@@ -116,6 +100,10 @@ def incremental_minhash_pairs(
     ``num_hashes``/``bands``/``shingle_n`` MUST match the parameters the
     index was built with; a mismatched signature width fails fast on the
     element_at below rather than silently under-matching."""
+    # retire the previous call's persisted frames first (the dedup-module
+    # cache contract) — without this, a foreachBatch ingest loop pins one
+    # persisted band frame per micro-batch forever
+    release_caches()
     # both join sides read the delta's bands — persist so the
     # shingle→hash→groupBy signature pipeline (the expensive subtree)
     # runs once, not once per side

@@ -93,5 +93,8 @@ def plan_report(df: DataFrame) -> dict:
                 final,
             )
         ),
-        "sorts": len(re.findall(r"\n[^\n]*\bSort \[", final)),
+        # only GLOBAL sorts (`Sort [...], true, 0`) — partition-local
+        # sorts (global=false, e.g. sortWithinPartitions or the local
+        # half of a sort-merge join) are harmless at scale
+        "sorts": len(re.findall(r"\bSort \[[^\]]*\], true,", final)),
     }

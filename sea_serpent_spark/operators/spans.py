@@ -126,6 +126,11 @@ def strip_duplicate_spans(
         duplicate_spans(df, text_col, id_col, span_tokens, keep_first=True)
         .groupBy("id")
         .agg(F.array_sort(F.collect_list("pos")).alias("__starts"))
+        .select(F.col("id").alias("__sid"), "__starts")
+        # materialize the (small) flagged set once: the gate's count()
+        # would otherwise execute the whole span-hash pipeline and the
+        # real join would re-execute it again
+        .localCheckpoint(eager=True)
     )
     flagged = _maybe_broadcast(
         flagged, _verify_gate(flagged, None, BROADCAST_VERIFY_CAP)
@@ -145,8 +150,8 @@ def strip_duplicate_spans(
         " ", F.transform(kept, lambda s: s.getField("t"))
     )
     out = df.join(
-        flagged, F.col(id_col) == F.col("id"), "left"
-    ).drop("id")
+        flagged, F.col(id_col) == F.col("__sid"), "left"
+    ).drop("__sid")
     return out.withColumn(
         text_col,
         F.when(F.col("__starts").isNull(), F.col(text_col)).otherwise(

@@ -157,9 +157,13 @@ def range_join(
     # NULL = NULL is never true, so a matched row containing a NULL
     # attribute would survive a column-wise anti-join and be re-emitted
     # NULL-padded (and duplicate point rows would collapse)
+    # __pid is only stable within ONE materialization; matched and
+    # unmatched both read pts, so pin the ids with a checkpoint or a
+    # task retry / re-evaluated shuffle could assign different ids per
+    # branch (duplicated or lost point rows)
     pts = points.withColumn(
         "__pid", F.monotonically_increasing_id()
-    ).withColumn("__bin", p_bin)
+    ).withColumn("__bin", p_bin).localCheckpoint(eager=True)
     matched = pts.join(iv, "__bin").where(exact).drop("__bin")
     unmatched = pts.drop("__bin").join(
         matched.select("__pid").distinct(), on="__pid", how="left_anti"

@@ -623,3 +623,30 @@ def test_table_temporal_and_decontaminate_conveniences(spark, sf_dir):
     ref = Table(docs.df.limit(10), "ref", spark)
     clean = docs.decontaminate(ref)
     assert clean.count() < docs.count()
+
+
+def test_map_batches_batch_size_rechunks(spark):
+    """batch_size bounds the frames fn sees without touching the session
+    Arrow conf (review finding: the old conf-set leaked session-wide and
+    a set-and-restore would have been an execution-time no-op)."""
+    df = spark.range(1000).selectExpr("id", "id AS v").coalesce(1)
+    t = Table(df, "chunks", spark)
+    before = spark.conf.get(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", None
+    )
+
+    def fn(it):
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    sizes = [
+        r["n"]
+        for r in t.map_batches(fn, "n long", batch_size=128).df.collect()
+    ]
+    assert max(sizes) <= 128 and sum(sizes) == 1000
+    after = spark.conf.get(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", None
+    )
+    assert before == after

@@ -516,3 +516,15 @@ def test_ngram_cross_entropy(spark, sf_dir):
 
     selfscored = ngram_cross_entropy(ref.limit(50))
     assert selfscored.where(F.col("xent").isNotNull()).count() == 50
+
+
+def test_repetition_metrics_refilter_output(spark):
+    """quality_filter over a keep_metrics=True output replaces the
+    metric columns instead of raising AMBIGUOUS_REFERENCE (review
+    finding)."""
+    long_clean = " ".join(f"tok{i}word" for i in range(60))
+    df = spark.createDataFrame([(1, long_clean)], ["id", "text"])
+    audited = C.gopher_filter(df, keep_metrics=True)
+    again = C.gopher_filter(audited, keep_metrics=True)
+    assert again.count() == 1
+    assert again.columns.count("dup_2gram_frac") == 1

@@ -1034,3 +1034,19 @@ def test_connected_components_long_chain_pointer_doubling(spark):
 
     with pytest.raises(RuntimeError):
         connected_components(pairs, max_iterations=2)
+
+
+def test_strip_duplicate_spans_with_id_column(spark):
+    """A corpus that already has a column literally named 'id' must not
+    make the flagged-set join ambiguous (review finding)."""
+    from sea_serpent_spark.operators import spans as SP
+
+    boiler = "one two three four five"
+    df = spark.createDataFrame(
+        [(1, 10, f"aa {boiler}"), (2, 20, f"bb {boiler}")],
+        ["doc_id", "id", "text"],
+    )
+    out = {r["doc_id"]: r["text"]
+           for r in SP.strip_duplicate_spans(df, span_tokens=5).collect()}
+    assert out[1] == f"aa {boiler}"
+    assert out[2] == "bb"

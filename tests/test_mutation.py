@@ -647,3 +647,13 @@ def test_upsert_insert_only_and_update_only(base, mytable):
     )
     assert r2 == {"updated": 1, "inserted": 0}
     assert mytable.to_frame()["column1"].tolist().count(500) == 1
+
+
+def test_upsert_key_only_source_inserts(base, mytable):
+    """A source with only the key column is a valid insert-if-absent
+    merge (review finding: used to IndexError on the empty oplog)."""
+    res = mytable.upsert(pd.DataFrame({"column1": [3, 777]}), on="column1")
+    assert res == {"updated": 0, "inserted": 1}
+    pdf = mytable.to_frame()
+    assert 777 in set(pdf["column1"])
+    assert pdf["column1"].tolist().count(3) == 1

@@ -253,3 +253,14 @@ def test_new_dedup_ops_plan_shapes(spark, sf_dir):
     assert all(
         set(s["columns"]) <= {"doc_id", "text"} for s in rd["scans"]
     )
+
+
+def test_plan_report_counts_only_global_sorts(spark, sf_dir):
+    """sorts counts global sorts only — partition-local sorts (e.g.
+    sortWithinPartitions) are harmless at scale and excluded (review
+    finding)."""
+    from sea_serpent_spark.operators.plan_report import plan_report
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert plan_report(o.sortWithinPartitions("o_custkey"))["sorts"] == 0
+    assert plan_report(o.orderBy("o_custkey"))["sorts"] == 1
