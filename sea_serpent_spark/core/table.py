@@ -911,6 +911,26 @@ class Table:
 
         return corpus_profile(self.df, text_col, **kwargs)
 
+    def expect(self, rules: dict[str, list], raise_on_violation: bool = False):
+        """Data-quality gate: one report row per (column, rule) with the
+        violation count — `not_null` / `unique` / `("between", lo, hi)`
+        / `("in", values)` / `("rlike", pat)`, all in one aggregation
+        pass (operators/profile.py expect). With
+        ``raise_on_violation`` the first failing rule raises
+        ``ValueError`` instead of returning the report."""
+        from ..operators.profile import expect
+
+        rep = expect(self.df, rules)
+        if raise_on_violation:
+            bad = rep.where("violations > 0").collect()
+            if bad:
+                msg = "; ".join(
+                    f"{r['column']}:{r['rule']}={r['violations']}"
+                    for r in bad
+                )
+                raise ValueError(f"data-quality violations: {msg}")
+        return self._derive(rep)
+
     def skew_report(self, key_cols: list[str], top: int = 20) -> "Table":
         """Heaviest values of a would-be shuffle key with row shares —
         the pre-flight check before keying a join/groupBy on these

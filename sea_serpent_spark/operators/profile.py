@@ -239,3 +239,70 @@ def skew_report(
         )
         .select("key", "n", "share", "cum_share", "rank")
     )
+
+
+def expect(
+    df: DataFrame,
+    rules: dict[str, list],
+) -> DataFrame:
+    """Declarative data-quality gate → one report row per (column,
+    rule): [column, rule, violations, total]. Rules per column:
+
+    - ``"not_null"`` — NULL count;
+    - ``"unique"`` — rows beyond one per value (NULLs excluded);
+    - ``("between", lo, hi)`` — values outside [lo, hi];
+    - ``("in", [v, ...])`` — values outside the allowed set;
+    - ``("rlike", pattern)`` — strings not matching the regex.
+
+    Everything except ``unique`` compiles into ONE conditional-count
+    aggregation (a single scan, map-side combined, zero-group result);
+    each ``unique`` adds one exact count-distinct to the same pass.
+    Violations == 0 for every row ⇔ the contract holds — assert on
+    ``where("violations > 0").count() == 0`` in pipelines, or eyeball
+    the report."""
+    aggs = []
+    labels: list[tuple[str, str]] = []
+    for col, col_rules in rules.items():
+        if col not in df.columns:
+            raise ValueError(f"expect: unknown column {col!r}")
+        c = F.col(col)
+        for rule in col_rules:
+            tag = rule if isinstance(rule, str) else rule[0]
+            if rule == "not_null":
+                bad = c.isNull()
+            elif rule == "unique":
+                aggs.append(
+                    (
+                        F.count(c) - F.count_distinct(c)
+                    ).alias(f"__v{len(labels)}")
+                )
+                labels.append((col, "unique"))
+                continue
+            elif tag == "between":
+                _, lo, hi = rule
+                bad = c.isNotNull() & ~c.between(lo, hi)
+                tag = f"between({lo},{hi})"
+            elif tag == "in":
+                bad = c.isNotNull() & ~c.isin(list(rule[1]))
+                tag = f"in({len(rule[1])} values)"
+            elif tag == "rlike":
+                bad = c.isNotNull() & ~c.rlike(rule[1])
+                tag = f"rlike({rule[1]})"
+            else:
+                raise ValueError(f"expect: unknown rule {rule!r}")
+            aggs.append(
+                F.sum(F.when(bad, 1).otherwise(0))
+                .cast("long")
+                .alias(f"__v{len(labels)}")
+            )
+            labels.append((col, tag))
+    aggs.append(F.count(F.lit(1)).alias("__total"))
+    row = df.agg(*aggs).collect()[0]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (col, tag, int(row[f"__v{i}"] or 0), int(row["__total"]))
+            for i, (col, tag) in enumerate(labels)
+        ],
+        "column string, rule string, violations long, total long",
+    )

@@ -1050,3 +1050,47 @@ def test_strip_duplicate_spans_with_id_column(spark):
            for r in SP.strip_duplicate_spans(df, span_tokens=5).collect()}
     assert out[1] == f"aa {boiler}"
     assert out[2] == "bb"
+
+
+def test_expect_data_quality_gate(spark, sf_dir):
+    """Expectation report: exact violation counts per rule on a frame
+    with known defects; clean contracts report zero; raise mode fires."""
+    from sea_serpent_spark import Table
+    from sea_serpent_spark.operators.profile import expect
+
+    rows = [
+        (1, "a@x.com", 10),
+        (2, None, 5),          # not_null violation
+        (2, "b@x.com", -3),    # duplicate id + out-of-range
+        (4, "not-an-email", 7),  # rlike violation
+    ]
+    df = spark.createDataFrame(rows, ["uid", "email", "score"])
+    rep = {
+        (r["column"], r["rule"]): r["violations"]
+        for r in expect(
+            df,
+            {
+                "uid": ["not_null", "unique"],
+                "email": ["not_null", ("rlike", r"^[^@]+@[^@]+$")],
+                "score": [("between", 0, 100)],
+            },
+        ).collect()
+    }
+    assert rep[("uid", "not_null")] == 0
+    assert rep[("uid", "unique")] == 1
+    assert rep[("email", "not_null")] == 1
+    assert rep[("email", "rlike(^[^@]+@[^@]+$)")] == 1
+    assert rep[("score", "between(0,100)")] == 1
+
+    # clean contract on real data + raise mode
+    docs = Table.from_parquet(f"{sf_dir}/documents.parquet", "documents",
+                              spark)
+    ok = docs.expect({"doc_id": ["not_null", "unique"],
+                      "lang": [("in", ["en", "de", "fr", "es", "zh"])]})
+    assert ok.df.where("violations > 0").count() == 0
+    with pytest.raises(ValueError, match="violations"):
+        Table(df, "bad", spark).expect(
+            {"uid": ["unique"]}, raise_on_violation=True
+        )
+    with pytest.raises(ValueError):
+        expect(df, {"nope": ["not_null"]})
