@@ -931,6 +931,16 @@ class Table:
                 raise ValueError(f"data-quality violations: {msg}")
         return self._derive(rep)
 
+    def diff(self, other, on, compare_cols: list[str] | None = None) -> "Table":
+        """Keyed diff against ``other`` (Table or DataFrame) →
+        added / removed / changed rows with the differing column names
+        (operators/profile.py dataset_diff). ``self`` is the old side,
+        ``other`` the new."""
+        from ..operators.profile import dataset_diff
+
+        o = other.df if isinstance(other, Table) else other
+        return self._derive(dataset_diff(self.df, o, on, compare_cols))
+
     def skew_report(self, key_cols: list[str], top: int = 20) -> "Table":
         """Heaviest values of a would-be shuffle key with row shares —
         the pre-flight check before keying a join/groupBy on these

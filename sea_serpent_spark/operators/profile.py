@@ -306,3 +306,65 @@ def expect(
         ],
         "column string, rule string, violations long, total long",
     )
+
+
+def dataset_diff(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keyed diff of two datasets → [<keys...>, change, changed_cols]:
+    ``change`` ∈ added (key only in right) / removed (only in left) /
+    changed (key in both, some compared column differs, NULL-safely) —
+    unchanged rows are omitted. The pipeline-regression tool: diff
+    yesterday's curation output against today's before shipping.
+
+    One full outer join on the key; comparison is a codegen'd
+    eqNullSafe conjunction, and ``changed_cols`` names the differing
+    columns so the report is actionable without re-querying. Keys must
+    be unique per side (enforced — a multi-row key makes 'changed'
+    ill-defined)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    cols = compare_cols or [
+        c for c in left.columns if c in right.columns and c not in keys
+    ]
+    for side, d in (("left", left), ("right", right)):
+        dup = d.groupBy(*keys).count().where(F.col("count") > 1).limit(1)
+        if dup.count():
+            raise ValueError(f"duplicate keys in {side} dataset")
+    l = left.select(
+        *keys, *[F.col(c).alias(f"__l_{c}") for c in cols],
+        F.lit(True).alias("__in_l"),
+    )
+    r = right.select(
+        *keys, *[F.col(c).alias(f"__r_{c}") for c in cols],
+        F.lit(True).alias("__in_r"),
+    )
+    j = l.join(r, keys, "full_outer")
+    changed_cols = F.filter(
+        F.array(*[
+            F.when(
+                ~F.col(f"__l_{c}").eqNullSafe(F.col(f"__r_{c}")),
+                F.lit(c),
+            )
+            for c in cols
+        ]),
+        lambda x: x.isNotNull(),
+    )
+    change = (
+        F.when(F.col("__in_l").isNull(), F.lit("added"))
+        .when(F.col("__in_r").isNull(), F.lit("removed"))
+        .when(F.size(changed_cols) > 0, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .withColumn(
+            "changed_cols",
+            F.when(
+                F.col("change") == "changed", changed_cols
+            ).otherwise(F.array().cast("array<string>")),
+        )
+        .select(*keys, "change", "changed_cols")
+    )

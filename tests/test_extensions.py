@@ -1094,3 +1094,38 @@ def test_expect_data_quality_gate(spark, sf_dir):
         )
     with pytest.raises(ValueError):
         expect(df, {"nope": ["not_null"]})
+
+
+def test_dataset_diff(spark):
+    """Keyed diff: added/removed/changed classification with NULL-safe
+    comparison and named changed columns; unchanged rows omitted;
+    duplicate keys rejected."""
+    from sea_serpent_spark.operators.profile import dataset_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30), (4, "d", 40)],
+        "k long, txt string, num long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10),        # unchanged → omitted
+         (2, "b", 20),        # NULL → 20: changed(num)
+         (3, "C", None),      # both changed
+         (5, "e", 50)],       # added; 4 removed
+        "k long, txt string, num long",
+    )
+    got = {
+        r["k"]: (r["change"], sorted(r["changed_cols"]))
+        for r in dataset_diff(old, new, on="k").collect()
+    }
+    assert got == {
+        2: ("changed", ["num"]),
+        3: ("changed", ["num", "txt"]),
+        4: ("removed", []),
+        5: ("added", []),
+    }
+
+    dup = spark.createDataFrame([(1, "x", 1), (1, "y", 2)],
+                                "k long, txt string, num long")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="duplicate"):
+        dataset_diff(dup, new, on="k")
