@@ -86,31 +86,6 @@ class Table:
         return cls(df, name=name, spark=spark, **kw)
 
     @classmethod
-    def from_csv(cls, path: str, name: str | None = None,
-                 spark: SparkSession | None = None, header: bool = True,
-                 infer_schema: bool = True, **kw) -> "Table":
-        """Open CSV file(s) as a read-only table."""
-        spark = spark or SparkSession.getActiveSession()
-        df = (
-            spark.read.option("header", header)
-            .option("inferSchema", infer_schema)
-            .csv(path)
-        )
-        if name is None:
-            name = path.rstrip("/").rsplit("/", 1)[-1].split(".")[0]
-        return cls(df, name=name, spark=spark, **kw)
-
-    @classmethod
-    def from_json(cls, path: str, name: str | None = None,
-                  spark: SparkSession | None = None, **kw) -> "Table":
-        """Open JSON-lines file(s) as a read-only table."""
-        spark = spark or SparkSession.getActiveSession()
-        df = spark.read.json(path)
-        if name is None:
-            name = path.rstrip("/").rsplit("/", 1)[-1].split(".")[0]
-        return cls(df, name=name, spark=spark, **kw)
-
-    @classmethod
     def from_orc(cls, path: str, name: str | None = None,
                  spark: SparkSession | None = None, **kw) -> "Table":
         """Open ORC file(s) as a read-only table."""
@@ -145,20 +120,25 @@ class Table:
     def from_csv(cls, path: str, name: str | None = None,
                  spark: SparkSession | None = None,
                  schema: str | None = None, header: bool = True,
-                 **options) -> "Table":
+                 infer_schema: bool = True,
+                 options: dict | None = None, **kw) -> "Table":
         """Open CSV file(s) as a read-only table. Explicit ``schema``
-        avoids the inference scan; extra ``options`` pass through to the
-        reader (sep, quote, nullValue, ...)."""
+        avoids the inference scan (which reads the data twice at scale);
+        without one, ``infer_schema=True`` types the columns. Reader
+        options (sep, quote, nullValue, ...) go in ``options``; other
+        keywords forward to the Table constructor (id_col, order_col)."""
         spark = spark or SparkSession.getActiveSession()
         r = spark.read.option("header", header)
-        for k, v in options.items():
+        for k, v in (options or {}).items():
             r = r.option(k, v)
         if schema is not None:
             r = r.schema(schema)
+        else:
+            r = r.option("inferSchema", infer_schema)
         df = r.csv(path)
         if name is None:
             name = path.rstrip("/").rsplit("/", 1)[-1].split(".")[0]
-        return cls(df, name=name, spark=spark)
+        return cls(df, name=name, spark=spark, **kw)
 
     @classmethod
     def from_catalog(cls, name: str,
@@ -238,7 +218,6 @@ class Table:
              .format(fmt).save(path))
         if manifest:
             import json
-            import os
 
             written = self.spark.read.format(fmt).load(path)
             aggs = [F.count(F.lit(1)).alias("rows")]
@@ -251,15 +230,30 @@ class Table:
                 }
                 for r in written.groupBy(shard_col).agg(*aggs).collect()
             }
+            try:
+                ordered = sorted(stats.items(), key=lambda kv: int(kv[0]))
+            except ValueError:  # non-integer shard keys: stable lexicographic
+                ordered = sorted(stats.items())
             man = {
                 "format": fmt,
                 "shard_col": shard_col,
                 "n_shards": len(stats),
-                "shards": dict(sorted(stats.items(),
-                                      key=lambda kv: int(kv[0]))),
+                "shards": dict(ordered),
             }
-            with open(os.path.join(path, "_manifest.json"), "w") as f:
-                json.dump(man, f, indent=1)
+            # Write through the Hadoop filesystem so the manifest lands
+            # next to the shards on whatever store the write targeted
+            # (s3a://, hdfs://, file:) — local open() only handles the last.
+            jvm = self.spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(
+                path.rstrip("/") + "/_manifest.json")
+            fs = hpath.getFileSystem(
+                self.spark._jsc.hadoopConfiguration())
+            out = fs.create(hpath, True)
+            try:
+                out.write(bytearray(json.dumps(man, indent=1)
+                                    .encode("utf-8")))
+            finally:
+                out.close()
 
     def map_batches(self, fn, schema, batch_size: int | None = None) -> "Table":
         """Arrow-batched Python transform over the whole row stream:

@@ -1211,24 +1211,48 @@ class Base:
         for k in keys:
             if k not in df.columns or k not in sdf.columns:
                 raise ValueError(f"upsert key {k!r} missing from a side")
-        dup = (
-            sdf.groupBy(*keys).count().where(F.col("count") > 1).limit(1)
+        # One materialization of the source serves the duplicate-key
+        # probe, the update join, and the insert anti-join: group by key
+        # (first() per column is exact because singleton groups are then
+        # enforced), checkpoint eagerly, and every later pass reads the
+        # stored blocks instead of re-running the source plan.
+        s_keyed = (
+            sdf.groupBy(*keys)
+            .agg(
+                F.count(F.lit(1)).alias("__src_cnt"),
+                *[
+                    F.first(c).alias(c)
+                    for c in sdf.columns
+                    if c not in keys
+                ],
+            )
+            .localCheckpoint(eager=True)
         )
-        if dup.count():
+        if s_keyed.where(F.col("__src_cnt") > 1).limit(1).count():
             raise ValueError("duplicate keys in upsert source")
-        cols = update_cols or [
+        src = s_keyed.drop("__src_cnt")
+        # update_cols=None → every common non-key column; an explicit []
+        # means insert-only (matched rows untouched)
+        cols = update_cols if update_cols is not None else [
             c
-            for c in sdf.columns
+            for c in src.columns
             if c in df.columns and c not in (*keys, "_id", "_seq")
         ]
         if cols:
-            s_sel = sdf.select(
+            s_sel = src.select(
                 *[F.col(k) for k in keys],
                 *[F.col(c).alias(f"__s_{c}") for c in cols],
                 F.lit(True).alias("__m"),
             )
-            joined = df.join(s_sel, keys, "left")
+            # checkpoint the keyed join once: the matched-row count, the
+            # per-column oplog scans, and the staged rewrite all read it —
+            # uncheckpointed, each was a separate execution of the join
+            joined = df.join(s_sel, keys, "left").localCheckpoint(
+                eager=True
+            )
             oplogs = []
+            # counts matched rows — including matches whose new values
+            # equal the old (the oplog records only real cell changes)
             n_updated = (
                 joined.where(F.col("__m").isNotNull()).count()
             )
@@ -1253,9 +1277,10 @@ class Base:
                     oplog, touched="oplog",
                 )
         else:
-            # key-only source: nothing to update — insert-if-absent only
+            # insert-if-absent only (explicit update_cols=[] or key-only
+            # source)
             n_updated = 0
-        inserts = sdf.join(df.select(*keys), keys, "left_anti")
+        inserts = src.join(df.select(*keys), keys, "left_anti")
         n_inserted = inserts.count()
         if n_inserted:
             # _stage already refreshed table.df (commit or bundle), so

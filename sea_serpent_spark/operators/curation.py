@@ -264,7 +264,7 @@ def pack_shards(
         .sortWithinPartitions(order_col)
         .withColumn("__pid", F.spark_partition_id())
     )
-    part.persist()
+    pinned = part.persist()
     try:
         sums = (
             part.groupBy("__pid")
@@ -316,10 +316,10 @@ def pack_shards(
         # deliberately left pinned to keep the offsets honest.
         if checkpoint:
             out = out.localCheckpoint(eager=True)
-            part.unpersist()
+            pinned.unpersist()
         return out
     except Exception:
-        part.unpersist()
+        pinned.unpersist()
         raise
 
 

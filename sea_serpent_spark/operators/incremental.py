@@ -98,8 +98,18 @@ def incremental_minhash_pairs(
     deterministic, so the restriction is exact — tested).
 
     ``num_hashes``/``bands``/``shingle_n`` MUST match the parameters the
-    index was built with; a mismatched signature width fails fast on the
-    element_at below rather than silently under-matching."""
+    index was built with; signature width is validated against one
+    sampled index row up front — under Spark's default non-ANSI mode an
+    out-of-range ``element_at`` returns NULL, so without the check a
+    too-wide probe would silently deflate the jaccard estimate instead
+    of failing."""
+    probe = index.select(F.size("sig").alias("w")).first()
+    if probe is not None and int(probe["w"]) != int(num_hashes):
+        raise ValueError(
+            f"index signatures are {int(probe['w'])} hashes wide but "
+            f"num_hashes={num_hashes} was requested — rebuild the index "
+            "or probe with the parameters it was built with"
+        )
     # retire the previous call's persisted frames first (the dedup-module
     # cache contract) — without this, a foreachBatch ingest loop pins one
     # persisted band frame per micro-batch forever
@@ -191,6 +201,10 @@ def incremental_dedup(
     losers = new_in_pairs.join(keep_new, "id", "left_anti").select(
         F.col("id").alias("__lid")
     )
+    # materialize the (delta-sized) loser set once — the broadcast
+    # gate's count() and the anti-join would otherwise EACH re-run the
+    # pairs + components + keeper subtree
+    losers = losers.localCheckpoint(eager=True)
     losers = _maybe_broadcast(
         losers, _verify_gate(losers, None, BROADCAST_VERIFY_CAP)
     )

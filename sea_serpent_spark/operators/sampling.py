@@ -223,6 +223,7 @@ def weighted_sample(
     target_rows: int,
     id_col: str,
     max_weight: float | None = None,
+    total: float | None = None,
 ) -> DataFrame:
     """Deterministic importance sampling: keep each row with probability
     proportional to ``weight_col``, sized toward ``target_rows`` — the
@@ -248,7 +249,12 @@ def weighted_sample(
     if max_weight is not None:
         w = F.least(w, F.lit(float(max_weight)))
     w = F.greatest(w, F.lit(0.0))
-    total = df.agg(F.sum(w)).collect()[0][0] or 0.0
+    # callers that already know Σw (of the CLIPPED weights — e.g. DSIR,
+    # whose per-doc frame is checkpointed) pass it in and skip the
+    # sum-aggregate pass, which would otherwise re-execute the whole
+    # upstream scoring plan just to fetch a scalar
+    if total is None:
+        total = df.agg(F.sum(w)).collect()[0][0] or 0.0
     if total <= 0:
         return df.where(F.lit(False))
     p = F.least(F.lit(1.0), w * F.lit(float(target_rows)) / F.lit(total))

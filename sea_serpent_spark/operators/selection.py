@@ -76,6 +76,10 @@ def _bucket_logprobs(
                                            ngram)).alias("b"))
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("n"))
+        # ≤ ``buckets`` rows: materialize the model once — the total
+        # collect below and the downstream broadcast join would
+        # otherwise EACH run the full corpus featurization
+        .localCheckpoint(eager=True)
     )
     total = counts.agg(F.sum("n")).collect()[0][0] or 0
     denom = math.log(total + alpha * buckets)
@@ -85,22 +89,26 @@ def _bucket_logprobs(
     return lp, math.log(alpha) - denom
 
 
-def dsir_weights(
+def _dsir_scored(
     raw: DataFrame,
     target: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    buckets: int = DSIR_BUCKETS,
-    ngram: int = 2,
-    alpha: float = 0.1,
-    length_normalize: bool = True,
-) -> DataFrame:
-    """→ ``raw`` + [dsir_logw, dsir_weight]: per-document importance of
-    looking like ``target``. ``dsir_logw`` = Σ_features log(p_t/p_r)
-    (divided by the feature count when ``length_normalize`` — without
-    it long documents dominate on length, not on similarity);
-    ``dsir_weight`` = exp(logw − max logw) ∈ (0, 1], directly usable by
-    ``weighted_sample``."""
+    text_col: str,
+    id_col: str,
+    buckets: int,
+    ngram: int,
+    alpha: float,
+    length_normalize: bool,
+) -> tuple[DataFrame, float]:
+    """(scored, total_weight): shared core of ``dsir_weights`` /
+    ``dsir_select``. ``per_doc`` — the expensive explode→broadcast-
+    join→groupBy featurization — is checkpointed ONCE; the max-logw
+    normalizer, the sampler's total mass, and the final join against
+    ``raw`` all read the stored (doc, logw) blocks instead of
+    re-running the pipeline (it used to execute 3–4×). ``total_weight``
+    is Σ exp(logw − max) computed from ``per_doc`` directly — the
+    sampler needs it and must NOT pay a full pass over the scored
+    corpus for a scalar (empty-feature docs weigh 0, so they drop out
+    of the sum exactly as they would in the corpus-wide aggregate)."""
     t_lp, t_floor = _bucket_logprobs(target, text_col, buckets, ngram,
                                      alpha)
     r_lp, r_floor = _bucket_logprobs(raw, text_col, buckets, ngram, alpha)
@@ -139,14 +147,22 @@ def dsir_weights(
         if length_normalize
         else F.col("__lsum")
     )
-    per_doc = per_doc.select("__did", logw.alias("dsir_logw"))
+    per_doc = per_doc.select(
+        "__did", logw.alias("dsir_logw")
+    ).localCheckpoint(eager=True)
     mx = per_doc.agg(F.max("dsir_logw")).collect()[0]
     mx = mx[0] if mx and mx[0] is not None else 0.0
+    total = (
+        per_doc.agg(
+            F.sum(F.exp(F.col("dsir_logw") - F.lit(float(mx))))
+        ).collect()[0][0]
+        or 0.0
+    )
     scored = raw.join(
         per_doc, F.col(id_col) == F.col("__did"), "left"
     ).drop("__did")
     # docs with no features (empty text): weight 0 — nothing to match on
-    return scored.withColumn(
+    scored = scored.withColumn(
         "dsir_logw", F.coalesce("dsir_logw", F.lit(float("-inf")))
     ).withColumn(
         "dsir_weight",
@@ -154,6 +170,29 @@ def dsir_weights(
             F.exp(F.col("dsir_logw") - F.lit(float(mx)))
         ),
     )
+    return scored, float(total)
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = DSIR_BUCKETS,
+    ngram: int = 2,
+    alpha: float = 0.1,
+    length_normalize: bool = True,
+) -> DataFrame:
+    """→ ``raw`` + [dsir_logw, dsir_weight]: per-document importance of
+    looking like ``target``. ``dsir_logw`` = Σ_features log(p_t/p_r)
+    (divided by the feature count when ``length_normalize`` — without
+    it long documents dominate on length, not on similarity);
+    ``dsir_weight`` = exp(logw − max logw) ∈ (0, 1], directly usable by
+    ``weighted_sample``."""
+    return _dsir_scored(
+        raw, target, text_col, id_col, buckets, ngram, alpha,
+        length_normalize,
+    )[0]
 
 
 def dsir_select(
@@ -166,10 +205,19 @@ def dsir_select(
 ) -> DataFrame:
     """DSIR end-to-end: weight ``raw`` against ``target`` and
     deterministically resample toward ``target_rows`` (original columns
-    only)."""
-    scored = dsir_weights(raw, target, text_col, id_col, **kwargs)
+    only). The sampler's Σw is handed over precomputed from the
+    checkpointed per-doc weights, so the whole composition costs ONE
+    featurization pass plus the consumer's scan — not the 3–4
+    executions the naive chaining paid."""
+    scored, total = _dsir_scored(
+        raw, target, text_col, id_col,
+        kwargs.get("buckets", DSIR_BUCKETS),
+        kwargs.get("ngram", 2),
+        kwargs.get("alpha", 0.1),
+        kwargs.get("length_normalize", True),
+    )
     return weighted_sample(
-        scored, "dsir_weight", target_rows, id_col
+        scored, "dsir_weight", target_rows, id_col, total=total
     ).drop("dsir_logw", "dsir_weight")
 
 

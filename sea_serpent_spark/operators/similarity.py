@@ -595,7 +595,12 @@ def semantic_dedup(
         losers = labeled.join(keepers, "component").where(
             F.col("id") != F.col("__keep_id")
         )
-    losers = losers.select(F.col("id").alias("__lid"))
+    # materialize the (small: one id per duplicate) loser set once —
+    # the broadcast gate's count() and the anti-join would otherwise
+    # EACH execute the pair-graph + component + keeper subtree
+    losers = losers.select(F.col("id").alias("__lid")).localCheckpoint(
+        eager=True
+    )
     losers = _maybe_broadcast(
         losers, _verify_gate(losers, None, BROADCAST_VERIFY_CAP)
     )

@@ -469,6 +469,42 @@ def test_dsir_weights_and_select(spark):
     assert again == ids
 
 
+def test_dsir_single_featurization_pass(spark):
+    """Execution-count pin: dsir_select reads the raw corpus exactly 3×
+    end-to-end (bucket model, per-doc featurization, consumer join) and
+    the target once. Before the per-doc checkpoint + precomputed sampler
+    total, the featurization re-executed on every downstream pass
+    (max-collect, sum-collect, final join) — 3-4 full corpus reads more
+    than necessary."""
+    from sea_serpent_spark.operators.selection import dsir_select
+
+    raw_acc = spark.sparkContext.accumulator(0)
+    tgt_acc = spark.sparkContext.accumulator(0)
+
+    def counted(acc):
+        def fn(it):
+            for pdf in it:
+                acc.add(len(pdf))
+                yield pdf
+
+        return fn
+
+    n_raw, n_tgt = 120, 20
+    raw = spark.createDataFrame(
+        [(i, f"w{i % 7} w{i % 11} w{i % 13}") for i in range(n_raw)],
+        ["doc_id", "text"],
+    )
+    tgt = spark.createDataFrame(
+        [(i, f"w{i % 7} w{i % 11}") for i in range(n_tgt)],
+        ["doc_id", "text"],
+    )
+    raw_c = raw.mapInPandas(counted(raw_acc), raw.schema)
+    tgt_c = tgt.mapInPandas(counted(tgt_acc), tgt.schema)
+    dsir_select(raw_c, tgt_c, target_rows=50).collect()
+    assert raw_acc.value == 3 * n_raw
+    assert tgt_acc.value == n_tgt
+
+
 def test_dsir_orders_languages_on_real_docs(spark, sf_dir):
     """On the driver corpus, targeting one language ranks that
     language's documents highest on average."""

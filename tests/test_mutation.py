@@ -649,6 +649,23 @@ def test_upsert_insert_only_and_update_only(base, mytable):
     assert mytable.to_frame()["column1"].tolist().count(500) == 1
 
 
+def test_upsert_update_cols_empty_is_insert_only(base, mytable):
+    """Explicit update_cols=[] means insert-only: matched rows keep
+    their current values (review finding: [] used to be treated as
+    falsy and fall back to updating every common column)."""
+    before = dict(
+        zip(mytable.to_frame()["column1"], mytable.to_frame()["labels"])
+    )
+    src = pd.DataFrame({"column1": [3, 888], "labels": ["CHANGED", "NEW"]})
+    res = mytable.upsert(src, on="column1", update_cols=[])
+    assert res == {"updated": 0, "inserted": 1}
+    after = dict(
+        zip(mytable.to_frame()["column1"], mytable.to_frame()["labels"])
+    )
+    assert after[3] == before[3]       # matched row untouched
+    assert after[888] == "NEW"
+
+
 def test_upsert_key_only_source_inserts(base, mytable):
     """A source with only the key column is a valid insert-if-absent
     merge (review finding: used to IndexError on the empty oplog)."""
