@@ -37,6 +37,16 @@ def main() -> None:
     # Warm the JVM + parquet footers so per-query numbers measure the plan,
     # not first-touch costs.
     next(iter(qs.values()))(spark, sf_dir).count()
+    # Warm the Python worker pool too: the first Arrow exchange of a
+    # session pays per-core worker fork + import (~2s), which otherwise
+    # lands on whichever pandas-path query runs first (observed as a
+    # phantom 4.5x regression on q53 in round 3 when the query order
+    # shifted).
+    spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     def _quiesce() -> None:
         """Per-query hygiene: drop operator checkpoints and pay GC debt

@@ -110,7 +110,12 @@ def extract_features(
                 }
             )
 
-    return df.select(id_col, content_col).mapInPandas(
+    from .util import fan_out
+
+    # fan_out: media extraction is CPU-bound per row, and a small file
+    # count must not bound worker parallelism (one split = one Python
+    # worker otherwise — the same posture as the text/pair operators)
+    return fan_out(df.select(id_col, content_col)).mapInPandas(
         _extract, schema=FEATURE_SCHEMA
     )
 

@@ -40,10 +40,15 @@ def words(col: Column) -> Column:
     return F.split(F.lower(F.trim(col)), r"\s+")
 
 
-def token_count(col: Column) -> Column:
-    """Whitespace token count (empty text → 0)."""
+def token_count(col: Column, toks: Column | None = None) -> Column:
+    """Whitespace token count (empty text → 0). Pass a pre-staged
+    ``toks`` (= ``words(col)`` materialized in an earlier projection) to
+    share one tokenization across many metrics — the regex split is the
+    expensive part, and Catalyst will not inline a staged non-cheap
+    alias back into its consumers."""
+    toks = words(col) if toks is None else toks
     return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
-        F.size(words(col))
+        F.size(toks)
     )
 
 
@@ -78,10 +83,12 @@ def punct_ratio(col: Column) -> Column:
     )
 
 
-def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
-    """Fraction of tokens that are (English, by default) stopwords."""
+def stopword_ratio(col: Column, stopwords: list[str] | None = None,
+                   toks: Column | None = None) -> Column:
+    """Fraction of tokens that are (English, by default) stopwords.
+    ``toks`` = optional pre-staged ``words(col)`` (see token_count)."""
     sw = stopwords or LANG_MARKERS["en"]
-    ws = words(col)
+    ws = words(col) if toks is None else toks
     hits = F.size(F.filter(ws, lambda w: w.isin(sw)))
     return F.when(F.size(ws) == 0, F.lit(0.0)).otherwise(hits / F.size(ws))
 
@@ -96,27 +103,41 @@ def round_half_up(col: Column, k: int) -> Column:
     return F.floor(col * m + F.lit(0.5)) / m
 
 
-def quality_score(col: Column) -> Column:
+def quality_score(col: Column, pr: Column | None = None,
+                  sw: Column | None = None) -> Column:
     """Composite quality heuristic in [0,1]: long enough, not punctuation
     soup, some-but-not-all stopwords. Weights are arbitrary but fixed;
-    rounded to 4 decimals for oracle stability."""
+    rounded to 4 decimals for oracle stability. ``pr``/``sw`` = optional
+    pre-staged UNROUNDED punct_ratio / stopword_ratio columns."""
     length_term = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
-    punct_term = 1.0 - punct_ratio(col)
-    sw = stopword_ratio(col)
+    punct_term = 1.0 - (punct_ratio(col) if pr is None else pr)
+    sw = stopword_ratio(col) if sw is None else sw
     sw_term = 1.0 - F.abs(sw - F.lit(0.3)) / F.lit(0.7)
     return round_half_up(
         0.4 * length_term + 0.3 * punct_term + 0.3 * sw_term, 4
     )
 
 
-def lang_id(col: Column) -> Column:
-    """n-gram/stopword language-ID heuristic: argmax over marker-set
-    intersection sizes; 'und' (undetermined) when no marker hits."""
-    ws = F.array_distinct(words(col))
-    scores = {
+def lang_scores(ws: Column) -> dict[str, Column]:
+    """Per-language marker-intersection sizes over distinct doc words —
+    stage these as columns before ``lang_id(scores=...)`` when the
+    projection is wide: the argmax CASE references every score ~3×, and
+    staging collapses 15 array_intersect trees to 5."""
+    return {
         lang: F.size(F.array_intersect(ws, F.array(*[F.lit(m) for m in ms])))
         for lang, ms in LANG_MARKERS.items()
     }
+
+
+def lang_id(col: Column, ws: Column | None = None,
+            scores: dict[str, Column] | None = None) -> Column:
+    """n-gram/stopword language-ID heuristic: argmax over marker-set
+    intersection sizes; 'und' (undetermined) when no marker hits.
+    ``ws`` = optional pre-staged ``array_distinct(words(col))``;
+    ``scores`` = optional pre-staged ``lang_scores(ws)`` columns."""
+    if scores is None:
+        ws = F.array_distinct(words(col)) if ws is None else ws
+        scores = lang_scores(ws)
     best_score = F.greatest(*scores.values())
     result = F.lit("und")
     # first language in declaration order wins ties → build CASE backwards
@@ -127,11 +148,12 @@ def lang_id(col: Column) -> Column:
     return result
 
 
-def fingerprint(col: Column) -> Column:
+def fingerprint(col: Column, toks: Column | None = None) -> Column:
     """Document fingerprint: md5 over whitespace-normalized lowercase text
     (the exact-dedup key; a content-defined rolling hash reduces to this
-    under whitespace normalization)."""
-    return F.md5(F.concat_ws(" ", words(col)))
+    under whitespace normalization). ``toks`` = optional pre-staged
+    ``words(col)``."""
+    return F.md5(F.concat_ws(" ", words(col) if toks is None else toks))
 
 
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -191,16 +191,35 @@ def q06_count(spark, sf_dir):
     )
 
 
-def q07_distinct(spark, sf_dir):
-    """SELECT DISTINCT (base.py:2158-2169) — partial-agg'd map-side."""
-    t = load(spark, sf_dir, "lineitem")
-    return t.df.select("l_returnflag", "l_linestatus").distinct()
-
-
 def q08_value_counts(spark, sf_dir):
-    """Group-by count (base.py:2205-2219, made distributed)."""
-    t = load(spark, sf_dir, "orders")
-    return t.df.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("count"))
+    """Tagged union of BOTH key-aggregation shapes, one oracle row
+    (frees the former q07 slot for q62_span_dedup): value_counts
+    (base.py:2205-2219, made distributed — group-by count on orders
+    priority) and SELECT DISTINCT (base.py:2158-2169, partial-agg'd
+    map-side — lineitem flag/status key pairs, count NULL)."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    vc = (
+        o.df.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(
+            F.col("o_orderpriority").alias("key"),
+            "count",
+            F.lit("value_counts").alias("op"),
+        )
+    )
+    di = (
+        l.df.select(
+            F.concat_ws("|", "l_returnflag", "l_linestatus").alias("key")
+        )
+        .distinct()
+        .select(
+            "key",
+            F.lit(None).cast("long").alias("count"),
+            F.lit("distinct").alias("op"),
+        )
+    )
+    return vc.unionByName(di)
 
 
 def q09_topn_slice(spark, sf_dir):
@@ -320,25 +339,40 @@ def q19_first_match(spark, sf_dir):
     )
 
 
-def q20_semi_join(spark, sf_dir):
-    """Semi-join (membership against another table, base.py:2011-2012):
-    parts that appear in lineitem."""
+def q20_semi_anti_join(spark, sf_dir):
+    """Semi- AND anti-join in one tagged-union oracle row (frees the
+    former q21 slot for q63_fuzzy_pairs): parts that appear in lineitem
+    (semi — membership against another table, base.py:2011-2012) and
+    customers with no orders (anti — beyond-reference, SURVEY §2.4)."""
     p = df(spark, sf_dir, "part")
     l = df(spark, sf_dir, "lineitem")
-    return p.join(
-        l.select("l_partkey").distinct(),
-        p.p_partkey == F.col("l_partkey"),
-        "left_semi",
-    ).select("p_partkey", "p_name")
-
-
-def q21_anti_join(spark, sf_dir):
-    """Anti-join (beyond-reference, SURVEY §2.4): customers with no orders."""
     c = df(spark, sf_dir, "customer")
     o = df(spark, sf_dir, "orders")
-    return c.join(
-        o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti"
-    ).select("c_custkey", "c_name")
+    semi = (
+        p.join(
+            l.select("l_partkey").distinct(),
+            p.p_partkey == F.col("l_partkey"),
+            "left_semi",
+        )
+        .select(
+            F.col("p_partkey").alias("key"),
+            F.col("p_name").alias("name"),
+            F.lit("semi").alias("op"),
+        )
+    )
+    anti = (
+        c.join(
+            o.select("o_custkey"),
+            c.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+            F.lit("anti").alias("op"),
+        )
+    )
+    return semi.unionByName(anti)
 
 
 # ---------------------------------------------------------------------------
@@ -529,10 +563,12 @@ ORACLES: dict[str, str] = {
         "(SELECT CAST(COUNT(*) FILTER (WHERE text IS NULL OR text = '') "
         "AS BIGINT) FROM documents) AS n_null"
     ),
-    "q07_distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "q08_value_counts": (
-        "SELECT o_orderpriority, COUNT(*) AS count FROM orders "
-        "GROUP BY o_orderpriority"
+        "SELECT o_orderpriority AS key, COUNT(*) AS count, "
+        "'value_counts' AS op FROM orders GROUP BY o_orderpriority "
+        "UNION ALL "
+        "SELECT DISTINCT l_returnflag || '|' || l_linestatus AS key, "
+        "CAST(NULL AS BIGINT) AS count, 'distinct' AS op FROM lineitem"
     ),
     "q09_topn_slice": (
         "SELECT o_orderkey, o_totalprice, 'topn' AS op FROM ("
@@ -574,12 +610,12 @@ ORACLES: dict[str, str] = {
         "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn "
         "FROM orders) WHERE rn = 1"
     ),
-    "q20_semi_join": (
-        "SELECT p_partkey, p_name FROM part "
-        "WHERE p_partkey IN (SELECT l_partkey FROM lineitem)"
-    ),
-    "q21_anti_join": (
-        "SELECT c_custkey, c_name FROM customer "
+    "q20_semi_anti_join": (
+        "SELECT p_partkey AS key, p_name AS name, 'semi' AS op FROM part "
+        "WHERE p_partkey IN (SELECT l_partkey FROM lineitem) "
+        "UNION ALL "
+        "SELECT c_custkey AS key, c_name AS name, 'anti' AS op "
+        "FROM customer "
         "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
     ),
     "q22_tpch_q1": (

@@ -82,25 +82,58 @@ def _bucket_sql(vec: str, nbits: int = 8) -> str:
 def q30_text_analysis(spark, sf_dir):
     """Full text-analysis pass in ONE scan: token count, punctuation /
     stopword ratios, composite quality, language-ID and fingerprint
-    (operators/text.py). All pure pyspark.sql.functions — one codegen'd
-    projection, no Python in the hot path, one pass over the corpus
-    instead of four."""
-    from .operators.curation import _ngrams, dup_frac
+    (operators/text.py). All pure pyspark.sql.functions — no Python in
+    the hot path, one pass over the corpus instead of four.
 
-    d = df(spark, sf_dir, "documents")
-    toks = X.words(F.col("text"))
-    return d.select(
+    STAGED projections (round-3 bench regression fix): the naive single
+    mega-projection re-derived ``words(text)`` — a regex split — inside
+    every metric, and the resulting expression tree both doubled the
+    per-row interpreted higher-order-function cost and blew up the
+    plan-compile constant (1.33s → 4.71s at sf0.1). Tokenize ONCE, then
+    compute every metric from the staged array; Catalyst's
+    CollapseProject will not inline a non-cheap alias used more than
+    once, so the staging survives optimization. fan_out first: the
+    documents table is one parquet split at bench scale, and without it
+    the interpreted higher-order functions (ngrams/array_distinct) run
+    on ONE core of 32 — the same posture that protects a 100 TB run
+    from a handful of giant files serializing the scan."""
+    from .operators.curation import _ngrams, dup_frac
+    from .operators.util import fan_out
+
+    d = fan_out(df(spark, sf_dir, "documents"))
+    c = F.col("text")
+    tk = F.col("__toks")
+    staged = d.select(
+        "doc_id", "text", X.words(c).alias("__toks")
+    ).select(
         "doc_id",
-        X.token_count(F.col("text")).alias("n_tokens"),
-        X.round_half_up(X.punct_ratio(F.col("text")), 4).alias("punct_ratio"),
-        X.round_half_up(X.stopword_ratio(F.col("text")), 4).alias(
-            "stopword_ratio"
+        "text",
+        "__toks",
+        X.punct_ratio(c).alias("__pr"),
+        X.stopword_ratio(c, toks=tk).alias("__sw"),
+        _ngrams(tk, 2).alias("__g2"),
+        *[
+            s.alias(f"__sc_{lang}")
+            for lang, s in X.lang_scores(F.array_distinct(tk)).items()
+        ],
+    )
+    return staged.select(
+        "doc_id",
+        X.token_count(c, toks=tk).alias("n_tokens"),
+        X.round_half_up(F.col("__pr"), 4).alias("punct_ratio"),
+        X.round_half_up(F.col("__sw"), 4).alias("stopword_ratio"),
+        X.quality_score(c, pr=F.col("__pr"), sw=F.col("__sw")).alias(
+            "quality"
         ),
-        X.quality_score(F.col("text")).alias("quality"),
-        X.lang_id(F.col("text")).alias("lang_pred"),
-        X.fingerprint(F.col("text")).alias("fp"),
-        X.round_half_up(dup_frac(toks), 4).alias("dup_word_frac"),
-        X.round_half_up(dup_frac(_ngrams(toks, 2)), 4).alias(
+        X.lang_id(
+            c,
+            scores={
+                lang: F.col(f"__sc_{lang}") for lang in X.LANGS
+            },
+        ).alias("lang_pred"),
+        X.fingerprint(c, toks=tk).alias("fp"),
+        X.round_half_up(dup_frac(tk), 4).alias("dup_word_frac"),
+        X.round_half_up(dup_frac(F.col("__g2")), 4).alias(
             "dup_2gram_frac"
         ),
     )
@@ -134,12 +167,74 @@ def q37_ngram_jaccard(spark, sf_dir):
     )
 
 
-def q38_simhash(spark, sf_dir):
-    return D.simhash_signatures(df(spark, sf_dir, "documents"))
-
-
 def q39_simhash_pairs(spark, sf_dir):
-    return D.simhash_pairs(df(spark, sf_dir, "documents"), max_hamming=8)
+    """Simhash signatures AND hamming-banded pairs in one tagged-union
+    oracle row (the pair oracle already builds the signature CTE; the
+    former q38 slot now carries q64_incremental_dedup). ``sig`` rows are
+    (id, NULL, signature); ``pair`` rows are (id_a, id_b, hamming)."""
+    d = df(spark, sf_dir, "documents")
+    sigs = D.simhash_signatures(d).select(
+        F.col("id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.col("sim").cast("long").alias("v"),
+        F.lit("sig").alias("op"),
+    )
+    pairs = D.simhash_pairs(d, max_hamming=8).select(
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("long").alias("v"),
+        F.lit("pair").alias("op"),
+    )
+    return sigs.unionByName(pairs)
+
+
+def q62_span_dedup(spark, sf_dir):
+    """Exact-substring (duplicate-span) detection, operators/spans.py:
+    every repeated 8-token window occurrence except the corpus-wide
+    first (MIN (id,pos)) — the removal set of strip_duplicate_spans.
+    The engine groups on xxhash64 of the window; the oracle groups on
+    the window TEXT itself — identical output modulo 64-bit hash
+    collisions (none at any tested scale)."""
+    from .operators.spans import duplicate_spans
+
+    return duplicate_spans(
+        df(spark, sf_dir, "documents"), span_tokens=8
+    ).select("id", "pos", "n_total")
+
+
+def q63_fuzzy_pairs(spark, sf_dir):
+    """Edit-distance self-join, operators/fuzzy.py: customer-name pairs
+    within levenshtein 1 via the q-gram count-filter prefix index +
+    banded verify. The oracle is the naive quadratic formulation —
+    exactness of the prefix filter is the claim under test."""
+    from .operators.fuzzy import edit_distance_pairs
+
+    return edit_distance_pairs(
+        df(spark, sf_dir, "customer"), "c_name", "c_custkey",
+        max_distance=1,
+    ).select("id_a", "id_b", F.col("distance").cast("long").alias("distance"))
+
+
+def q64_incremental_dedup(spark, sf_dir):
+    """Incremental near-dup detection vs a persisted LSH index,
+    operators/incremental.py: history = doc_id < 400 (banded once into
+    the index), delta = doc_id >= 400 probes it. The oracle is the
+    BATCH minhash-LSH pair SQL over the full corpus restricted to
+    delta-touching pairs — the exactness-of-the-restriction claim
+    (banding + agreement estimate are deterministic, so incremental
+    must equal batch-restricted bit-for-bit)."""
+    from .operators.incremental import (
+        incremental_minhash_pairs,
+        minhash_band_index,
+    )
+
+    d = df(spark, sf_dir, "documents")
+    hist = d.where(F.col("doc_id") < 400)
+    delta = d.where(F.col("doc_id") >= 400)
+    index = minhash_band_index(hist)
+    return incremental_minhash_pairs(
+        delta, index, jaccard_threshold=0.5
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -348,10 +443,6 @@ SELECT ia AS id_a, ib AS id_b,
 FROM p JOIN sz sa ON sa.id = ia JOIN sz sb ON sb.id = ib
 WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8
 """,
-    "q38_simhash": f"""
-SELECT doc_id AS id, {_simhash_sql()} AS sim
-FROM (SELECT doc_id, {DWORDS_SQL} AS ws FROM documents)
-""",
     "q39_simhash_pairs": f"""
 WITH sigs AS (
   SELECT doc_id AS id, {_simhash_sql()} AS sim
@@ -360,8 +451,49 @@ chunks AS ({_CHUNKS_SQL}),
 cand AS (
   SELECT DISTINCT x.id AS ia, y.id AS ib, x.sim AS sa, y.sim AS sb
   FROM chunks x JOIN chunks y USING (c, v) WHERE x.id < y.id)
-SELECT ia AS id_a, ib AS id_b, bit_count(xor(sa, sb)) AS hamming
+SELECT id AS id_a, CAST(NULL AS BIGINT) AS id_b, CAST(sim AS BIGINT) AS v,
+  'sig' AS op FROM sigs
+UNION ALL
+SELECT ia AS id_a, ib AS id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS v,
+  'pair' AS op
 FROM cand WHERE bit_count(xor(sa, sb)) <= 8
+""",
+    # Engine groups on xxhash64(window); oracle groups on the window
+    # text — identical modulo 64-bit hash collisions.
+    "q62_span_dedup": f"""
+WITH t AS (SELECT doc_id AS id, {WORDS_SQL} AS toks FROM documents),
+occ AS (
+  SELECT id, CAST(i - 1 AS INT) AS pos,
+         array_to_string(list_slice(toks, i, i + 7), ' ') AS w
+  FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+  WHERE len(toks) >= 8),
+r AS (
+  SELECT id, pos, COUNT(*) OVER (PARTITION BY w) AS n_total,
+         ROW_NUMBER() OVER (PARTITION BY w ORDER BY id, pos) AS rn
+  FROM occ)
+SELECT id, pos, n_total FROM r WHERE n_total >= 2 AND rn > 1
+""",
+    # Naive quadratic formulation — the prefix filter's exactness claim.
+    "q63_fuzzy_pairs": """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS distance
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+""",
+    # Batch LSH pairs over the FULL corpus restricted to delta-touching
+    # pairs (delta = doc_id >= 400) — must equal the incremental probe.
+    "q64_incremental_dedup": f"""
+WITH base AS (SELECT doc_id AS id, {DWORDS_SQL} AS ws FROM documents),
+sig AS (SELECT id, ws, {_MINHASH_SIG_COLS} FROM base),
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT x.id AS ia, y.id AS ib
+  FROM bands x JOIN bands y USING (band, key) WHERE x.id < y.id)
+SELECT ia AS id_a, ib AS id_b,
+  ROUND(({_SIG_MATCHES_SQL}) / CAST(16.0 AS DOUBLE), 4) AS jaccard
+FROM cand JOIN sig a ON a.id = ia JOIN sig b ON b.id = ib
+WHERE ({_SIG_MATCHES_SQL}) / CAST(16.0 AS DOUBLE) >= 0.5
+  AND (ia >= 400 OR ib >= 400)
 """,
     "q40_ann_brute_topk": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings

@@ -152,6 +152,41 @@ def test_range_join_degenerate_intervals(spark):
     assert left.count() == 1
 
 
+def test_range_join_auto_bin_width(spark, events):
+    """Default bin_width='auto' sizes the bin at the (approx) median
+    interval span and produces the same rows as any explicit width —
+    binning only shapes candidate volume, never the exact-filter
+    output."""
+    from sea_serpent_spark.operators.temporal import _auto_bin_width
+
+    pts = events.select("event_id", F.col("ts").cast("timestamp").alias("ts"))
+    iv = (
+        events.select(F.col("ts").cast("timestamp").alias("ts"), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("start"),
+            (F.min("ts") + F.expr("INTERVAL 1 DAY")).alias("end"),
+        )
+    )
+    # every interval spans exactly 1 day → auto width must land on it
+    w = _auto_bin_width(iv, "start", "end")
+    assert w == "86400 seconds"
+    auto = {
+        (r["event_id"], r["user_id"])
+        for r in range_join(pts, iv, "ts", "start", "end").collect()
+    }
+    manual = {
+        (r["event_id"], r["user_id"])
+        for r in range_join(
+            pts, iv, "ts", "start", "end", bin_width="6 hours"
+        ).collect()
+    }
+    assert auto == manual and len(auto) > 0
+    # no non-degenerate intervals: any width works, must not throw
+    empty = iv.where(F.lit(False))
+    assert _auto_bin_width(empty, "start", "end") == "1 hour"
+
+
 def test_range_join_left_null_point_attrs(spark):
     """how='left' must not re-emit matched points that carry a NULL
     attribute (NULL = NULL is never true in a column-wise anti-join) and
