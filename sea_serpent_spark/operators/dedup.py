@@ -332,9 +332,22 @@ def minhash_lsh_pairs(
     verify: str = "estimate",
     broadcast_verify: bool | None = None,
     broadcast_cap: int = BROADCAST_VERIFY_CAP,
+    emit: str = "pairs",
 ) -> DataFrame:
     """→ [id_a, id_b, jaccard] candidate pairs sharing ≥1 LSH band, kept
     when their Jaccard similarity ≥ threshold.
+
+    ``emit="spanning"`` (estimate verify only) returns a
+    connectivity-equivalent edge set instead of every qualifying pair:
+    one *star* edge (gid, member, 1.0) per identical-signature group
+    member plus the rep-level cross edges — linear in corpus size where
+    the full expansion is quadratic in dup-cluster size (a 10× rehearsal
+    corpus: 559.6 M pairs vs 3.0 M spanning edges, see BENCH_NOTES.md).
+    Connected components over either edge set are identical, so this is
+    what ``dedup_corpus`` feeds the clustering; the default ``"pairs"``
+    keeps the audit/oracle contract (every pair, with its similarity).
+    Under exact verify docs are never grouped, so the pair set is
+    already its own spanning set and ``emit`` is a no-op.
 
     ``verify`` picks the similarity used for the final filter:
 
@@ -359,6 +372,8 @@ def minhash_lsh_pairs(
 
     Scale shape: signatures are narrow (id + 16 longs); the band self-join
     shuffles (band_idx, band_key) — documents themselves never move."""
+    if emit not in ("pairs", "spanning"):
+        raise ValueError(f"emit must be 'pairs' or 'spanning', got {emit!r}")
     rows = num_hashes // bands
     release_caches()
     bcast = _verify_gate(df, broadcast_verify, broadcast_cap)
@@ -437,6 +452,13 @@ def minhash_lsh_pairs(
             .distinct()
         )
         gpairs.count()
+        if emit == "spanning":
+            star = mem.where(F.col("id") != F.col("gid")).select(
+                F.col("gid").alias("id_a"),
+                F.col("id").alias("id_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+            return gpairs.unionByName(star)
         ma = mem.select(F.col("gid").alias("id_a"), F.col("id").alias("m_a"))
         mb = mem.select(F.col("gid").alias("id_b"), F.col("id").alias("m_b"))
         ma, mb = _maybe_broadcast(ma, bcast), _maybe_broadcast(mb, bcast)
@@ -478,7 +500,10 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 def _dense_allpairs(
-    groups: DataFrame, threshold: float, bcast_members: bool = True
+    groups: DataFrame,
+    threshold: float,
+    bcast_members: bool = True,
+    emit: str = "pairs",
 ) -> DataFrame:
     """All-pairs popcount verify over distinct-token-set representatives.
 
@@ -520,6 +545,13 @@ def _dense_allpairs(
         .where(F.col("jaccard") >= threshold)
     )
     mem = groups.select("gid", F.explode("members").alias("id"))
+    if emit == "spanning":
+        star = mem.where(F.col("id") != F.col("gid")).select(
+            F.col("gid").alias("id_a"),
+            F.col("id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+        return gpairs.unionByName(star)
     ma = _maybe_broadcast(
         mem.select(F.col("gid").alias("id_a"), F.col("id").alias("m_a")),
         bcast_members,
@@ -549,7 +581,8 @@ def ngram_jaccard_pairs(
     max_bitmap_words: int = 64,
     broadcast_verify: bool | None = None,
     broadcast_cap: int = BROADCAST_VERIFY_CAP,
-    allpairs_rep_cap: int = 8192,
+    allpairs_rep_cap: int = 65536,
+    emit: str = "pairs",
 ) -> DataFrame:
     """→ [id_a, id_b, jaccard ≥ threshold], exact, via **prefix filtering**
     (AllPairs/PPJoin family: Bayardo et al., WWW'07).
@@ -599,11 +632,26 @@ def ngram_jaccard_pairs(
     first grouped by identical bitmask (bm uniquely encodes the set); if
     the number of distinct sets D ≤ ``allpairs_rep_cap``, the operator
     switches to a broadcast nested-loop join over the D representatives
-    (popcount verify inline, no shuffle, no dedup — D² ≤ 64M cheap
-    codegen comparisons) and expands group members afterwards.
+    (popcount verify inline, no shuffle, no dedup) and expands group
+    members afterwards. The cap bounds the D²/2 rep comparisons, NOT
+    broadcast memory (64k reps ≈ 2 MB): at the 65536 default that is
+    ≤ 2.1e9 single-digit-ns codegen popcounts, seconds across one
+    32-core executor and trivial on a cluster — while the prefix path
+    in the same tiny-vocab regime enumerates near-O(n²) DOCUMENT pairs
+    through a shuffle plus a giant distinct (measured: a 50k-doc /
+    23.6k-distinct-set corpus was >10 min on prefix, 20 s on all-pairs
+    — see BENCH_NOTES.md).
     Identical-set member pairs are emitted directly with jaccard 1.0 —
     the same canonicalization minhash_lsh_pairs applies. Output is
-    identical to the prefix formulation; only the join strategy moves."""
+    identical to the prefix formulation; only the join strategy moves.
+
+    ``emit="spanning"``: on the dense path, return star edges per
+    identical-set group plus rep-level cross edges instead of the full
+    member expansion — connectivity-equivalent, linear in corpus size
+    (see minhash_lsh_pairs). The prefix path never groups docs, so its
+    pair set is already its own spanning set."""
+    if emit not in ("pairs", "spanning"):
+        raise ValueError(f"emit must be 'pairs' or 'spanning', got {emit!r}")
     release_caches()
     tok = fan_out(df).select(
         F.col(id_col).alias("id"),
@@ -651,6 +699,7 @@ def ngram_jaccard_pairs(
                 groups,
                 threshold,
                 bcast_members=_verify_gate(df, broadcast_verify, broadcast_cap),
+                emit=emit,
             )
 
     # Materialize eagerly: the verify broadcasts below are built on the
@@ -801,8 +850,14 @@ def simhash_pairs(
     max_hamming: int = 3,
     chunks: int = 4,
     allpairs_rep_cap: int = 8192,
+    emit: str = "pairs",
 ) -> DataFrame:
     """→ [id_a, id_b, hamming ≤ max_hamming] via chunk banding.
+
+    ``emit="spanning"`` returns star edges (gid, member, hamming 0) per
+    identical-signature group plus rep-level cross edges instead of the
+    full member expansion — connectivity-equivalent, linear in corpus
+    size (see minhash_lsh_pairs).
 
     Pigeonhole: with 4 chunks of 12 bits, any pair within hamming ≤ 3
     agrees exactly on ≥1 chunk — candidates come from equality joins on
@@ -819,6 +874,8 @@ def simhash_pairs(
     boilerplate-heavy corpus chunk buckets collapse to a few hot values
     and banding enumerates nearly all pairs through a shuffle anyway —
     the dense path is both exact and strictly cheaper there."""
+    if emit not in ("pairs", "spanning"):
+        raise ValueError(f"emit must be 'pairs' or 'spanning', got {emit!r}")
     release_caches()
     sigs = simhash_signatures(df, text_col, id_col)
     groups = _keep_cache(
@@ -872,8 +929,15 @@ def simhash_pairs(
             .where(F.col("hamming") <= max_hamming)
             .distinct()
         )
-    bcast = _verify_gate(df, None, BROADCAST_VERIFY_CAP)
     mem = groups.select("gid", F.explode("members").alias("id"))
+    if emit == "spanning":
+        star = mem.where(F.col("id") != F.col("gid")).select(
+            F.col("gid").alias("id_a"),
+            F.col("id").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+        return gpairs.unionByName(star)
+    bcast = _verify_gate(df, None, BROADCAST_VERIFY_CAP)
     ma = _maybe_broadcast(
         mem.select(F.col("gid").alias("id_a"), F.col("id").alias("m_a")), bcast
     )
@@ -934,11 +998,22 @@ def connected_components(
     # ``edges``, and without the lineage cut each one re-executes the
     # whole upstream pair computation (for the exact near-dup graph
     # that's the scored crossJoin — observed 3× its cost at sf0.1).
+    # DISK_ONLY: the edge set is *output*-sized (O(candidate pairs), not
+    # O(corpus)) and a near-clique graph makes it quadratic in the dup
+    # cluster size. The default MEMORY_AND_DISK level unrolls each block
+    # as a row array in heap before deciding to spill — at 559M edges
+    # (10x rehearsal corpus) 32 concurrent ~2 GB unrolls killed the JVM
+    # with GCLocker exhaustion. DISK_ONLY streams blocks through the
+    # serializer with no unroll; the O(rounds) sequential re-reads are
+    # cheap next to the per-round shuffles. Label frames below stay at
+    # the default level — they are node-count-sized and skinny.
+    from pyspark import StorageLevel
+
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     # undirected: propagate both ways (narrow union over the checkpoint —
     # cheap to recompute per round, no second materialization needed)
@@ -1015,13 +1090,20 @@ def dedup_corpus(
 
     Scale shape: pairs and components shuffle only ids; the final keep
     is a broadcast-gated anti-join of the (small) non-canonical id set
-    against the corpus — documents move exactly once, at the end."""
+    against the corpus — documents move exactly once, at the end. The
+    pair stage runs with ``emit="spanning"`` — the clustering only
+    needs connectivity, so identical-content groups contribute O(size)
+    star edges instead of O(size²) clique edges (at the 10× rehearsal
+    corpus that is the difference between feeding CC 559.6 M and 3.0 M
+    edges — end-to-end 25 s vs 540 s for the CC stage alone;
+    BENCH_NOTES.md)."""
     if method == "exact":
         keep = exact_dedup(df, text_col, id_col).where("is_canonical")
         keep_ids = keep.select(F.col(id_col).alias("__kid"))
         return df.join(
             keep_ids, F.col(id_col) == F.col("__kid"), "left_semi"
         )
+    kwargs.setdefault("emit", "spanning")
     if method == "minhash":
         pairs = minhash_lsh_pairs(
             df, text_col, id_col, jaccard_threshold=threshold, **kwargs

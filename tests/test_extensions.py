@@ -364,6 +364,49 @@ def test_connected_components_chain(spark):
     assert len(got) == n + 1
 
 
+@pytest.mark.parametrize("method", ["minhash", "simhash", "ngram"])
+def test_spanning_edges_component_equivalent(spark, sf_dir, method):
+    """emit='spanning' yields the SAME connected components as the full
+    pair expansion — star+rep edges are connectivity-equivalent, at
+    O(cluster) instead of O(cluster²) edges (what dedup_corpus feeds CC
+    at scale)."""
+    from sea_serpent_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ops = {
+        "minhash": lambda e: minhash_lsh_pairs(
+            docs, jaccard_threshold=0.5, emit=e
+        ),
+        "simhash": lambda e: simhash_pairs(docs, max_hamming=3, emit=e),
+        "ngram": lambda e: ngram_jaccard_pairs(docs, threshold=0.8, emit=e),
+    }
+    full = ops[method]("pairs")
+    span = ops[method]("spanning")
+    n_full, n_span = full.count(), span.count()
+    assert n_span <= n_full
+    comp_full = {
+        r.id: r.component for r in connected_components(full).collect()
+    }
+    comp_span = {
+        r.id: r.component for r in connected_components(span).collect()
+    }
+    assert comp_full == comp_span
+    assert n_full > 0  # the corpus does contain near-dup clusters
+
+
+def test_pair_ops_reject_bad_emit(spark):
+    from sea_serpent_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="emit"):
+        minhash_lsh_pairs(df, emit="edges")
+
+
 def test_dedup_corpus_end_to_end(spark, sf_dir):
     """dedup_corpus keeps exactly one doc (the min id) per near-dup
     cluster and every unclustered doc."""

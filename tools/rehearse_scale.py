@@ -10,7 +10,9 @@ bytes. The question under test is stage serialization: a salted/banded
 plan is healthy when max task time stays a small multiple of the median
 and shuffle volume scales with candidates, not with the corpus square.
 
-Usage: python tools/rehearse_scale.py [replicas]
+Usage: python tools/rehearse_scale.py [replicas] [op ...]
+(ops default to all four; the 10x corpus parquet is reused if already
+written, so ops can run one per process inside a wall-clock budget).
 Writes JSON to stdout; paste the summary into BENCH_NOTES.md.
 """
 
@@ -62,34 +64,40 @@ def stage_stats(spark, since_stage: int) -> list[dict]:
 
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    chosen = sys.argv[2:]
     from sea_serpent_spark.session import get_spark
 
     spark = get_spark(
         app_name="rehearse-scale",
         extra_conf={"spark.ui.enabled": "true"},
     )
-    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    n0 = docs.count()
-    reps = []
-    for r in range(replicas):
-        d = docs.select(
-            (F.col("doc_id") + F.lit(r * n0)).alias("doc_id"),
-            # odd replicas get a perturbation token so the corpus holds
-            # exact dups (even replicas), near dups (odd), and the
-            # original — the regimes the pair operators branch on
-            F.when(
-                F.lit(r % 2 == 1),
-                F.concat(F.col("text"), F.lit(f" replica{r}")),
-            )
-            .otherwise(F.col("text"))
-            .alias("text"),
+    import os
+
+    path = f"/tmp/rehearse_docs_{replicas}x.parquet"
+    if not os.path.exists(path + "/_SUCCESS"):
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.1/documents.parquet"
         )
-        reps.append(d)
-    big = reps[0]
-    for d in reps[1:]:
-        big = big.unionByName(d)
-    path = "/tmp/rehearse_docs_10x.parquet"
-    big.repartition(32).write.mode("overwrite").parquet(path)
+        n0 = docs.count()
+        reps = []
+        for r in range(replicas):
+            d = docs.select(
+                (F.col("doc_id") + F.lit(r * n0)).alias("doc_id"),
+                # odd replicas get a perturbation token so the corpus
+                # holds exact dups (even replicas), near dups (odd), and
+                # the original — the regimes the pair operators branch on
+                F.when(
+                    F.lit(r % 2 == 1),
+                    F.concat(F.col("text"), F.lit(f" replica{r}")),
+                )
+                .otherwise(F.col("text"))
+                .alias("text"),
+            )
+            reps.append(d)
+        big = reps[0]
+        for d in reps[1:]:
+            big = big.unionByName(d)
+        big.repartition(32).write.mode("overwrite").parquet(path)
     corpus = spark.read.parquet(path)
     print(f"# corpus rows: {corpus.count()}", file=sys.stderr)
 
@@ -117,8 +125,18 @@ def main() -> None:
         "connected_components": lambda: D.connected_components(
             D.minhash_lsh_pairs(corpus, jaccard_threshold=0.5)
         ),
+        # the production dedup path: spanning edges (star + rep-level),
+        # not the full clique expansion the stress op above feeds CC
+        "dedup_corpus_minhash": lambda: D.dedup_corpus(
+            corpus, threshold=0.5
+        ),
+        "spanning_edges_minhash": lambda: D.minhash_lsh_pairs(
+            corpus, jaccard_threshold=0.5, emit="spanning"
+        ),
     }
     for name, fn in ops.items():
+        if chosen and name not in chosen:
+            continue
         D.release_caches()
         first = tracker()
         t0 = time.perf_counter()
