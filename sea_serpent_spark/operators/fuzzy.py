@@ -33,13 +33,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from .dedup import (
-    BROADCAST_VERIFY_CAP,
-    _maybe_broadcast,
-    _salted_pairs,
-    _verify_gate,
-)
-from .util import fan_out, spread as _spread
+from .dedup import _salted_pairs
+from .util import fan_out
 
 
 def qgrams(col: Column, q: int = 2) -> Column:
@@ -59,8 +54,6 @@ def edit_distance_pairs(
     id_col: str,
     max_distance: int = 2,
     q: int = 2,
-    broadcast_verify: bool | None = None,
-    broadcast_cap: int = BROADCAST_VERIFY_CAP,
 ) -> DataFrame:
     """→ [id_a, id_b, distance]: every unordered pair with
     ``levenshtein ≤ max_distance``. Exact — the prefix filter has no
@@ -68,7 +61,19 @@ def edit_distance_pairs(
 
     NULL strings never match (SQL comparison semantics); empty strings
     participate (they sit in the short-string path and match anything
-    of length ≤ k)."""
+    of length ≤ k).
+
+    Verification happens *inside* the enumeration joins: the strings
+    ride the prefix index (short rows — id, length, gram, string), the
+    banded ``levenshtein(…, k)`` filters candidates in the same codegen
+    stage, and the dedup ``distinct`` runs on the (small) survivor set.
+    The previous shape — distinct over the full candidate pair set,
+    then a second distinct over the union, then a separate two-sided
+    lookup join to fetch strings for verification — shuffled candidates
+    that verification was about to discard (on the 15k-row sf0.1
+    customer bench: 10.6 M candidates, 262 k survivors; warm 6.7 s →
+    4.1 s, cold 8.1 s → 7.4 s — the residual is the in-join banded
+    verifies, i.e. candidate-bound, see BENCH_NOTES.md)."""
     k = max_distance
     if k < 0:
         raise ValueError(f"max_distance must be >= 0, got {k}")
@@ -83,7 +88,7 @@ def edit_distance_pairs(
     # ---- long strings: rarest-first q-gram prefix join ----------------
     long_side = fan_out(base.where(F.col("ln") > short_len))
     tok = long_side.select(
-        "id", "ln", F.explode(qgrams(F.col("s"), q)).alias("g")
+        "id", "ln", "s", F.explode(qgrams(F.col("s"), q)).alias("g")
     )
     dfreq = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     # rank grams rarest-first; the (df, gram) order is a total order so
@@ -96,48 +101,52 @@ def edit_distance_pairs(
             Window.partitionBy("id").orderBy(F.asc("df"), F.asc("g"))
         ),
     )
-    prefix = ranked.where(F.col("rk") <= k * q + 1).select("id", "ln", "g")
+    prefix = ranked.where(F.col("rk") <= k * q + 1).select(
+        "id", "ln", "g", "s"
+    )
     sym_len = (
         F.abs(F.col("x.ln") - F.col("y.ln")) <= F.lit(k)
     )
-    cand = _spread(
-        _salted_pairs(prefix, ["g"], sym_cond=sym_len, carry=())
+    # a pair sharing j prefix grams is enumerated j ≤ (k·q+1)² times —
+    # the banded levenshtein re-runs per duplicate, which is far cheaper
+    # than shuffling the unverified candidate set through a distinct
+    pairs_long = (
+        _salted_pairs(
+            prefix, ["g"], sym_cond=sym_len, carry=("s",), distinct=False
+        )
+        # threshold form: banded O(k·len), early-exits past k, -1 beyond
+        .withColumn("distance", F.levenshtein("s_a", "s_b", k))
+        .where((F.col("distance") >= 0) & (F.col("distance") <= k))
+        .select("id_a", "id_b", "distance")
+        .distinct()
     )
 
     # ---- short strings: exact length-bucket join ----------------------
     shorts = base.where(F.col("ln") <= short_len)
     probe = shorts.select(
-        F.col("id").alias("id_a"),
+        F.col("id").alias("ida"),
+        F.col("s").alias("sa"),
         F.explode(
             F.sequence(F.col("ln") - k, F.col("ln") + k)
         ).alias("lb"),
     ).where(F.col("lb") >= 0)
     build = base.select(
-        F.col("id").alias("id_b"), F.col("ln").alias("lb")
+        F.col("id").alias("idb"), F.col("s").alias("sb"),
+        F.col("ln").alias("lb"),
     )
-    cand_short = (
+    pairs_short = (
         probe.join(build, "lb")
-        .where(F.col("id_a") != F.col("id_b"))
+        .where(F.col("ida") != F.col("idb"))
+        .withColumn("distance", F.levenshtein("sa", "sb", k))
+        .where((F.col("distance") >= 0) & (F.col("distance") <= k))
         .select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            "distance",
         )
         .distinct()
     )
 
-    allcand = cand.unionByName(cand_short).distinct()
-
-    # ---- verify -------------------------------------------------------
-    lk = base.select(F.col("id"), F.col("s"))
-    a = lk.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
-    b = lk.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
-    bcast = _verify_gate(df, broadcast_verify, broadcast_cap)
-    a, b = _maybe_broadcast(a, bcast), _maybe_broadcast(b, bcast)
-    return (
-        allcand.join(a, "id_a")
-        .join(b, "id_b")
-        # threshold form: banded O(k·len) and early-exits past k
-        .withColumn("distance", F.levenshtein("sa", "sb", k))
-        .where((F.col("distance") >= 0) & (F.col("distance") <= k))
-        .select("id_a", "id_b", "distance")
-    )
+    # the paths are disjoint (long-long vs short-anything pairs), so the
+    # union needs no further dedup
+    return pairs_long.unionByName(pairs_short)

@@ -51,6 +51,7 @@ from .dedup import (
     BROADCAST_VERIFY_CAP,
     _keep_cache,
     _maybe_broadcast,
+    _salted_pairs,
     _verify_gate,
     banded_signatures,
     connected_components,
@@ -102,7 +103,22 @@ def incremental_minhash_pairs(
     sampled index row up front — under Spark's default non-ANSI mode an
     out-of-range ``element_at`` returns NULL, so without the check a
     too-wide probe would silently deflate the jaccard estimate instead
-    of failing."""
+    of failing.
+
+    Like the batch operator, docs are canonicalized by identical
+    signature first (the index's band rows collapse back to one
+    (id, sig) row per doc — the sig column fully determines its bands):
+    enumeration, estimate, and the pair-level distinct all run on one
+    representative per distinct signature, and member pairs touching
+    ≥1 new doc are expanded afterwards. On a boilerplate-heavy corpus
+    the uncanonicalized probe join degenerates — every copy of a hot
+    document collides in every band bucket, candidates grow
+    |delta| × |matching corpus|, and the dedup distinct runs on the
+    full member-pair set (measured 59 s → 11 s on the sf0.1 bench
+    corpus, where the 5.9 M output pairs now dominate —
+    BENCH_NOTES.md). Output is bit-identical: identical-sig
+    pairs carry estimate exactly 1.0, cross-group pairs the rep-level
+    agreement their members share."""
     probe = index.select(F.size("sig").alias("w")).first()
     if probe is not None and int(probe["w"]) != int(num_hashes):
         raise ValueError(
@@ -114,25 +130,43 @@ def incremental_minhash_pairs(
     # cache contract) — without this, a foreachBatch ingest loop pins one
     # persisted band frame per micro-batch forever
     release_caches()
-    # both join sides read the delta's bands — persist so the
-    # shingle→hash→groupBy signature pipeline (the expensive subtree)
-    # runs once, not once per side
-    new_idx = _keep_cache(
-        minhash_band_index(
-            new_df, text_col, id_col, num_hashes, bands, shingle_n
-        )
+    new_sigs = minhash_signature(
+        new_df, text_col, id_col, num_hashes, shingle_n
     )
-    a = new_idx.select(
+    old_sigs = index.select("id", "sig").dropDuplicates(["id"])
+    allsigs = old_sigs.withColumn("__new", F.lit(False)).unionByName(
+        new_sigs.withColumn("__new", F.lit(True))
+    )
+    sk = F.concat_ws("-", F.transform("sig", lambda x: x.cast("string")))
+    # ONE aggregation yields the whole group structure; persisted so the
+    # rep banding, both member expansions, and the intra enumeration all
+    # fan out of it without re-running the delta's shingle→hash subtree
+    groups = _keep_cache(
+        allsigs.withColumn("sk", sk)
+        .groupBy("sk")
+        .agg(
+            F.min("id").alias("gid"),
+            F.first("sig").alias("sig"),
+            F.collect_list(F.struct("id", "__new")).alias("members"),
+            F.max("__new").alias("has_new"),
+        )
+        .drop("sk")
+    )
+    groups.count()
+    reps = groups.select(F.col("gid").alias("id"), "sig", "has_new")
+    banded = banded_signatures(
+        reps, num_hashes, bands, keep=("sig", "has_new")
+    )
+    # delta-touching restriction at the REP level: one side keeps only
+    # groups containing a new member; the symmetric orientation is
+    # covered because such groups also sit on the probe-all side
+    a = banded.where("has_new").select(
         F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
         "band", "key",
     )
-    b = (
-        index.select("id", "band", "key", "sig")
-        .unionByName(new_idx)
-        .select(
-            F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
-            "band", "key",
-        )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
+        "band", "key",
     )
     matches = sum(
         F.when(
@@ -140,7 +174,7 @@ def incremental_minhash_pairs(
         ).otherwise(0)
         for i in range(num_hashes)
     )
-    return (
+    gpairs = (
         a.join(b, ["band", "key"])
         .where(F.col("id_a") != F.col("id_b"))
         .select(
@@ -150,13 +184,59 @@ def incremental_minhash_pairs(
             F.round(matches / F.lit(float(num_hashes)), 4).alias("jaccard"),
         )
         .where(F.col("jaccard") >= jaccard_threshold)
-        # new-new pairs collide in two bands' worth of directions;
-        # jaccard is deterministic per pair so the tuple dedups cleanly
+        # band collisions duplicate a rep pair ≤ bands times; the dedup
+        # runs on distinct-signature pairs, never on member pairs
         .distinct()
+    )
+    mem = groups.select(
+        "gid", F.explode("members").alias("m")
+    ).select(
+        "gid",
+        F.col("m.id").alias("mid"),
+        F.col("m.__new").alias("mnew"),
+    )
+    n_docs = groups.agg(F.sum(F.size("members"))).first()[0] or 0
+    bcast = n_docs <= BROADCAST_VERIFY_CAP
+    ma = _maybe_broadcast(
+        mem.select(
+            F.col("gid").alias("u"),
+            F.col("mid").alias("m_a"),
+            F.col("mnew").alias("n_a"),
+        ),
+        bcast,
+    )
+    mb = _maybe_broadcast(
+        mem.select(
+            F.col("gid").alias("v"),
+            F.col("mid").alias("m_b"),
+            F.col("mnew").alias("n_b"),
+        ),
+        bcast,
+    )
+    cross = (
+        gpairs.join(ma, "u")
+        .join(mb, "v")
+        .where(F.col("n_a") | F.col("n_b"))
         .select(
-            F.col("u").alias("id_a"), F.col("v").alias("id_b"), "jaccard"
+            F.least("m_a", "m_b").alias("id_a"),
+            F.greatest("m_a", "m_b").alias("id_b"),
+            "jaccard",
         )
     )
+    # identical signatures: estimate is exactly 1.0 ≥ any threshold;
+    # groups are disjoint so the salted enumeration emits each unordered
+    # delta-touching pair once (no dedup)
+    intra = _salted_pairs(
+        mem.select(
+            F.col("gid").alias("g"),
+            F.col("mid").alias("id"),
+            F.col("mnew").alias("nn"),
+        ),
+        ["g"],
+        sym_cond=(F.col("x.nn") | F.col("y.nn")),
+        distinct=False,
+    ).select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+    return cross.unionByName(intra)
 
 
 def incremental_dedup(
