@@ -1078,15 +1078,30 @@ def dedup_corpus(
     id_col: str = "doc_id",
     method: str = "minhash",
     threshold: float = 0.8,
+    keep: str = "min_id",
+    keep_col: str | None = None,
     **kwargs,
 ) -> DataFrame:
     """End-to-end corpus dedup: near-dup pairs → connected components →
-    keep ONE canonical doc (min id) per cluster. Returns the surviving
-    rows of ``df`` (all original columns).
+    keep ONE canonical doc per cluster. Returns the surviving rows of
+    ``df`` (all original columns).
 
     ``method``: 'exact' (md5 fingerprint groups — no pair stage),
     'minhash' (LSH, ``jaccard_threshold``=threshold), 'ngram'
     (exact Jaccard), or 'simhash' (``max_hamming`` via kwargs).
+
+    ``keep`` picks the canonical survivor per duplicate cluster:
+
+    - ``"min_id"`` (default): the minimum id — cheap (for pair methods
+      the component label IS the min id, no extra pass) and stable
+      under re-runs.
+    - ``"max"`` / ``"min"``: the member with the largest / smallest
+      ``keep_col`` (ties → min id; NULL scores lose) — what real
+      curation pipelines want: keep the longest / highest-quality copy
+      of each near-dup cluster, e.g.
+      ``keep="max", keep_col="quality_score"``. Costs one extra
+      ids+score shuffle: a per-component window over (score, id) rows —
+      never documents.
 
     Scale shape: pairs and components shuffle only ids; the final keep
     is a broadcast-gated anti-join of the (small) non-canonical id set
@@ -1097,11 +1112,53 @@ def dedup_corpus(
     corpus that is the difference between feeding CC 559.6 M and 3.0 M
     edges — end-to-end 25 s vs 540 s for the CC stage alone;
     BENCH_NOTES.md)."""
+    if keep not in ("min_id", "max", "min"):
+        raise ValueError(
+            f"keep must be 'min_id', 'max' or 'min', got {keep!r}"
+        )
+    if keep != "min_id" and keep_col is None:
+        raise ValueError(f"keep={keep!r} requires keep_col")
+
+    def _best_losers(grouped: DataFrame) -> DataFrame:
+        """[__lid]: non-keepers of each cluster under the keep_col
+        policy. ``grouped`` is (__grp, id) — component labels or
+        fingerprint groups; only ids and scores shuffle."""
+        scored = grouped.join(
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(keep_col).alias("__score"),
+            ),
+            "id",
+        )
+        order = (
+            F.desc_nulls_last("__score")
+            if keep == "max"
+            else F.asc_nulls_last("__score")
+        )
+        w = Window.partitionBy("__grp").orderBy(order, F.asc("id"))
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") > 1)
+            .select(F.col("id").alias("__lid"))
+        )
+
     if method == "exact":
-        keep = exact_dedup(df, text_col, id_col).where("is_canonical")
-        keep_ids = keep.select(F.col(id_col).alias("__kid"))
+        if keep == "min_id":
+            canon = exact_dedup(df, text_col, id_col).where("is_canonical")
+            keep_ids = canon.select(F.col(id_col).alias("__kid"))
+            return df.join(
+                keep_ids, F.col(id_col) == F.col("__kid"), "left_semi"
+            )
+        grouped = df.select(
+            fingerprint(F.col(text_col)).alias("__grp"),
+            F.col(id_col).alias("id"),
+        )
+        losers = _best_losers(grouped)
+        losers = _maybe_broadcast(
+            losers, _verify_gate(losers, None, BROADCAST_VERIFY_CAP)
+        )
         return df.join(
-            keep_ids, F.col(id_col) == F.col("__kid"), "left_semi"
+            losers, F.col(id_col) == F.col("__lid"), "left_anti"
         )
     kwargs.setdefault("emit", "spanning")
     if method == "minhash":
@@ -1117,10 +1174,15 @@ def dedup_corpus(
     else:
         raise ValueError(f"unknown dedup method: {method!r}")
     comp = connected_components(pairs)
-    # drop every clustered doc that is not its component's minimum
-    losers = comp.where(F.col("id") != F.col("component")).select(
-        F.col("id").alias("__lid")
-    )
+    if keep == "min_id":
+        # drop every clustered doc that is not its component's minimum
+        losers = comp.where(F.col("id") != F.col("component")).select(
+            F.col("id").alias("__lid")
+        )
+    else:
+        losers = _best_losers(
+            comp.select(F.col("component").alias("__grp"), "id")
+        )
     losers = _maybe_broadcast(
         losers, _verify_gate(losers, None, BROADCAST_VERIFY_CAP)
     )

@@ -432,6 +432,54 @@ def test_dedup_corpus_end_to_end(spark, sf_dir):
     assert ex.count() == n_content
 
 
+def test_dedup_corpus_keep_best(spark):
+    """keep='max'/'min' keeps the best-scoring member per cluster (ties
+    -> min id, NULL scores lose); unclustered docs always survive."""
+    from sea_serpent_spark.operators import dedup as D
+
+    rows = [
+        # near-dup cluster {1,2,3}: 2 has the top score
+        (1, "the quick brown fox jumps over the lazy dog", 0.2),
+        (2, "the quick brown fox jumps over the lazy dog", 0.9),
+        (3, "the quick brown fox jumps over a lazy dog", 0.5),
+        # exact-dup cluster {4,5}: tie -> min id (4)
+        (4, "spark engines are completely different content", 0.7),
+        (5, "spark engines are completely different content", 0.7),
+        # singleton with NULL score survives regardless
+        (6, "der hund ist nicht auf der couch gewesen heute", None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, q double")
+
+    got = {
+        r.doc_id
+        for r in D.dedup_corpus(
+            docs, method="minhash", threshold=0.5, keep="max", keep_col="q"
+        ).collect()
+    }
+    assert got == {2, 4, 6}
+    got_min = {
+        r.doc_id
+        for r in D.dedup_corpus(
+            docs, method="minhash", threshold=0.5, keep="min", keep_col="q"
+        ).collect()
+    }
+    assert got_min == {1, 4, 6}  # NULL q on 6: singleton, still kept
+    ex = {
+        r.doc_id
+        for r in D.dedup_corpus(
+            docs, method="exact", keep="max", keep_col="q"
+        ).collect()
+    }
+    # exact groups: {1,2} (2 wins on score), {4,5} (tie -> 4), 3 and 6
+    # are singletons — near-dup 3 survives because exact mode only
+    # collapses identical text
+    assert ex == {2, 3, 4, 6}
+    with pytest.raises(ValueError, match="keep_col"):
+        D.dedup_corpus(docs, method="exact", keep="max")
+    with pytest.raises(ValueError, match="keep"):
+        D.dedup_corpus(docs, keep="best")
+
+
 def test_deterministic_split_properties(spark, sf_dir):
     """Split fractions near weights, layout-independent, and STABLE under
     corpus growth (existing rows never move between splits)."""

@@ -1,0 +1,103 @@
+"""Z-order layout tests: Morton bit math, partition locality, pruning."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from sea_serpent_spark.operators.layout import zorder_frame, zorder_key
+
+
+def _morton(cells, bits):
+    z = 0
+    nd = len(cells)
+    for b in range(bits):
+        for d, v in enumerate(cells):
+            z |= ((v >> b) & 1) << (b * nd + d)
+    return z
+
+
+def test_zorder_key_bit_math(spark):
+    """Cells interleave exactly as the reference Morton formula — pinned
+    against a pure-python recomputation over the full 4x4 grid."""
+    rows = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    # ranges (0,4) with bits=2 → width_bucket cell == int value for 0..3
+    out = df.withColumn(
+        "z", zorder_key(df, ["x", "y"], bits=2,
+                        ranges={"x": (0, 4), "y": (0, 4)})
+    ).collect()
+    for r in out:
+        assert r["z"] == _morton([r["x"], r["y"]], 2), (r["x"], r["y"])
+
+
+def test_zorder_key_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 5.0), (3, None, 5.0)],
+        "id long, s string, const double",
+    )
+    # constant numeric column → cell 0 everywhere; strings hash; key is
+    # deterministic across runs
+    z1 = [r["z"] for r in df.withColumn(
+        "z", zorder_key(df, ["const", "s"], bits=4)).collect()]
+    z2 = [r["z"] for r in df.withColumn(
+        "z", zorder_key(df, ["const", "s"], bits=4)).collect()]
+    assert z1 == z2
+    with pytest.raises(ValueError, match="62"):
+        zorder_key(df, ["id", "s"], bits=32)
+    with pytest.raises(ValueError, match="at least one"):
+        zorder_key(df, [], bits=8)
+
+
+def _span_score(df, parts, cols):
+    """Mean over partitions of the product of normalized per-column
+    spans — the fraction of the 2-D value rectangle each partition
+    covers. Small = partitions are tight hyper-rectangles = min-max
+    file pruning works."""
+    tot = {c: df.agg(
+        (F.max(c) - F.min(c)).cast("double")).first()[0] for c in cols}
+    spans = (
+        parts.withColumn("__p", F.spark_partition_id())
+        .groupBy("__p")
+        .agg(*[
+            ((F.max(c) - F.min(c)) / F.lit(tot[c])).alias(c) for c in cols
+        ])
+        .collect()
+    )
+    prod = [max(float(r[cols[0]]), 1e-9) * max(float(r[cols[1]]), 1e-9)
+            for r in spans]
+    return sum(prod) / len(prod)
+
+
+def test_zorder_partitions_are_tight_rectangles(spark, sf_dir):
+    """After z-ordering events on (user_id, event_id), each range
+    partition covers a small sub-rectangle of the value space; a
+    round-robin layout covers ~the whole rectangle per partition."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull() & F.col("event_id").isNotNull()
+    )
+    cols = ["user_id", "event_id"]
+    zed = zorder_frame(ev, cols, bits=10, num_partitions=16)
+    base = ev.repartition(16)
+    z_score = _span_score(ev, zed, cols)
+    r_score = _span_score(ev, base, cols)
+    assert z_score < 0.25, f"z-order partitions too loose: {z_score}"
+    assert z_score < r_score / 3, (z_score, r_score)
+    # layout is a reshuffle, never a filter
+    assert zed.count() == ev.count()
+    assert zed.columns == ev.columns
+
+
+def test_zorder_survives_timestamp_and_string_dims(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = zorder_frame(ev, ["ts", "event_type"], bits=8, num_partitions=8)
+    assert out.count() == ev.count()
+    # equal event_type values share hash cells → each partition sees a
+    # subset of types, not all of them
+    per_part = (
+        out.withColumn("__p", F.spark_partition_id())
+        .groupBy("__p")
+        .agg(F.countDistinct("event_type").alias("n"))
+        .agg(F.avg("n"))
+        .first()[0]
+    )
+    total = ev.select("event_type").distinct().count()
+    assert per_part <= total
