@@ -690,6 +690,23 @@ class Table:
                                 **kwargs)
         )
 
+    def zorder(
+        self,
+        cols: list[str],
+        bits: int = 12,
+        num_partitions: int | None = None,
+    ) -> "Table":
+        """Re-lay this table along the Z-order (Morton) curve of
+        ``cols`` so each written file owns a tight hyper-rectangle of
+        the value space and parquet min-max stats prune scans filtered
+        on any indexed column (operators/layout.py). Compose with any
+        sink: ``t.zorder(["user_id", "ts"]).to_parquet(dst)``."""
+        from ..operators.layout import zorder_frame
+
+        return self._derive(
+            zorder_frame(self.df, cols, bits, num_partitions)
+        )
+
     def explain_report(self) -> dict:
         """The scale checklist for this table's plan as a dict: scans
         (columns read, filters pushed), shuffle/broadcast counts, join

@@ -86,6 +86,15 @@ def test_zorder_partitions_are_tight_rectangles(spark, sf_dir):
     assert zed.columns == ev.columns
 
 
+def test_table_zorder_method(spark, sf_dir):
+    import sea_serpent_spark as ss
+
+    t = ss.Table.from_parquet(f"{sf_dir}/events.parquet", "events")
+    z = t.zorder(["user_id", "ts"], bits=8, num_partitions=4)
+    assert len(z) == len(t)
+    assert z.columns == t.columns
+
+
 def test_zorder_survives_timestamp_and_string_dims(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     out = zorder_frame(ev, ["ts", "event_type"], bits=8, num_partitions=8)
