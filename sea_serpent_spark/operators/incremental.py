@@ -90,6 +90,7 @@ def incremental_minhash_pairs(
     bands: int = 4,
     shingle_n: int = 1,
     jaccard_threshold: float = 0.5,
+    emit: str = "pairs",
 ) -> DataFrame:
     """→ [id_a, id_b, jaccard]: estimate-verified near-dup pairs with at
     least one side in ``new_df`` — new-vs-indexed and new-vs-new both
@@ -97,6 +98,15 @@ def incremental_minhash_pairs(
     ``minhash_lsh_pairs(history ∪ delta)`` output restricted to pairs
     touching the delta (banding and the agreement estimate are
     deterministic, so the restriction is exact — tested).
+
+    ``emit="spanning"`` (what ``incremental_dedup`` consumes): rep-level
+    cross edges plus star edges for every group containing a new doc —
+    skipping the member-pair expansion. For the dedup decision this is
+    exact: a component's has-old test only needs ONE old witness, and
+    group ids (min member id) are that witness — old members of
+    old-only groups drop out of the component listing, which the keeper
+    logic never looks at. The default ``"pairs"`` keeps the
+    batch-restriction audit contract.
 
     ``num_hashes``/``bands``/``shingle_n`` MUST match the parameters the
     index was built with; signature width is validated against one
@@ -119,6 +129,8 @@ def incremental_minhash_pairs(
     BENCH_NOTES.md). Output is bit-identical: identical-sig
     pairs carry estimate exactly 1.0, cross-group pairs the rep-level
     agreement their members share."""
+    if emit not in ("pairs", "spanning"):
+        raise ValueError(f"emit must be 'pairs' or 'spanning', got {emit!r}")
     probe = index.select(F.size("sig").alias("w")).first()
     if probe is not None and int(probe["w"]) != int(num_hashes):
         raise ValueError(
@@ -189,12 +201,24 @@ def incremental_minhash_pairs(
         .distinct()
     )
     mem = groups.select(
-        "gid", F.explode("members").alias("m")
+        "gid", "has_new", F.explode("members").alias("m")
     ).select(
         "gid",
+        "has_new",
         F.col("m.id").alias("mid"),
         F.col("m.__new").alias("mnew"),
     )
+    if emit == "spanning":
+        star = mem.where(
+            F.col("has_new") & (F.col("mid") != F.col("gid"))
+        ).select(
+            F.col("gid").alias("id_a"),
+            F.col("mid").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+        return gpairs.select(
+            F.col("u").alias("id_a"), F.col("v").alias("id_b"), "jaccard"
+        ).unionByName(star)
     n_docs = groups.agg(F.sum(F.size("members"))).first()[0] or 0
     bcast = n_docs <= BROADCAST_VERIFY_CAP
     ma = _maybe_broadcast(
@@ -255,10 +279,13 @@ def incremental_dedup(
     contains any indexed doc keeps no new rows (history wins), a
     pure-new component keeps its min id. Append
     ``minhash_band_index(survivors)`` to the index to complete the
-    ingest step."""
+    ingest step. The pair stage runs with ``emit="spanning"`` — the
+    clustering only needs connectivity plus one old witness per
+    component, so identical-signature groups contribute O(size) star
+    edges instead of O(size²) member pairs."""
     pairs = incremental_minhash_pairs(
         new_df, index, text_col, id_col, num_hashes, bands, shingle_n,
-        jaccard_threshold,
+        jaccard_threshold, emit="spanning",
     )
     comp = connected_components(pairs)
     old_ids = index.select("id").distinct().withColumn(

@@ -135,3 +135,48 @@ def test_index_roundtrip_through_parquet(spark, halves, tmp_path):
         ).collect()
     }
     assert a == b
+
+
+def test_incremental_spanning_same_survivors(spark, halves):
+    """incremental_dedup consumes spanning edges; the survivor set must
+    equal a pairs-mode replica of the same keeper logic."""
+    old, new = halves
+    idx = I.minhash_band_index(old)
+
+    def survivors(emit):
+        pairs = I.incremental_minhash_pairs(
+            new, idx, jaccard_threshold=THRESH, emit=emit
+        )
+        comp = D.connected_components(pairs)
+        old_ids = idx.select("id").distinct().withColumn(
+            "__old", F.lit(True)
+        )
+        lab = comp.join(old_ids, "id", "left")
+        keep_new = (
+            lab.groupBy("component")
+            .agg(
+                F.max(F.coalesce("__old", F.lit(False))).alias("has_old"),
+                F.min(
+                    F.when(F.col("__old").isNull(), F.col("id"))
+                ).alias("min_new"),
+            )
+            .where(~F.col("has_old"))
+            .select(F.col("min_new").alias("id"))
+        )
+        new_in_pairs = comp.join(old_ids.select("id"), "id", "left_anti")
+        losers = {
+            r["id"]
+            for r in new_in_pairs.join(keep_new, "id", "left_anti").collect()
+        }
+        return losers
+
+    assert survivors("spanning") == survivors("pairs")
+    # and the public entry point (spanning by default) agrees
+    all_new = {r["doc_id"] for r in new.select("doc_id").collect()}
+    kept = {
+        r["doc_id"]
+        for r in I.incremental_dedup(
+            new, idx, jaccard_threshold=THRESH
+        ).collect()
+    }
+    assert kept == all_new - survivors("pairs")
