@@ -637,11 +637,12 @@ class Table:
         rank] (operators/similarity.py).
 
         ``method``: ``'brute'`` (exact — broadcast queries, corpus never
-        shuffles), ``'lsh'`` (signed-random-projection buckets),
-        ``'ivf'`` (train/assign ``n_clusters`` coarse cells, probe the
-        query's cell) or ``'pq'`` (IVF-free product-quantization ADC;
-        pass ``codebooks=`` to reuse a trained codebook, ``m=``/``ksub=``
-        to size one)."""
+        shuffles), ``'lsh'`` (signed-random-projection buckets; pass
+        ``nprobe=`` for multi-probe — higher recall with no corpus-side
+        cost), ``'ivf'`` (train/assign ``n_clusters`` coarse cells,
+        probe the query's cell) or ``'pq'`` (IVF-free
+        product-quantization ADC; pass ``codebooks=`` to reuse a
+        trained codebook, ``m=``/``ksub=`` to size one)."""
         from ..operators import similarity as S
 
         qdf = queries.df if isinstance(queries, Table) else queries

@@ -200,6 +200,7 @@ def lsh_topk(
     projection: str = "axis",
     seed: int = 42,
     bands: int = 1,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Approximate top-k probing only the query's sign bucket(s).
 
@@ -208,22 +209,82 @@ def lsh_topk(
     with optional multi-band probing (bands>1 → union of per-band
     candidates → higher recall at proportional probe cost).
 
+    ``nprobe>1`` adds **multi-probe** (Lv et al., VLDB'07): per band the
+    query also probes the ``nprobe−1`` buckets reached by flipping its
+    smallest-|margin| sign bits — the bits whose projection sat closest
+    to the hyperplane, i.e. the buckets a true neighbor most likely
+    fell into. Recall rises like adding bands, but the CORPUS side is
+    untouched (no extra tables, no re-bucketing): only the
+    broadcast-sized query side fans out ×nprobe.
+
     Scale: corpus bucketing is a narrow projection; the equality join on
     (band, bucket) replaces the cross join — each query scores
-    ~bands·N/2^nbits candidates."""
+    ~bands·nprobe·N/2^nbits candidates."""
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     if projection == "random":
         dim = _vec_dim(corpus, vec_col)
+        H = _hyperplanes(nbits * bands, dim, seed)
+
+        def proj(col, band, i):
+            h = F.array(*[F.lit(float(x)) for x in H[band * nbits + i]])
+            return dot(col, h)
+
+        n_bands = bands
 
         def bucketize(col):
             return srp_band_buckets(col, nbits, bands, dim, seed)
     else:
 
+        def proj(col, band, i):
+            return F.element_at(col, i + 1)
+
+        n_bands = 1
+
         def bucketize(col):
             return F.array(sign_bucket(col, nbits))
 
+    def probes(col):
+        """array<struct<band,bucket>>: base bucket per band plus the
+        nprobe−1 smallest-margin single-bit flips."""
+        per_band = []
+        for band in range(n_bands):
+            base = F.lit(0)
+            for i in range(nbits):
+                base = base + F.when(
+                    proj(col, band, i) > 0, F.lit(2**i)
+                ).otherwise(0)
+            head = F.array(F.struct(
+                F.lit(band).alias("band"), base.alias("bucket")
+            ))
+            if nprobe <= 1:
+                per_band.append(head)
+                continue
+            margins = F.array_sort(F.array(*[
+                F.struct(
+                    F.abs(proj(col, band, i)).alias("m"),
+                    F.lit(i).alias("i"),
+                )
+                for i in range(nbits)
+            ]))
+            masks = F.array(*[F.lit(1 << i) for i in range(nbits)])
+            flips = F.transform(
+                F.slice(margins, 1, min(nprobe - 1, nbits)),
+                lambda s: F.struct(
+                    F.lit(band).alias("band"),
+                    base.bitwiseXOR(
+                        F.element_at(masks, s["i"] + 1)
+                    ).alias("bucket"),
+                ),
+            )
+            per_band.append(F.concat(head, flips))
+        return per_band[0] if len(per_band) == 1 else F.concat(*per_band)
+
     q = _sided(queries, id_col, vec_col, "query_id", "qv", "nq").select(
-        "*", F.posexplode(bucketize(F.col("qv"))).alias("band", "bucket")
-    )
+        "*", F.explode(probes(F.col("qv"))).alias("pb")
+    ).select(
+        "*", F.col("pb.band").alias("band"), F.col("pb.bucket").alias("bucket")
+    ).drop("pb")
     c = fan_out(
         _sided(corpus, id_col, vec_col, "neighbor_id", "cv", "nc")
     ).select(

@@ -173,6 +173,39 @@ def test_near_dup_random_projection_recall(spark, sf_dir):
     assert len(lsh & exact) / len(exact) >= 0.85
 
 
+def test_lsh_topk_multiprobe_raises_recall(spark, sf_dir):
+    """nprobe>1 probes the smallest-margin bit-flip buckets: recall vs
+    the brute-force truth rises monotonically, the corpus side is never
+    replicated, and nprobe=1 stays the single-bucket behavior."""
+    from sea_serpent_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 30)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(e, q, k=5).collect()
+    }
+
+    def recall(npb):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in lsh_topk(
+                e, q, k=5, nbits=10, projection="random", nprobe=npb
+            ).collect()
+        }
+        return len(got & truth) / len(truth), len(got)
+
+    r1, n1 = recall(1)
+    r8, n8 = recall(8)
+    assert n8 >= n1
+    assert r8 > r1  # deterministic: seeded hyperplanes + fixed corpus
+    with pytest.raises(ValueError, match="nprobe"):
+        lsh_topk(e, q, k=5, nprobe=0)
+
+
 def test_lsh_topk_random_projection_on_clustered_data(spark):
     """Multi-band random-projection top-k recovers within-cluster
     neighbors on data WITH locality (20 tight clusters)."""
