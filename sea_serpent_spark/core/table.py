@@ -961,6 +961,26 @@ class Table:
 
         return self._derive(skew_report(self.df, key_cols, top))
 
+    def pack_sequences(
+        self,
+        token_col: str,
+        seq_len: int,
+        id_col: str = "doc_id",
+        seq_col: str = "seq_id",
+        oversize: str = "error",
+    ) -> "Table":
+        """Assign rows to fixed-capacity training sequences with
+        best-fit-decreasing bin packing (minimal padding); the Python
+        worker sees only (id, token_count) pairs
+        (operators/curation.py pack_sequences)."""
+        from ..operators.curation import pack_sequences
+
+        return self._derive(
+            pack_sequences(
+                self.df, token_col, seq_len, id_col, seq_col, oversize
+            )
+        )
+
     def pack_shards(
         self,
         token_col: str,

@@ -323,6 +323,115 @@ def pack_shards(
         raise
 
 
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    seq_len: int,
+    id_col: str = "doc_id",
+    seq_col: str = "seq_id",
+    oversize: str = "error",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Assign each document to a fixed-capacity training sequence
+    (bin of ``seq_len`` tokens) minimizing padding — the
+    sequence-packing step between curation and the dataloader.
+    ``pack_shards`` fills shards *sequentially* in a given order (right
+    for contiguous multi-sequence shards); this packs *bins* best-fit:
+    docs sorted largest-first, each placed into the open bin with the
+    smallest remainder that still fits (best-fit-decreasing — within
+    ~11/9 of optimal padding, the classic bin-packing bound).
+
+    Distributed shape: bin packing is inherently sequential, so the
+    corpus hash-partitions by id into ``partitions`` independent
+    packing groups and each group packs in ONE Arrow batch — but the
+    Python worker only ever sees (id, token_count) pairs, never
+    documents; the assignment joins back on id (one corpus shuffle,
+    AQE-broadcast when the corpus is small). Group-local packing is
+    the standard scale compromise: with thousands of docs per group
+    the per-group BFD waste is already near the global bound, and
+    hash grouping is layout-independent, so the packing is
+    deterministic under repartition.
+
+    ``oversize``: ``'error'`` raises if any doc exceeds ``seq_len``
+    (chunk first — ``chunk_documents``); ``'isolate'`` gives each
+    oversized doc its own flagged bin. NULL token counts pack as 0.
+
+    Output: ``df`` + ``seq_col`` (globally unique long:
+    group << 33 | local bin index)."""
+    if oversize not in ("error", "isolate"):
+        raise ValueError(
+            f"oversize must be 'error' or 'isolate', got {oversize!r}"
+        )
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    if oversize == "error":
+        n_over = df.where(F.col(token_col) > seq_len).count()
+        if n_over:
+            raise ValueError(
+                f"{n_over} documents exceed seq_len={seq_len}; chunk "
+                "them first (chunk_documents) or pass oversize='isolate'"
+            )
+    if partitions is not None:
+        P = partitions
+    else:
+        # groups need THOUSANDS of docs each for near-optimal local
+        # packing — a tiny corpus split across defaultParallelism
+        # groups would open near-empty bins everywhere. One count
+        # sizes the grouping; the cap keeps groups Arrow-batch-sized.
+        n = df.count()
+        dp = df.sparkSession.sparkContext.defaultParallelism
+        P = max(1, min(dp * 4, (n + 8191) // 8192))
+    sized = df.select(
+        F.col(id_col).alias("__id"),
+        F.coalesce(F.col(token_col), F.lit(0)).cast("long").alias("__t"),
+        F.pmod(F.xxhash64(id_col), F.lit(P)).cast("int").alias("__g"),
+    )
+    id_field = df.schema[id_col].dataType.simpleString()
+    out_schema = f"__id {id_field}, {seq_col} long"
+    cap = int(seq_len)
+
+    def _bfd(pdf):
+        import bisect
+
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["__t", "__id"], ascending=[False, True], kind="mergesort"
+        )
+        g = int(pdf["__g"].iloc[0]) if len(pdf) else 0
+        base = g << 33
+        # parallel sorted lists: remainders + the bin index owning each
+        rems: list[int] = []
+        rbins: list[int] = []
+        nbins = 0
+        seq = []
+        for t in pdf["__t"].to_numpy():
+            t = int(t)
+            if t > cap:  # oversize='isolate': dedicated overflowing bin
+                seq.append(base | nbins)
+                nbins += 1
+                continue
+            i = bisect.bisect_left(rems, t)
+            if i < len(rems):  # best fit: smallest remainder ≥ t
+                b = rbins.pop(i)
+                r = rems.pop(i) - t
+            else:  # nothing fits: open a bin
+                b = nbins
+                nbins += 1
+                r = cap - t
+            seq.append(base | b)
+            if r > 0:
+                j = bisect.bisect_left(rems, r)
+                rems.insert(j, r)
+                rbins.insert(j, b)
+        return pd.DataFrame({"__id": pdf["__id"], seq_col: seq})
+
+    packed = sized.groupBy("__g").applyInPandas(_bfd, out_schema)
+    return df.join(
+        packed, F.col(id_col) == F.col("__id"), "inner"
+    ).drop("__id")
+
+
 # ---------------------------------------------------------------------------
 # sliding-window document chunking (sequence-length prep)
 # ---------------------------------------------------------------------------

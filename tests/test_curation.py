@@ -564,3 +564,65 @@ def test_repetition_metrics_refilter_output(spark):
     again = C.gopher_filter(audited, keep_metrics=True)
     assert again.count() == 1
     assert again.columns.count("dup_2gram_frac") == 1
+
+
+def test_pack_sequences_bfd(spark):
+    """Best-fit-decreasing: perfectly pairable sizes pack with zero
+    padding; capacity is never exceeded; every doc lands exactly once."""
+    from sea_serpent_spark.operators.curation import pack_sequences
+
+    rows = [(i * 10 + j, t) for i in range(20)
+            for j, t in enumerate([6, 5, 4, 3, 2, 1])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = pack_sequences(df, "n_tok", 7, partitions=1)
+    fills = {
+        r["seq_id"]: r["s"]
+        for r in out.groupBy("seq_id").agg(
+            F.sum("n_tok").alias("s")).collect()
+    }
+    assert all(s <= 7 for s in fills.values())
+    # 120 docs of pairable sizes → 60 perfectly full bins
+    assert len(fills) == 60 and all(s == 7 for s in fills.values())
+    assert out.count() == df.count()
+    assert out.select("doc_id").distinct().count() == df.count()
+
+
+def test_pack_sequences_contracts(spark):
+    from sea_serpent_spark.operators.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 12), (3, None)], "doc_id long, n_tok long"
+    )
+    with pytest.raises(ValueError, match="exceed"):
+        pack_sequences(df, "n_tok", 8)
+    iso = pack_sequences(df, "n_tok", 8, oversize="isolate")
+    bins = {r["doc_id"]: r["seq_id"] for r in iso.collect()}
+    assert len(bins) == 3
+    # the oversized doc sits alone in its bin
+    assert list(bins.values()).count(bins[2]) == 1
+    with pytest.raises(ValueError, match="oversize"):
+        pack_sequences(df, "n_tok", 8, oversize="drop")
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(df, "n_tok", 0)
+
+
+def test_pack_sequences_layout_independent(spark, sf_dir):
+    """Hash grouping + deterministic BFD ⇒ the same (doc → seq)
+    assignment no matter how the input was partitioned."""
+    from sea_serpent_spark.operators.curation import pack_sequences
+    from sea_serpent_spark.operators.text import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+    a = {
+        r["doc_id"]: r["seq_id"]
+        for r in pack_sequences(docs, "n_tok", 2048,
+                                oversize="isolate").collect()
+    }
+    b = {
+        r["doc_id"]: r["seq_id"]
+        for r in pack_sequences(docs.repartition(7), "n_tok", 2048,
+                                oversize="isolate").collect()
+    }
+    assert a == b and len(a) == docs.count()
