@@ -264,3 +264,41 @@ def test_plan_report_counts_only_global_sorts(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     assert plan_report(o.sortWithinPartitions("o_custkey"))["sorts"] == 0
     assert plan_report(o.orderBy("o_custkey"))["sorts"] == 1
+
+
+def test_zorder_plan_shape(spark, sf_dir):
+    """zorder_frame: exactly one range exchange, no Python evals, no
+    global sort (the in-partition sort is partial), and the scan still
+    prunes to the needed columns."""
+    from sea_serpent_spark.operators.layout import zorder_frame
+    from sea_serpent_spark.operators.plan_report import plan_report
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rep = plan_report(zorder_frame(ev, ["user_id", "event_id"], bits=8))
+    assert rep["python_evals"] == 0
+    assert rep["sorts"] == 0  # sortWithinPartitions is partial
+    assert not rep["has_cartesian"]
+    # one range exchange for the curve; the min/max agg ran at build
+    # time as its own job, not inside this plan
+    assert rep["n_exchanges"] == 1
+
+
+def test_pack_sequences_python_sees_only_ids(spark, sf_dir):
+    """pack_sequences: exactly one grouped-Pandas eval, and its input
+    schema carries only (id, tokens, group) — documents never enter the
+    Python worker."""
+    from sea_serpent_spark.operators.curation import pack_sequences
+    from sea_serpent_spark.operators.plan_report import plan_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", F.length("text").alias("n_tok")
+    )
+    out = pack_sequences(docs, "n_tok", 10**6, partitions=4)
+    rep = plan_report(out)
+    assert rep["python_evals"] == 1
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"FlatMapGroupsInPandas[^\n]*", plan)
+    assert m is not None
+    assert "text" not in m.group(0)  # only __id/__t/__g cross the bridge
