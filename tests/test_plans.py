@@ -302,3 +302,33 @@ def test_pack_sequences_python_sees_only_ids(spark, sf_dir):
     m = re.search(r"FlatMapGroupsInPandas[^\n]*", plan)
     assert m is not None
     assert "text" not in m.group(0)  # only __id/__t/__g cross the bridge
+
+
+def test_workload_plan_audit(spark, sf_dir):
+    """Sweep EVERY driver query's executed plan: cartesian/nested-loop
+    joins only where they are the documented broadcast-bounded design,
+    Python evaluation only in the multimodal slot. A new query (or a
+    regression in an operator an existing query uses) that introduces
+    an unbounded join or a stray Python UDF fails here before it ever
+    reaches a 100 TB plan."""
+    import __spark_entry__ as E
+    from sea_serpent_spark.operators.plan_report import plan_report
+
+    # q06: limit-1 existence probe (1-row broadcast side)
+    # q37: dense-regime all-pairs — reps broadcast under allpairs_rep_cap
+    # q40: brute-force ANN baseline — broadcast-bounded by contract
+    # q43: the oracle-pinned exact (nbits=0) all-pairs variant
+    CARTESIAN_OK = {
+        "q06_count", "q37_ngram_jaccard",
+        "q40_ann_brute_topk", "q43_embedding_near_dup",
+    }
+    PYEVAL_OK = {"q53_media_features"}  # mapInPandas multimodal decode
+    bad_cart, bad_py = [], []
+    for name, fn in E.queries().items():
+        rep = plan_report(fn(spark, sf_dir))
+        if rep["has_cartesian"] and name not in CARTESIAN_OK:
+            bad_cart.append((name, rep["joins"]))
+        if rep["python_evals"] and name not in PYEVAL_OK:
+            bad_py.append(name)
+    assert not bad_cart, f"unexpected cartesian/NLJ plans: {bad_cart}"
+    assert not bad_py, f"unexpected Python evals: {bad_py}"
