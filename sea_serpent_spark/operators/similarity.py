@@ -475,8 +475,19 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     p_target: float = 0.9,
     group_col: str | None = None,
+    emit: str = "pairs",
 ) -> DataFrame:
     """→ [id_a, id_b, cos ≥ threshold] near-duplicate vectors.
+
+    ``emit="spanning"`` (what ``semantic_dedup`` feeds its clustering):
+    rows are first canonicalized by EXACT vector equality (URL re-posts
+    and mirrored shards embed to byte-identical vectors at corpus
+    scale), the pair machinery below runs on one representative per
+    distinct vector, and the result is the connectivity-equivalent
+    edge set — rep-level cross pairs plus one star edge per group
+    member, carrying the rep's self-cosine (the same rounded value the
+    naive formulation computes for an identical pair). O(cluster)
+    edges instead of O(cluster²); connected components are identical.
 
     The DEFAULT is the scale path: banded signed-random-projection LSH —
     same-band-bucket pairs are candidates (union over bands), each
@@ -495,6 +506,47 @@ def embedding_near_dup_pairs(
     so cross-group pairs are never enumerated — the SemDeDup
     within-cluster shape. With ``nbits=0`` the exact path becomes a
     per-group equi-join instead of a global crossJoin."""
+    if emit not in ("pairs", "spanning"):
+        raise ValueError(f"emit must be 'pairs' or 'spanning', got {emit!r}")
+    if emit == "spanning":
+        from .dedup import _keep_cache
+
+        keys = ([group_col] if group_col is not None else []) + [vec_col]
+        groups = _keep_cache(
+            df.groupBy(*keys).agg(
+                F.min(id_col).alias("__gid"),
+                F.collect_list(id_col).alias("__members"),
+            )
+        )
+        groups.count()
+        reps = groups.select(
+            F.col("__gid").alias(id_col),
+            *([group_col] if group_col is not None else []),
+            vec_col,
+        )
+        rep_pairs = embedding_near_dup_pairs(
+            reps, threshold, id_col, vec_col, nbits, bands,
+            projection, seed, p_target, group_col,
+        )
+        v = F.col(vec_col)
+        self_cos = F.round(dot(v, v) / (norm(v) * norm(v)), 4)
+        stars = (
+            groups.select(
+                "__gid",
+                self_cos.alias("cos"),
+                F.explode("__members").alias("__mid"),
+            )
+            .where(
+                (F.col("__mid") != F.col("__gid"))
+                & (F.col("cos") >= threshold)
+            )
+            .select(
+                F.col("__gid").alias("id_a"),
+                F.col("__mid").alias("id_b"),
+                "cos",
+            )
+        )
+        return rep_pairs.unionByName(stars)
     if nbits is None:
         nbits, tuned_bands = tune_srp(threshold, p_target)
         bands = bands or tuned_bands
@@ -637,6 +689,9 @@ def semantic_dedup(
         seed=seed,
         p_target=p_target,
         group_col="__sem_c",
+        # connectivity-equivalent star+rep edges: identical vectors
+        # contribute O(group) edges, not an O(group²) clique
+        emit="spanning",
     )
     comp = connected_components(pairs)
     if keep == "min_id":

@@ -1253,3 +1253,31 @@ def test_dataset_diff(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="duplicate"):
         dataset_diff(dup, new, on="k")
+
+
+def test_embedding_spanning_component_equivalent(spark, sf_dir):
+    """embedding emit='spanning' (exact-vector canonicalization + star
+    edges) yields the same connected components as the full pair set —
+    pinned on a corpus with injected byte-identical duplicates."""
+    from sea_serpent_spark.operators.dedup import connected_components
+    from sea_serpent_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    # clone 20 vectors under new ids → exact-duplicate groups
+    dups = e.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = e.unionByName(dups)
+    full = embedding_near_dup_pairs(corpus, threshold=0.9, nbits=0)
+    span = embedding_near_dup_pairs(
+        corpus, threshold=0.9, nbits=0, emit="spanning"
+    )
+    n_full, n_span = full.count(), span.count()
+    assert 0 < n_span <= n_full
+    cf = {r.id: r.component for r in connected_components(full).collect()}
+    cs = {r.id: r.component for r in connected_components(span).collect()}
+    assert cf == cs
