@@ -205,3 +205,91 @@ def test_duplicate_spans_property(spark, docs, span):
         if len(ks) >= 2:
             want.update(sorted(ks)[1:])
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round-4 operators: packing, layout, spanning equivalence
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_pack_sequences_invariants(spark, data):
+    """Random size multisets: every doc assigned exactly once, no bin
+    over capacity, and bins ≥ the information-theoretic lower bound
+    ceil(total/cap) — BFD can't beat it, must not violate capacity."""
+    import math
+
+    from sea_serpent_spark.operators.curation import pack_sequences
+
+    cap = data.draw(st.integers(8, 64))
+    sizes = data.draw(
+        st.lists(st.integers(0, cap), min_size=1, max_size=60)
+    )
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sizes)], "doc_id long, n long"
+    )
+    out = pack_sequences(df, "n", cap, partitions=1).collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(len(sizes)))
+    fills: dict = {}
+    for r in out:
+        fills[r["seq_id"]] = fills.get(r["seq_id"], 0) + sizes[r["doc_id"]]
+    assert all(v <= cap for v in fills.values())
+    total = sum(sizes)
+    assert len(fills) >= math.ceil(total / cap) if total else True
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_zorder_key_matches_reference_morton(spark, data):
+    """Random cell grids: the engine's interleaved key equals the pure-
+    python Morton reference for every (x, y) drawn."""
+    from sea_serpent_spark.operators.layout import zorder_key
+
+    bits = data.draw(st.integers(1, 8))
+    n = 1 << bits
+    pts = data.draw(st.lists(
+        st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+        min_size=1, max_size=30, unique=True))
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = df.withColumn("z", zorder_key(
+        df, ["x", "y"], bits=bits, ranges={"x": (0, n), "y": (0, n)}
+    )).collect()
+
+    def morton(x, y):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    for r in got:
+        assert r["z"] == morton(r["x"], r["y"]), (r["x"], r["y"])
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_spanning_equivalence_random_corpora(spark, data):
+    """Random dup-structured corpora: minhash spanning edges give the
+    same connected components as the full pair expansion."""
+    from sea_serpent_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    n_docs = data.draw(st.integers(4, 24))
+    rows = []
+    for i in range(n_docs):
+        k = data.draw(st.integers(1, len(words)))
+        # draw a subset; duplicates across docs arise naturally
+        toks = data.draw(st.permutations(words))[:k]
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = minhash_lsh_pairs(df, jaccard_threshold=0.5)
+    span = minhash_lsh_pairs(df, jaccard_threshold=0.5, emit="spanning")
+    cf = {r.id: r.component for r in connected_components(full).collect()}
+    cs = {r.id: r.component for r in connected_components(span).collect()}
+    assert cf == cs
