@@ -691,6 +691,28 @@ class Table:
                                 **kwargs)
         )
 
+    def fuzzy_join(
+        self,
+        other,
+        left_text: str,
+        right_text: str,
+        left_id: str,
+        right_id: str,
+        max_distance: int = 2,
+    ) -> "Table":
+        """Cross-table pairs within ``max_distance`` Levenshtein edits —
+        entity resolution against another table (operators/fuzzy.py
+        edit_distance_join)."""
+        from ..operators.fuzzy import edit_distance_join
+
+        o = other.df if isinstance(other, Table) else other
+        return self._derive(
+            edit_distance_join(
+                self.df, o, left_text, right_text, left_id, right_id,
+                max_distance,
+            )
+        )
+
     def zorder(
         self,
         cols: list[str],

@@ -150,3 +150,113 @@ def edit_distance_pairs(
     # the paths are disjoint (long-long vs short-anything pairs), so the
     # union needs no further dedup
     return pairs_long.unionByName(pairs_short)
+
+
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_text: str,
+    right_text: str,
+    left_id: str,
+    right_id: str,
+    max_distance: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """→ [id_l, id_r, distance]: every cross-table pair with
+    ``levenshtein ≤ max_distance`` — the entity-resolution R⋈S variant
+    of ``edit_distance_pairs`` (match customers against a vendor list,
+    align two catalogs). Exact, same q-gram count-filter family.
+
+    Two-sided prefix filtering: gram document frequencies are counted
+    over the UNION of both sides so both prefixes share one total
+    order; a qualifying pair must then share ≥1 gram between its two
+    prefixes, so candidates come from one equi-join of the two prefix
+    indexes (ids + gram ids only). Strings ride the index and the
+    banded ``levenshtein(…, k)`` verifies in-join; ``distinct`` runs on
+    survivors. Short strings (where the gram theorem is vacuous) go
+    through exact length-bucket probes, each side covering the pairs
+    the other side's probe does not. Hot grams rely on AQE's skew-join
+    split — the two sides are distinct relations, so the k-way
+    self-join salting does not apply.
+
+    NULL strings never match; empty strings participate via the short
+    path."""
+    k = max_distance
+    if k < 0:
+        raise ValueError(f"max_distance must be >= 0, got {k}")
+    short_len = q * (k + 1) - 1
+
+    def _base(df, text_col, id_col, side):
+        return df.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.col(text_col).alias(f"s_{side}"),
+            F.length(text_col).alias(f"ln_{side}"),
+        ).where(F.col(f"s_{side}").isNotNull())
+
+    bl = _base(left, left_text, left_id, "l")
+    br = _base(right, right_text, right_id, "r")
+
+    # one gram order for both sides: df over the union
+    def _tok(b, side):
+        return b.select(
+            f"id_{side}", f"ln_{side}", f"s_{side}",
+            F.explode(
+                qgrams(F.col(f"s_{side}"), q)
+            ).alias("g"),
+        )
+    tl = _tok(fan_out(bl.where(F.col("ln_l") > short_len)), "l")
+    tr = _tok(fan_out(br.where(F.col("ln_r") > short_len)), "r")
+    dfreq = (
+        tl.select("g").unionAll(tr.select("g"))
+        .groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    )
+    from pyspark.sql import Window
+
+    def _prefix(t, side):
+        w = Window.partitionBy(f"id_{side}").orderBy(
+            F.asc("df"), F.asc("g")
+        )
+        return (
+            t.join(dfreq, "g")
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k * q + 1)
+            .select(f"id_{side}", f"ln_{side}", f"s_{side}", "g")
+        )
+
+    lev = F.levenshtein("s_l", "s_r", k)
+    pairs_long = (
+        _prefix(tl, "l").join(_prefix(tr, "r"), "g")
+        .where(F.abs(F.col("ln_l") - F.col("ln_r")) <= k)
+        .withColumn("distance", lev)
+        .where((F.col("distance") >= 0) & (F.col("distance") <= k))
+        .select("id_l", "id_r", "distance")
+        .distinct()
+    )
+
+    def _short_probe(short_side, other, sname, oname):
+        probe = short_side.select(
+            f"id_{sname}", f"s_{sname}",
+            F.explode(F.sequence(
+                F.col(f"ln_{sname}") - k, F.col(f"ln_{sname}") + k
+            )).alias("lb"),
+        ).where(F.col("lb") >= 0)
+        build = other.select(
+            f"id_{oname}", f"s_{oname}",
+            F.col(f"ln_{oname}").alias("lb"),
+        )
+        return (
+            probe.join(build, "lb")
+            .withColumn("distance", lev)
+            .where((F.col("distance") >= 0) & (F.col("distance") <= k))
+            .select("id_l", "id_r", "distance")
+            .distinct()
+        )
+
+    # left-shorts × all right; right-shorts × left LONGS only — every
+    # either-side-short pair covered exactly once
+    ps1 = _short_probe(bl.where(F.col("ln_l") <= short_len), br, "l", "r")
+    ps2 = _short_probe(
+        br.where(F.col("ln_r") <= short_len),
+        bl.where(F.col("ln_l") > short_len), "r", "l",
+    )
+    return pairs_long.unionByName(ps1).unionByName(ps2)

@@ -1281,3 +1281,63 @@ def test_embedding_spanning_component_equivalent(spark, sf_dir):
     cf = {r.id: r.component for r in connected_components(full).collect()}
     cs = {r.id: r.component for r in connected_components(span).collect()}
     assert cf == cs
+
+
+@pytest.mark.parametrize("k", [0, 1, 2])
+def test_edit_distance_join_vs_bruteforce(spark, k):
+    """Cross-table fuzzy join equals the quadratic levenshtein truth,
+    including empty strings and the short/long path boundary."""
+    import itertools
+
+    left = [
+        (1, "kitten"), (2, "cat"), (3, ""), (4, "spark"), (5, "a"),
+        (6, "sitting"),
+    ]
+    right = [
+        (10, "sitting"), (11, "bat"), (12, "x"), (13, "spars"),
+        (14, ""), (15, "kitten"),
+    ]
+    from sea_serpent_spark.operators.fuzzy import edit_distance_join
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    truth = {
+        (i, j, lev(sa, sb))
+        for (i, sa), (j, sb) in itertools.product(left, right)
+        if lev(sa, sb) <= k
+    }
+    ldf = spark.createDataFrame(left, "sid long, name string")
+    rdf = spark.createDataFrame(right, "rid long, label string")
+    got = {
+        (r["id_l"], r["id_r"], r["distance"])
+        for r in edit_distance_join(
+            ldf, rdf, "name", "label", "sid", "rid", max_distance=k
+        ).collect()
+    }
+    assert got == truth, (k, got ^ truth)
+
+
+def test_fuzzy_join_table_method(spark, sf_dir):
+    import sea_serpent_spark as ss
+
+    c = ss.Table.from_parquet(f"{sf_dir}/customer.parquet", "customer")
+    s = ss.Table.from_parquet(f"{sf_dir}/supplier.parquet", "supplier")
+    # different scaffolds ("Customer#…" vs "Supplier#…") — no matches
+    out = c.fuzzy_join(s, "c_name", "s_name", "c_custkey", "s_suppkey",
+                       max_distance=2)
+    assert out.columns == ["id_l", "id_r", "distance"]
+    assert len(out) == 0
+    # against itself the join must at least find the identical names
+    out2 = c.fuzzy_join(c, "c_name", "c_name", "c_custkey", "c_custkey",
+                        max_distance=0)
+    assert len(out2) == len(c)
