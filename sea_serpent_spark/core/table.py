@@ -485,7 +485,9 @@ class Table:
         **kwargs,
     ) -> "Table":
         """Corpus-level deduplication: near-dup pairs → connected
-        components → keep the min-id canonical per cluster
+        components → one canonical survivor per cluster — min id by
+        default, or the best-scoring member via
+        ``keep="max", keep_col="quality_score"``
         (operators/dedup.py dedup_corpus)."""
         from ..operators.dedup import dedup_corpus
 
