@@ -892,6 +892,25 @@ class Table:
                             max_weight)
         )
 
+    def token_budget_mix(
+        self,
+        source_col: str,
+        token_col: str,
+        budgets: dict,
+        id_col: str = "doc_id",
+        default: str = "drop",
+    ) -> "Table":
+        """Cap each source at a token budget ("50B web, 10B code"):
+        deterministic hash-order prefix per source, over-run ≤ one
+        document (operators/sampling.py token_budget_mix)."""
+        from ..operators.sampling import token_budget_mix
+
+        return self._derive(
+            token_budget_mix(
+                self.df, source_col, token_col, budgets, id_col, default
+            )
+        )
+
     def temperature_mix(
         self,
         source_col: str,

@@ -165,6 +165,78 @@ def mix_corpora(
     return df.where(b < expr)
 
 
+def token_budget_mix(
+    df: DataFrame,
+    source_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+    id_col: str,
+    default: str = "drop",
+    seed: int = 0,
+) -> DataFrame:
+    """Cap each source's contribution at a TOKEN budget — the mixture
+    recipe stated the way teams actually state it ("50 B tokens of
+    web, 10 B of code"), where ``mix_corpora``'s row-rate form needs
+    token counts converted to rates by hand and drifts as the corpus
+    grows. Keeps the deterministic prefix of each source under a
+    seeded hash order: a doc is kept iff its source's running token
+    sum up to it (exclusive) is still under the budget — so the first
+    boundary-straddling doc is kept and budgets are exceeded by at
+    most one document.
+
+    Determinism & monotonicity: order is ``epoch_key(id, seed)`` (a
+    pure hash — layout-independent), so re-runs pick the same docs and
+    raising a budget only ADDS documents. Appending new docs to the
+    corpus can displace old picks (new ids interleave into the hash
+    order) — pin ``seed`` and snapshot inputs for strict
+    reproducibility across corpus versions, same as any hash-order
+    sample of a growing set.
+
+    ``default``: ``'drop'`` removes sources without a budget,
+    ``'keep'`` passes them through uncapped.
+
+    Scale shape: one hash-partition shuffle on ``source_col`` + a
+    per-source window running sum — ids, sources, and token counts
+    only; a hot source is one window partition (bounded by that
+    source's row count, the same skew a groupBy on source has).
+    NULL/negative token counts count as 0."""
+    if default not in ("drop", "keep"):
+        raise ValueError(
+            f"default must be 'drop' or 'keep', got {default!r}"
+        )
+    for s, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for {s!r} must be >= 0, got {b}")
+    from pyspark.sql import Window
+
+    capped = df.where(F.col(source_col).isin(list(budgets)))
+    toks = F.greatest(
+        F.coalesce(F.col(token_col).cast("long"), F.lit(0)), F.lit(0)
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(epoch_key(id_col, seed), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = F.lit(None).cast("long")
+    for s, b in budgets.items():
+        budget = F.when(
+            F.col(source_col) == s, F.lit(int(b))
+        ).otherwise(budget)
+    kept = (
+        capped.withColumn("__cum", F.sum(toks).over(w))
+        .where((F.col("__cum") - toks) < budget)
+        .drop("__cum")
+    )
+    if default == "keep":
+        rest = df.where(
+            ~F.col(source_col).isin(list(budgets))
+            | F.col(source_col).isNull()
+        )
+        return kept.unionByName(rest)
+    return kept
+
+
 def temperature_rates(
     df: DataFrame,
     source_col: str,

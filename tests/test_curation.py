@@ -626,3 +626,58 @@ def test_pack_sequences_layout_independent(spark, sf_dir):
                                 oversize="isolate").collect()
     }
     assert a == b and len(a) == docs.count()
+
+
+def test_token_budget_mix(spark, sf_dir):
+    from sea_serpent_spark.operators.sampling import token_budget_mix
+    from sea_serpent_spark.operators.text import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tok")
+    )
+    budgets = {"src0": 500, "src1": 120, "src2": 0}
+    out = token_budget_mix(docs, "source", "n_tok", budgets, "doc_id")
+    sums = {
+        r["source"]: (r["s"], r["m"])
+        for r in out.groupBy("source").agg(
+            F.sum("n_tok").alias("s"), F.max("n_tok").alias("m")
+        ).collect()
+    }
+    totals = {
+        r["source"]: r["s"]
+        for r in docs.groupBy("source").agg(
+            F.sum("n_tok").alias("s")).collect()
+    }
+    assert set(sums) <= {"src0", "src1"}  # src2 budget 0, rest dropped
+    for s, (tok_sum, mx) in sums.items():
+        assert tok_sum < budgets[s] + mx  # over-run ≤ one doc
+        if totals[s] > budgets[s]:
+            assert tok_sum >= budgets[s]  # budget actually filled
+    # deterministic + monotone: doubling a budget only adds docs
+    a = {r["doc_id"] for r in out.collect()}
+    b = {
+        r["doc_id"]
+        for r in token_budget_mix(
+            docs, "source", "n_tok", budgets, "doc_id").collect()
+    }
+    assert a == b
+    more = {
+        r["doc_id"]
+        for r in token_budget_mix(
+            docs, "source", "n_tok",
+            {**budgets, "src1": 1000}, "doc_id").collect()
+    }
+    assert a <= more
+    # default='keep' passes unbudgeted sources through whole
+    kept = token_budget_mix(
+        docs, "source", "n_tok", {"src0": 500}, "doc_id", default="keep"
+    )
+    n_other = docs.where("source <> 'src0'").count()
+    assert kept.where("source <> 'src0'").count() == n_other
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="budget"):
+        token_budget_mix(docs, "source", "n_tok", {"src0": -1}, "doc_id")
+    with _pt.raises(ValueError, match="default"):
+        token_budget_mix(docs, "source", "n_tok", {}, "doc_id",
+                         default="zero")
