@@ -332,3 +332,32 @@ def test_workload_plan_audit(spark, sf_dir):
             bad_py.append(name)
     assert not bad_cart, f"unexpected cartesian/NLJ plans: {bad_cart}"
     assert not bad_py, f"unexpected Python evals: {bad_py}"
+
+
+def test_token_budget_mix_window_is_source_keyed(spark, sf_dir):
+    """The running token sum is windowed BY SOURCE — never a global
+    single-partition window."""
+    from sea_serpent_spark.operators.sampling import token_budget_mix
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", F.length("text").alias("n")
+    )
+    out = token_budget_mix(d, "source", "n", {"src0": 100}, "doc_id")
+    plan = _plan(out)
+    assert "SinglePartition" not in plan
+    assert "windowspecdefinition(source" in plan
+
+
+def test_edit_distance_join_no_cartesian(spark, sf_dir):
+    """The cross-table fuzzy join plans as equi-joins (gram / length
+    buckets) — never a nested-loop or cartesian product."""
+    from sea_serpent_spark.operators.fuzzy import edit_distance_join
+    from sea_serpent_spark.operators.plan_report import plan_report
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    rep = plan_report(edit_distance_join(
+        c, s, "c_name", "s_name", "c_custkey", "s_suppkey", 1
+    ))
+    assert not rep["has_cartesian"]
+    assert rep["python_evals"] == 0
