@@ -27,6 +27,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from .text import round_half_up, words
+from .util import tracked_checkpoint
 
 # ---------------------------------------------------------------------------
 # PII redaction / normalization
@@ -315,7 +316,7 @@ def pack_shards(
         # the lazy plan (inspection/tests); the persisted input is then
         # deliberately left pinned to keep the offsets honest.
         if checkpoint:
-            out = out.localCheckpoint(eager=True)
+            out, _ = tracked_checkpoint(out)
             pinned.unpersist()
         return out
     except Exception:
@@ -502,13 +503,13 @@ def curation_funnel(
     instead of re-running the whole prefix — total cost is the sum of
     single stages, not quadratic in their number."""
     report: list[dict] = []
-    cur = df
+    cur, cur_h = df, None
     n_in = cur.count()
     for name, fn in stages:
         nxt = fn(cur)
         if nxt.isStreaming:
             raise ValueError("curation_funnel is batch-only")
-        nxt = nxt.localCheckpoint(eager=True)
+        nxt, nxt_h = tracked_checkpoint(nxt)
         n_out = nxt.count()
         report.append(
             {
@@ -521,5 +522,10 @@ def curation_funnel(
                 else 0.0,
             }
         )
-        cur, n_in = nxt, n_out
+        # stage N's blocks are dead once N+1 is materialized — release
+        # eagerly instead of leaving O(stages) corpus-sized checkpoints
+        # to the JVM garbage collector
+        if cur_h is not None:
+            cur_h.release()
+        cur, cur_h, n_in = nxt, nxt_h, n_out
     return cur, report

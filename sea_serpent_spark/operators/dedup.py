@@ -25,13 +25,15 @@ portable hash arithmetic (workload_ext).
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 
 from .hashing import MINHASH_COEFFS, P, SIMHASH_BITS, h32, h48
 from .text import fingerprint, words
-from .util import fan_out, spread as _spread
+from .util import fan_out, spread as _spread, tracked_checkpoint
 
 #: Default row cap for broadcasting the doc-level verify side of a pair
 #: join. 2M rows × (8B id + 16×8B signature) ≈ 300 MB — comfortably
@@ -174,6 +176,44 @@ def _salted_pairs(
         )
     out = probe.join(build, cond).select(*sel)
     return out.distinct() if distinct else out
+
+
+def _salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_id: str,
+    right_id: str,
+    k: int | None = None,
+) -> DataFrame:
+    """Skew-proof equi-join of two DISTINCT relations on ``keys`` — the
+    R⋈S generalization of :func:`_salted_pairs`' self-join salting.
+
+    Grid salting: side L gets a fixed row chunk ``_ca = hash(id) mod a``
+    and is replicated across all ``b`` values of ``_cb``; side R gets a
+    fixed ``_cb = hash(id) mod b`` replicated across all ``a`` values of
+    ``_ca``; the join key becomes (keys…, _ca, _cb). Every (l, r) pair
+    meets exactly once — at (ca(l), cb(r)) — and a hot key bucket of
+    Bl×Br rows splits into a·b balanced sub-joins of (Bl/a)×(Br/b)
+    instead of one task. With a = b ≈ ⌈√k⌉ each side is replicated only
+    √k ways (vs k for one-sided replication) — the shape that survives a
+    shared-scaffold hot gram at 100 TB without leaning on AQE's
+    post-shuffle skew estimates, which only split oversized shuffle
+    blocks AFTER a stage has already paid to write them."""
+    spark = left.sparkSession
+    k = k or spark.sparkContext.defaultParallelism
+    a = max(1, math.isqrt(k))
+    b = max(1, (k + a - 1) // a)
+    ls = left.withColumn(
+        "_ca", F.pmod(F.hash(left_id), F.lit(a))
+    ).withColumn("_cb", F.explode(F.sequence(F.lit(0), F.lit(b - 1))))
+    rs = right.withColumn(
+        "_cb", F.pmod(F.hash(right_id), F.lit(b))
+    ).withColumn("_ca", F.explode(F.sequence(F.lit(0), F.lit(a - 1))))
+    # explicit (AQE-honored) spread: if Catalyst broadcasts one side the
+    # other's parallelism would otherwise be its pre-explode partitioning
+    ls = ls.repartition(k)
+    return ls.join(rs, keys + ["_ca", "_cb"]).drop("_ca", "_cb")
 
 
 # ---------------------------------------------------------------------------
@@ -1009,22 +1049,21 @@ def connected_components(
     # the default level — they are node-count-sized and skinny.
     from pyspark import StorageLevel
 
-    edges = (
+    edges, edges_h = tracked_checkpoint(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        .distinct(),
+        storage_level=StorageLevel.DISK_ONLY,
     )
     # undirected: propagate both ways (narrow union over the checkpoint —
     # cheap to recompute per round, no second materialization needed)
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    labels = (
+    labels, labels_h = tracked_checkpoint(
         sym.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
         # min over self + neighbor labels
@@ -1043,7 +1082,7 @@ def connected_components(
         hop = stepped.select(
             F.col("id").alias("__lid"), F.col("component").alias("__lc")
         )
-        new_labels = (
+        new_labels, new_h = tracked_checkpoint(
             stepped.join(
                 hop, stepped["component"] == hop["__lid"], "left"
             )
@@ -1054,7 +1093,6 @@ def connected_components(
                     F.coalesce(F.col("__lc"), F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -1063,9 +1101,16 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = new_labels
+        # the superseded round's label blocks are dead weight the moment
+        # ``changed`` is computed — O(rounds) un-freed node-sized frames
+        # otherwise sit in the block manager until JVM GC (the round-4
+        # driver bench measured the accumulation as a 7x warm-run q61)
+        labels_h.release()
+        labels, labels_h = new_labels, new_h
         if changed == 0:
+            edges_h.release()
             return labels
+    edges_h.release()
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} "
         "rounds — graph diameter exceeds 2^rounds; raise max_iterations"
@@ -1262,7 +1307,7 @@ def decontaminate(
     returns the clean corpus with all original columns. The flagged-id
     set is contamination-sized (small), so the final anti-join
     broadcasts under the usual gate."""
-    flagged = (
+    flagged, _ = tracked_checkpoint(
         contamination_check(
             corpus, reference, text_col, id_col, ngram, min_hits, **kwargs
         )
@@ -1270,7 +1315,6 @@ def decontaminate(
         # materialize once: the broadcast gate's count() would otherwise
         # run the full n-gram pipeline and the anti-join would run it
         # again — 2x the operator's dominant cost
-        .localCheckpoint(eager=True)
     )
     flagged = _maybe_broadcast(
         flagged, _verify_gate(flagged, None, BROADCAST_VERIFY_CAP)

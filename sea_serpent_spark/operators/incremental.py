@@ -59,6 +59,7 @@ from .dedup import (
     minhash_signature,
     release_caches,
 )
+from .util import tracked_checkpoint
 
 
 def minhash_band_index(
@@ -311,7 +312,7 @@ def incremental_dedup(
     # materialize the (delta-sized) loser set once — the broadcast
     # gate's count() and the anti-join would otherwise EACH re-run the
     # pairs + components + keeper subtree
-    losers = losers.localCheckpoint(eager=True)
+    losers, _ = tracked_checkpoint(losers)
     losers = _maybe_broadcast(
         losers, _verify_gate(losers, None, BROADCAST_VERIFY_CAP)
     )

@@ -173,6 +173,7 @@ def token_budget_mix(
     id_col: str,
     default: str = "drop",
     seed: int = 0,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Cap each source's contribution at a TOKEN budget — the mixture
     recipe stated the way teams actually state it ("50 B tokens of
@@ -195,11 +196,35 @@ def token_budget_mix(
     ``default``: ``'drop'`` removes sources without a budget,
     ``'keep'`` passes them through uncapped.
 
-    Scale shape: one hash-partition shuffle on ``source_col`` + a
-    per-source window running sum — ids, sources, and token counts
-    only; a hot source is one window partition (bounded by that
-    source's row count, the same skew a groupBy on source has).
-    NULL/negative token counts count as 0."""
+    Scale shape — the ``pack_shards`` distributed-running-sum pattern,
+    applied per source. Semantically the keep predicate is
+    ``SUM(tokens) OVER (PARTITION BY source ORDER BY epoch_key) -
+    tokens < budget``, but a source-partitioned window is ONE task per
+    source: a 100 TB corpus that is 80% "web" would sort and scan 80%
+    of itself in a single thread. Instead:
+
+    1. ``repartitionByRange(source, epoch_key, id)`` + in-partition
+       sort — partitions are globally ordered (source, key) ranges, so
+       each source occupies a consecutive run of partitions (one
+       range-exchange shuffle, every task range-sized);
+    2. per-(partition, source) token sums via ``spark_partition_id``
+       — a metadata-sized aggregate (≤ #partitions + #sources rows)
+       collected to build per-source cumulative offsets;
+    3. in-partition running sum by a window PARTITIONED BY (partition
+       id, source) — every window group is one already-sorted slice of
+       one partition, never a whole source — plus the broadcast
+       offset.
+
+    A hot source spans many range partitions, so no stage has a task
+    bounded by source size. Only (id, source, tokens, key) move
+    through the shuffles. NULL/negative token counts count as 0.
+
+    The result is local-checkpointed by default: the collected offsets
+    are only valid for THIS materialization of the range exchange
+    (a recompute would re-sample the range boundaries and shift
+    partition ids). ``checkpoint=False`` returns the lazy plan for
+    inspection/tests and deliberately leaves the range-partitioned
+    input pinned to keep the offsets honest."""
     if default not in ("drop", "keep"):
         raise ValueError(
             f"default must be 'drop' or 'keep', got {default!r}"
@@ -209,25 +234,81 @@ def token_budget_mix(
             raise ValueError(f"budget for {s!r} must be >= 0, got {b}")
     from pyspark.sql import Window
 
+    from .util import tracked_checkpoint
+
     capped = df.where(F.col(source_col).isin(list(budgets)))
     toks = F.greatest(
         F.coalesce(F.col(token_col).cast("long"), F.lit(0)), F.lit(0)
     )
-    w = (
-        Window.partitionBy(source_col)
-        .orderBy(epoch_key(id_col, seed), F.col(id_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    num = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    part = (
+        capped.withColumn("__ek", epoch_key(id_col, seed))
+        .withColumn("__tok", toks)
+        .repartitionByRange(
+            num, F.col(source_col), F.col("__ek"), F.col(id_col)
+        )
+        .sortWithinPartitions(source_col, "__ek", id_col)
+        .withColumn("__pid", F.spark_partition_id())
     )
-    budget = F.lit(None).cast("long")
-    for s, b in budgets.items():
-        budget = F.when(
-            F.col(source_col) == s, F.lit(int(b))
-        ).otherwise(budget)
-    kept = (
-        capped.withColumn("__cum", F.sum(toks).over(w))
-        .where((F.col("__cum") - toks) < budget)
-        .drop("__cum")
-    )
+    pinned = part.persist()
+    try:
+        sums = (
+            part.groupBy("__pid", source_col)
+            .agg(F.sum("__tok").alias("__t"))
+            .collect()
+        )
+        # per-source cumulative offsets in partition order — a source's
+        # rows sit in consecutive range partitions, so summing its
+        # earlier partitions gives the exclusive prefix total
+        acc: dict = {}
+        offsets = []
+        for r in sorted(
+            sums, key=lambda r: (str(r[source_col]), int(r["__pid"]))
+        ):
+            s, pid = r[source_col], int(r["__pid"])
+            offsets.append((pid, s, acc.get(s, 0)))
+            acc[s] = acc.get(s, 0) + int(r["__t"] or 0)
+        if offsets:
+            from pyspark.sql.types import (
+                IntegerType, LongType, StructField, StructType,
+            )
+
+            odf = df.sparkSession.createDataFrame(
+                offsets,
+                StructType([
+                    StructField("__pid", IntegerType()),
+                    StructField(source_col, part.schema[source_col].dataType),
+                    StructField("__off", LongType()),
+                ]),
+            )
+            part = part.join(F.broadcast(odf), ["__pid", source_col], "left")
+            off = F.coalesce(F.col("__off"), F.lit(0)).cast("long")
+        else:
+            off = F.lit(0).cast("long")
+            part = part.withColumn("__off", F.lit(None).cast("long"))
+        w = (
+            Window.partitionBy("__pid", source_col)
+            .orderBy("__ek", id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        budget = F.lit(None).cast("long")
+        for s, b in budgets.items():
+            budget = F.when(
+                F.col(source_col) == s, F.lit(int(b))
+            ).otherwise(budget)
+        kept = (
+            part.withColumn(
+                "__cum", off + F.sum("__tok").over(w) - F.col("__tok")
+            )
+            .where(F.col("__cum") < budget)
+            .select(*df.columns)
+        )
+        if checkpoint:
+            kept, _ = tracked_checkpoint(kept)
+            pinned.unpersist()
+    except Exception:
+        pinned.unpersist()
+        raise
     if default == "keep":
         rest = df.where(
             ~F.col(source_col).isin(list(budgets))

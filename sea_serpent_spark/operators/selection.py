@@ -38,7 +38,7 @@ from pyspark.sql import Column, DataFrame
 from .hashing import h48
 from .sampling import weighted_sample
 from .text import words
-from .util import fan_out
+from .util import fan_out, tracked_checkpoint
 
 DSIR_BUCKETS = 10_000
 
@@ -70,7 +70,7 @@ def _bucket_logprobs(
 ) -> tuple[DataFrame, float]:
     """([b, logp], unseen_floor): add-α-smoothed log probability per
     hashed bucket, plus the floor for buckets this corpus never saw."""
-    counts = (
+    counts, _ = tracked_checkpoint(
         fan_out(df)
         .select(F.explode(_feature_buckets(F.col(text_col), buckets,
                                            ngram)).alias("b"))
@@ -79,7 +79,6 @@ def _bucket_logprobs(
         # ≤ ``buckets`` rows: materialize the model once — the total
         # collect below and the downstream broadcast join would
         # otherwise EACH run the full corpus featurization
-        .localCheckpoint(eager=True)
     )
     total = counts.agg(F.sum("n")).collect()[0][0] or 0
     denom = math.log(total + alpha * buckets)
@@ -147,9 +146,9 @@ def _dsir_scored(
         if length_normalize
         else F.col("__lsum")
     )
-    per_doc = per_doc.select(
-        "__did", logw.alias("dsir_logw")
-    ).localCheckpoint(eager=True)
+    per_doc, _ = tracked_checkpoint(
+        per_doc.select("__did", logw.alias("dsir_logw"))
+    )
     mx = per_doc.agg(F.max("dsir_logw")).collect()[0]
     mx = mx[0] if mx and mx[0] is not None else 0.0
     total = (

@@ -28,7 +28,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from .util import fan_out
+from .util import fan_out, tracked_checkpoint
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -714,8 +714,8 @@ def semantic_dedup(
     # materialize the (small: one id per duplicate) loser set once —
     # the broadcast gate's count() and the anti-join would otherwise
     # EACH execute the pair-graph + component + keeper subtree
-    losers = losers.select(F.col("id").alias("__lid")).localCheckpoint(
-        eager=True
+    losers, _ = tracked_checkpoint(
+        losers.select(F.col("id").alias("__lid"))
     )
     losers = _maybe_broadcast(
         losers, _verify_gate(losers, None, BROADCAST_VERIFY_CAP)

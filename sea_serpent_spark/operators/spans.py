@@ -35,7 +35,7 @@ from pyspark.sql import Column, DataFrame
 
 from .dedup import BROADCAST_VERIFY_CAP, _maybe_broadcast, _verify_gate
 from .text import words
-from .util import fan_out
+from .util import fan_out, tracked_checkpoint
 
 
 def _span_hash_col(toks: Column, span_tokens: int) -> Column:
@@ -122,7 +122,7 @@ def strip_duplicate_spans(
     A document with no flagged window passes through byte-identical
     (the join is a left join against the small flagged set, and the
     rebuild only triggers on matched rows)."""
-    flagged = (
+    flagged, _ = tracked_checkpoint(
         duplicate_spans(df, text_col, id_col, span_tokens, keep_first=True)
         .groupBy("id")
         .agg(F.array_sort(F.collect_list("pos")).alias("__starts"))
@@ -130,7 +130,6 @@ def strip_duplicate_spans(
         # materialize the (small) flagged set once: the gate's count()
         # would otherwise execute the whole span-hash pipeline and the
         # real join would re-execute it again
-        .localCheckpoint(eager=True)
     )
     flagged = _maybe_broadcast(
         flagged, _verify_gate(flagged, None, BROADCAST_VERIFY_CAP)

@@ -29,6 +29,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from .util import tracked_checkpoint
+
 
 def asof_join(
     left: DataFrame,
@@ -189,9 +191,10 @@ def range_join(
     # unmatched both read pts, so pin the ids with a checkpoint or a
     # task retry / re-evaluated shuffle could assign different ids per
     # branch (duplicated or lost point rows)
-    pts = points.withColumn(
-        "__pid", F.monotonically_increasing_id()
-    ).withColumn("__bin", p_bin).localCheckpoint(eager=True)
+    pts, _ = tracked_checkpoint(
+        points.withColumn("__pid", F.monotonically_increasing_id())
+        .withColumn("__bin", p_bin)
+    )
     matched = pts.join(iv, "__bin").where(exact).drop("__bin")
     unmatched = pts.drop("__bin").join(
         matched.select("__pid").distinct(), on="__pid", how="left_anti"

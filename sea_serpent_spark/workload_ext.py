@@ -241,22 +241,20 @@ def q64_incremental_dedup(spark, sf_dir):
 # similarity search
 # ---------------------------------------------------------------------------
 
-def q40_ann_brute_topk(spark, sf_dir):
+def q41_ann_topk(spark, sf_dir):
+    """All three ANN candidate-generation shapes — exhaustive brute
+    force, signed-random-projection LSH, and IVF coarse partitions — in
+    ONE oracle row (tagged union; brute folded in round 5 to free a
+    driver slot for token_budget_mix) while keeping each operator
+    independently hash-checked."""
     e = df(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 20)
-    return S.brute_force_topk(e, q, k=5)
-
-
-def q41_ann_bucketed_topk(spark, sf_dir):
-    """Both bucketed ANN candidate-generation shapes — signed-random-
-    projection LSH and IVF coarse partitions — in ONE oracle row (tagged
-    union), freeing a driver slot for the temporal joins while keeping
-    each operator independently hash-checked."""
-    e = df(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") < 20)
+    brute = S.brute_force_topk(e, q, k=5).withColumn(
+        "method", F.lit("brute")
+    )
     lsh = S.lsh_topk(e, q, k=3, nbits=8).withColumn("method", F.lit("lsh"))
     ivf = S.ivf_topk(e, q, k=3).withColumn("method", F.lit("ivf"))
-    return lsh.unionByName(ivf)
+    return brute.unionByName(lsh).unionByName(ivf)
 
 
 def q43_embedding_near_dup(spark, sf_dir):
@@ -385,6 +383,30 @@ def q60_deterministic_split(spark, sf_dir):
                        ).select("doc_id", "split", "shard")
 
 
+def q65_token_budget_mix(spark, sf_dir):
+    """Token-budget mixture ("4 k chars of src0, 2.5 k of src1, none of
+    src2, all of src3"): the deterministic hash-order prefix of each
+    source under its token budget. The oracle is the semantic spec — a
+    per-source window running sum over the portable epoch_key order —
+    which the distributed range-partition + broadcast-offset plan
+    (operators/sampling.py token_budget_mix, the pack_shards pattern)
+    must equal bit-for-bit. Budgets chosen so the cap binds mid-source
+    (boundary doc kept), zeroes out a source, and passes one whole."""
+    from .operators.sampling import token_budget_mix
+
+    docs = df(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return token_budget_mix(
+        docs,
+        "source",
+        "n_chars",
+        {"src0": 4000, "src1": 2500, "src2": 0, "src3": 10_000_000},
+        "doc_id",
+        seed=7,
+    )
+
+
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: fn
     for name, fn in sorted(globals().items())
@@ -495,21 +517,20 @@ FROM cand JOIN sig a ON a.id = ia JOIN sig b ON b.id = ib
 WHERE ({_SIG_MATCHES_SQL}) / CAST(16.0 AS DOUBLE) >= 0.5
   AND (ia >= 400 OR ib >= 400)
 """,
-    "q40_ann_brute_topk": f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-           WHERE vec_id < 20),
-c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
-scored AS (
-  SELECT query_id, neighbor_id, {COS_SQL} AS cos
-  FROM c CROSS JOIN q WHERE neighbor_id != query_id)
-SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
-  SELECT query_id, neighbor_id,
-    ROW_NUMBER() OVER (PARTITION BY query_id
-                       ORDER BY cos DESC, neighbor_id ASC) AS rank
-  FROM scored) WHERE rank <= 5
-""",
-    "q41_ann_bucketed_topk": f"""
-WITH lsh AS (
+    "q41_ann_topk": f"""
+WITH brute AS (
+  WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+             WHERE vec_id < 20),
+  c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+  scored AS (
+    SELECT query_id, neighbor_id, {COS_SQL} AS cos
+    FROM c CROSS JOIN q WHERE neighbor_id != query_id)
+  SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM scored) WHERE rank <= 5),
+lsh AS (
   WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
              {_bucket_sql('embedding')} AS bucket FROM embeddings
              WHERE vec_id < 20),
@@ -536,7 +557,8 @@ ivf AS (
       ROW_NUMBER() OVER (PARTITION BY query_id
                          ORDER BY cos DESC, neighbor_id ASC) AS rank
     FROM scored) WHERE rank <= 3)
-SELECT 'lsh' AS method, * FROM lsh
+SELECT 'brute' AS method, * FROM brute
+UNION ALL SELECT 'lsh' AS method, * FROM lsh
 UNION ALL SELECT 'ivf' AS method, * FROM ivf
 """,
     "q58_asof_join": """
@@ -562,6 +584,25 @@ SELECT event_id, user_id, ts, snap_ts, snap_value FROM j WHERE rn = 1
         "ROWS UNBOUNDED PRECEDING) - n_chars) / 50000.0) AS BIGINT) "
         "AS shard FROM documents"
     ),
+    # the semantic spec of token_budget_mix: per-source running sum over
+    # the portable epoch_key(seed=7) hash order; keep while the EXCLUSIVE
+    # prefix is under the source's budget (first straddling doc kept)
+    "q65_token_budget_mix": f"""
+WITH d AS (
+  SELECT doc_id, source, n_chars,
+    {h48_sql("'7:' || CAST(doc_id AS VARCHAR)")} AS ek
+  FROM documents
+  WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+c AS (
+  SELECT doc_id, source, n_chars,
+    SUM(n_chars) OVER (PARTITION BY source ORDER BY ek, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d)
+SELECT doc_id, source, n_chars FROM c
+WHERE cum - n_chars < CASE source
+  WHEN 'src0' THEN 4000 WHEN 'src1' THEN 2500
+  WHEN 'src2' THEN 0 ELSE 10000000 END
+""",
     "q59_range_join": """
 WITH iv AS (
   SELECT user_id, MIN(ts) AS win_start,

@@ -681,3 +681,45 @@ def test_token_budget_mix(spark, sf_dir):
     with _pt.raises(ValueError, match="default"):
         token_budget_mix(docs, "source", "n_tok", {}, "doc_id",
                          default="zero")
+
+
+def test_token_budget_mix_matches_global_window(spark, sf_dir):
+    """Bit-for-bit parity of the distributed (range-partition + offset)
+    running sum with the semantic spec: SUM(tokens) OVER (PARTITION BY
+    source ORDER BY epoch_key, id) - tokens < budget. Run at several
+    budgets so boundary docs land mid- and cross-partition."""
+    from pyspark.sql import Window
+
+    from sea_serpent_spark.operators.sampling import (
+        epoch_key, token_budget_mix,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", F.col("n_chars").alias("n_tok")
+    )
+    for budgets in (
+        {"src0": 1, "src1": 700, "src2": 10**9},
+        {"src0": 3000, "src3": 0, "src4": 4444},
+    ):
+        got = {
+            r["doc_id"]
+            for r in token_budget_mix(
+                docs, "source", "n_tok", budgets, "doc_id", seed=7
+            ).collect()
+        }
+        w = (
+            Window.partitionBy("source")
+            .orderBy(epoch_key("doc_id", 7), "doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        b = F.lit(None).cast("long")
+        for s, v in budgets.items():
+            b = F.when(F.col("source") == s, F.lit(v)).otherwise(b)
+        want = {
+            r["doc_id"]
+            for r in docs.where(F.col("source").isin(list(budgets)))
+            .withColumn("__c", F.sum("n_tok").over(w))
+            .where((F.col("__c") - F.col("n_tok")) < b)
+            .collect()
+        }
+        assert got == want

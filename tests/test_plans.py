@@ -316,11 +316,11 @@ def test_workload_plan_audit(spark, sf_dir):
 
     # q06: limit-1 existence probe (1-row broadcast side)
     # q37: dense-regime all-pairs — reps broadcast under allpairs_rep_cap
-    # q40: brute-force ANN baseline — broadcast-bounded by contract
+    # q41: carries the brute-force ANN baseline tag — broadcast-bounded
     # q43: the oracle-pinned exact (nbits=0) all-pairs variant
     CARTESIAN_OK = {
         "q06_count", "q37_ngram_jaccard",
-        "q40_ann_brute_topk", "q43_embedding_near_dup",
+        "q41_ann_topk", "q43_embedding_near_dup",
     }
     PYEVAL_OK = {"q53_media_features"}  # mapInPandas multimodal decode
     bad_cart, bad_py = [], []
@@ -334,18 +334,28 @@ def test_workload_plan_audit(spark, sf_dir):
     assert not bad_py, f"unexpected Python evals: {bad_py}"
 
 
-def test_token_budget_mix_window_is_source_keyed(spark, sf_dir):
-    """The running token sum is windowed BY SOURCE — never a global
-    single-partition window."""
+def test_token_budget_mix_window_is_partition_local(spark, sf_dir):
+    """The running token sum is windowed by (range-partition id, source)
+    — never a single global partition AND never one window task per
+    source (a source-keyed running sum funnels a dominant source — 80%
+    of a 100 TB corpus — through a single thread; the pack_shards
+    range-partition + broadcast-offset pattern is the scale shape)."""
     from sea_serpent_spark.operators.sampling import token_budget_mix
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "source", F.length("text").alias("n")
     )
-    out = token_budget_mix(d, "source", "n", {"src0": 100}, "doc_id")
+    out = token_budget_mix(
+        d, "source", "n", {"src0": 100}, "doc_id", checkpoint=False
+    )
     plan = _plan(out)
     assert "SinglePartition" not in plan
-    assert "windowspecdefinition(source" in plan
+    # window keyed by the spark_partition_id column first — each window
+    # group is a slice of one range partition, not a whole source
+    assert "windowspecdefinition(__pid" in plan
+    assert "windowspecdefinition(source" not in plan
+    # the offsets ride a broadcast join, not a shuffle
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
 def test_edit_distance_join_no_cartesian(spark, sf_dir):
