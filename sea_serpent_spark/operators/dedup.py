@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, Window
 
 from .hashing import MINHASH_COEFFS, P, SIMHASH_BITS, h32, h48
 from .text import fingerprint, words
-from .util import fan_out, spread as _spread, tracked_checkpoint
+from .util import fan_out, release_all, spread as _spread, tracked_checkpoint
 
 #: Default row cap for broadcasting the doc-level verify side of a pair
 #: join. 2M rows × (8B id + 16×8B signature) ≈ 300 MB — comfortably
@@ -1065,6 +1065,14 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    # Superseded label checkpoints are dead weight the moment the next
+    # round's ``changed`` is computed, but releasing them one-by-one
+    # costs a getPersistentRDDs JVM round-trip INSIDE the convergence
+    # loop (measured +29% cold q61 in the round-5 driver bench). Batch
+    # them: a handful of node-sized skinny frames may live concurrently,
+    # and one release_all call frees the whole batch.
+    superseded: list = []
+    _BATCH = 8
     for _ in range(max_iterations):
         # min over self + neighbor labels
         nbr = (
@@ -1105,12 +1113,17 @@ def connected_components(
         # ``changed`` is computed — O(rounds) un-freed node-sized frames
         # otherwise sit in the block manager until JVM GC (the round-4
         # driver bench measured the accumulation as a 7x warm-run q61)
-        labels_h.release()
+        superseded.append(labels_h)
+        if len(superseded) >= _BATCH:
+            release_all(superseded)
+            superseded.clear()
         labels, labels_h = new_labels, new_h
         if changed == 0:
-            edges_h.release()
+            superseded.append(edges_h)
+            release_all(superseded)
             return labels
-    edges_h.release()
+    superseded.append(edges_h)
+    release_all(superseded)
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} "
         "rounds — graph diameter exceeds 2^rounds; raise max_iterations"

@@ -33,7 +33,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from .dedup import _salted_pairs
+from .dedup import _salted_join, _salted_pairs
 from .util import fan_out
 
 
@@ -175,9 +175,12 @@ def edit_distance_join(
     banded ``levenshtein(…, k)`` verifies in-join; ``distinct`` runs on
     survivors. Short strings (where the gram theorem is vacuous) go
     through exact length-bucket probes, each side covering the pairs
-    the other side's probe does not. Hot grams rely on AQE's skew-join
-    split — the two sides are distinct relations, so the k-way
-    self-join salting does not apply.
+    the other side's probe does not. Hot grams (a scaffold gram shared
+    by most names on both sides) are grid-salted through
+    ``_salted_join``: a Bl×Br hot bucket splits into √k×√k balanced
+    sub-joins instead of one task — AQE's post-shuffle skew split only
+    divides blocks AFTER the stage paid to write them and cannot split
+    a single build-side key.
 
     NULL strings never match; empty strings participate via the short
     path."""
@@ -225,7 +228,9 @@ def edit_distance_join(
 
     lev = F.levenshtein("s_l", "s_r", k)
     pairs_long = (
-        _prefix(tl, "l").join(_prefix(tr, "r"), "g")
+        _salted_join(
+            _prefix(tl, "l"), _prefix(tr, "r"), ["g"], "id_l", "id_r"
+        )
         .where(F.abs(F.col("ln_l") - F.col("ln_r")) <= k)
         .withColumn("distance", lev)
         .where((F.col("distance") >= 0) & (F.col("distance") <= k))

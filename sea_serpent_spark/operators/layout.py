@@ -77,10 +77,16 @@ def _cell(df: DataFrame, col: str, bits: int,
         b = F.width_bucket(
             c.cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(n)
         )
-        return F.least(
-            F.greatest(b - 1, F.lit(0)), F.lit(n - 1)
+        # NULL → cell 0: degrade THIS dimension only. Without the
+        # coalesce a single NULL cell propagates through the bit-OR and
+        # nulls the whole Morton key, collapsing every NULL-bearing row
+        # into one unsorted range — min-max pruning lost for all of them.
+        return F.coalesce(
+            F.least(F.greatest(b - 1, F.lit(0)), F.lit(n - 1)),
+            F.lit(0),
         ).cast("long")
-    # categorical: hash low bits — equality locality only
+    # categorical: hash low bits — equality locality only (xxhash64 of
+    # NULL is the seed constant, so this branch is already NULL-safe)
     return F.pmod(F.xxhash64(c), F.lit(n)).cast("long")
 
 

@@ -306,6 +306,14 @@ def token_budget_mix(
         if checkpoint:
             kept, _ = tracked_checkpoint(kept)
             pinned.unpersist()
+        else:
+            # the pin must outlive this call (resampling the range
+            # boundaries on recompute would shift __pid and break the
+            # collected offsets), so hand it to the quiesce-sweep
+            # registry instead of leaking an unreleasable cache
+            from .util import track_pinned
+
+            track_pinned(pinned)
     except Exception:
         pinned.unpersist()
         raise

@@ -56,7 +56,25 @@ def spread(df: DataFrame) -> DataFrame:
 # ``release_checkpoints()`` only at a quiesce point (between bench
 # queries, after a pipeline's outputs are written).
 
-_TRACKED: list["LocalCheckpoint"] = []
+import threading
+
+_TRACKED: list["LocalCheckpoint | PinnedFrame"] = []
+# Guards the registry only. RDD-id attribution needs no lock: the id is
+# read off the returned DataFrame's own LogicalRDD plan node, so a
+# concurrent driver thread's persist can never be mis-attributed (the
+# failure mode of the previous getPersistentRDDs set-diff, where a
+# wrong id meant a later release() unpersisted a LIVE checkpoint —
+# unrecoverable CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND downstream).
+_LOCK = threading.Lock()
+
+# release() must swallow ONLY "the JVM is gone" errors — anything else
+# (a bug in our id bookkeeping, a wrong handle) should surface, not
+# silently leak blocks.
+try:
+    from py4j.protocol import Py4JError as _Py4JError
+except ImportError:  # pragma: no cover - py4j ships with pyspark
+    _Py4JError = ()
+_DEAD_JVM_ERRORS = (_Py4JError, ConnectionError, EOFError, OSError)
 
 
 class LocalCheckpoint:
@@ -76,14 +94,58 @@ class LocalCheckpoint:
         if self.released:
             return
         self.released = True
+        _untrack(self)
         try:
             live = self._jsc.getPersistentRDDs()
             for i in self.rdd_ids:
                 r = live.get(i)
                 if r is not None:
                     r.unpersist(False)
-        except Exception:
+        except _DEAD_JVM_ERRORS:
             pass  # a dead/restarted JVM has nothing left to free
+
+
+class PinnedFrame:
+    """Handle to a ``persist()``-pinned DataFrame an operator must keep
+    alive for result determinism (e.g. ``token_budget_mix``'s range-
+    partitioned input, whose sampled boundaries must not be resampled
+    between the offset collect and the output scan). Unlike a released
+    checkpoint the frame CAN recompute after release — but possibly
+    with different partition boundaries, so the same quiesce-point
+    contract applies."""
+
+    __slots__ = ("_df", "released")
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+        self.released = False
+
+    def release(self) -> None:
+        if self.released:
+            return
+        self.released = True
+        _untrack(self)
+        try:
+            self._df.unpersist(False)
+        except _DEAD_JVM_ERRORS:
+            pass
+
+
+def _untrack(handle) -> None:
+    with _LOCK:
+        try:
+            _TRACKED.remove(handle)
+        except ValueError:
+            pass  # not tracked, or already swept by release_checkpoints
+
+
+def track_pinned(df: DataFrame) -> PinnedFrame:
+    """Register an operator-pinned (persisted) frame for the quiesce
+    sweep and return its release handle."""
+    handle = PinnedFrame(df)
+    with _LOCK:
+        _TRACKED.append(handle)
+    return handle
 
 
 def tracked_checkpoint(
@@ -91,43 +153,68 @@ def tracked_checkpoint(
 ) -> tuple[DataFrame, LocalCheckpoint]:
     """``df.localCheckpoint(eager=True)`` + a release handle.
 
-    The persisted RDD id is found by diffing ``getPersistentRDDs``
-    around the call (single-threaded driver assumption — concurrent
-    persists from other threads would be mis-attributed). With
-    ``track=True`` the handle also lands in the module registry so
-    :func:`release_checkpoints` can sweep it at the next quiesce
-    point."""
+    The persisted RDD id is read directly off the returned frame's
+    ``LogicalRDD`` plan node — exact attribution with zero extra JVM
+    round-trips, safe under concurrent driver threads (no global-state
+    diffing). With ``track=True`` the handle also lands in the module
+    registry so :func:`release_checkpoints` can sweep it at the next
+    quiesce point."""
     sc = df.sparkSession.sparkContext
-    try:
-        before = {
-            int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()
-        }
-    except Exception:
-        before = None
     out = (
         df.localCheckpoint(eager=True)
         if storage_level is None
         else df.localCheckpoint(eager=True, storageLevel=storage_level)
     )
-    ids: list[int] = []
-    if before is not None:
-        try:
-            ids = [
-                int(k)
-                for k in sc._jsc.getPersistentRDDs().keySet().toArray()
-                if int(k) not in before
-            ]
-        except Exception:
-            ids = []
+    try:
+        # Dataset.localCheckpoint returns a LogicalRDD wrapping the
+        # persisted internal RDD; its id is the unpersist target
+        ids = [int(out._jdf.queryExecution().analyzed().rdd().id())]
+    except _DEAD_JVM_ERRORS + (AttributeError,):
+        ids = []  # unknown plan shape/connect mode: handle is a no-op
     handle = LocalCheckpoint(sc._jsc, ids)
     if track:
-        _TRACKED.append(handle)
+        with _LOCK:
+            _TRACKED.append(handle)
     return out, handle
 
 
+def release_all(handles) -> None:
+    """Release a batch of handles with at most ONE ``getPersistentRDDs``
+    JVM round-trip (vs one per ``release()`` call) — for iterative
+    operators that supersede a checkpoint every round and would
+    otherwise pay a driver round-trip inside the convergence loop."""
+    cps = []
+    for h in handles:
+        if isinstance(h, LocalCheckpoint) and not h.released:
+            h.released = True
+            _untrack(h)
+            cps.append(h)
+        else:
+            h.release()
+    if not cps:
+        return
+    try:
+        live = cps[0]._jsc.getPersistentRDDs()
+        for h in cps:
+            for i in h.rdd_ids:
+                r = live.get(i)
+                if r is not None:
+                    r.unpersist(False)
+    except _DEAD_JVM_ERRORS:
+        pass
+
+
 def release_checkpoints() -> None:
-    """Free every tracked checkpoint's blocks. QUIESCE-POINT ONLY:
-    released checkpoints cannot recompute, so frames from earlier
-    operator calls must already be materialized (written/collected)."""
-    while _TRACKED:
-        _TRACKED.pop().release()
+    """Free every tracked checkpoint's / pinned frame's blocks.
+
+    QUIESCE-POINT ONLY — this is bench/driver plumbing, not a pipeline
+    call: released checkpoints cannot recompute, and released pins may
+    recompute differently, so every frame produced by earlier operator
+    calls must already be materialized (written / collected). Calling
+    it mid-pipeline silently corrupts any lazily-held operator output."""
+    while True:
+        with _LOCK:
+            if not _TRACKED:
+                return
+            handle = _TRACKED.pop()
+        handle.release()

@@ -47,6 +47,33 @@ def test_zorder_key_edges(spark):
         zorder_key(df, [], bits=8)
 
 
+def test_zorder_key_null_cells_degrade_one_dimension(spark):
+    """A NULL in one numeric dimension lands that dimension in cell 0 —
+    the key itself is NEVER NULL, and the other dimensions keep their
+    locality (pinned against the Morton formula with the NULL cell
+    forced to 0). Pre-fix, width_bucket(NULL) propagated through the
+    bit-OR and collapsed every NULL-bearing row into one NULL key."""
+    rows = [(0, 3), (1, None), (2, 0), (3, None)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = df.withColumn(
+        "z", zorder_key(df, ["x", "y"], bits=2,
+                        ranges={"x": (0, 4), "y": (0, 4)})
+    ).collect()
+    for r in out:
+        assert r["z"] is not None, r
+        assert r["z"] == _morton([r["x"], r["y"] if r["y"] is not None
+                                  else 0], 2), r
+    # pruning still works on the non-NULL dimension: distinct keys
+    assert len({r["z"] for r in out}) == 4
+
+    # NULL dates/timestamps ride the same numeric path
+    df2 = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, None)], "id long, d string"
+    ).select("id", F.col("d").cast("date").alias("d"))
+    z = df2.withColumn("z", zorder_key(df2, ["d", "id"], bits=4)).collect()
+    assert all(r["z"] is not None for r in z)
+
+
 def _span_score(df, parts, cols):
     """Mean over partitions of the product of normalized per-column
     spans — the fraction of the 2-D value rectangle each partition

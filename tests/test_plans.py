@@ -340,13 +340,21 @@ def test_token_budget_mix_window_is_partition_local(spark, sf_dir):
     source (a source-keyed running sum funnels a dominant source — 80%
     of a 100 TB corpus — through a single thread; the pack_shards
     range-partition + broadcast-offset pattern is the scale shape)."""
+    from sea_serpent_spark.operators import util
     from sea_serpent_spark.operators.sampling import token_budget_mix
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "source", F.length("text").alias("n")
     )
+    n_tracked = len(util._TRACKED)
     out = token_budget_mix(
         d, "source", "n", {"src0": 100}, "doc_id", checkpoint=False
+    )
+    # the checkpoint=False pin is registered for the quiesce sweep, not
+    # leaked as an unreleasable cache
+    new_handles = util._TRACKED[n_tracked:]
+    assert len(new_handles) == 1 and isinstance(
+        new_handles[0], util.PinnedFrame
     )
     plan = _plan(out)
     assert "SinglePartition" not in plan
@@ -356,6 +364,9 @@ def test_token_budget_mix_window_is_partition_local(spark, sf_dir):
     assert "windowspecdefinition(source" not in plan
     # the offsets ride a broadcast join, not a shuffle
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # don't leak the pin into the shared test session
+    new_handles[0].release()
+    assert new_handles[0] not in util._TRACKED
 
 
 def test_edit_distance_join_no_cartesian(spark, sf_dir):
@@ -371,3 +382,31 @@ def test_edit_distance_join_no_cartesian(spark, sf_dir):
     ))
     assert not rep["has_cartesian"]
     assert rep["python_evals"] == 0
+
+
+def test_edit_distance_join_gram_join_is_grid_salted(spark, sf_dir):
+    """The long-string prefix equi-join carries the √k×√k grid salt
+    (_ca, _cb) alongside the gram key — a hot scaffold gram shared by
+    both sides splits into a·b balanced sub-joins instead of funneling
+    Bl×Br pairs through one task. AQE's post-shuffle skew split cannot
+    do this: it only divides oversized blocks AFTER the stage paid to
+    write them, and cannot split a single build-side key."""
+    import re
+
+    from sea_serpent_spark.operators.fuzzy import edit_distance_join
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    out = edit_distance_join(
+        c, s, "c_name", "s_name", "c_custkey", "s_suppkey", 1
+    )
+    plan = _plan(out)
+    # the gram join's key set includes both grid-salt columns (at test
+    # scale the sides broadcast; at 100 TB the same keys shuffle — the
+    # salt composes with either physical strategy)
+    joins = re.findall(
+        r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[[^\]]*\]",
+        plan,
+    )
+    salted = [j for j in joins if "_ca" in j and "_cb" in j and "g#" in j]
+    assert salted, f"no grid-salted gram join in plan:\n{joins}"
