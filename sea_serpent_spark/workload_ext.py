@@ -143,16 +143,33 @@ def q30_text_analysis(spark, sf_dir):
 # dedup
 # ---------------------------------------------------------------------------
 
-def q34_dedup_exact(spark, sf_dir):
-    return D.exact_dedup_groups(df(spark, sf_dir, "documents"))
-
-
 def q35_minhash_sig(spark, sf_dir):
-    sig = D.minhash_signature(df(spark, sf_dir, "documents"))
-    # project the signature as columns for a stable oracle schema
-    return sig.select(
-        "id", *[F.element_at("sig", i + 1).alias(f"s{i}") for i in range(16)]
+    """Minhash signatures AND exact-dedup groups in one tagged-union
+    oracle row (both emit one row per document over the same corpus;
+    the former q34 slot now carries q66_fuzzy_join). ``sig`` rows are
+    (doc_id, '-'-joined 16-hash signature, NULL); ``exact`` rows are
+    (canonical_id, content fingerprint, n_dups)."""
+    d = df(spark, sf_dir, "documents")
+    sig = D.minhash_signature(d)
+    sigs = sig.select(
+        "id",
+        F.lit("sig").alias("op"),
+        F.concat_ws(
+            "-",
+            *[
+                F.element_at("sig", i + 1).cast("string")
+                for i in range(16)
+            ],
+        ).alias("a"),
+        F.lit(None).cast("long").alias("b"),
     )
+    groups = D.exact_dedup_groups(d).select(
+        F.col("canonical_id").alias("id"),
+        F.lit("exact").alias("op"),
+        F.col("fp").alias("a"),
+        F.col("n_dups").cast("long").alias("b"),
+    )
+    return sigs.unionByName(groups)
 
 
 def q36_minhash_lsh_pairs(spark, sf_dir):
@@ -213,6 +230,30 @@ def q63_fuzzy_pairs(spark, sf_dir):
         df(spark, sf_dir, "customer"), "c_name", "c_custkey",
         max_distance=1,
     ).select("id_a", "id_b", F.col("distance").cast("long").alias("distance"))
+
+
+def q66_fuzzy_join(spark, sf_dir):
+    """Cross-table edit-distance join (R⋈S), operators/fuzzy.py:
+    customer names against a supplier-derived name list (the scaffold
+    rewritten so the sides actually overlap) within levenshtein 1 —
+    two-sided q-gram prefix filtering + grid-salted gram join + banded
+    in-join verify. The oracle is the naive quadratic formulation: the
+    exactness of the two-sided prefix filter is the claim under test."""
+    from .operators.fuzzy import edit_distance_join
+
+    c = df(spark, sf_dir, "customer")
+    s = df(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.regexp_replace(
+            "s_name", "^Supplier", "Customer"
+        ).alias("s_cname"),
+    )
+    return edit_distance_join(
+        c, s, "c_name", "s_cname", "c_custkey", "s_suppkey",
+        max_distance=1,
+    ).select(
+        "id_l", "id_r", F.col("distance").cast("long").alias("distance")
+    )
 
 
 def q64_incremental_dedup(spark, sf_dir):
@@ -431,13 +472,20 @@ _SIG_MATCHES_SQL = " + ".join(
 
 ORACLES_EXT: dict[str, str] = {
     "q30_text_analysis": None,  # filled below (needs the generated lang CASE)
-    "q34_dedup_exact": (
-        f"SELECT {FP_SQL} AS fp, COUNT(*) AS n_dups, "
-        "MIN(doc_id) AS canonical_id FROM documents GROUP BY 1"
-    ),
+    # Tagged union: minhash signatures + exact-dedup groups (one row
+    # per document each over the same corpus).
     "q35_minhash_sig": f"""
-SELECT doc_id AS id, {_MINHASH_SIG_COLS}
-FROM (SELECT doc_id, {DWORDS_SQL} AS ws FROM documents)
+WITH sig AS (
+  SELECT doc_id AS id, {_MINHASH_SIG_COLS}
+  FROM (SELECT doc_id, {DWORDS_SQL} AS ws FROM documents))
+SELECT id, 'sig' AS op,
+  concat_ws('-', {", ".join(f"s{i}" for i in range(16))}) AS a,
+  CAST(NULL AS BIGINT) AS b
+FROM sig
+UNION ALL
+SELECT MIN(doc_id) AS id, 'exact' AS op, {FP_SQL} AS a,
+  COUNT(*) AS b
+FROM documents GROUP BY 3
 """,
     # Verify = fraction of agreeing minhashes (estimated Jaccard), the
     # MinHashLSH join semantics the Spark operator defaults to.
@@ -501,6 +549,15 @@ SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
   CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS distance
 FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 1
+""",
+    # Naive quadratic R⋈S — the two-sided prefix filter's exactness.
+    "q66_fuzzy_join": """
+SELECT a.c_custkey AS id_l, b.s_suppkey AS id_r,
+  CAST(levenshtein(a.c_name,
+       replace(b.s_name, 'Supplier', 'Customer')) AS BIGINT) AS distance
+FROM customer a, supplier b
+WHERE levenshtein(a.c_name,
+      replace(b.s_name, 'Supplier', 'Customer')) <= 1
 """,
     # Batch LSH pairs over the FULL corpus restricted to delta-touching
     # pairs (delta = doc_id >= 400) — must equal the incremental probe.
