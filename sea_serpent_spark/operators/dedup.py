@@ -891,6 +891,7 @@ def simhash_pairs(
     chunks: int = 4,
     allpairs_rep_cap: int = 8192,
     emit: str = "pairs",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """→ [id_a, id_b, hamming ≤ max_hamming] via chunk banding.
 
@@ -901,7 +902,18 @@ def simhash_pairs(
 
     Pigeonhole: with 4 chunks of 12 bits, any pair within hamming ≤ 3
     agrees exactly on ≥1 chunk — candidates come from equality joins on
-    (chunk_idx, chunk_value), so the shuffle is ids + 12-bit ints.
+    (chunk_idx, chunk_value), so the shuffle is ids + 12-bit ints. A
+    pair agreeing on j chunks would be enumerated j times; instead of a
+    survivor ``distinct`` (a full extra shuffle of the output-sized
+    candidate set) each pair is emitted ONLY from its first agreeing
+    chunk — an in-join codegen predicate on the carried signatures
+    ("no earlier chunk also agrees"), so every qualifying pair leaves
+    the enumeration stage exactly once.
+
+    ``sigs`` optionally supplies a precomputed (id, sim) signature
+    frame (persist/checkpoint it if it feeds other consumers too —
+    Spark does not share subtrees across a union, so an uncached frame
+    would tokenize the corpus once per consumer).
 
     Docs are first grouped by identical signature (the sketch-level
     canonicalization minhash_lsh_pairs applies): enumeration runs on one
@@ -917,7 +929,8 @@ def simhash_pairs(
     if emit not in ("pairs", "spanning"):
         raise ValueError(f"emit must be 'pairs' or 'spanning', got {emit!r}")
     release_caches()
-    sigs = simhash_signatures(df, text_col, id_col)
+    if sigs is None:
+        sigs = simhash_signatures(df, text_col, id_col)
     groups = _keep_cache(
         sigs.groupBy("sim").agg(
             F.min("id").alias("gid"),
@@ -961,14 +974,29 @@ def simhash_pairs(
             "id", "sim", F.explode(F.array(*chunk_cols)).alias("ck")
         ).select("id", "sim", F.col("ck.c").alias("c"), F.col("ck.v").alias("v"))
         # The whole signature is one long — carry it through the chunk
-        # join and verify inside the enumeration stage (one bit_count per
-        # raw pair), then dedupe survivors.
-        raw = _salted_pairs(banded, ["c", "v"], carry=("sim",), distinct=False)
-        gpairs = (
-            raw.select("id_a", "id_b", hamming.alias("hamming"))
-            .where(F.col("hamming") <= max_hamming)
-            .distinct()
+        # join, verify hamming inside the enumeration stage (one
+        # bit_count per raw pair), and emit each pair only from its
+        # FIRST agreeing chunk: for bucket chunk c, require every chunk
+        # i < c to disagree. Both signatures are join-local, so the
+        # whole dedup is a codegen predicate — no survivor shuffle.
+        def _chunk(col, i):
+            return F.shiftright(col, i * width).bitwiseAND(F.lit(mask))
+
+        in_join = F.bit_count(
+            F.col("x.sim").bitwiseXOR(F.col("y.sim"))
+        ) <= F.lit(max_hamming)
+        for i in range(chunks - 1):
+            earlier_disagrees = (
+                _chunk(F.col("x.sim"), i) != _chunk(F.col("y.sim"), i)
+            )
+            in_join = in_join & (
+                (F.lit(i) >= F.col("x.c")) | earlier_disagrees
+            )
+        raw = _salted_pairs(
+            banded, ["c", "v"], sym_cond=in_join, carry=("sim",),
+            distinct=False,
         )
+        gpairs = raw.select("id_a", "id_b", hamming.alias("hamming"))
     mem = groups.select("gid", F.explode("members").alias("id"))
     if emit == "spanning":
         star = mem.where(F.col("id") != F.col("gid")).select(

@@ -188,15 +188,23 @@ def q39_simhash_pairs(spark, sf_dir):
     """Simhash signatures AND hamming-banded pairs in one tagged-union
     oracle row (the pair oracle already builds the signature CTE; the
     former q38 slot now carries q64_incremental_dedup). ``sig`` rows are
-    (id, NULL, signature); ``pair`` rows are (id_a, id_b, hamming)."""
+    (id, NULL, signature); ``pair`` rows are (id_a, id_b, hamming).
+
+    The signature frame is checkpointed ONCE and feeds both union
+    branches (Spark does not share subtrees across a union — without
+    the checkpoint the corpus is tokenized and vote-aggregated twice
+    per execution, the former q38's full cost on top of the pairs)."""
+    from .operators.util import tracked_checkpoint
+
     d = df(spark, sf_dir, "documents")
-    sigs = D.simhash_signatures(d).select(
+    shared, _ = tracked_checkpoint(D.simhash_signatures(d))
+    sigs = shared.select(
         F.col("id").alias("id_a"),
         F.lit(None).cast("long").alias("id_b"),
         F.col("sim").cast("long").alias("v"),
         F.lit("sig").alias("op"),
     )
-    pairs = D.simhash_pairs(d, max_hamming=8).select(
+    pairs = D.simhash_pairs(d, max_hamming=8, sigs=shared).select(
         "id_a",
         "id_b",
         F.col("hamming").cast("long").alias("v"),
