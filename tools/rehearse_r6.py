@@ -265,6 +265,183 @@ def run_dedup_corpus(spark) -> dict:
     }
 
 
+def run_positional_qgram(spark) -> dict:
+    """r4 item 5 / r5 item 7: does bucketing prefix grams by
+    (gram, ⌊pos/(k+1)⌋) with ±1 band tolerance (the location-based
+    mismatch filtering family of Ed-Join, Xiao et al. VLDB'08) beat the
+    plain gram-type prefix join on the scaffold-heavy name corpora?
+
+    Measures, for the current operator and the positional variant, on
+    the q63 corpus (sf0.1 customer, 15 k) and the 10x name corpus
+    (150 k): candidate enumerations (pre-verify join rows), wall with
+    verify, and output parity vs the current (oracle-pinned) operator.
+    """
+    from sea_serpent_spark.operators.fuzzy import (
+        edit_distance_pairs, qgrams,
+    )
+    from sea_serpent_spark.operators.util import fan_out
+    from pyspark.sql import Window
+
+    k, q = 1, 2
+    short_len = q * (k + 1) - 1
+
+    def positional(df, text_col, id_col, count_only=False):
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("s"),
+            F.length(text_col).alias("ln"),
+        ).where(F.col("s").isNotNull())
+        long_side = fan_out(base.where(F.col("ln") > short_len))
+        n = F.greatest(F.length("s") - (q - 1), F.lit(0))
+        occ = F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.struct(
+                F.substring("s", i, q).alias("g"), i.alias("p")
+            ),
+        )
+        tok = long_side.select(
+            "id", "ln", "s", F.explode(occ).alias("o")
+        ).select("id", "ln", "s", F.col("o.g").alias("g"),
+                 F.col("o.p").alias("p"))
+        dfreq = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        ranked = tok.join(dfreq, "g").withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(
+                    F.asc("df"), F.asc("g"), F.asc("p")
+                )
+            ),
+        )
+        # k*q+1 rarest gram OCCURRENCES (vs gram types in the current
+        # operator) — the positional count-filter's prefix
+        prefix = ranked.where(F.col("rk") <= k * q + 1).select(
+            "id", "ln", "g", "p", "s"
+        )
+        band = F.floor(F.col("p") / (k + 1))
+        probe = prefix.select(
+            F.col("id").alias("ida"), F.col("ln").alias("lna"),
+            F.col("s").alias("sa"), "g", F.col("p").alias("pa"),
+            F.explode(
+                F.array(band - 1, band, band + 1)
+            ).alias("b"),
+        )
+        build = prefix.select(
+            F.col("id").alias("idb"), F.col("ln").alias("lnb"),
+            F.col("s").alias("sb"), "g", F.col("p").alias("pb"),
+            band.alias("b"),
+        )
+        cand = (
+            probe.join(build, ["g", "b"])
+            .where(
+                (F.col("ida") < F.col("idb"))
+                & (F.abs(F.col("pa") - F.col("pb")) <= k)
+                & (F.abs(F.col("lna") - F.col("lnb")) <= k)
+            )
+        )
+        if count_only:
+            return cand
+        pairs_long = (
+            cand.withColumn("distance", F.levenshtein("sa", "sb", k))
+            .where((F.col("distance") >= 0) & (F.col("distance") <= k))
+            .select(
+                F.col("ida").alias("id_a"), F.col("idb").alias("id_b"),
+                "distance",
+            )
+            .distinct()
+        )
+        # short strings: same exact length-bucket path as the operator
+        shorts = base.where(F.col("ln") <= short_len)
+        sprobe = shorts.select(
+            F.col("id").alias("ida"), F.col("s").alias("sa"),
+            F.explode(F.sequence(F.col("ln") - k, F.col("ln") + k)).alias(
+                "lb"
+            ),
+        ).where(F.col("lb") >= 0)
+        sbuild = base.select(
+            F.col("id").alias("idb"), F.col("s").alias("sb"),
+            F.col("ln").alias("lb"),
+        )
+        pairs_short = (
+            sprobe.join(sbuild, "lb")
+            .where(F.col("ida") != F.col("idb"))
+            .withColumn("distance", F.levenshtein("sa", "sb", k))
+            .where((F.col("distance") >= 0) & (F.col("distance") <= k))
+            .select(
+                F.least("ida", "idb").alias("id_a"),
+                F.greatest("ida", "idb").alias("id_b"),
+                "distance",
+            )
+            .distinct()
+        )
+        return pairs_long.unionByName(pairs_short)
+
+    def current_candidates(df, text_col, id_col):
+        """Pre-verify enumeration count of the CURRENT operator's long
+        path (prefix self-join on gram type, length filter in-join)."""
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("s"),
+            F.length(text_col).alias("ln"),
+        ).where(F.col("s").isNotNull())
+        long_side = fan_out(base.where(F.col("ln") > short_len))
+        tok = long_side.select(
+            "id", "ln", F.explode(qgrams(F.col("s"), q)).alias("g")
+        )
+        dfreq = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        ranked = tok.join(dfreq, "g").withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.asc("df"), F.asc("g"))
+            ),
+        )
+        prefix = ranked.where(F.col("rk") <= k * q + 1).select(
+            "id", "ln", "g"
+        )
+        a = prefix.select(
+            F.col("id").alias("ida"), F.col("ln").alias("lna"), "g"
+        )
+        b = prefix.select(
+            F.col("id").alias("idb"), F.col("ln").alias("lnb"), "g"
+        )
+        return a.join(b, "g").where(
+            (F.col("ida") < F.col("idb"))
+            & (F.abs(F.col("lna") - F.col("lnb")) <= k)
+        )
+
+    out: dict = {}
+    corpora = {
+        "customer_15k": (
+            spark.read.parquet("/root/testdata/sf0.1/customer.parquet"),
+            "c_name", "c_custkey",
+        ),
+        "names_150k": (_names_corpus(spark), "name", "id"),
+    }
+    chosen = [a for a in sys.argv[2:] if a in corpora]
+    if chosen:
+        corpora = {c: corpora[c] for c in chosen}
+    for cname, (df, tcol, icol) in corpora.items():
+        r: dict = {}
+        r["cand_current"] = current_candidates(df, tcol, icol).count()
+        r["cand_positional"] = positional(
+            df, tcol, icol, count_only=True
+        ).count()
+        t0 = time.perf_counter()
+        cur = edit_distance_pairs(df, tcol, icol, max_distance=k)
+        r["rows_current"] = cur.count()
+        r["wall_current_s"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        pos = positional(df, tcol, icol)
+        r["rows_positional"] = pos.count()
+        r["wall_positional_s"] = round(time.perf_counter() - t0, 2)
+        if "noparity" not in sys.argv:
+            r["output_parity"] = (
+                cur.exceptAll(pos).isEmpty()
+                and pos.exceptAll(cur).isEmpty()
+            )
+        out[cname] = r
+    return out
+
+
 def main() -> None:
     which = sys.argv[1]
     from sea_serpent_spark.session import get_spark
@@ -277,6 +454,7 @@ def main() -> None:
         "fuzzy_join": run_fuzzy_join,
         "token_budget_mix": run_token_budget_mix,
         "dedup_corpus": run_dedup_corpus,
+        "positional_qgram": run_positional_qgram,
     }[which]
     print(json.dumps(fn(spark), indent=1))
 
