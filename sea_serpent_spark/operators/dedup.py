@@ -474,10 +474,31 @@ def minhash_lsh_pairs(
             ).otherwise(0)
             for i in range(num_hashes)
         )
+        # Emit each rep pair only from its FIRST agreeing band: a pair
+        # agreeing on j bands would otherwise be enumerated j times and
+        # need a survivor distinct — a full shuffle of the candidate
+        # set. Both signatures are join-local, so "no earlier band also
+        # agrees" is a pure codegen predicate (same shape as
+        # simhash_pairs' first-agreeing-chunk emission).
+        first_band = None
+        for i in range(bands - 1):
+            band_i_agrees = None
+            for r in range(rows):
+                eq = F.element_at(F.col("x.sig"), i * rows + r + 1) == (
+                    F.element_at(F.col("y.sig"), i * rows + r + 1)
+                )
+                band_i_agrees = (
+                    eq if band_i_agrees is None else band_i_agrees & eq
+                )
+            clause = (F.lit(i) >= F.col("x.band")) | (~band_i_agrees)
+            first_band = (
+                clause if first_band is None else first_band & clause
+            )
         gpairs = _keep_cache(
             _salted_pairs(
                 _banded(reps, keep=("sig",)),
                 ["band", "key"],
+                sym_cond=first_band,
                 carry=("sig",),
                 distinct=False,
             )
@@ -489,7 +510,6 @@ def minhash_lsh_pairs(
                 ).alias("jaccard"),
             )
             .where(F.col("jaccard") >= jaccard_threshold)
-            .distinct()
         )
         gpairs.count()
         if emit == "spanning":

@@ -179,7 +179,7 @@ def incremental_minhash_pairs(
     )
     b = banded.select(
         F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
-        "band", "key",
+        F.col("has_new").alias("new_b"), "band", "key",
     )
     matches = sum(
         F.when(
@@ -187,9 +187,30 @@ def incremental_minhash_pairs(
         ).otherwise(0)
         for i in range(num_hashes)
     )
+    # Each rep pair leaves the probe join exactly once, as a codegen
+    # predicate instead of a survivor distinct (a full shuffle of the
+    # candidate set): (a) emit only from the FIRST agreeing band —
+    # both signatures are join-local, so "no earlier band also agrees"
+    # is pure element comparisons (same shape as minhash_lsh_pairs /
+    # simhash_pairs); (b) when BOTH groups are new the pair is seen
+    # from either probe orientation — keep only id_a < id_b.
+    rows_per_band = num_hashes // bands
+    dedup_pred = (~F.col("new_b")) | (F.col("id_a") < F.col("id_b"))
+    for i in range(bands - 1):
+        band_i_agrees = None
+        for r in range(rows_per_band):
+            eq = F.element_at("sig_a", i * rows_per_band + r + 1) == (
+                F.element_at("sig_b", i * rows_per_band + r + 1)
+            )
+            band_i_agrees = (
+                eq if band_i_agrees is None else band_i_agrees & eq
+            )
+        dedup_pred = dedup_pred & (
+            (F.lit(i) >= F.col("band")) | (~band_i_agrees)
+        )
     gpairs = (
         a.join(b, ["band", "key"])
-        .where(F.col("id_a") != F.col("id_b"))
+        .where((F.col("id_a") != F.col("id_b")) & dedup_pred)
         .select(
             F.least("id_a", "id_b").alias("u"),
             F.greatest("id_a", "id_b").alias("v"),
@@ -197,9 +218,6 @@ def incremental_minhash_pairs(
             F.round(matches / F.lit(float(num_hashes)), 4).alias("jaccard"),
         )
         .where(F.col("jaccard") >= jaccard_threshold)
-        # band collisions duplicate a rep pair ≤ bands times; the dedup
-        # runs on distinct-signature pairs, never on member pairs
-        .distinct()
     )
     mem = groups.select(
         "gid", "has_new", F.explode("members").alias("m")
