@@ -219,6 +219,16 @@ def incremental_minhash_pairs(
         )
         .where(F.col("jaccard") >= jaccard_threshold)
     )
+    # The removed survivor distinct used to double as a rebalancing
+    # exchange; without it the member expansion fuses into the probe
+    # join's stage and inherits its bucket skew (hot boilerplate bands
+    # → one task carries most pairs — measured 7 s → 28 s on the bench
+    # corpus). Re-spread the NARROW rep pairs explicitly: a shuffle of
+    # ids+jaccard only, orders of magnitude smaller than the distinct
+    # it replaces (which shuffled the same rows ONCE PER AGREEING BAND).
+    from .util import spread
+
+    gpairs = spread(gpairs)
     mem = groups.select(
         "gid", "has_new", F.explode("members").alias("m")
     ).select(
