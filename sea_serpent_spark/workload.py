@@ -480,16 +480,10 @@ def q26_dedup_keeplast(spark, sf_dir):
     )
 
 
-def q27_set_ops(spark, sf_dir):
-    """UNION distinct (beyond-reference §2.5): nations present among
-    customers or suppliers."""
-    c = df(spark, sf_dir, "customer")
-    s = df(spark, sf_dir, "supplier")
-    return (
-        c.select(F.col("c_nationkey").alias("nationkey"))
-        .union(s.select(F.col("s_nationkey").alias("nationkey")))
-        .distinct()
-    )
+# NOTE: the former q27_set_ops (UNION distinct) was folded into
+# q56_cube as a tagged union — both are single-statement Catalyst SQL
+# shapes; the freed slot now carries q67_zorder_key (workload_ext),
+# oracle-pinning the Morton bit math that was previously test-only.
 
 
 # NOTE: the former q28_events_tumbling (batch tumbling windows) was folded
@@ -662,10 +656,6 @@ ORACLES: dict[str, str] = {
         "SELECT user_id, event_type, event_id, value, "
         "ROW_NUMBER() OVER (PARTITION BY user_id, event_type "
         "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"
-    ),
-    "q27_set_ops": (
-        "SELECT c_nationkey AS nationkey FROM customer "
-        "UNION SELECT s_nationkey AS nationkey FROM supplier"
     ),
     "q29_view": (
         "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, "

@@ -240,6 +240,25 @@ def q63_fuzzy_pairs(spark, sf_dir):
     ).select("id_a", "id_b", F.col("distance").cast("long").alias("distance"))
 
 
+def q67_zorder_key(spark, sf_dir):
+    """Z-order (Morton) key assignment, operators/layout.py: bit-exact
+    against an independent SQL formulation of the same interleave —
+    uniform cells via pinned power-of-two ranges (divisions land exactly
+    in doubles, so width_bucket parity across engines is exact), then
+    bit b of dimension d at position b·ndims + d. The range-partition
+    half of zorder_frame is deliberately out of oracle scope (sampled
+    boundaries are nondeterministic); it is plan-pinned in test_plans
+    and locality-tested in test_layout."""
+    from .operators.layout import zorder_key
+
+    o = df(spark, sf_dir, "orders")
+    z = zorder_key(
+        o, ["o_custkey", "o_orderkey"], bits=8,
+        ranges={"o_custkey": (0, 16384), "o_orderkey": (0, 262144)},
+    )
+    return o.select(F.col("o_orderkey").alias("id"), z.alias("z"))
+
+
 def q66_fuzzy_join(spark, sf_dir):
     """Cross-table edit-distance join (R⋈S), operators/fuzzy.py:
     customer names against a supplier-derived name list (the scaffold
@@ -559,6 +578,21 @@ FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 1
 """,
     # Naive quadratic R⋈S — the two-sided prefix filter's exactness.
+    # Independent Morton formulation: uniform cells by integer-exact
+    # division (ranges pinned to powers of two), explicit bit interleave.
+    "q67_zorder_key": (
+        "WITH cells AS (SELECT o_orderkey AS id, "
+        "LEAST(GREATEST(CAST(FLOOR(o_custkey / 64.0) AS BIGINT), 0), 255)"
+        " AS c0, "
+        "LEAST(GREATEST(CAST(FLOOR(o_orderkey / 1024.0) AS BIGINT), 0), "
+        "255) AS c1 FROM orders) SELECT id, CAST("
+        + " + ".join(
+            f"((((c0 >> {b}) & 1) << {2 * b}) + "
+            f"(((c1 >> {b}) & 1) << {2 * b + 1}))"
+            for b in range(8)
+        )
+        + " AS BIGINT) AS z FROM cells"
+    ),
     "q66_fuzzy_join": """
 SELECT a.c_custkey AS id_l, b.s_suppkey AS id_r,
   CAST(levenshtein(a.c_name,

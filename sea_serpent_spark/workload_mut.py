@@ -266,9 +266,12 @@ def q55_window_lag_rolling(spark, sf_dir):
 
 def q56_cube(spark, sf_dir):
     """CUBE grouping sets (§2.3: free via Catalyst; the reference's
-    server dialect surface). NULL grouping keys marked via GROUPING()."""
+    server dialect surface) AND set-ops (the former q27 UNION-distinct)
+    in one tagged-union oracle row. ``cube`` rows carry the grouping-set
+    aggregate; ``set`` rows carry the UNION-distinct nationkeys in
+    ``n`` with the string keys NULL."""
     li = _df(spark, sf_dir, "lineitem")
-    return (
+    cube = (
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -276,7 +279,25 @@ def q56_cube(spark, sf_dir):
             F.grouping("l_returnflag").cast("int").alias("g_rf"),
             F.grouping("l_linestatus").cast("int").alias("g_ls"),
         )
+        .withColumn("op", F.lit("cube"))
     )
+    c = _df(spark, sf_dir, "customer")
+    s = _df(spark, sf_dir, "supplier")
+    sets = (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .union(s.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+        .select(
+            F.lit(None).cast("string").alias("l_returnflag"),
+            F.lit(None).cast("string").alias("l_linestatus"),
+            F.col("nationkey").cast("long").alias("n"),
+            F.lit(None).cast("double").alias("sum_qty"),
+            F.lit(None).cast("int").alias("g_rf"),
+            F.lit(None).cast("int").alias("g_ls"),
+            F.lit("set").alias("op"),
+        )
+    )
+    return cube.unionByName(sets)
 
 
 QUERIES_MUT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -360,7 +381,12 @@ ORACLES_MUT: dict[str, str] = {
         "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
         "ROUND(CAST(SUM(l_quantity) AS DOUBLE), 2) AS sum_qty, "
         "CAST(GROUPING(l_returnflag) AS INT) AS g_rf, "
-        "CAST(GROUPING(l_linestatus) AS INT) AS g_ls "
-        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+        "CAST(GROUPING(l_linestatus) AS INT) AS g_ls, "
+        "'cube' AS op "
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) "
+        "UNION ALL "
+        "SELECT NULL, NULL, nationkey, NULL, NULL, NULL, 'set' FROM ("
+        "SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer "
+        "UNION SELECT CAST(s_nationkey AS BIGINT) FROM supplier)"
     ),
 }
