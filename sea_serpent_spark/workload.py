@@ -261,33 +261,20 @@ def q13_sql_passthrough(spark, sf_dir):
 # §2.3/§2.4 — links (joins) + rollup aggregations
 # ---------------------------------------------------------------------------
 
-def q14_rollup_lookup(spark, sf_dir):
-    """add_linked_column(formula='lookup') (base.py:748-818): customer →
-    nation name. Broadcast hash join — the build side is dimension-sized,
-    mirroring the reference's in-memory dict (base.py:1543-1549)."""
-    c = df(spark, sf_dir, "customer")
-    n = df(spark, sf_dir, "nation")
-    return c.join(
-        F.broadcast(n), c.c_nationkey == n.n_nationkey, "left"
-    ).select("c_custkey", F.col("n_name").alias("nation_name"))
-
-
-def q15_count_links(spark, sf_dir):
-    """formula='count_links': orders per customer (left-outer, 0 for none)."""
-    c = df(spark, sf_dir, "customer")
-    o = df(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("n_orders"))
-    )
-
-
 def q16_rollup_aggs(spark, sf_dir):
-    """All five rollup formulas in one grouped pass over linked orders:
+    """ALL the rollup formulas in one wide row per customer: 'lookup'
+    (the former q14 — customer → nation name over a broadcast dimension
+    join, mirroring the reference's in-memory dict base.py:1543-1549),
+    'count_links' (the former q15 — left-outer, 0 for none), and
     'rollup-sum'/'rollup-avg'/'rollup-conc'/'findmin'/'findmax'
-    (base.py:775-806, summary_method split :805-806). One shuffle serves
-    every aggregate — map-side partial agg applies to all of them.
+    (base.py:748-818, summary_method split :805-806). One grouped pass
+    over left-joined orders serves every aggregate — map-side partial
+    agg applies to all of them; the two freed driver slots now carry
+    q68/q69 (workload_ext).
+
+    Joins are LEFT so an order-less customer keeps n_orders=0 and NULL
+    aggregates (both engines' SUM/string_agg over no rows are NULL; the
+    avg and concat are when-guarded to match).
 
     sum/avg are computed in the integer-cents domain: o_totalprice has 2
     decimals, so ROUND(price*100) AS BIGINT is lossless, and half-up avg
@@ -298,29 +285,37 @@ def q16_rollup_aggs(spark, sf_dir):
     cents is bit-exact by construction. Divide by 100.0 only for display:
     identical integers yield identical doubles on both engines."""
     c = df(spark, sf_dir, "customer")
+    n = df(spark, sf_dir, "nation")
     o = df(spark, sf_dir, "orders")
     return (
-        c.join(o, c.c_custkey == o.o_custkey, "inner")
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(o, F.col("c_custkey") == o.o_custkey, "left")
         .withColumn(
             "cents", F.round(F.col("o_totalprice") * 100).cast("long")
         )
-        .groupBy("c_custkey")
+        .groupBy("c_custkey", "n_name")
         .agg(
+            F.count("o_orderkey").alias("n_orders"),
             F.sum("cents").alias("sum_cents"),
-            F.count("cents").alias("n"),
             F.concat_ws(
                 ",", F.array_sort(F.collect_list("o_orderpriority"))
-            ).alias("priorities"),
+            ).alias("prio_raw"),
             F.min("o_orderdate").alias("first_date"),
             F.max("o_orderdate").alias("last_date"),
         )
         .select(
             "c_custkey",
+            F.col("n_name").alias("nation_name"),
+            "n_orders",
             (F.col("sum_cents") / 100.0).alias("sum_total"),
-            (
-                F.expr("(2 * sum_cents + n) div (2 * n)") / 100.0
+            F.when(
+                F.col("n_orders") > 0,
+                F.expr("(2 * sum_cents + n_orders) div (2 * n_orders)")
+                / 100.0,
             ).alias("avg_total"),
-            "priorities",
+            F.when(F.col("n_orders") > 0, F.col("prio_raw")).alias(
+                "priorities"
+            ),
             "first_date",
             "last_date",
         )
@@ -577,26 +572,23 @@ ORACLES: dict[str, str] = {
         "SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty "
         "FROM lineitem GROUP BY l_returnflag"
     ),
-    "q14_rollup_lookup": (
-        "SELECT c_custkey, n_name AS nation_name FROM customer "
-        "LEFT JOIN nation ON c_nationkey = n_nationkey"
-    ),
-    "q15_count_links": (
-        "SELECT c_custkey, COUNT(o_orderkey) AS n_orders FROM customer "
-        "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey"
-    ),
     "q16_rollup_aggs": (
         # integer-cents on both sides: bit-exact, no float-rounding boundary
-        "SELECT c_custkey, "
+        "SELECT c_custkey, n_name AS nation_name, "
+        "COUNT(o_orderkey) AS n_orders, "
         "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 "
         "AS sum_total, "
-        "((2 * SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) + COUNT(*)) "
-        "// (2 * COUNT(*))) / 100.0 AS avg_total, "
-        "string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) "
+        "CASE WHEN COUNT(o_orderkey) > 0 THEN "
+        "((2 * SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) "
+        "+ COUNT(o_orderkey)) // (2 * COUNT(o_orderkey))) / 100.0 END "
+        "AS avg_total, "
+        "CASE WHEN COUNT(o_orderkey) > 0 THEN "
+        "string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) END "
         "AS priorities, "
         "MIN(o_orderdate) AS first_date, MAX(o_orderdate) AS last_date "
-        "FROM customer JOIN orders ON c_custkey = o_custkey "
-        "GROUP BY c_custkey"
+        "FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey "
+        "LEFT JOIN orders ON c_custkey = o_custkey "
+        "GROUP BY c_custkey, n_name"
     ),
     "q19_first_match": (
         "SELECT o_custkey, o_orderkey AS first_order FROM ("

@@ -240,6 +240,22 @@ def q63_fuzzy_pairs(spark, sf_dir):
     ).select("id_a", "id_b", F.col("distance").cast("long").alias("distance"))
 
 
+def q68_spanning_edges(spark, sf_dir):
+    """The PRODUCTION dedup edge set, oracle-pinned: minhash LSH with
+    ``emit="spanning"`` — star edges (group id → member, 1.0) per
+    identical-signature group plus rep-level cross edges, the
+    connectivity-equivalent set ``dedup_corpus`` feeds connected
+    components instead of the quadratic member expansion. The oracle
+    recomputes it independently: min-id representatives per distinct
+    signature, the band self-join restricted to reps, and the group
+    stars."""
+    return D.minhash_lsh_pairs(
+        df(spark, sf_dir, "documents"),
+        jaccard_threshold=0.5,
+        emit="spanning",
+    )
+
+
 def q67_zorder_key(spark, sf_dir):
     """Z-order (Morton) key assignment, operators/layout.py: bit-exact
     against an independent SQL formulation of the same interleave —
@@ -578,6 +594,28 @@ FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 1
 """,
     # Naive quadratic R⋈S — the two-sided prefix filter's exactness.
+    # Independent spanning-set formulation: reps = min id per distinct
+    # signature; cross edges = the q36 band join restricted to reps;
+    # star edges = every non-rep member pointing at its group id.
+    "q68_spanning_edges": f"""
+WITH base AS (SELECT doc_id AS id, {DWORDS_SQL} AS ws FROM documents),
+allsig AS (SELECT id, {_MINHASH_SIG_COLS} FROM base),
+keyed AS (SELECT *, concat_ws('-', {", ".join(f"s{i}" for i in range(16))})
+  AS sk FROM allsig),
+grp AS (SELECT sk, MIN(id) AS gid FROM keyed GROUP BY sk),
+sig AS (SELECT k.* FROM keyed k JOIN grp g ON k.id = g.gid),
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT x.id AS ia, y.id AS ib
+  FROM bands x JOIN bands y USING (band, key) WHERE x.id < y.id)
+SELECT ia AS id_a, ib AS id_b,
+  ROUND(({_SIG_MATCHES_SQL}) / CAST(16.0 AS DOUBLE), 4) AS jaccard
+FROM cand JOIN sig a ON a.id = ia JOIN sig b ON b.id = ib
+WHERE ({_SIG_MATCHES_SQL}) / CAST(16.0 AS DOUBLE) >= 0.5
+UNION ALL
+SELECT g.gid AS id_a, k.id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+FROM keyed k JOIN grp g USING (sk) WHERE k.id != g.gid
+""",
     # Independent Morton formulation: uniform cells by integer-exact
     # division (ranges pinned to powers of two), explicit bit interleave.
     "q67_zorder_key": (

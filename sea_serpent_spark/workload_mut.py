@@ -215,6 +215,42 @@ def q52_stream_tumbling(spark, sf_dir):
     )
 
 
+def q69_stream_dedup(spark, sf_dir):
+    """Streaming dedup family, oracle-pinned (beyond-reference §2.7):
+    ``all`` rows = the distinct content set surviving
+    ``streaming_exact_dedup`` (readStream → fingerprint →
+    dropDuplicates state → availableNow drain); ``fresh`` rows = the
+    content surviving ``streaming_dedup_against`` a STATIC seen-index
+    of doc_id < 250 (stream-static anti-join, then first-seen state).
+
+    WHICH doc survives per fingerprint is micro-batch-order dependent
+    (parallel file reads within a trigger), so the slot projects the
+    deterministic part — the surviving fingerprint SET per variant —
+    and the oracle is plain batch SQL over the same corpus."""
+    import uuid
+
+    from .operators.dedup import exact_dedup_groups
+    from .streaming import events as sev
+
+    docs = sev.read_documents_stream(spark, sf_dir)
+    kept_all = sev.streaming_exact_dedup(docs)
+    out_all = sev.run_to_memory(
+        kept_all.select("fp"),
+        f"q69a_{uuid.uuid4().hex[:8]}", spark, mode="append",
+    ).withColumn("op", F.lit("all"))
+
+    hist = _df(spark, sf_dir, "documents").where(F.col("doc_id") < 250)
+    seen = exact_dedup_groups(hist).select("fp")
+    kept_fresh = sev.streaming_dedup_against(
+        sev.read_documents_stream(spark, sf_dir), seen
+    )
+    out_fresh = sev.run_to_memory(
+        kept_fresh.select("fp"),
+        f"q69f_{uuid.uuid4().hex[:8]}", spark, mode="append",
+    ).withColumn("op", F.lit("fresh"))
+    return out_all.unionByName(out_fresh)
+
+
 def q53_media_features(spark, sf_dir):
     """Multimodal pipeline: binary payload column + Arrow-batched
     mapInPandas feature extraction (operators/multimodal.py). The
@@ -306,7 +342,17 @@ QUERIES_MUT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     if name.startswith("q") and name[1:3].isdigit() and callable(fn)
 }
 
+from .workload_ext import FP_SQL as _FP_SQL  # noqa: E402
+
 ORACLES_MUT: dict[str, str] = {
+    # The stream-drained fingerprint sets equal the batch formulations.
+    "q69_stream_dedup": (
+        f"SELECT DISTINCT {_FP_SQL} AS fp, 'all' AS op FROM documents "
+        "UNION ALL "
+        f"SELECT DISTINCT {_FP_SQL} AS fp, 'fresh' AS op FROM documents "
+        f"WHERE {_FP_SQL} NOT IN "
+        f"(SELECT {_FP_SQL} FROM documents WHERE doc_id < 250)"
+    ),
     "q05_empty_str_null": (
         "WITH fixture(k, txt, num) AS (VALUES "
         "(0, 'alpha', 1), (1, '', NULL), (2, NULL, 3), "
