@@ -78,6 +78,40 @@ def test_simhash_pairs_pigeonhole(docs):
     assert pairs.get((1, 2)) == 0
 
 
+def test_first_agreeing_emission_is_exactly_once(spark, sf_dir):
+    """The pair operators dedup candidates with an in-join
+    "first agreeing band/chunk" predicate instead of a survivor
+    distinct — on a real corpus (where pairs agree on several bands)
+    every unordered pair must still leave the enumeration EXACTLY once,
+    and the set must equal the distinct-ed formulation."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for op, kw in [
+        (D.minhash_lsh_pairs, {"jaccard_threshold": 0.5}),
+        (D.simhash_pairs, {"max_hamming": 8}),
+    ]:
+        out = op(docs, **kw)
+        dup = (
+            out.groupBy("id_a", "id_b").count().where("count > 1").count()
+        )
+        assert dup == 0, f"{op.__name__}: {dup} duplicate pairs emitted"
+        assert out.count() == out.distinct().count()
+
+
+def test_incremental_pairs_emitted_exactly_once(spark, sf_dir):
+    from sea_serpent_spark.operators.incremental import (
+        incremental_minhash_pairs,
+        minhash_band_index,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = minhash_band_index(d.where("doc_id < 250"))
+    out = incremental_minhash_pairs(
+        d.where("doc_id >= 250"), idx, jaccard_threshold=0.5
+    )
+    dup = out.groupBy("id_a", "id_b").count().where("count > 1").count()
+    assert dup == 0
+
+
 def test_lang_id(spark):
     rows = [
         (1, "the cat is in the house and it is happy"),
