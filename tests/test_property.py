@@ -271,6 +271,65 @@ def test_zorder_key_matches_reference_morton(spark, data):
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(data=st.data())
+def test_minhash_pairs_equal_naive_banded_join(spark, data):
+    """Random dup-structured corpora: the production operator (signature
+    canonicalization + salted band join + first-agreeing-band emission)
+    emits EXACTLY the naive formulation's pair set — an uncanonicalized
+    all-docs band self-join with a distinct, built from the same
+    banding primitive but none of the optimizations under test."""
+    import pyspark.sql.functions as F
+
+    from sea_serpent_spark.operators.dedup import (
+        banded_signatures,
+        minhash_lsh_pairs,
+        minhash_signature,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    n_docs = data.draw(st.integers(4, 20))
+    rows = []
+    for i in range(n_docs):
+        k = data.draw(st.integers(1, len(words)))
+        toks = data.draw(st.permutations(words))[:k]
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(df, jaccard_threshold=0.5).collect()
+    }
+
+    sigs = minhash_signature(df)
+    banded = banded_signatures(sigs, 16, 4, keep=("sig",))
+    a = banded.select(
+        F.col("id").alias("ia"), F.col("sig").alias("sa"), "band", "key"
+    )
+    b = banded.select(
+        F.col("id").alias("ib"), F.col("sig").alias("sb"), "band", "key"
+    )
+    agree = sum(
+        F.when(
+            F.element_at("sa", i + 1) == F.element_at("sb", i + 1), 1
+        ).otherwise(0)
+        for i in range(16)
+    )
+    naive = {
+        (r.ia, r.ib, r.jaccard)
+        for r in a.join(b, ["band", "key"])
+        .where(F.col("ia") < F.col("ib"))
+        .select(
+            "ia", "ib", F.round(agree / F.lit(16.0), 4).alias("jaccard")
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .distinct()
+        .collect()
+    }
+    assert got == naive
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
 def test_spanning_equivalence_random_corpora(spark, data):
     """Random dup-structured corpora: minhash spanning edges give the
     same connected components as the full pair expansion."""
