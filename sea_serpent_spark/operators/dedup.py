@@ -333,6 +333,19 @@ def encoded_token_sets(
     )
 
 
+def _check_banding(num_hashes: int, bands: int) -> int:
+    """Validate the band layout once, at plan build: every hash row
+    must belong to exactly one band, or banding silently drops
+    signature bits (recall loss) and the first-agreeing-band emission
+    predicate degenerates."""
+    if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must be in [1, num_hashes] and divide "
+            f"num_hashes={num_hashes}"
+        )
+    return num_hashes // bands
+
+
 def banded_signatures(
     src: DataFrame, num_hashes: int, bands: int, keep: tuple = ()
 ) -> DataFrame:
@@ -342,7 +355,7 @@ def banded_signatures(
     index (``incremental.minhash_band_index``) band through this
     function, so index/probe bit-parity is structural, not a convention
     two copies have to keep."""
-    rows = num_hashes // bands
+    rows = _check_banding(num_hashes, bands)
     band_cols = [
         F.struct(
             F.lit(i).alias("band"),
@@ -359,6 +372,33 @@ def banded_signatures(
         "id", *keep,
         F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
     )
+
+
+def first_agreeing_band(
+    sig_x: Column, sig_y: Column, band_col: Column,
+    num_hashes: int, bands: int,
+) -> Column:
+    """TRUE iff no band BEFORE ``band_col`` also agrees between the two
+    signatures — the in-join exactly-once emission predicate paired
+    with :func:`banded_signatures`' layout (band i = signature elements
+    ``i·rows+1 .. i·rows+rows``). A pair agreeing on j bands meets in j
+    buckets of the band join; this predicate lets it out of exactly
+    one, replacing a survivor ``distinct`` (a shuffle of the
+    output-sized candidate set) with pure codegen element comparisons.
+    Kept next to the banding definition so the two can never drift —
+    a layout change that skipped this predicate would silently emit
+    duplicate or missing pairs now that the distinct is gone."""
+    rows = _check_banding(num_hashes, bands)
+    pred = F.lit(True)
+    for i in range(bands - 1):
+        band_i_agrees = F.lit(True)
+        for r in range(rows):
+            j = i * rows + r + 1
+            band_i_agrees = band_i_agrees & (
+                F.element_at(sig_x, j) == F.element_at(sig_y, j)
+            )
+        pred = pred & ((F.lit(i) >= band_col) | (~band_i_agrees))
+    return pred
 
 
 def minhash_lsh_pairs(
@@ -480,20 +520,10 @@ def minhash_lsh_pairs(
         # set. Both signatures are join-local, so "no earlier band also
         # agrees" is a pure codegen predicate (same shape as
         # simhash_pairs' first-agreeing-chunk emission).
-        first_band = None
-        for i in range(bands - 1):
-            band_i_agrees = None
-            for r in range(rows):
-                eq = F.element_at(F.col("x.sig"), i * rows + r + 1) == (
-                    F.element_at(F.col("y.sig"), i * rows + r + 1)
-                )
-                band_i_agrees = (
-                    eq if band_i_agrees is None else band_i_agrees & eq
-                )
-            clause = (F.lit(i) >= F.col("x.band")) | (~band_i_agrees)
-            first_band = (
-                clause if first_band is None else first_band & clause
-            )
+        first_band = first_agreeing_band(
+            F.col("x.sig"), F.col("y.sig"), F.col("x.band"),
+            num_hashes, bands,
+        )
         gpairs = _keep_cache(
             _salted_pairs(
                 _banded(reps, keep=("sig",)),

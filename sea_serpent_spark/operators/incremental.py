@@ -56,10 +56,11 @@ from .dedup import (
     banded_signatures,
     connected_components,
     fingerprint,
+    first_agreeing_band,
     minhash_signature,
     release_caches,
 )
-from .util import tracked_checkpoint
+from .util import spread, tracked_checkpoint
 
 
 def minhash_band_index(
@@ -190,24 +191,14 @@ def incremental_minhash_pairs(
     # Each rep pair leaves the probe join exactly once, as a codegen
     # predicate instead of a survivor distinct (a full shuffle of the
     # candidate set): (a) emit only from the FIRST agreeing band —
-    # both signatures are join-local, so "no earlier band also agrees"
-    # is pure element comparisons (same shape as minhash_lsh_pairs /
-    # simhash_pairs); (b) when BOTH groups are new the pair is seen
-    # from either probe orientation — keep only id_a < id_b.
-    rows_per_band = num_hashes // bands
-    dedup_pred = (~F.col("new_b")) | (F.col("id_a") < F.col("id_b"))
-    for i in range(bands - 1):
-        band_i_agrees = None
-        for r in range(rows_per_band):
-            eq = F.element_at("sig_a", i * rows_per_band + r + 1) == (
-                F.element_at("sig_b", i * rows_per_band + r + 1)
-            )
-            band_i_agrees = (
-                eq if band_i_agrees is None else band_i_agrees & eq
-            )
-        dedup_pred = dedup_pred & (
-            (F.lit(i) >= F.col("band")) | (~band_i_agrees)
-        )
+    # the shared predicate kept next to banded_signatures' layout;
+    # (b) when BOTH groups are new the pair is seen from either probe
+    # orientation — keep only id_a < id_b.
+    dedup_pred = (
+        (~F.col("new_b")) | (F.col("id_a") < F.col("id_b"))
+    ) & first_agreeing_band(
+        F.col("sig_a"), F.col("sig_b"), F.col("band"), num_hashes, bands
+    )
     gpairs = (
         a.join(b, ["band", "key"])
         .where((F.col("id_a") != F.col("id_b")) & dedup_pred)
@@ -226,8 +217,6 @@ def incremental_minhash_pairs(
     # corpus). Re-spread the NARROW rep pairs explicitly: a shuffle of
     # ids+jaccard only, orders of magnitude smaller than the distinct
     # it replaces (which shuffled the same rows ONCE PER AGREEING BAND).
-    from .util import spread
-
     gpairs = spread(gpairs)
     mem = groups.select(
         "gid", "has_new", F.explode("members").alias("m")

@@ -8,7 +8,12 @@ and these become no-ops / cheap narrow shuffles.
 
 from __future__ import annotations
 
+import logging
+import threading
+
 from pyspark.sql import DataFrame
+
+_log = logging.getLogger(__name__)
 
 
 def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
@@ -55,8 +60,6 @@ def spread(df: DataFrame) -> DataFrame:
 # only once everything downstream of it is materialized;
 # ``release_checkpoints()`` only at a quiesce point (between bench
 # queries, after a pipeline's outputs are written).
-
-import threading
 
 _TRACKED: list["LocalCheckpoint | PinnedFrame"] = []
 # Guards the registry only. RDD-id attribution needs no lock: the id is
@@ -170,7 +173,19 @@ def tracked_checkpoint(
         # persisted internal RDD; its id is the unpersist target
         ids = [int(out._jdf.queryExecution().analyzed().rdd().id())]
     except _DEAD_JVM_ERRORS + (AttributeError,):
-        ids = []  # unknown plan shape/connect mode: handle is a no-op
+        # Unknown plan shape / connect mode: the handle becomes a no-op,
+        # which means blocks are freed only by JVM GC again — the exact
+        # accumulation failure this lifecycle exists to prevent. Say so
+        # loudly instead of silently degrading (an iterative operator
+        # checkpointing every round would re-create the round-4
+        # warm-run regression with zero signal).
+        ids = []
+        _log.warning(
+            "tracked_checkpoint could not resolve the persisted RDD id "
+            "from the plan (unexpected plan shape or connect mode); "
+            "release() for this handle will be a no-op and checkpoint "
+            "blocks will only be freed by JVM GC"
+        )
     handle = LocalCheckpoint(sc._jsc, ids)
     if track:
         with _LOCK:

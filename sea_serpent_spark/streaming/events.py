@@ -295,6 +295,19 @@ def oplog_stream(spark: SparkSession, base_path: str, table: str) -> DataFrame:
     )
 
 
+def drop_stale_sinks(spark: SparkSession, prefix: str) -> None:
+    """Drop leftover memory-sink temp views from PREVIOUS invocations of
+    a uuid-named streaming query. Each drain registers a fresh global
+    temp view holding its full result in driver memory; a long session
+    re-running the workload (bench cold+warm, repeated driver rounds)
+    would otherwise accumulate one result set per run. Called at slot
+    entry so the CURRENT invocation's sink — which the returned lazy
+    frame still reads — is never touched."""
+    for t in spark.catalog.listTables():
+        if t.isTemporary and t.name.startswith(prefix):
+            spark.catalog.dropTempView(t.name)
+
+
 def run_to_memory(stream: DataFrame, name: str, spark: SparkSession,
                   mode: str | None = None, state_partitions: int = 16):
     """Drain all available input into an in-memory table (test/dev sink).

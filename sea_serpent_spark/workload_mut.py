@@ -206,6 +206,7 @@ def q52_stream_tumbling(spark, sf_dir):
 
     from .streaming import events as sev
 
+    sev.drop_stale_sinks(spark, "q52_sink_")
     stream = sev.read_events_stream(spark, sf_dir)
     agg = sev.tumbling_counts(stream, window="1 hour", watermark="2 hours")
     name = f"q52_sink_{uuid.uuid4().hex[:8]}"
@@ -232,6 +233,7 @@ def q69_stream_dedup(spark, sf_dir):
     from .operators.dedup import exact_dedup_groups
     from .streaming import events as sev
 
+    sev.drop_stale_sinks(spark, "q69")
     docs = sev.read_documents_stream(spark, sf_dir)
     kept_all = sev.streaming_exact_dedup(docs)
     out_all = sev.run_to_memory(
@@ -271,6 +273,7 @@ def q57_stateful_totals(spark, sf_dir):
 
     from .streaming import events as sev
 
+    sev.drop_stale_sinks(spark, "q57_sink_")
     stream = sev.read_events_stream(spark, sf_dir)
     totals = sev.stateful_user_totals(stream)
     name = f"q57_sink_{uuid.uuid4().hex[:8]}"
