@@ -141,17 +141,31 @@ def _salted_pairs(
     output as ``{c}_a``/``{c}_b`` (aligned with id_a/id_b) — this lets a
     caller verify pairs *inside the enumeration stage* instead of
     re-joining per-id state afterwards. Pass ``distinct=False`` with a
-    selective post-filter, then dedupe the (small) survivor set."""
+    selective post-filter, then dedupe the (small) survivor set.
+
+    ``k`` is CAPPED, not cluster-sized: the probe side is replicated
+    ~k/2 times, so tying k to ``defaultParallelism`` would blow the
+    index shuffle up ~16,000x on a 1000-executor cluster. A bounded
+    salt (64) splits any hot bucket into enough sub-joins to keep every
+    core of a large executor busy; whole-stage parallelism at scale
+    comes from the NUMBER of buckets, and residual probe-side imbalance
+    inside one (bucket, chunk) cell is AQE-splittable. No finite salt
+    fixes a quadratic bucket — rep canonicalization (bounding bucket
+    size by distinct content) and verify-in-join are the structural
+    mitigations, and both sit upstream of this join."""
     spark = indexed.sparkSession
-    k = k or spark.sparkContext.defaultParallelism
+    dp = spark.sparkContext.defaultParallelism
+    k = k or min(dp, 64)
     salted = indexed.withColumn("_c", F.pmod(F.hash("id"), F.lit(k)))
     # Explicit (AQE-honored) round-robin: the probe's *input* is tiny, so
     # adaptive planning would otherwise run the expansive join in 1-2
     # tasks; if Catalyst broadcasts the build side this also guarantees a
-    # balanced probe regardless of key skew.
+    # balanced probe regardless of key skew. Partition count tracks the
+    # CLUSTER (max(k, defaultParallelism)) — the capped salt bounds
+    # replication, never stage parallelism.
     probe = (
         salted.withColumn("_t", F.explode(F.sequence("_c", F.lit(k - 1))))
-        .repartition(k)
+        .repartition(max(k, dp))
         .alias("x")
     )
     build = salted.alias("y")
@@ -199,9 +213,16 @@ def _salted_join(
     √k ways (vs k for one-sided replication) — the shape that survives a
     shared-scaffold hot gram at 100 TB without leaning on AQE's
     post-shuffle skew estimates, which only split oversized shuffle
-    blocks AFTER a stage has already paid to write them."""
+    blocks AFTER a stage has already paid to write them.
+
+    ``k`` is CAPPED (256 → √k = 16 replicas per side), not
+    cluster-sized: on a large cluster ``defaultParallelism``-driven
+    salting would replicate each prefix row hundreds of times. 256
+    balanced sub-joins per hot gram saturate a big executor; bucket
+    COUNT provides the stage-level parallelism at scale."""
     spark = left.sparkSession
-    k = k or spark.sparkContext.defaultParallelism
+    dp = spark.sparkContext.defaultParallelism
+    k = k or min(dp, 256)
     a = max(1, math.isqrt(k))
     b = max(1, (k + a - 1) // a)
     ls = left.withColumn(
@@ -212,7 +233,8 @@ def _salted_join(
     ).withColumn("_ca", F.explode(F.sequence(F.lit(0), F.lit(a - 1))))
     # explicit (AQE-honored) spread: if Catalyst broadcasts one side the
     # other's parallelism would otherwise be its pre-explode partitioning
-    ls = ls.repartition(k)
+    # (cluster-sized — the capped salt never bounds stage parallelism)
+    ls = ls.repartition(max(k, dp))
     return ls.join(rs, keys + ["_ca", "_cb"]).drop("_ca", "_cb")
 
 
