@@ -330,6 +330,48 @@ def test_minhash_pairs_equal_naive_banded_join(spark, data):
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(data=st.data())
+def test_incremental_pairs_equal_batch_restriction_random(spark, data):
+    """Random corpora + random history/delta split: the incremental
+    probe (index join, first-agreeing-band + orientation dedup) equals
+    the batch operator's pair set restricted to delta-touching pairs —
+    the exactness-of-the-restriction claim, fuzzed beyond the fixed
+    doc_id<N fixtures."""
+    from sea_serpent_spark.operators.dedup import minhash_lsh_pairs
+    from sea_serpent_spark.operators.incremental import (
+        incremental_minhash_pairs,
+        minhash_band_index,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    n_docs = data.draw(st.integers(4, 18))
+    cut = data.draw(st.integers(1, n_docs - 1))
+    rows = []
+    for i in range(n_docs):
+        k = data.draw(st.integers(1, len(words)))
+        toks = data.draw(st.permutations(words))[:k]
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hist = df.where(f"doc_id < {cut}")
+    delta = df.where(f"doc_id >= {cut}")
+
+    idx = minhash_band_index(hist)
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in incremental_minhash_pairs(
+            delta, idx, jaccard_threshold=0.5
+        ).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(df, jaccard_threshold=0.5).collect()
+        if r.id_a >= cut or r.id_b >= cut
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
 def test_spanning_equivalence_random_corpora(spark, data):
     """Random dup-structured corpora: minhash spanning edges give the
     same connected components as the full pair expansion."""
