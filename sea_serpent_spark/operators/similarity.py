@@ -148,10 +148,19 @@ def srp_band_buckets(
     return F.array(*out)
 
 
-def _vec_dim(df: DataFrame, vec_col: str) -> int:
-    """Embedding width probed from one row (metadata-cheap)."""
+def _vec_dim(df: DataFrame, vec_col: str,
+             default: int | None = None) -> int:
+    """Embedding width probed from one row (metadata-cheap).
+
+    ``default`` is returned for an EMPTY corpus: search/pair operators
+    pass a placeholder (no rows ever evaluate the projection, and an
+    empty corpus must yield an empty result, not an error); model
+    fitting (``pq_fit``) leaves it None — fitting on nothing is a real
+    error."""
     row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
     if not row:
+        if default is not None:
+            return default
         raise ValueError("cannot infer vector dim from an empty corpus")
     return int(row[0]["d"])
 
@@ -223,7 +232,7 @@ def lsh_topk(
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     if projection == "random":
-        dim = _vec_dim(corpus, vec_col)
+        dim = _vec_dim(corpus, vec_col, default=1)
         H = _hyperplanes(nbits * bands, dim, seed)
 
         def proj(col, band, i):
@@ -559,7 +568,7 @@ def embedding_near_dup_pairs(
     )
     if nbits:
         if projection == "random":
-            dim = _vec_dim(df, vec_col)
+            dim = _vec_dim(df, vec_col, default=1)
 
             def bucketize(col):
                 return srp_band_buckets(col, nbits, bands, dim, seed)

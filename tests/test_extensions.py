@@ -112,6 +112,40 @@ def test_incremental_pairs_emitted_exactly_once(spark, sf_dir):
     assert dup == 0
 
 
+def test_operators_accept_empty_inputs(spark):
+    """An empty corpus flows through every search/pair/selection
+    operator as an empty result — never an error (a daily pipeline's
+    first run, or a filter that drops everything, must not crash the
+    job). Model FITTING on nothing stays a real error (pq_fit)."""
+    import pytest
+
+    from sea_serpent_spark.operators import fuzzy as FZ
+    from sea_serpent_spark.operators import incremental as I
+    from sea_serpent_spark.operators import sampling as SA
+    from sea_serpent_spark.operators import similarity as S
+
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, source string, n_chars long"
+    )
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert D.minhash_lsh_pairs(docs).count() == 0
+    assert D.simhash_pairs(docs).count() == 0
+    assert D.dedup_corpus(docs).count() == 0
+    assert FZ.edit_distance_pairs(docs, "text", "doc_id").count() == 0
+    assert S.embedding_near_dup_pairs(emb, threshold=0.9).count() == 0
+    assert S.brute_force_topk(emb, emb, k=3).count() == 0
+    assert S.lsh_topk(emb, emb, k=3, nbits=4).count() == 0
+    assert (
+        I.incremental_minhash_pairs(docs, I.minhash_band_index(docs))
+        .count() == 0
+    )
+    assert SA.token_budget_mix(
+        docs, "source", "n_chars", {"a": 10}, "doc_id", checkpoint=False
+    ).count() == 0
+    with pytest.raises(ValueError, match="empty corpus"):
+        S.pq_fit(emb, m=2, ksub=4)
+
+
 def test_lang_id(spark):
     rows = [
         (1, "the cat is in the house and it is happy"),
