@@ -150,14 +150,22 @@ def srp_band_buckets(
 
 def _vec_dim(df: DataFrame, vec_col: str,
              default: int | None = None) -> int:
-    """Embedding width probed from one row (metadata-cheap).
+    """Embedding width probed from one non-NULL row (metadata-cheap).
 
-    ``default`` is returned for an EMPTY corpus: search/pair operators
-    pass a placeholder (no rows ever evaluate the projection, and an
-    empty corpus must yield an empty result, not an error); model
-    fitting (``pq_fit``) leaves it None — fitting on nothing is a real
-    error."""
-    row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    ``default`` is returned for an empty / all-NULL corpus: search/pair
+    operators pass a placeholder so an empty corpus yields an empty
+    result rather than an error. (A non-empty query side may still
+    project against the placeholder hyperplanes — dimension-mismatched
+    ``dot`` null-propagates through ``zip_with``, every bucket
+    collapses, and the join against the empty corpus is empty, which is
+    the verified contract.) Model fitting (``pq_fit``) leaves it None —
+    fitting on nothing is a real error."""
+    row = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .limit(1)
+        .collect()
+    )
     if not row:
         if default is not None:
             return default

@@ -117,8 +117,6 @@ def test_operators_accept_empty_inputs(spark):
     operator as an empty result — never an error (a daily pipeline's
     first run, or a filter that drops everything, must not crash the
     job). Model FITTING on nothing stays a real error (pq_fit)."""
-    import pytest
-
     from sea_serpent_spark.operators import fuzzy as FZ
     from sea_serpent_spark.operators import incremental as I
     from sea_serpent_spark.operators import sampling as SA
@@ -135,6 +133,15 @@ def test_operators_accept_empty_inputs(spark):
     assert S.embedding_near_dup_pairs(emb, threshold=0.9).count() == 0
     assert S.brute_force_topk(emb, emb, k=3).count() == 0
     assert S.lsh_topk(emb, emb, k=3, nbits=4).count() == 0
+    # the random-projection branch probes the vector dim — the path the
+    # empty-corpus placeholder exists for
+    assert S.lsh_topk(emb, emb, k=3, nbits=4,
+                      projection="random").count() == 0
+    # all-NULL embeddings behave like an empty corpus, not a crash
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<float>"
+    )
+    assert S.embedding_near_dup_pairs(nulls, threshold=0.9).count() == 0
     assert (
         I.incremental_minhash_pairs(docs, I.minhash_band_index(docs))
         .count() == 0
