@@ -156,6 +156,11 @@ def main() -> None:
                 "warm_total": round(warm_total, 3),
                 "warm_outliers": warm_outliers,
                 "warm_total_ex_outliers": round(warm_total_ex, 3),
+                # 1-min system load BEFORE attributing a per-query move
+                # to code: sibling processes on a shared box inflate
+                # individual queries 1.5-3x (r5's warm q39 "regression"
+                # was exactly this — unreproducible in isolation)
+                "loadavg_1m": round(os.getloadavg()[0], 1),
                 "sf": sf,
             }
         )
