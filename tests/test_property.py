@@ -330,6 +330,73 @@ def test_minhash_pairs_equal_naive_banded_join(spark, data):
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(data=st.data())
+def test_simhash_pairs_equal_naive_chunk_join(spark, data):
+    """Random corpora AND a drawn max_hamming spanning both execution
+    regimes (dense all-pairs when mh < chunks, banded enumeration with
+    first-agreeing-chunk emission otherwise): the production operator
+    equals the naive uncanonicalized chunk join with a distinct."""
+    import pyspark.sql.functions as F
+
+    from sea_serpent_spark.operators.dedup import (
+        SIMHASH_BITS,
+        simhash_pairs,
+        simhash_signatures,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+             "theta"]
+    n_docs = data.draw(st.integers(4, 20))
+    mh = data.draw(st.sampled_from([2, 5, 8, 11]))
+    rows = []
+    for i in range(n_docs):
+        k = data.draw(st.integers(1, len(words)))
+        toks = data.draw(st.permutations(words))[:k]
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs(df, max_hamming=mh).collect()
+    }
+
+    sigs = simhash_signatures(df)
+    width = SIMHASH_BITS // 4
+    mask = (1 << width) - 1
+    chunk_cols = [
+        F.struct(
+            F.lit(i).alias("c"),
+            F.shiftright("sim", i * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("v"),
+        )
+        for i in range(4)
+    ]
+    banded = sigs.select(
+        "id", "sim", F.explode(F.array(*chunk_cols)).alias("ck")
+    ).select("id", "sim", F.col("ck.c").alias("c"),
+             F.col("ck.v").alias("v"))
+    a = banded.select(
+        F.col("id").alias("ia"), F.col("sim").alias("sa"), "c", "v"
+    )
+    b = banded.select(
+        F.col("id").alias("ib"), F.col("sim").alias("sb"), "c", "v"
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    naive = {
+        (r.ia, r.ib, r.hamming)
+        for r in a.join(b, ["c", "v"])
+        .where(F.col("ia") < F.col("ib"))
+        .select("ia", "ib", ham.alias("hamming"))
+        .where(F.col("hamming") <= mh)
+        .distinct()
+        .collect()
+    }
+    assert got == naive
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
 def test_incremental_pairs_equal_batch_restriction_random(spark, data):
     """Random corpora + random history/delta split: the incremental
     probe (index join, first-agreeing-band + orientation dedup) equals
