@@ -65,6 +65,10 @@ def test_mutation_sequence_matches_pandas(spark, tmp_path_factory, ops):
     t = base.table(name)
     mirror = start.copy()
     next_key = 100
+    # (version, mirror state) after every op — an op may commit more
+    # than once (create-on-assign = add_column + set), so the version
+    # is read back from the store's own history
+    snapshots: list[tuple[int, pd.DataFrame]] = []
 
     for op in ops:
         if op[0] == "set_scalar":
@@ -111,16 +115,29 @@ def test_mutation_sequence_matches_pandas(spark, tmp_path_factory, ops):
                         [mirror, pd.DataFrame([row])], ignore_index=True
                     )
 
-    got = (
-        t.to_frame(row_id_index=False)
-        .drop(columns=["_seq", "_id"], errors="ignore")
-        .sort_values("key")
-        .reset_index(drop=True)
-    )
-    cols = [c for c in mirror.columns]
-    assert sorted(got.columns) == sorted(cols)
-    for c in cols:
-        g = got[c].tolist()
-        m = mirror.sort_values("key")[c].tolist()
-        norm = lambda x: (None if pd.isna(x) else x)
-        assert [norm(x) for x in g] == [norm(x) for x in m], (c, ops)
+        snapshots.append(
+            (max(e["version"] for e in base.history(name)), mirror.copy())
+        )
+
+    norm = lambda x: (None if pd.isna(x) else x)  # noqa: E731
+
+    def _check(table, expect, ctx):
+        got = (
+            table.to_frame(row_id_index=False)
+            .drop(columns=["_seq", "_id"], errors="ignore")
+            .sort_values("key")
+            .reset_index(drop=True)
+        )
+        cols = [c for c in expect.columns]
+        assert sorted(got.columns) == sorted(cols), (ctx, got.columns)
+        for c in cols:
+            g = [norm(x) for x in got[c].tolist()]
+            m = [norm(x) for x in expect.sort_values("key")[c].tolist()]
+            assert g == m, (ctx, c, ops)
+
+    _check(t, mirror, "final")
+    # time travel: EVERY intermediate version must reproduce the mirror
+    # state as of that op — exact snapshots across a random history,
+    # not just the version-0 round trip the directed q50 test replays
+    for v, snap in snapshots:
+        _check(base.table(name, version=v), snap, f"version={v}")
