@@ -1108,6 +1108,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    release_batch: int = 8,
 ) -> DataFrame:
     """→ [id, component]: connected components over an undirected pair
     edge list, component = MIN reachable id (the canonical-doc choice
@@ -1169,10 +1170,16 @@ def connected_components(
     # round's ``changed`` is computed, but releasing them one-by-one
     # costs a getPersistentRDDs JVM round-trip INSIDE the convergence
     # loop (measured +29% cold q61 in the round-5 driver bench). Batch
-    # them: a handful of node-sized skinny frames may live concurrently,
-    # and one release_all call frees the whole batch.
+    # them: up to ``release_batch`` node-sized (id, component) label
+    # frames live concurrently, and one release_all call frees the
+    # whole batch. TRADEOFF: each pending frame pins MEMORY_AND_DISK
+    # blocks ~ one long pair per node, so on memory-tight executors the
+    # batch competes with other cached frames — the per-round saving is
+    # a single driver round-trip, so release_batch=2..4 captures most
+    # of the win at a quarter of the peak pin (pass it down from
+    # ``dedup_corpus`` for constrained deployments).
     superseded: list = []
-    _BATCH = 8
+    _BATCH = max(1, release_batch)
     for _ in range(max_iterations):
         # min over self + neighbor labels
         nbr = (
@@ -1238,6 +1245,7 @@ def dedup_corpus(
     threshold: float = 0.8,
     keep: str = "min_id",
     keep_col: str | None = None,
+    release_batch: int = 8,
     **kwargs,
 ) -> DataFrame:
     """End-to-end corpus dedup: near-dup pairs → connected components →
@@ -1269,7 +1277,12 @@ def dedup_corpus(
     star edges instead of O(size²) clique edges (at the 10× rehearsal
     corpus that is the difference between feeding CC 559.6 M and 3.0 M
     edges — end-to-end 25 s vs 540 s for the CC stage alone;
-    BENCH_NOTES.md)."""
+    BENCH_NOTES.md).
+
+    ``release_batch`` forwards to ``connected_components``: how many
+    superseded per-round label checkpoints may stay pinned before one
+    batched release (8 = fewest driver round-trips; 2-4 for
+    memory-tight executors — see the tradeoff note there)."""
     if keep not in ("min_id", "max", "min"):
         raise ValueError(
             f"keep must be 'min_id', 'max' or 'min', got {keep!r}"
@@ -1331,7 +1344,7 @@ def dedup_corpus(
         pairs = simhash_pairs(df, text_col, id_col, **kwargs)
     else:
         raise ValueError(f"unknown dedup method: {method!r}")
-    comp = connected_components(pairs)
+    comp = connected_components(pairs, release_batch=release_batch)
     if keep == "min_id":
         # drop every clustered doc that is not its component's minimum
         losers = comp.where(F.col("id") != F.col("component")).select(

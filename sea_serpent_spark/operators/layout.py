@@ -130,19 +130,149 @@ def zorder_frame(
     bits: int = 12,
     num_partitions: int | None = None,
     ranges: dict[str, tuple] | None = None,
+    boundaries: list[int] | None = None,
 ) -> DataFrame:
     """``df`` re-laid-out along the Z-curve: range-partitioned on the
-    Morton key (sampled boundaries — balanced even when the curve is
-    unevenly populated) and sorted within partitions, key dropped.
-    Write the result with any sink; each output file then carries tight
-    min-max ranges on every indexed column. ``num_partitions`` defaults
-    to the session's shuffle partitioning (on a real cluster: size so
-    each partition ≈ one target file, e.g. rows·bytes ≈ 1 GB)."""
+    Morton key and sorted within partitions, key dropped. Write the
+    result with any sink; each output file then carries tight min-max
+    ranges on every indexed column. ``num_partitions`` defaults to the
+    session's shuffle partitioning (on a real cluster: size so each
+    partition ≈ one target file, e.g. rows·bytes ≈ 1 GB).
+
+    By default partition boundaries come from ``repartitionByRange``'s
+    reservoir sample, whose seed is derived from the shuffle RDD id —
+    re-running the SAME layout job moves rows between files. For table
+    maintenance that matters: a no-op re-layout of an already-clustered
+    100 TB table should rewrite zero bytes, and incremental maintenance
+    diffs files. Pass ``boundaries`` (ascending Morton-key split points,
+    e.g. from :func:`zorder_boundaries`) to pin the layout: bucket k =
+    #{b ≤ z} is computed by an UNROLLED BINARY SEARCH (log₂ steps of
+    codegen'd ``element_at`` — not an O(n_files) per-row scan), and
+    bucket k lands in shuffle partition k exactly via Murmur3-preimage
+    partition keys — fully deterministic, no sampling anywhere."""
     z = zorder_key(df, cols, bits, ranges)
     tagged = df.withColumn("__z", z)
+    if boundaries is not None:
+        bl = [int(b) for b in boundaries]
+        if sorted(set(bl)) != bl:
+            raise ValueError("boundaries must be strictly ascending")
+        n = len(bl) + 1
+        if num_partitions is not None and num_partitions != n:
+            raise ValueError(
+                f"num_partitions={num_partitions} conflicts with "
+                f"{len(bl)} boundaries (⇒ {n} partitions)"
+            )
+        bucket = _search_sorted(F.col("__z"), bl)
+        # hash-partitioning is the only sampling-free DataFrame shuffle,
+        # but pmod(murmur3(k), n) scrambles bucket order; element_at of
+        # this preimage table un-scrambles it so partition index ==
+        # bucket index (files stay monotone in z for free)
+        pk = F.array(*[
+            F.lit(x).cast("long") for x in _identity_hash_keys(n)
+        ])
+        return (
+            tagged.withColumn("__pk", F.element_at(pk, bucket + 1))
+            .repartition(n, "__pk")
+            .sortWithinPartitions("__z")
+            .drop("__z", "__pk")
+        )
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     return (
         tagged.repartitionByRange(n, "__z")
         .sortWithinPartitions("__z")
         .drop("__z")
     )
+
+
+def zorder_boundaries(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 12,
+    num_partitions: int | None = None,
+    ranges: dict[str, tuple] | None = None,
+    relative_error: float = 0.001,
+) -> list[int]:
+    """Deterministic Morton-key split points for ``zorder_frame``'s
+    ``boundaries=``: equi-depth quantiles of the key via Spark's
+    Greenwald-Khanna sketch (``approxQuantile`` — a full deterministic
+    pass, NOT a random sample; same files in → same boundaries out).
+    Compute once, persist next to the table, reuse for every re-layout
+    and for append-batch maintenance."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    keyed = df.select(zorder_key(df, cols, bits, ranges).alias("__z"))
+    qs = [k / n for k in range(1, n)]
+    raw = keyed.approxQuantile("__z", qs, relative_error)
+    out: list[int] = []
+    for v in raw:
+        i = int(v)
+        if not out or i > out[-1]:
+            out.append(i)
+    return out
+
+
+def _search_sorted(z: Column, bounds: list[int]) -> Column:
+    """#{b in bounds : b ≤ z} with ``bounds`` sorted ascending — binary
+    lifting unrolled into log₂(len) WHEN/element_at steps, all inside
+    whole-stage codegen (the naive ``filter``-and-``size`` HOF is an
+    interpreted O(n_files) scan per row)."""
+    m = len(bounds)
+    arr = F.array(*[F.lit(int(b)).cast("long") for b in bounds])
+    pos = F.lit(0)
+    step = 1 << max(m.bit_length() - 1, 0)
+    while step:
+        cand = pos + F.lit(step)
+        ok = (cand <= F.lit(m)) & (F.element_at(arr, cand) <= z)
+        pos = F.when(ok, cand).otherwise(pos)
+        step >>= 1
+    return pos
+
+
+def _murmur3_long(v: int, seed: int = 42) -> int:
+    """Spark's ``Murmur3_x86_32.hashLong`` (the expression behind
+    ``F.hash``/hash partitioning on a LongType key), in pure Python —
+    pinned bit-for-bit against ``F.hash`` in test_layout."""
+    M = 0xFFFFFFFF
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (32 - r))) & M
+
+    def mixk1(k1: int) -> int:
+        k1 = (k1 * 0xCC9E2D51) & M
+        k1 = rotl(k1, 15)
+        return (k1 * 0x1B873593) & M
+
+    def mixh1(h1: int, k1: int) -> int:
+        h1 ^= k1
+        h1 = rotl(h1, 13)
+        return (h1 * 5 + 0xE6546B64) & M
+
+    v &= 0xFFFFFFFFFFFFFFFF
+    h1 = seed & M
+    h1 = mixh1(h1, mixk1(v & M))
+    h1 = mixh1(h1, mixk1(v >> 32))
+    h1 ^= 8  # fmix with total byte length
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & M
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & M
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def _identity_hash_keys(n: int) -> list[int]:
+    """``keys[k]`` hash-partitions to partition k under Spark's
+    ``pmod(murmur3(key), n)`` — the preimage table that turns a hash
+    repartition into an EXPLICIT partitioner (driver-side probe of
+    small ints; murmur3 is uniform, so all ``n`` slots fill after
+    ~n·ln(n) probes — microseconds up to tens of thousands of files)."""
+    keys: dict[int, int] = {}
+    x = 0
+    limit = max(4096, 64 * n)
+    while len(keys) < n and x < limit:
+        k = _murmur3_long(x) % n  # Python % is already non-negative
+        if k not in keys:
+            keys[k] = x
+        x += 1
+    if len(keys) < n:  # pragma: no cover - ~impossible for uniform hash
+        raise RuntimeError(f"could not fill {n} partition-key slots")
+    return [keys[k] for k in range(n)]

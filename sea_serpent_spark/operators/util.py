@@ -201,8 +201,6 @@ def release_all(handles) -> None:
     cps = []
     for h in handles:
         if isinstance(h, LocalCheckpoint) and not h.released:
-            h.released = True
-            _untrack(h)
             cps.append(h)
         else:
             h.release()
@@ -210,13 +208,25 @@ def release_all(handles) -> None:
         return
     try:
         live = cps[0]._jsc.getPersistentRDDs()
-        for h in cps:
-            for i in h.rdd_ids:
-                r = live.get(i)
-                if r is not None:
-                    r.unpersist(False)
     except _DEAD_JVM_ERRORS:
-        pass
+        live = None  # dead/restarted JVM has nothing left to free
+    # Mark a handle released only AFTER its blocks are freed: a
+    # non-dead-JVM error from unpersist (bookkeeping bug, wrong handle)
+    # must leave the not-yet-freed handles retryable — released=True
+    # would make both retry and the registry sweep no-ops and leak the
+    # blocks. unpersist is idempotent, so re-releasing the handle that
+    # raised mid-batch is safe.
+    for h in cps:
+        if live is not None:
+            try:
+                for i in h.rdd_ids:
+                    r = live.get(i)
+                    if r is not None:
+                        r.unpersist(False)
+            except _DEAD_JVM_ERRORS:
+                live = None
+        h.released = True
+        _untrack(h)
 
 
 def release_checkpoints() -> None:

@@ -297,12 +297,17 @@ def oplog_stream(spark: SparkSession, base_path: str, table: str) -> DataFrame:
 
 def drop_stale_sinks(spark: SparkSession, prefix: str) -> None:
     """Drop leftover memory-sink temp views from PREVIOUS invocations of
-    a uuid-named streaming query. Each drain registers a fresh global
-    temp view holding its full result in driver memory; a long session
-    re-running the workload (bench cold+warm, repeated driver rounds)
-    would otherwise accumulate one result set per run. Called at slot
-    entry so the CURRENT invocation's sink — which the returned lazy
-    frame still reads — is never touched."""
+    a uuid-named streaming query. Each drain registers a fresh
+    session-local temp view holding its full result in driver memory; a
+    long session re-running the workload (bench cold+warm, repeated
+    driver rounds) would otherwise accumulate one result set per run.
+    Called at slot entry so the CURRENT invocation's sink — which the
+    returned lazy frame still reads — is never touched.
+
+    CALLER CONTRACT: every prefix-matching view from a prior invocation
+    must already be fully consumed (collected / written) — the lazy
+    frame a previous call returned reads its view on execution, and
+    this sweep drops ALL prefix matches, not just dead ones."""
     for t in spark.catalog.listTables():
         if t.isTemporary and t.name.startswith(prefix):
             spark.catalog.dropTempView(t.name)

@@ -349,12 +349,19 @@ from .workload_ext import FP_SQL as _FP_SQL  # noqa: E402
 
 ORACLES_MUT: dict[str, str] = {
     # The stream-drained fingerprint sets equal the batch formulations.
+    # 'fresh' uses NOT EXISTS, not NOT IN: a NULL-text document has a
+    # NULL fingerprint, and NOT IN's three-valued logic would then empty
+    # the whole branch, while the engine's stream-static LEFT ANTI join
+    # treats a NULL key as non-matching (row kept). NOT EXISTS with an
+    # equality correlate has exactly the anti-join's NULL semantics.
     "q69_stream_dedup": (
         f"SELECT DISTINCT {_FP_SQL} AS fp, 'all' AS op FROM documents "
         "UNION ALL "
-        f"SELECT DISTINCT {_FP_SQL} AS fp, 'fresh' AS op FROM documents "
-        f"WHERE {_FP_SQL} NOT IN "
-        f"(SELECT {_FP_SQL} FROM documents WHERE doc_id < 250)"
+        "SELECT DISTINCT fp, 'fresh' AS op FROM "
+        f"(SELECT {_FP_SQL} AS fp FROM documents) a "
+        "WHERE NOT EXISTS (SELECT 1 FROM "
+        f"(SELECT {_FP_SQL} AS fp FROM documents WHERE doc_id < 250) h "
+        "WHERE h.fp = a.fp)"
     ),
     "q05_empty_str_null": (
         "WITH fixture(k, txt, num) AS (VALUES "

@@ -122,6 +122,83 @@ def test_table_zorder_method(spark, sf_dir):
     assert z.columns == t.columns
 
 
+def test_murmur3_long_matches_spark_hash(spark):
+    """The pure-python Murmur3 behind the preimage partition keys is
+    bit-identical to Spark's F.hash on longs — the property the whole
+    deterministic-layout path rests on."""
+    from sea_serpent_spark.operators.layout import _murmur3_long
+
+    vals = list(range(0, 50)) + [-1, -7, 2**40, -(2**40), 2**62]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r["v"]: r["h"] for r in
+           df.select("v", F.hash("v").alias("h")).collect()}
+    for v in vals:
+        assert _murmur3_long(v) == got[v], v
+
+
+def test_zorder_frame_pinned_boundaries_deterministic(spark, sf_dir):
+    """With explicit boundaries two layout runs produce IDENTICAL file
+    assignment (the repartitionByRange default does not — its reservoir
+    seed is RDD-id-derived), and partition index is monotone in z, so
+    files keep range order."""
+    from sea_serpent_spark.operators.layout import zorder_boundaries
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cols = ["user_id", "event_id"]
+    bounds = zorder_boundaries(ev, cols, bits=10, num_partitions=8)
+    assert bounds == sorted(set(bounds))
+
+    def assignment():
+        out = zorder_frame(ev, cols, bits=10, boundaries=bounds)
+        rows = (
+            out.withColumn("__p", F.spark_partition_id())
+            .groupBy("__p")
+            .agg(
+                F.sort_array(F.collect_list("event_id")).alias("ids"),
+                F.min(zorder_key(out, cols, bits=10)).alias("zlo"),
+                F.max(zorder_key(out, cols, bits=10)).alias("zhi"),
+            )
+            .collect()
+        )
+        return {r["__p"]: (tuple(r["ids"]), r["zlo"], r["zhi"])
+                for r in rows}
+
+    a, b = assignment(), assignment()
+    assert a == b
+    assert len(a) == len(bounds) + 1
+    # partition k owns exactly the z-range [bounds[k-1], bounds[k])
+    order = sorted(a)
+    for k in order:
+        ids, zlo, zhi = a[k]
+        if k > 0:
+            assert zlo >= bounds[k - 1], (k, zlo)
+        if k < len(bounds):
+            assert zhi < bounds[k], (k, zhi)
+    with pytest.raises(ValueError, match="ascending"):
+        zorder_frame(ev, cols, bits=10, boundaries=[5, 5, 9])
+    with pytest.raises(ValueError, match="conflicts"):
+        zorder_frame(ev, cols, bits=10, boundaries=bounds,
+                     num_partitions=3)
+
+
+def test_search_sorted_matches_bisect(spark):
+    import bisect
+
+    from sea_serpent_spark.operators.layout import _search_sorted
+
+    for bounds in ([3], [2, 7], [1, 5, 9, 13, 40], list(range(0, 64, 7))):
+        df = spark.createDataFrame(
+            [(v,) for v in range(-2, 45)], "z long"
+        )
+        got = df.select(
+            "z", _search_sorted(F.col("z"), bounds).alias("k")
+        ).collect()
+        for r in got:
+            assert r["k"] == bisect.bisect_right(bounds, r["z"]), (
+                bounds, r["z"]
+            )
+
+
 def test_zorder_survives_timestamp_and_string_dims(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     out = zorder_frame(ev, ["ts", "event_type"], bits=8, num_partitions=8)
