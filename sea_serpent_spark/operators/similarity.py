@@ -54,6 +54,55 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# ---------------------------------------------------------------------------
+# codegen'd expansions of the hot-path vector arithmetic
+#
+# Spark evaluates higher-order array functions (zip_with / aggregate)
+# INTERPRETED — outside whole-stage codegen — at roughly a microsecond
+# per element-step, which is the wall clock of every per-pair score and
+# per-code subdistance. When the vector dimension is known (probed from
+# the corpus, or fixed by a pinned constant), the same left fold unrolls
+# into a flat element_at chain that codegen compiles to straight-line
+# arithmetic, ~100x faster per pair. BIT-PARITY: each chain starts from
+# the same 0.0 seed and adds the same terms in the same left-to-right
+# order as ``F.aggregate``'s fold, so results are bit-identical — the
+# DuckDB oracles pinned against the fold stay valid unchanged
+# (measured: fold == chain == DuckDB list_sum on doubles, round 7).
+# ---------------------------------------------------------------------------
+
+def _dot_cols(a: Column, b: Column, dim: int) -> Column:
+    """dot(a, b) unrolled over a known dimension; ``dim<=0`` (unknown /
+    empty-corpus placeholder) falls back to the interpreted fold, whose
+    zip_with truncation semantics the empty-input contract relies on."""
+    if dim <= 0:
+        return dot(a, b)
+    out: Column = F.lit(0.0)
+    for i in range(dim):
+        out = out + F.element_at(a, i + 1) * F.element_at(b, i + 1)
+    return out
+
+
+def _dot_const(vec: Column, const_vec: list[float]) -> Column:
+    """dot(vec, pinned-constant vector) unrolled — also drops the k·dim
+    array literals from the expression tree (scalar literals fold into
+    the generated code)."""
+    out: Column = F.lit(0.0)
+    for i, c in enumerate(const_vec):
+        out = out + F.element_at(vec, i + 1) * F.lit(float(c))
+    return out
+
+
+def _sub_sqdist(uv: Column, off: int, cb: list[float]) -> Column:
+    """‖uv[off:off+len(cb)] − cb‖² unrolled — the PQ encode/LUT
+    subdistance ((a−b)·(a−b) per term; never −0.0, so the 0.0 seed is
+    exact)."""
+    out: Column = F.lit(0.0)
+    for i, c in enumerate(cb):
+        d = F.element_at(uv, off + i + 1) - F.lit(float(c))
+        out = out + d * d
+    return out
+
+
 def _sided(
     df: DataFrame, id_col: str, vec_col: str, id_as: str, vec_as: str,
     n_as: str, **extra: Column,
@@ -81,6 +130,7 @@ def brute_force_topk(
     Scale: the corpus never shuffles — each partition scores its vectors
     against the broadcast query set and the window is per-query over a
     k-bounded candidate set (Catalyst folds rank+filter into a top-k sort)."""
+    dim = _vec_dim(corpus, vec_col, default=0)
     q = _sided(queries, id_col, vec_col, "query_id", "qv", "nq")
     c = fan_out(_sided(corpus, id_col, vec_col, "neighbor_id", "cv", "nc"))
     scored = (
@@ -89,7 +139,8 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))).alias("cos"),
+            (_dot_cols(F.col("qv"), F.col("cv"), dim)
+             / (F.col("nq") * F.col("nc"))).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -239,8 +290,9 @@ def lsh_topk(
     ~bands·nprobe·N/2^nbits candidates."""
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    score_dim = _vec_dim(corpus, vec_col, default=0)
     if projection == "random":
-        dim = _vec_dim(corpus, vec_col, default=1)
+        dim = score_dim or 1  # 1 = empty-corpus placeholder (see _vec_dim)
         H = _hyperplanes(nbits * bands, dim, seed)
 
         def proj(col, band, i):
@@ -314,7 +366,8 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))).alias("cos"),
+            (_dot_cols(F.col("qv"), F.col("cv"), score_dim)
+             / (F.col("nq") * F.col("nc"))).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -336,6 +389,7 @@ def ivf_topk(
     cluster_col: str = "label",
 ) -> DataFrame:
     """IVF probe using an existing coarse-cluster column as quantizer."""
+    dim = _vec_dim(corpus, vec_col, default=0)
     q = _sided(
         queries, id_col, vec_col, "query_id", "qv", "nq",
         cl=F.col(cluster_col),
@@ -352,7 +406,8 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))).alias("cos"),
+            (_dot_cols(F.col("qv"), F.col("cv"), dim)
+             / (F.col("nq") * F.col("nc"))).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -461,24 +516,33 @@ def ivf_assign(
     IVF list assignment, a pure broadcast-literal expression (no
     shuffle). ``sim_col`` additionally emits the winning cosine itself
     (centroid affinity — SemDeDup's keep-policy signal) from the same
-    argmax, no extra pass."""
+    argmax, no extra pass.
+
+    The vector norm is STAGED once per row behind a projection boundary
+    (CollapseProject keeps a non-cheap alias referenced k times), and
+    each centroid dot is a codegen'd unrolled chain (``_dot_const``,
+    bit-identical to the fold) — the interpreted-HOF version paid
+    k·(fold+zip) per row."""
+    staged = df.withColumn(
+        "__an", F.greatest(norm(F.col(vec_col)), F.lit(1e-12))
+    )
     scores = F.array(
         *[
             F.struct(
-                (
-                    dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-                    / F.greatest(norm(F.col(vec_col)), F.lit(1e-12))
-                ).alias("s"),
+                (_dot_const(F.col(vec_col), c) / F.col("__an")).alias("s"),
                 F.lit(i).alias("i"),
             )
             for i, c in enumerate(centroids)
         ]
     )
-    best = F.array_max(scores)
-    out = df.withColumn(cluster_col, best.getField("i"))
+    # __best staged too: referenced once per output column, and without
+    # the projection boundary the k·dim argmax tree is duplicated into
+    # each (CollapseProject inlines once-used aliases)
+    best = staged.withColumn("__best", F.array_max(scores))
+    out = best.withColumn(cluster_col, F.col("__best").getField("i"))
     if sim_col is not None:
-        out = out.withColumn(sim_col, best.getField("s"))
-    return out
+        out = out.withColumn(sim_col, F.col("__best").getField("s"))
+    return out.drop("__an", "__best")
 
 
 def embedding_near_dup_pairs(
@@ -568,6 +632,7 @@ def embedding_near_dup_pairs(
         nbits, tuned_bands = tune_srp(threshold, p_target)
         bands = bands or tuned_bands
     bands = bands or 1
+    score_dim = _vec_dim(df, vec_col, default=0)
     ga: dict = (
         {"ga": F.col(group_col)} if group_col is not None else {}
     )
@@ -576,7 +641,7 @@ def embedding_near_dup_pairs(
     )
     if nbits:
         if projection == "random":
-            dim = _vec_dim(df, vec_col, default=1)
+            dim = score_dim or 1  # 1 = empty-corpus placeholder
 
             def bucketize(col):
                 return srp_band_buckets(col, nbits, bands, dim, seed)
@@ -628,7 +693,8 @@ def embedding_near_dup_pairs(
             "id_a",
             "id_b",
             F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                _dot_cols(F.col("va"), F.col("vb"), score_dim)
+                / (F.col("na") * F.col("nb")),
                 4,
             ).alias("cos"),
         )
@@ -880,30 +946,48 @@ def pq_encode(
     subspace) — broadcast-literal argmin per subspace, zero shuffle.
     At 100 TB this is the point: the stored index is m small ints per
     vector instead of the float vector itself (e.g. 768-dim float32 →
-    8 bytes, a 384× compression), and it is all the search reads."""
+    8 bytes, a 384× compression), and it is all the search reads.
+
+    Three-stage projection pipeline, all whole-stage codegen:
+
+    1. ``__uv`` staged once per row (the naive form re-inlined the
+       normalize subtree into every one of the m·ksub subdistances —
+       64× redundant interpreted work at the defaults);
+    2. the m·ksub subdistances staged as SEPARATE columns of unrolled
+       chains (``_sub_sqdist``, bit-identical to the fold). Separate
+       columns matter: packed into one ``array_min(array(struct(…)))``
+       expression the generated code is a single unsplittable >64 KB
+       method — Janino rejects it and the whole stage falls back to
+       interpreted (measured, round 7);
+    3. argmin as ``least`` + first-match WHEN chain — same (d, then c)
+       selection as the struct-min, and each distance column is
+       referenced twice, which is what keeps CollapseProject from
+       re-inlining the stage-2 aliases back into one giant expression.
+
+    ``fan_out`` first: encode is pure per-row compute, so a thin-split
+    input must not serialize it."""
     m = len(codebooks)
+    ksub = len(codebooks[0])
     dsub = len(codebooks[0][0])
-    uv = _unit(F.col(vec_col))
+    staged = fan_out(df).withColumn("__uv", _unit(F.col(vec_col)))
+    dists = staged.withColumns({
+        f"__d_{j}_{ci}": _sub_sqdist(F.col("__uv"), j * dsub, c)
+        for j, book in enumerate(codebooks)
+        for ci, c in enumerate(book)
+    })
     codes = []
     for j in range(m):
-        sub = F.slice(uv, j * dsub + 1, dsub)
-        scored = F.array(*[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        sub,
-                        F.array(*[F.lit(float(x)) for x in c]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ).alias("d"),
-                F.lit(ci).alias("c"),
-            )
-            for ci, c in enumerate(codebooks[j])
-        ])
-        codes.append(F.array_min(scored).getField("c"))
-    return df.withColumn(code_col, F.array(*codes))
+        dmin = F.least(*[F.col(f"__d_{j}_{c}") for c in range(ksub)])
+        code = F.lit(ksub - 1)
+        for c in range(ksub - 2, -1, -1):
+            code = F.when(F.col(f"__d_{j}_{c}") == dmin, F.lit(c)) \
+                .otherwise(code)
+        codes.append(code)
+    return (
+        dists.withColumn(code_col, F.array(*codes))
+        .drop("__uv", *[f"__d_{j}_{c}" for j in range(m)
+                        for c in range(ksub)])
+    )
 
 
 def pq_topk(
@@ -934,11 +1018,15 @@ def pq_topk(
     m = len(codebooks)
     ksub = len(codebooks[0])
     dsub = len(codebooks[0][0])
-    # per-query LUT: luts[j*ksub + c] = ‖q_j − C_j[c]‖²
+    # per-query LUT: luts[j*ksub + c] = ‖q_j − C_j[c]‖² — staged unit
+    # vector, fold-based subdistances: the query side is broadcast-sized
+    # (tens of rows), so interpreted HOF cost is nil, and the compact
+    # fold tree keeps this single array expression far from the 64 KB
+    # codegen method limit the corpus side has to engineer around
     lut = F.array(*[
         F.aggregate(
             F.zip_with(
-                F.slice(_unit(F.col(vec_col)), j * dsub + 1, dsub),
+                F.slice(F.col("__uv"), j * dsub + 1, dsub),
                 F.array(*[F.lit(float(x)) for x in codebooks[j][c]]),
                 lambda a, b: (a - b) * (a - b),
             ),
@@ -959,7 +1047,7 @@ def pq_topk(
     if cluster_col is not None:
         qsel.append(F.col(cluster_col).alias("__qc"))
         csel.append(F.col(cluster_col).alias("__cc"))
-    q = queries.select(*qsel)
+    q = queries.withColumn("__uv", _unit(F.col(vec_col))).select(*qsel)
     c = fan_out(corpus.select(*csel))
     if cluster_col is not None:
         joined = c.join(

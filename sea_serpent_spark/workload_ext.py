@@ -26,6 +26,7 @@ from .operators import dedup as D
 from .operators import similarity as S
 from .operators import text as X
 from .operators.hashing import MINHASH_COEFFS, P, SIMHASH_BITS, h48_sql, perm_sql
+from .operators.pinned import PQ_CODEBOOKS, SEMDEDUP_CENTROIDS
 from .workload import df
 
 # ---------------------------------------------------------------------------
@@ -73,6 +74,20 @@ def _bucket_sql(vec: str, nbits: int = 8) -> str:
         for i in range(nbits)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+def _dvec_sql(v: list[float]) -> str:
+    """Pinned vector → DuckDB DOUBLE[] literal via STRING elements:
+    DuckDB parses bare decimal literals as DECIMAL, and its
+    DECIMAL→DOUBLE conversion is not correctly rounded (measured: ~25%
+    of repr-precision values land one ulp off), while VARCHAR→DOUBLE is
+    strtod — bit-identical to the Python/Spark double the constant was
+    pinned from."""
+    return (
+        "CAST(["
+        + ", ".join(f"'{float(x)!r}'" for x in v)
+        + "] AS DOUBLE[])"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -326,11 +341,17 @@ def q64_incremental_dedup(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q41_ann_topk(spark, sf_dir):
-    """All three ANN candidate-generation shapes — exhaustive brute
-    force, signed-random-projection LSH, and IVF coarse partitions — in
-    ONE oracle row (tagged union; brute folded in round 5 to free a
-    driver slot for token_budget_mix) while keeping each operator
-    independently hash-checked."""
+    """All four ANN shapes — exhaustive brute force, signed-random-
+    projection LSH, IVF coarse partitions, and product-quantization ADC
+    — in ONE oracle row (tagged union; brute folded in round 5, PQ in
+    round 7) while keeping each operator independently hash-checked.
+
+    The PQ branch pins the EXACT ADC arithmetic: corpus encoded against
+    the pinned codebooks (operators/pinned.py — the minhash-coefficient
+    route), per-query LUT of m·ksub subdistances, distance = m table
+    lookups. Vectors are cast float→double first so the oracle's
+    all-double arithmetic is bit-identical (Spark's fold and DuckDB's
+    list_sum agree bit-for-bit on doubles — measured, round 7)."""
     e = df(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 20)
     brute = S.brute_force_topk(e, q, k=5).withColumn(
@@ -338,17 +359,48 @@ def q41_ann_topk(spark, sf_dir):
     )
     lsh = S.lsh_topk(e, q, k=3, nbits=8).withColumn("method", F.lit("lsh"))
     ivf = S.ivf_topk(e, q, k=3).withColumn("method", F.lit("ivf"))
-    return brute.unionByName(lsh).unionByName(ivf)
+    ed = e.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    pq = S.pq_topk(
+        S.pq_encode(ed, PQ_CODEBOOKS),
+        ed.where(F.col("vec_id") < 20),
+        PQ_CODEBOOKS,
+        k=3,
+    ).withColumn("method", F.lit("pq"))
+    return brute.unionByName(lsh).unionByName(ivf).unionByName(pq)
 
 
 def q43_embedding_near_dup(spark, sf_dir):
-    # nbits=0 pins the EXACT all-pairs variant — the only one a SQL
-    # oracle can replicate bit-for-bit. The operator's default is the
-    # banded random-projection LSH scale path, recall-tested in
-    # tests/test_operators.py against this exact baseline.
-    return S.embedding_near_dup_pairs(
-        df(spark, sf_dir, "embeddings"), threshold=0.45, nbits=0
+    """Embedding near-dup pairs AND SemDeDup survivors in one
+    tagged-union oracle row. ``pair`` rows: the exact all-pairs variant
+    (nbits=0) — the only one a SQL oracle can replicate bit-for-bit;
+    the operator's default banded random-projection LSH scale path is
+    recall-tested in tests/test_operators.py against this baseline.
+
+    ``semdedup`` rows (round 7): the ids surviving the full SemDeDup
+    pipeline — pinned-centroid cluster assignment (operators/pinned.py;
+    the fit is a one-time versioned artifact at scale, so pinning IS
+    the production posture), within-cluster exact pairs, transitive
+    closure, keep=far_from_centroid. Vectors are cast float→double so
+    the argmax assignment and argmin keep-rule compare the SAME doubles
+    the oracle computes — no rounding anywhere in the pipeline."""
+    e = df(spark, sf_dir, "embeddings")
+    pairs = S.embedding_near_dup_pairs(
+        e, threshold=0.45, nbits=0
+    ).withColumn("op", F.lit("pair"))
+    ed = e.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    sem = S.semantic_dedup(
+        ed,
+        threshold=0.45,
+        centroids=SEMDEDUP_CENTROIDS,
+        keep="far_from_centroid",
+        nbits=0,
+    ).select(
+        F.col("vec_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.lit(None).cast("double").alias("cos"),
+        F.lit("semdedup").alias("op"),
     )
+    return pairs.unionByName(sem)
 
 
 # ---------------------------------------------------------------------------
@@ -496,6 +548,58 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     for name, fn in sorted(globals().items())
     if name.startswith("q") and name[1:3].isdigit() and callable(fn)
 }
+
+# --- pinned-model SQL fragments (SemDeDup centroids / PQ codebooks) ------
+# Same construction as the minhash SQL: generated from the identical
+# pinned constants the Spark operators consume, all-double arithmetic in
+# the same left-to-right order, so argmax/argmin decisions agree exactly.
+
+def _affinity_sql(vec: str, nv: str, cent: list[float]) -> str:
+    """dot(vec, centroid)/nv — ivf_assign's centroid affinity."""
+    return (
+        f"list_sum(list_transform(generate_series(1, len({vec})), "
+        f"i -> {vec}[i] * ({_dvec_sql(cent)})[i])) / {nv}"
+    )
+
+
+# argmax over centroids via struct list_max — (s, i) lexicographic, the
+# exact tie semantics of Spark's array_max over struct(s, i)
+_SEM_BEST = "list_max([" + ", ".join(
+    "{'s': %s, 'i': %d}" % (_affinity_sql("v", "nv", c), j)
+    for j, c in enumerate(SEMDEDUP_CENTROIDS)
+) + "])"
+
+_PQ_M = len(PQ_CODEBOOKS)
+_PQ_KSUB = len(PQ_CODEBOOKS[0])
+_PQ_DSUB = len(PQ_CODEBOOKS[0][0])
+
+
+def _pq_sd_sql(j: int, c: int) -> str:
+    """‖uv_j − C_j[c]‖² over the unit-normalized subvector — the LUT /
+    encode subdistance (pq_encode/pq_topk arithmetic, term for term)."""
+    cb = _dvec_sql(PQ_CODEBOOKS[j][c])
+    off = j * _PQ_DSUB
+    return (
+        f"list_sum(list_transform(generate_series(1, {_PQ_DSUB}), "
+        f"i -> (uv[{off} + i] - ({cb})[i]) * (uv[{off} + i] - ({cb})[i])))"
+    )
+
+
+_PQ_CODES_SQL = ", ".join(
+    "(list_min(["
+    + ", ".join(
+        "{'d': %s, 'c': %d}" % (_pq_sd_sql(j, c), c)
+        for c in range(_PQ_KSUB)
+    )
+    + "])).c"
+    for j in range(_PQ_M)
+)
+_PQ_LUT_SQL = ", ".join(
+    _pq_sd_sql(j, c) for j in range(_PQ_M) for c in range(_PQ_KSUB)
+)
+_PQ_DIST_SQL = " + ".join(
+    f"q.lut[{j * _PQ_KSUB} + 1 + c.codes[{j + 1}]]" for j in range(_PQ_M)
+)
 
 _MINHASH_SIG_COLS = ",\n    ".join(
     f"{_minhash_sig_sql(i)} AS s{i}" for i in range(16)
@@ -693,10 +797,30 @@ ivf AS (
     SELECT query_id, neighbor_id,
       ROW_NUMBER() OVER (PARTITION BY query_id
                          ORDER BY cos DESC, neighbor_id ASC) AS rank
-    FROM scored) WHERE rank <= 3)
+    FROM scored) WHERE rank <= 3),
+pq_unit AS (
+  SELECT vec_id, list_transform(v, x ->
+    x / greatest(sqrt(list_sum(list_transform(v, y -> y * y))), 1e-12))
+    AS uv
+  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+        AS v FROM embeddings)),
+pq_codes AS (SELECT vec_id, [{_PQ_CODES_SQL}] AS codes FROM pq_unit),
+pq_lut AS (SELECT vec_id, [{_PQ_LUT_SQL}] AS lut FROM pq_unit
+           WHERE vec_id < 20),
+pq_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    {_PQ_DIST_SQL} AS d
+  FROM pq_codes c CROSS JOIN pq_lut q WHERE c.vec_id != q.vec_id),
+pq AS (
+  SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY d ASC, neighbor_id ASC) AS rank
+    FROM pq_scored) WHERE rank <= 3)
 SELECT 'brute' AS method, * FROM brute
 UNION ALL SELECT 'lsh' AS method, * FROM lsh
 UNION ALL SELECT 'ivf' AS method, * FROM ivf
+UNION ALL SELECT 'pq' AS method, * FROM pq
 """,
     "q58_asof_join": """
 WITH snap AS (
@@ -748,12 +872,54 @@ WITH iv AS (
 SELECT e.event_id, iv.user_id, iv.win_start
 FROM events e JOIN iv ON iv.win_start <= e.ts AND e.ts < iv.win_end
 """,
+    # Tagged union: exact near-dup pairs + SemDeDup survivors. The
+    # semdedup half recomputes the WHOLE pipeline independently:
+    # pinned-centroid argmax assignment, within-cluster exact pairs
+    # (rounded-cos threshold), recursive-CTE transitive closure, and
+    # the far-from-centroid keep rule (argmin over (affinity, id) as a
+    # window — Spark's struct-MIN tie semantics). All-double arithmetic
+    # matches the Spark side bit-for-bit (no rounding before the argmax
+    # / argmin decisions).
     "q43_embedding_near_dup": f"""
-WITH a AS (SELECT vec_id AS id_a, embedding AS qv FROM embeddings),
-b AS (SELECT vec_id AS id_b, embedding AS cv FROM embeddings)
-SELECT id_a, id_b, ROUND({COS_SQL}, 4) AS cos
-FROM a CROSS JOIN b
+WITH RECURSIVE
+nr AS (
+  SELECT vec_id, v,
+    greatest(sqrt(list_sum(list_transform(v, x -> x * x))), 1e-12) AS nv
+  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+        AS v FROM embeddings)),
+asg AS (SELECT vec_id, v, ({_SEM_BEST}).s AS s, ({_SEM_BEST}).i AS c
+        FROM nr),
+sp AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM asg a JOIN asg b ON a.c = b.c AND a.vec_id < b.vec_id
+  WHERE ROUND(
+    list_sum(list_transform(generate_series(1, len(a.v)),
+                            i -> a.v[i] * b.v[i]))
+    / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+       * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) >= 0.45),
+sedges AS (SELECT ia AS u, ib AS w FROM sp UNION SELECT ib, ia FROM sp),
+snodes AS (SELECT DISTINCT u AS id FROM sedges),
+swalk(id, lbl) AS (
+  SELECT id, id FROM snodes
+  UNION
+  SELECT e.w, x.lbl FROM swalk x JOIN sedges e ON e.u = x.id),
+scomp AS (SELECT id, MIN(lbl) AS component FROM swalk GROUP BY id),
+slose AS (
+  SELECT id FROM (
+    SELECT sc.id, ROW_NUMBER() OVER (PARTITION BY sc.component
+                                     ORDER BY g.s ASC, sc.id ASC) AS rn
+    FROM scomp sc JOIN asg g ON g.vec_id = sc.id)
+  WHERE rn > 1),
+qa AS (SELECT vec_id AS id_a, embedding AS qv FROM embeddings),
+qb AS (SELECT vec_id AS id_b, embedding AS cv FROM embeddings)
+SELECT id_a, id_b, ROUND({COS_SQL}, 4) AS cos, 'pair' AS op
+FROM qa CROSS JOIN qb
 WHERE id_a < id_b AND ROUND({COS_SQL}, 4) >= 0.45
+UNION ALL
+SELECT e.vec_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
+  CAST(NULL AS DOUBLE) AS cos, 'semdedup' AS op
+FROM embeddings e
+WHERE NOT EXISTS (SELECT 1 FROM slose l WHERE l.id = e.vec_id)
 """,
     # transitive closure by recursive CTE over the same pair SQL as q43:
     # labels spread one hop per iteration until fixpoint, component = MIN
