@@ -25,6 +25,8 @@ oracle hash stable under float summation-order differences.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -54,53 +56,16 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-# ---------------------------------------------------------------------------
-# codegen'd expansions of the hot-path vector arithmetic
-#
-# Spark evaluates higher-order array functions (zip_with / aggregate)
-# INTERPRETED — outside whole-stage codegen — at roughly a microsecond
-# per element-step, which is the wall clock of every per-pair score and
-# per-code subdistance. When the vector dimension is known (probed from
-# the corpus, or fixed by a pinned constant), the same left fold unrolls
-# into a flat element_at chain that codegen compiles to straight-line
-# arithmetic, ~100x faster per pair. BIT-PARITY: each chain starts from
-# the same 0.0 seed and adds the same terms in the same left-to-right
-# order as ``F.aggregate``'s fold, so results are bit-identical — the
-# DuckDB oracles pinned against the fold stay valid unchanged
-# (measured: fold == chain == DuckDB list_sum on doubles, round 7).
-# ---------------------------------------------------------------------------
-
-def _dot_cols(a: Column, b: Column, dim: int) -> Column:
-    """dot(a, b) unrolled over a known dimension; ``dim<=0`` (unknown /
-    empty-corpus placeholder) falls back to the interpreted fold, whose
-    zip_with truncation semantics the empty-input contract relies on."""
-    if dim <= 0:
-        return dot(a, b)
-    out: Column = F.lit(0.0)
-    for i in range(dim):
-        out = out + F.element_at(a, i + 1) * F.element_at(b, i + 1)
-    return out
-
-
-def _dot_const(vec: Column, const_vec: list[float]) -> Column:
-    """dot(vec, pinned-constant vector) unrolled — also drops the k·dim
-    array literals from the expression tree (scalar literals fold into
-    the generated code)."""
-    out: Column = F.lit(0.0)
-    for i, c in enumerate(const_vec):
-        out = out + F.element_at(vec, i + 1) * F.lit(float(c))
-    return out
-
-
-def _sub_sqdist(uv: Column, off: int, cb: list[float]) -> Column:
-    """‖uv[off:off+len(cb)] − cb‖² unrolled — the PQ encode/LUT
-    subdistance ((a−b)·(a−b) per term; never −0.0, so the 0.0 seed is
-    exact)."""
-    out: Column = F.lit(0.0)
-    for i, c in enumerate(cb):
-        d = F.element_at(uv, off + i + 1) - F.lit(float(c))
-        out = out + d * d
-    return out
+# MEASURED REJECTION (round 8, BENCH_NOTES): unrolling the fold into a
+# flat element_at chain over a probed dimension ("codegen'd dot") is
+# ~6x SLOWER than the interpreted HOF fold at dim=64 (alternating A/B
+# on the sf0.1 all-pairs scorer: fold ~1.0 s steady-state, chain ~6.5 s;
+# driver bench confirmed q43 1.8 -> 15.2 s). The 64-node Add tree also
+# costs seconds of Catalyst analysis per plan and, per-pair, evaluates
+# 128 ANSI-checked element_at nodes — worse than zip_with/aggregate's
+# tight specialized loop. Keep the fold; when per-row vector math truly
+# dominates (PQ encode: m·ksub subdistances/row) the fast path is an
+# Arrow-batched pandas UDF (see ``pq_encode``), not expression surgery.
 
 
 def _sided(
@@ -130,7 +95,6 @@ def brute_force_topk(
     Scale: the corpus never shuffles — each partition scores its vectors
     against the broadcast query set and the window is per-query over a
     k-bounded candidate set (Catalyst folds rank+filter into a top-k sort)."""
-    dim = _vec_dim(corpus, vec_col, default=0)
     q = _sided(queries, id_col, vec_col, "query_id", "qv", "nq")
     c = fan_out(_sided(corpus, id_col, vec_col, "neighbor_id", "cv", "nc"))
     scored = (
@@ -139,7 +103,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (_dot_cols(F.col("qv"), F.col("cv"), dim)
+            (dot(F.col("qv"), F.col("cv"))
              / (F.col("nq") * F.col("nc"))).alias("cos"),
         )
     )
@@ -170,8 +134,6 @@ def _hyperplanes(n: int, dim: int, seed: int) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes — seeded so every executor and
     every run agrees; embedded as array literals (constant-folded, no
     side channel needed to ship them)."""
-    import numpy as np
-
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n, dim)).tolist()
 
@@ -290,9 +252,8 @@ def lsh_topk(
     ~bands·nprobe·N/2^nbits candidates."""
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
-    score_dim = _vec_dim(corpus, vec_col, default=0)
     if projection == "random":
-        dim = score_dim or 1  # 1 = empty-corpus placeholder (see _vec_dim)
+        dim = _vec_dim(corpus, vec_col, default=1)
         H = _hyperplanes(nbits * bands, dim, seed)
 
         def proj(col, band, i):
@@ -366,7 +327,7 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (_dot_cols(F.col("qv"), F.col("cv"), score_dim)
+            (dot(F.col("qv"), F.col("cv"))
              / (F.col("nq") * F.col("nc"))).alias("cos"),
         )
     )
@@ -389,7 +350,6 @@ def ivf_topk(
     cluster_col: str = "label",
 ) -> DataFrame:
     """IVF probe using an existing coarse-cluster column as quantizer."""
-    dim = _vec_dim(corpus, vec_col, default=0)
     q = _sided(
         queries, id_col, vec_col, "query_id", "qv", "nq",
         cl=F.col(cluster_col),
@@ -406,7 +366,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (_dot_cols(F.col("qv"), F.col("cv"), dim)
+            (dot(F.col("qv"), F.col("cv"))
              / (F.col("nq") * F.col("nc"))).alias("cos"),
         )
     )
@@ -519,17 +479,25 @@ def ivf_assign(
     argmax, no extra pass.
 
     The vector norm is STAGED once per row behind a projection boundary
-    (CollapseProject keeps a non-cheap alias referenced k times), and
-    each centroid dot is a codegen'd unrolled chain (``_dot_const``,
-    bit-identical to the fold) — the interpreted-HOF version paid
-    k·(fold+zip) per row."""
+    (CollapseProject keeps a non-cheap alias referenced k times) — the
+    naive form re-inlined the norm fold into every centroid score."""
+    for staging in ("__an", "__best"):
+        if staging in df.columns:
+            raise ValueError(
+                f"ivf_assign stages an internal column {staging!r}; "
+                "rename the conflicting input column first"
+            )
     staged = df.withColumn(
         "__an", F.greatest(norm(F.col(vec_col)), F.lit(1e-12))
     )
     scores = F.array(
         *[
             F.struct(
-                (_dot_const(F.col(vec_col), c) / F.col("__an")).alias("s"),
+                (
+                    dot(F.col(vec_col),
+                        F.array(*[F.lit(float(x)) for x in c]))
+                    / F.col("__an")
+                ).alias("s"),
                 F.lit(i).alias("i"),
             )
             for i, c in enumerate(centroids)
@@ -632,7 +600,6 @@ def embedding_near_dup_pairs(
         nbits, tuned_bands = tune_srp(threshold, p_target)
         bands = bands or tuned_bands
     bands = bands or 1
-    score_dim = _vec_dim(df, vec_col, default=0)
     ga: dict = (
         {"ga": F.col(group_col)} if group_col is not None else {}
     )
@@ -641,7 +608,7 @@ def embedding_near_dup_pairs(
     )
     if nbits:
         if projection == "random":
-            dim = score_dim or 1  # 1 = empty-corpus placeholder
+            dim = _vec_dim(df, vec_col, default=1)
 
             def bucketize(col):
                 return srp_band_buckets(col, nbits, bands, dim, seed)
@@ -693,7 +660,7 @@ def embedding_near_dup_pairs(
             "id_a",
             "id_b",
             F.round(
-                _dot_cols(F.col("va"), F.col("vb"), score_dim)
+                dot(F.col("va"), F.col("vb"))
                 / (F.col("na") * F.col("nb")),
                 4,
             ).alias("cos"),
@@ -943,51 +910,79 @@ def pq_encode(
     code_col: str = "pq_code",
 ) -> DataFrame:
     """Attach the ``m``-byte PQ code (array<int>, one code id per
-    subspace) — broadcast-literal argmin per subspace, zero shuffle.
-    At 100 TB this is the point: the stored index is m small ints per
-    vector instead of the float vector itself (e.g. 768-dim float32 →
-    8 bytes, a 384× compression), and it is all the search reads.
+    subspace) — Arrow-batched pandas UDF, zero shuffle. At 100 TB this
+    is the point: the stored index is m small ints per vector instead
+    of the float vector itself (e.g. 768-dim float32 → 8 bytes, a 384×
+    compression), and it is all the search reads.
 
-    Three-stage projection pipeline, all whole-stage codegen:
+    Encode is the one vector op where per-row math truly dominates
+    (m·ksub subdistance folds per row = ~1k element steps), so the fast
+    path is numpy over Arrow batches, not Spark expressions: the
+    expression forms both lose — interpreted HOF folds pay ~µs per
+    element step, and the round-7 unrolled-chain experiment was a
+    measured 3-6× REGRESSION plus seconds of Catalyst analysis per plan
+    (BENCH_NOTES round 8). The UDF is a pure map over (vector) →
+    (code), embarrassingly parallel, no state.
 
-    1. ``__uv`` staged once per row (the naive form re-inlined the
-       normalize subtree into every one of the m·ksub subdistances —
-       64× redundant interpreted work at the defaults);
-    2. the m·ksub subdistances staged as SEPARATE columns of unrolled
-       chains (``_sub_sqdist``, bit-identical to the fold). Separate
-       columns matter: packed into one ``array_min(array(struct(…)))``
-       expression the generated code is a single unsplittable >64 KB
-       method — Janino rejects it and the whole stage falls back to
-       interpreted (measured, round 7);
-    3. argmin as ``least`` + first-match WHEN chain — same (d, then c)
-       selection as the struct-min, and each distance column is
-       referenced twice, which is what keeps CollapseProject from
-       re-inlining the stage-2 aliases back into one giant expression.
+    BIT-PARITY with the DuckDB oracle (workload_ext q41): every
+    accumulation below is an explicit in-order loop — norm as
+    ``acc += v[i]·v[i]`` left-to-right, subdistance as
+    ``acc += (uv[i]−c[i])²`` left-to-right — so each float64 op is the
+    same IEEE-754 operation in the same order as the SQL fold the
+    oracle runs (numpy's pairwise ``sum()`` would NOT be). Squares of a
+    float32 input are computed in float32 then widened, matching
+    Spark/DuckDB's promote-after-multiply. Argmin ties take the lowest
+    code id on both sides.
+
+    Rows whose vector is NULL or dimension-mismatched get a NULL code
+    (predictable degradation — the expression form under ANSI mode
+    would fail the whole job; ADVICE round 7).
 
     ``fan_out`` first: encode is pure per-row compute, so a thin-split
     input must not serialize it."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
     m = len(codebooks)
     ksub = len(codebooks[0])
     dsub = len(codebooks[0][0])
-    staged = fan_out(df).withColumn("__uv", _unit(F.col(vec_col)))
-    dists = staged.withColumns({
-        f"__d_{j}_{ci}": _sub_sqdist(F.col("__uv"), j * dsub, c)
-        for j, book in enumerate(codebooks)
-        for ci, c in enumerate(book)
-    })
-    codes = []
-    for j in range(m):
-        dmin = F.least(*[F.col(f"__d_{j}_{c}") for c in range(ksub)])
-        code = F.lit(ksub - 1)
-        for c in range(ksub - 2, -1, -1):
-            code = F.when(F.col(f"__d_{j}_{c}") == dmin, F.lit(c)) \
-                .otherwise(code)
-        codes.append(code)
-    return (
-        dists.withColumn(code_col, F.array(*codes))
-        .drop("__uv", *[f"__d_{j}_{c}" for j in range(m)
-                        for c in range(ksub)])
-    )
+    dim = m * dsub
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _encode(vs: pd.Series) -> pd.Series:
+        res: list = [None] * len(vs)
+        ok = [
+            i for i, v in enumerate(vs)
+            if v is not None and len(v) == dim
+        ]
+        if not ok:
+            return pd.Series(res)
+        V = np.stack([np.asarray(vs.iloc[i]) for i in ok])
+        # ‖v‖ with in-order accumulation; squares in the source dtype
+        # (float32 in, float32 square) then widened — Spark promotes
+        # AFTER the multiply, and exactness requires matching that
+        acc = np.zeros(len(ok))
+        for i in range(dim):
+            x = V[:, i]
+            acc += (x * x).astype(np.float64, copy=False)
+        nv = np.maximum(np.sqrt(acc), 1e-12)
+        U = V.astype(np.float64, copy=False) / nv[:, None]
+        codes = np.empty((len(ok), m), dtype=np.int32)
+        for j in range(m):
+            off = j * dsub
+            D = np.empty((len(ok), ksub))
+            for c in range(ksub):
+                sub = np.zeros(len(ok))
+                for i in range(dsub):
+                    d = U[:, off + i] - books[j][c, i]
+                    sub += d * d
+                D[:, c] = sub
+            codes[:, j] = np.argmin(D, axis=1)  # first min = lowest c
+        for r, i in enumerate(ok):
+            res[i] = [int(x) for x in codes[r]]
+        return pd.Series(res)
+
+    return fan_out(df).withColumn(code_col, _encode(F.col(vec_col)))
 
 
 def pq_topk(
@@ -1018,11 +1013,17 @@ def pq_topk(
     m = len(codebooks)
     ksub = len(codebooks[0])
     dsub = len(codebooks[0][0])
+    for staging in ("__uv", "__lut", "__code", "__qc", "__cc"):
+        if staging in queries.columns or staging in corpus.columns:
+            raise ValueError(
+                f"pq_topk stages an internal column {staging!r}; "
+                "rename the conflicting input column first"
+            )
     # per-query LUT: luts[j*ksub + c] = ‖q_j − C_j[c]‖² — staged unit
     # vector, fold-based subdistances: the query side is broadcast-sized
-    # (tens of rows), so interpreted HOF cost is nil, and the compact
-    # fold tree keeps this single array expression far from the 64 KB
-    # codegen method limit the corpus side has to engineer around
+    # (tens of rows), so interpreted HOF cost is nil and the arithmetic
+    # (left-to-right fold on doubles) is bit-identical to pq_encode's
+    # in-order numpy accumulation and to the oracle's SQL fold
     lut = F.array(*[
         F.aggregate(
             F.zip_with(
