@@ -197,7 +197,23 @@ def zorder_boundaries(
     Greenwald-Khanna sketch (``approxQuantile`` — a full deterministic
     pass, NOT a random sample; same files in → same boundaries out).
     Compute once, persist next to the table, reuse for every re-layout
-    and for append-batch maintenance."""
+    and for append-batch maintenance.
+
+    Keys wider than 53 bits are rejected: the quantile sketch operates
+    in double precision, so Morton keys above 2⁵³ (``bits × len(cols)``
+    > 53, e.g. bits=12 with 5 columns) would silently lose low bits and
+    can collapse adjacent split points into duplicates — fewer
+    partitions than asked for, and a ``num_partitions`` conflict when
+    the caller hands the same n back to ``zorder_frame``. Lower
+    ``bits``: per-dimension resolution beyond what 53 total bits afford
+    adds nothing to file skipping at realistic file counts."""
+    nd = len(cols)
+    if bits * nd > 53:
+        raise ValueError(
+            f"bits={bits} × {nd} dims = {bits * nd} key bits > 53 — the "
+            "quantile sketch is double-precision and would drop low "
+            "bits (duplicate boundaries); lower bits"
+        )
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     keyed = df.select(zorder_key(df, cols, bits, ranges).alias("__z"))
     qs = [k / n for k in range(1, n)]

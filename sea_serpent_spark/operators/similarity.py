@@ -1064,7 +1064,11 @@ def pq_topk(
         )
         dist = term if dist is None else dist + term
     scored = joined.where(
-        F.col("neighbor_id") != F.col("query_id")
+        # NULL codes (pq_encode's NULL/ragged-vector degrade) must not
+        # reach the ranking: their NULL distance would sort FIRST under
+        # the ascending window order and outrank every real neighbor
+        F.col("__code").isNotNull()
+        & (F.col("neighbor_id") != F.col("query_id"))
     ).select("query_id", "neighbor_id", dist.alias("__d"))
     w = Window.partitionBy("query_id").orderBy(
         F.asc("__d"), F.asc("neighbor_id")

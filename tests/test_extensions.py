@@ -1185,6 +1185,51 @@ def test_pq_roundtrip_and_topk_recall(spark):
     assert all(qid // 100 == nid // 100 for qid, nid in pq10)
 
 
+def test_pq_encode_degrades_on_null_and_ragged_vectors(spark):
+    """NULL or dimension-mismatched vectors get a NULL code instead of
+    failing the job under ANSI mode (round-7 ADVICE), and pq_topk keeps
+    NULL-coded corpus rows out of the ranking — an unfiltered NULL
+    distance would sort FIRST under the ascending window order."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(8)]) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = S.pq_fit(df, m=2, ksub=4, iters=2, seed=5)
+
+    bad = spark.createDataFrame(
+        [(100, None), (101, [0.1, 0.2]), (102, [])],
+        "vec_id long, embedding array<double>",
+    )
+    enc = S.pq_encode(df.unionByName(bad), books)
+    codes = {r["vec_id"]: r["pq_code"] for r in enc.collect()}
+    assert codes[100] is None and codes[101] is None and codes[102] is None
+    assert all(codes[i] is not None for i in range(6))
+
+    out = S.pq_topk(enc, df.where(F.col("vec_id") == 0), books, k=100)
+    neighbors = {r["neighbor_id"] for r in out.collect()}
+    assert neighbors == {1, 2, 3, 4, 5}  # degraded rows never ranked
+
+
+def test_staging_column_collisions_rejected(spark):
+    """Operators that stage internal dunder columns refuse inputs that
+    already carry those names instead of silently destroying them."""
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2], 7.0)], "vec_id long, embedding array<double>, __an double"
+    )
+    with pytest.raises(ValueError, match="__an"):
+        S.ivf_assign(df, [[1.0, 0.0], [0.0, 1.0]])
+    df2 = spark.createDataFrame(
+        [(1, [0.1, 0.2], [0, 0])],
+        "vec_id long, embedding array<double>, __code array<int>",
+    )
+    books = [[[0.0, 0.0], [1.0, 1.0]]]
+    with pytest.raises(ValueError, match="__code"):
+        S.pq_topk(df2, df2, books, k=1)
+
+
 def test_ivf_pq_same_cluster_only(spark):
     """IVF-PQ: with cluster labels on both sides, only same-cluster
     candidates are scored (and the join is a broadcast equi-join, not a

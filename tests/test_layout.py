@@ -179,6 +179,10 @@ def test_zorder_frame_pinned_boundaries_deterministic(spark, sf_dir):
     with pytest.raises(ValueError, match="conflicts"):
         zorder_frame(ev, cols, bits=10, boundaries=bounds,
                      num_partitions=3)
+    # keys wider than a double's 53-bit mantissa are rejected — the
+    # quantile sketch would drop low bits and collapse split points
+    with pytest.raises(ValueError, match="53"):
+        zorder_boundaries(ev, cols, bits=27)
 
 
 def test_search_sorted_matches_bisect(spark):
