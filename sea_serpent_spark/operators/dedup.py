@@ -26,6 +26,7 @@ portable hash arithmetic (workload_ext).
 from __future__ import annotations
 
 import math
+import time
 
 import pyspark.sql.functions as F
 from pyspark import StorageLevel
@@ -1109,10 +1110,14 @@ def connected_components(
     id_b: str = "id_b",
     max_iterations: int = 25,
     release_batch: int = 8,
+    stats: dict | None = None,
 ) -> DataFrame:
     """→ [id, component]: connected components over an undirected pair
     edge list, component = MIN reachable id (the canonical-doc choice
-    every dedup pipeline makes). Pair operators emit *pairs*; an actual
+    every dedup pipeline makes). Pass a dict as ``stats`` to receive
+    convergence observability (``rounds``, per-round wall seconds) —
+    metadata-sized, no extra jobs beyond the per-round ``changed``
+    probe the loop already runs. Pair operators emit *pairs*; an actual
     corpus dedup needs the transitive closure — A~B, B~C must collapse
     A, B, C together even though (A, C) was never emitted.
 
@@ -1180,7 +1185,12 @@ def connected_components(
     # ``dedup_corpus`` for constrained deployments).
     superseded: list = []
     _BATCH = max(1, release_batch)
+    round_walls: list[float] = []
+    if stats is not None:
+        stats["rounds"] = 0
+        stats["round_wall_s"] = round_walls
     for _ in range(max_iterations):
+        _t0 = time.perf_counter()
         # min over self + neighbor labels
         nbr = (
             sym.join(labels, sym["v"] == labels["id"])
@@ -1225,6 +1235,9 @@ def connected_components(
             release_all(superseded)
             superseded.clear()
         labels, labels_h = new_labels, new_h
+        round_walls.append(round(time.perf_counter() - _t0, 2))
+        if stats is not None:
+            stats["rounds"] += 1
         if changed == 0:
             superseded.append(edges_h)
             release_all(superseded)
@@ -1246,6 +1259,7 @@ def dedup_corpus(
     keep: str = "min_id",
     keep_col: str | None = None,
     release_batch: int = 8,
+    cc_stats: dict | None = None,
     **kwargs,
 ) -> DataFrame:
     """End-to-end corpus dedup: near-dup pairs → connected components →
@@ -1344,7 +1358,9 @@ def dedup_corpus(
         pairs = simhash_pairs(df, text_col, id_col, **kwargs)
     else:
         raise ValueError(f"unknown dedup method: {method!r}")
-    comp = connected_components(pairs, release_batch=release_batch)
+    comp = connected_components(
+        pairs, release_batch=release_batch, stats=cc_stats
+    )
     if keep == "min_id":
         # drop every clustered doc that is not its component's minimum
         losers = comp.where(F.col("id") != F.col("component")).select(

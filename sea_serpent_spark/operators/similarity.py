@@ -903,6 +903,46 @@ def pq_fit(
     return books
 
 
+def _pq_unit_rows(vs: pd.Series, dim: int):
+    """(valid row indexes, unit-normalized float64 matrix) for an Arrow
+    batch of vectors. Rows that are NULL or dimension-mismatched are
+    excluded (callers emit NULL for them — predictable degradation).
+
+    BIT-PARITY CORE (shared by ``pq_encode`` and ``pq_topk``'s LUT):
+    the norm accumulates IN ORDER (``acc += v[i]·v[i]`` left-to-right
+    in float64) and squares are taken in the source dtype (float32 in,
+    float32 square) then widened — Spark and DuckDB both promote AFTER
+    the multiply, and bit-exactness vs their SQL fold requires matching
+    that."""
+    ok = [i for i, v in enumerate(vs) if v is not None and len(v) == dim]
+    if not ok:
+        return ok, None
+    V = np.stack([np.asarray(vs.iloc[i]) for i in ok])
+    acc = np.zeros(len(ok))
+    for i in range(dim):
+        x = V[:, i]
+        acc += (x * x).astype(np.float64, copy=False)
+    nv = np.maximum(np.sqrt(acc), 1e-12)
+    return ok, V.astype(np.float64, copy=False) / nv[:, None]
+
+
+def _pq_subdists(U, books, m: int, ksub: int, dsub: int):
+    """(n, m, ksub) table of ‖uv_j − C_j[c]‖² — each subdistance an
+    explicit in-order ``acc += (uv[i]−c[i])²`` loop (see
+    ``_pq_unit_rows`` for why order matters)."""
+    n = U.shape[0]
+    D = np.empty((n, m, ksub))
+    for j in range(m):
+        off = j * dsub
+        for c in range(ksub):
+            sub = np.zeros(n)
+            for i in range(dsub):
+                d = U[:, off + i] - books[j][c, i]
+                sub += d * d
+            D[:, j, c] = sub
+    return D
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -951,33 +991,11 @@ def pq_encode(
     @F.pandas_udf(ArrayType(IntegerType()))
     def _encode(vs: pd.Series) -> pd.Series:
         res: list = [None] * len(vs)
-        ok = [
-            i for i, v in enumerate(vs)
-            if v is not None and len(v) == dim
-        ]
+        ok, U = _pq_unit_rows(vs, dim)
         if not ok:
             return pd.Series(res)
-        V = np.stack([np.asarray(vs.iloc[i]) for i in ok])
-        # ‖v‖ with in-order accumulation; squares in the source dtype
-        # (float32 in, float32 square) then widened — Spark promotes
-        # AFTER the multiply, and exactness requires matching that
-        acc = np.zeros(len(ok))
-        for i in range(dim):
-            x = V[:, i]
-            acc += (x * x).astype(np.float64, copy=False)
-        nv = np.maximum(np.sqrt(acc), 1e-12)
-        U = V.astype(np.float64, copy=False) / nv[:, None]
-        codes = np.empty((len(ok), m), dtype=np.int32)
-        for j in range(m):
-            off = j * dsub
-            D = np.empty((len(ok), ksub))
-            for c in range(ksub):
-                sub = np.zeros(len(ok))
-                for i in range(dsub):
-                    d = U[:, off + i] - books[j][c, i]
-                    sub += d * d
-                D[:, c] = sub
-            codes[:, j] = np.argmin(D, axis=1)  # first min = lowest c
+        D = _pq_subdists(U, books, m, ksub, dsub)
+        codes = np.argmin(D, axis=2)  # first min = lowest c
         for r, i in enumerate(ok):
             res[i] = [int(x) for x in codes[r]]
         return pd.Series(res)
@@ -1013,33 +1031,37 @@ def pq_topk(
     m = len(codebooks)
     ksub = len(codebooks[0])
     dsub = len(codebooks[0][0])
-    for staging in ("__uv", "__lut", "__code", "__qc", "__cc"):
+    for staging in ("__lut", "__code", "__qc", "__cc"):
         if staging in queries.columns or staging in corpus.columns:
             raise ValueError(
                 f"pq_topk stages an internal column {staging!r}; "
                 "rename the conflicting input column first"
             )
-    # per-query LUT: luts[j*ksub + c] = ‖q_j − C_j[c]‖² — staged unit
-    # vector, fold-based subdistances: the query side is broadcast-sized
-    # (tens of rows), so interpreted HOF cost is nil and the arithmetic
-    # (left-to-right fold on doubles) is bit-identical to pq_encode's
-    # in-order numpy accumulation and to the oracle's SQL fold
-    lut = F.array(*[
-        F.aggregate(
-            F.zip_with(
-                F.slice(F.col("__uv"), j * dsub + 1, dsub),
-                F.array(*[F.lit(float(x)) for x in codebooks[j][c]]),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        for j in range(m)
-        for c in range(ksub)
-    ])
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    dim = m * dsub
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+
+    # per-query LUT: luts[j*ksub + c] = ‖q_j − C_j[c]‖² — the same
+    # in-order numpy core as pq_encode (bit-identical to the oracle's
+    # SQL fold). The expression form (m·ksub aggregate/zip_with trees)
+    # evaluated fine on the broadcast-sized query side but cost ~1 s of
+    # Catalyst ANALYSIS per plan at the 4×16 defaults.
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _lut(vs: pd.Series) -> pd.Series:
+        res: list = [None] * len(vs)
+        ok, U = _pq_unit_rows(vs, dim)
+        if not ok:
+            return pd.Series(res)
+        D = _pq_subdists(U, books, m, ksub, dsub)
+        flat = D.reshape(len(ok), m * ksub)
+        for r, i in enumerate(ok):
+            res[i] = [float(x) for x in flat[r]]
+        return pd.Series(res)
+
     qsel = [
         F.col(id_col).alias("query_id"),
-        lut.alias("__lut"),
+        _lut(F.col(vec_col)).alias("__lut"),
     ]
     csel = [
         F.col(id_col).alias("neighbor_id"),
@@ -1048,7 +1070,7 @@ def pq_topk(
     if cluster_col is not None:
         qsel.append(F.col(cluster_col).alias("__qc"))
         csel.append(F.col(cluster_col).alias("__cc"))
-    q = queries.withColumn("__uv", _unit(F.col(vec_col))).select(*qsel)
+    q = queries.select(*qsel)
     c = fan_out(corpus.select(*csel))
     if cluster_col is not None:
         joined = c.join(
@@ -1064,10 +1086,12 @@ def pq_topk(
         )
         dist = term if dist is None else dist + term
     scored = joined.where(
-        # NULL codes (pq_encode's NULL/ragged-vector degrade) must not
-        # reach the ranking: their NULL distance would sort FIRST under
-        # the ascending window order and outrank every real neighbor
+        # NULL codes/LUTs (the NULL/ragged-vector degrade on either
+        # side) must not reach the ranking: a NULL distance sorts FIRST
+        # under the ascending window order and would outrank every real
+        # neighbor
         F.col("__code").isNotNull()
+        & F.col("__lut").isNotNull()
         & (F.col("neighbor_id") != F.col("query_id"))
     ).select("query_id", "neighbor_id", dist.alias("__d"))
     w = Window.partitionBy("query_id").orderBy(

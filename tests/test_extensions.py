@@ -1260,6 +1260,25 @@ def test_ivf_pq_same_cluster_only(spark):
     assert not rep["has_cartesian"]
 
 
+def test_connected_components_stats_hook(spark):
+    """The optional stats dict reports rounds-to-convergence and
+    per-round wall — scale-rehearsal observability with no extra jobs."""
+    from sea_serpent_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    got = {
+        r.id: r.component
+        for r in connected_components(pairs, stats=stats).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert stats["rounds"] >= 1
+    assert len(stats["round_wall_s"]) == stats["rounds"]
+    assert all(w >= 0 for w in stats["round_wall_s"])
+
+
 def test_connected_components_long_chain_pointer_doubling(spark):
     """A 200-link chain (diameter ≫ the old per-hop round budget) still
     collapses to one component — pointer doubling needs only
