@@ -341,23 +341,33 @@ def q64_incremental_dedup(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q41_ann_topk(spark, sf_dir):
-    """All four ANN shapes — exhaustive brute force, signed-random-
-    projection LSH, IVF coarse partitions, and product-quantization ADC
-    — in ONE oracle row (tagged union; brute folded in round 5, PQ in
-    round 7) while keeping each operator independently hash-checked.
+    """All five ANN shapes — exhaustive brute force, signed-random-
+    projection LSH, multi-probe LSH, IVF coarse partitions, and
+    product-quantization ADC — in ONE oracle row (tagged union; brute
+    folded in round 5, PQ in round 7, multi-probe in round 8) while
+    keeping each operator independently hash-checked.
 
     The PQ branch pins the EXACT ADC arithmetic: corpus encoded against
     the pinned codebooks (operators/pinned.py — the minhash-coefficient
     route), per-query LUT of m·ksub subdistances, distance = m table
     lookups. Vectors are cast float→double first so the oracle's
     all-double arithmetic is bit-identical (Spark's fold and DuckDB's
-    list_sum agree bit-for-bit on doubles — measured, round 7)."""
+    list_sum agree bit-for-bit on doubles — measured, round 7).
+
+    The multi-probe branch (``lsh_mp``) pins the probe SELECTION, the
+    part plain LSH can't see: nprobe=2 on the axis buckets means each
+    query also probes the bucket one smallest-|margin| bit-flip away
+    (ties → lowest dim), so the oracle recomputes argmin(|v[i]|, i) and
+    XORs the flip into the base bucket."""
     e = df(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 20)
     brute = S.brute_force_topk(e, q, k=5).withColumn(
         "method", F.lit("brute")
     )
     lsh = S.lsh_topk(e, q, k=3, nbits=8).withColumn("method", F.lit("lsh"))
+    mp = S.lsh_topk(e, q, k=3, nbits=8, nprobe=2).withColumn(
+        "method", F.lit("lsh_mp")
+    )
     ivf = S.ivf_topk(e, q, k=3).withColumn("method", F.lit("ivf"))
     ed = e.withColumn("embedding", F.col("embedding").cast("array<double>"))
     pq = S.pq_topk(
@@ -366,7 +376,10 @@ def q41_ann_topk(spark, sf_dir):
         PQ_CODEBOOKS,
         k=3,
     ).withColumn("method", F.lit("pq"))
-    return brute.unionByName(lsh).unionByName(ivf).unionByName(pq)
+    return (
+        brute.unionByName(lsh).unionByName(mp)
+        .unionByName(ivf).unionByName(pq)
+    )
 
 
 def q43_embedding_near_dup(spark, sf_dir):
@@ -785,6 +798,27 @@ lsh AS (
       ROW_NUMBER() OVER (PARTITION BY query_id
                          ORDER BY cos DESC, neighbor_id ASC) AS rank
     FROM scored) WHERE rank <= 3),
+mp_q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         {_bucket_sql('embedding')} AS b0,
+         (list_min([{{'m': abs(embedding[i + 1]), 'i': i}}
+                    for i in generate_series(0, 7)])).i AS fi
+  FROM embeddings WHERE vec_id < 20),
+mp_probes AS (
+  SELECT query_id, qv, b0 AS bucket FROM mp_q
+  UNION ALL
+  SELECT query_id, qv, xor(b0, 1 << fi) AS bucket FROM mp_q),
+mp_scored AS (
+  SELECT query_id, neighbor_id, {COS_SQL} AS cos
+  FROM (SELECT vec_id AS neighbor_id, embedding AS cv,
+        {_bucket_sql('embedding')} AS bucket FROM embeddings) c
+  JOIN mp_probes USING (bucket) WHERE neighbor_id != query_id),
+lsh_mp AS (
+  SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM mp_scored) WHERE rank <= 3),
 ivf AS (
   WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS cl
              FROM embeddings WHERE vec_id < 20),
@@ -819,6 +853,7 @@ pq AS (
     FROM pq_scored) WHERE rank <= 3)
 SELECT 'brute' AS method, * FROM brute
 UNION ALL SELECT 'lsh' AS method, * FROM lsh
+UNION ALL SELECT 'lsh_mp' AS method, * FROM lsh_mp
 UNION ALL SELECT 'ivf' AS method, * FROM ivf
 UNION ALL SELECT 'pq' AS method, * FROM pq
 """,
