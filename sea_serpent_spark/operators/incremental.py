@@ -300,7 +300,16 @@ def incremental_dedup(
     ingest step. The pair stage runs with ``emit="spanning"`` — the
     clustering only needs connectivity plus one old witness per
     component, so identical-signature groups contribute O(size) star
-    edges instead of O(size²) member pairs."""
+    edges instead of O(size²) member pairs.
+
+    A delta doc whose ID is already in the index is dropped outright:
+    it is by definition already ingested, and the pair/component logic
+    cannot see it (its pair with its index twin is a self-loop). This
+    makes the ingest step IDEMPOTENT — a foreachBatch replay after a
+    partial failure (at-least-once delivery) re-ingests the same batch
+    without double-appending its docs. (Round-8 rehearsal caught the
+    pre-fix behavior: re-ingesting a fully-indexed corpus kept 100%
+    of it instead of 0%.)"""
     pairs = incremental_minhash_pairs(
         new_df, index, text_col, id_col, num_hashes, bands, shingle_n,
         jaccard_threshold, emit="spanning",
@@ -326,6 +335,15 @@ def incremental_dedup(
     losers = new_in_pairs.join(keep_new, "id", "left_anti").select(
         F.col("id").alias("__lid")
     )
+    # already-indexed ids: duplicates of history by construction (the
+    # idempotent-replay case above) — the component logic never sees
+    # them because their only witness pair is a self-loop
+    reingested = (
+        new_df.select(F.col(id_col).alias("id"))
+        .join(old_ids.select("id"), "id", "left_semi")
+        .select(F.col("id").alias("__lid"))
+    )
+    losers = losers.unionByName(reingested)
     # materialize the (delta-sized) loser set once — the broadcast
     # gate's count() and the anti-join would otherwise EACH re-run the
     # pairs + components + keeper subtree

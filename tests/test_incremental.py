@@ -73,6 +73,35 @@ def test_incremental_dedup_matches_batch_on_prededuped_history(
     assert inc < new_ids  # something was actually dropped
 
 
+def test_incremental_dedup_reingest_is_idempotent(spark, halves):
+    """Re-ingesting already-indexed docs (same ids — the foreachBatch
+    replay case under at-least-once delivery) drops them ALL instead of
+    double-appending: pre-fix, an id-colliding delta doc was classified
+    'old', escaped the loser set, and 100% of a fully-indexed corpus
+    survived re-ingest (round-8 rehearsal)."""
+    old_raw, new = halves
+    idx = I.minhash_band_index(old_raw)
+    replay = I.incremental_dedup(old_raw, idx, jaccard_threshold=THRESH)
+    assert replay.count() == 0
+    # a mixed batch: replayed docs drop, genuinely-new survivors keep
+    mixed = old_raw.unionByName(new)
+    kept = {
+        r["doc_id"]
+        for r in I.incremental_dedup(
+            mixed, idx, jaccard_threshold=THRESH
+        ).select("doc_id").collect()
+    }
+    old_ids = {r["doc_id"] for r in old_raw.select("doc_id").collect()}
+    assert not (kept & old_ids)
+    fresh_only = {
+        r["doc_id"]
+        for r in I.incremental_dedup(
+            new, idx, jaccard_threshold=THRESH
+        ).select("doc_id").collect()
+    }
+    assert kept == fresh_only
+
+
 def test_incremental_exact_matches_batch(spark, halves):
     old, new = halves
     seen = D.exact_dedup_groups(old)  # the persisted exact index

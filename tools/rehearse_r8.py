@@ -158,19 +158,24 @@ def run_dedup_corpus_100x(spark) -> dict:
     }
 
 
-def run_stream_ingest_10x(spark) -> dict:
+def run_stream_ingest_10x(spark, seed: str = "small") -> dict:
     from sea_serpent_spark.operators.incremental import minhash_band_index
     from sea_serpent_spark.streaming.dedup import incremental_dedup_sink
 
     corpus = _docs_corpus(spark, 10)  # 50k docs
-    base = "/tmp/rehearse_r8_stream"
+    base = f"/tmp/rehearse_r8_stream_{seed}"
     shutil.rmtree(base, ignore_errors=True)
     src, idx, outp, ckpt = (f"{base}/{d}" for d in
                             ("src", "idx", "out", "ckpt"))
     # 10 files -> maxFilesPerTrigger=1 -> 10 serial micro-batches
     corpus.repartition(10).write.parquet(src)
-    # seed the index with a small history (batch 1 dedups against it)
-    history = corpus.where(F.col("doc_id") % 100 == 0)
+    # seed the index: "small" = 1% history (index grows from nothing),
+    # "full" = the ENTIRE corpus as history (index is 100x the delta
+    # from batch 1 — the per-batch-cost-vs-index-size control)
+    history = (
+        corpus if seed == "full"
+        else corpus.where(F.col("doc_id") % 100 == 0)
+    )
     minhash_band_index(history).write.partitionBy("band").parquet(idx)
 
     sink = incremental_dedup_sink(idx, outp)
@@ -211,7 +216,7 @@ def run_stream_ingest_10x(spark) -> dict:
     kept = spark.read.parquet(outp).count()
     walls = [b["wall_s"] for b in batch_walls]
     return {
-        "op": "foreachBatch near-dup ingest 10x (50k docs, 10 batches, persisted LSH index)",
+        "op": f"foreachBatch near-dup ingest 10x (50k docs, 10 batches, {seed}-seeded LSH index)",
         "wall_s": wall,
         "batches": batch_walls,
         "survivors_appended": kept,
@@ -274,6 +279,9 @@ def run_fuzzy_k2_10x(spark) -> dict:
 RUNS = {
     "dedup_corpus_100x": run_dedup_corpus_100x,
     "stream_ingest_10x": run_stream_ingest_10x,
+    "stream_ingest_10x_fullindex": lambda spark: run_stream_ingest_10x(
+        spark, seed="full"
+    ),
     "fuzzy_k2_10x": run_fuzzy_k2_10x,
 }
 
