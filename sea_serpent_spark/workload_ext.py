@@ -512,24 +512,40 @@ def q61_connected_components(spark, sf_dir):
 
 
 def q60_deterministic_split(spark, sf_dir):
-    """Two deterministic curation assignments in one oracle row:
+    """Three deterministic curation assignments in one oracle row
+    (tagged union — stratified added in round 8):
 
-    - ``split`` — train/val/test as a pure function of md5(doc_id), so
-      the DuckDB oracle computes identical labels from the same hash
-      arithmetic (the auditable-off-cluster property);
-    - ``shard`` — token-budget shard packing by global running n_chars
-      in doc_id order (operators/curation.py pack_shards). The oracle is
-      the single-window SQL the distributed range-partition +
-      partition-offset plan must equal exactly."""
+    - ``op='split'`` — train/val/test as a pure function of
+      md5(doc_id), so the DuckDB oracle computes identical labels from
+      the same hash arithmetic (the auditable-off-cluster property),
+      plus ``shard`` — token-budget shard packing by global running
+      n_chars in doc_id order (operators/curation.py pack_shards). The
+      oracle is the single-window SQL the distributed range-partition +
+      partition-offset plan must equal exactly.
+    - ``op='strat'`` — exact per-stratum sampling
+      (operators/sampling.py stratified_sample): the first
+      floor(n_lang·0.25) docs of every language in (md5-hash, id)
+      order. All-integer arithmetic — hash order and the floor count
+      are recomputed verbatim in SQL."""
     from .operators.curation import pack_shards
-    from .operators.sampling import deterministic_split
+    from .operators.sampling import deterministic_split, stratified_sample
 
     docs = df(spark, sf_dir, "documents")
     out = deterministic_split(
         docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
     ).select("doc_id", "n_chars", "split")
-    return pack_shards(out, "n_chars", budget=50_000, order_col="doc_id"
-                       ).select("doc_id", "split", "shard")
+    packed = pack_shards(
+        out, "n_chars", budget=50_000, order_col="doc_id"
+    ).select(
+        "doc_id", "split", "shard", F.lit("split").alias("op")
+    )
+    strat = stratified_sample(docs, "lang", 0.25, "doc_id").select(
+        "doc_id",
+        F.lit(None).cast("string").alias("split"),
+        F.lit(None).cast("long").alias("shard"),
+        F.lit("strat").alias("op"),
+    )
+    return packed.unionByName(strat)
 
 
 def q65_token_budget_mix(spark, sf_dir):
@@ -878,7 +894,16 @@ SELECT event_id, user_id, ts, snap_ts, snap_value FROM j WHERE rn = 1
         "ELSE 'test' END AS split, "
         "CAST(FLOOR((SUM(n_chars) OVER (ORDER BY doc_id "
         "ROWS UNBOUNDED PRECEDING) - n_chars) / 50000.0) AS BIGINT) "
-        "AS shard FROM documents"
+        "AS shard, 'split' AS op FROM documents "
+        "UNION ALL "
+        "SELECT doc_id, CAST(NULL AS VARCHAR) AS split, "
+        "CAST(NULL AS BIGINT) AS shard, 'strat' AS op FROM ("
+        "  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY "
+        "    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) "
+        "    AS BIGINT) % 1000000, doc_id) AS rk, "
+        "  COUNT(*) OVER (PARTITION BY lang) AS n "
+        "  FROM documents) "
+        "WHERE rk <= FLOOR(n * 0.25)"
     ),
     # the semantic spec of token_budget_mix: per-source running sum over
     # the portable epoch_key(seed=7) hash order; keep while the EXCLUSIVE
