@@ -229,17 +229,42 @@ def q39_simhash_pairs(spark, sf_dir):
 
 
 def q62_span_dedup(spark, sf_dir):
-    """Exact-substring (duplicate-span) detection, operators/spans.py:
-    every repeated 8-token window occurrence except the corpus-wide
-    first (MIN (id,pos)) — the removal set of strip_duplicate_spans.
-    The engine groups on xxhash64 of the window; the oracle groups on
-    the window TEXT itself — identical output modulo 64-bit hash
-    collisions (none at any tested scale)."""
+    """Token-window operators over documents in one tagged-union oracle
+    row (chunking added in round 8):
+
+    - ``op='span'`` — exact-substring (duplicate-span) detection,
+      operators/spans.py: every repeated 8-token window occurrence
+      except the corpus-wide first (MIN (id,pos)) — the removal set of
+      strip_duplicate_spans. The engine groups on xxhash64 of the
+      window; the oracle groups on the window TEXT itself — identical
+      output modulo 64-bit hash collisions (none at any tested scale).
+    - ``op='chunk'`` — fixed-token overlapping chunking,
+      operators/curation.py chunk_documents (32-token windows, 8
+      overlap): id=doc_id, pos=chunk_id, n_total=token count of the
+      chunk, chunk_text=the window itself. The oracle recomputes the
+      k_max floor arithmetic and the slice boundaries verbatim — the
+      claim under test is the window geometry (step/overlap/tail),
+      which off-by-ones silently corrupt."""
+    from .operators.curation import chunk_documents
     from .operators.spans import duplicate_spans
 
-    return duplicate_spans(
+    spans = duplicate_spans(
         df(spark, sf_dir, "documents"), span_tokens=8
-    ).select("id", "pos", "n_total")
+    ).select(
+        "id", "pos", "n_total",
+        F.lit(None).cast("string").alias("chunk_text"),
+        F.lit("span").alias("op"),
+    )
+    chunks = chunk_documents(
+        df(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    ).select(
+        F.col("doc_id").alias("id"),
+        F.col("chunk_id").cast("long").alias("pos"),
+        F.col("n_chunk_tokens").cast("long").alias("n_total"),
+        "chunk_text",
+        F.lit("chunk").alias("op"),
+    )
+    return spans.unionByName(chunks)
 
 
 def q63_fuzzy_pairs(spark, sf_dir):
@@ -716,8 +741,25 @@ occ AS (
 r AS (
   SELECT id, pos, COUNT(*) OVER (PARTITION BY w) AS n_total,
          ROW_NUMBER() OVER (PARTITION BY w ORDER BY id, pos) AS rn
-  FROM occ)
-SELECT id, pos, n_total FROM r WHERE n_total >= 2 AND rn > 1
+  FROM occ),
+-- chunk_documents(chunk_tokens=32, overlap=8): step=24; k_max floor
+-- arithmetic and slice boundaries recomputed verbatim
+ck AS (
+  SELECT id, toks,
+    GREATEST(CAST(FLOOR(GREATEST(len(toks) - 8 + 23, 1) / 24.0)
+             AS BIGINT) - 1, 0) AS kmax
+  FROM t),
+chunks AS (
+  SELECT id, k AS pos,
+    len(list_slice(toks, k * 24 + 1, k * 24 + 32)) AS n_total,
+    array_to_string(list_slice(toks, k * 24 + 1, k * 24 + 32), ' ')
+      AS chunk_text
+  FROM ck, unnest(generate_series(0, kmax)) AS u(k))
+SELECT id, pos, n_total, CAST(NULL AS VARCHAR) AS chunk_text,
+       'span' AS op
+FROM r WHERE n_total >= 2 AND rn > 1
+UNION ALL
+SELECT id, pos, n_total, chunk_text, 'chunk' AS op FROM chunks
 """,
     # Naive quadratic formulation — the prefix filter's exactness claim.
     "q63_fuzzy_pairs": """
