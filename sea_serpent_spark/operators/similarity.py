@@ -1000,6 +1000,15 @@ def pq_encode(
             res[i] = [int(x) for x in codes[r]]
         return pd.Series(res)
 
+    # OPTIMIZER FENCE, not actual nondeterminism: the encode IS a pure
+    # function, but Catalyst duplicates deterministic UDFs freely — a
+    # downstream isnotnull(code) filter pushed below the join re-ran the
+    # ENCODE of the whole corpus a second time (two ArrowEvalPython
+    # nodes over the same scan, round-8 plan audit). Nondeterministic
+    # UDFs are never duplicated or pushed into, so the corpus encodes
+    # exactly once.
+    _encode = _encode.asNondeterministic()
+
     return fan_out(df).withColumn(code_col, _encode(F.col(vec_col)))
 
 
@@ -1058,6 +1067,9 @@ def pq_topk(
         for r, i in enumerate(ok):
             res[i] = [float(x) for x in flat[r]]
         return pd.Series(res)
+
+    # optimizer fence against duplicate evaluation — see pq_encode
+    _lut = _lut.asNondeterministic()
 
     qsel = [
         F.col(id_col).alias("query_id"),

@@ -322,7 +322,11 @@ def test_workload_plan_audit(spark, sf_dir):
         "q06_count", "q37_ngram_jaccard",
         "q41_ann_topk", "q43_embedding_near_dup",
     }
-    PYEVAL_OK = {"q53_media_features"}  # mapInPandas multimodal decode
+    # q53: mapInPandas multimodal decode; q41: pq_encode + the ADC LUT
+    # are DESIGNED Arrow-batched pandas UDFs — per-row vector math heavy
+    # enough that the expression forms lose (round-8 measured rejection
+    # of the unrolled-chain variant, BENCH_NOTES)
+    PYEVAL_OK = {"q53_media_features", "q41_ann_topk"}
     bad_cart, bad_py = [], []
     for name, fn in E.queries().items():
         rep = plan_report(fn(spark, sf_dir))
