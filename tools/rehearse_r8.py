@@ -228,6 +228,66 @@ def run_stream_ingest_10x(spark, seed: str = "small") -> dict:
     }
 
 
+def run_stream_stateful_10x(spark) -> dict:
+    """The in-query stateful LSH variant (applyInPandasWithState):
+    per-batch wall + STATE-STORE size as the inverted index grows in
+    stream state — the state axis the foreachBatch rehearsal doesn't
+    have (its index lives in parquet)."""
+    from sea_serpent_spark.streaming.dedup import streaming_minhash_pairs
+
+    corpus = _docs_corpus(spark, 10)  # 50k docs
+    base = "/tmp/rehearse_r8_stateful"
+    shutil.rmtree(base, ignore_errors=True)
+    src, outp, ckpt = (f"{base}/{d}" for d in ("src", "out", "ckpt"))
+    corpus.repartition(10).write.parquet(src)
+    # max_bucket=256: the state-size control the operator exposes — on
+    # this near-clique corpus an unbounded bucket would make the
+    # in-state comparison quadratic in corpus size, which is exactly
+    # the deployment mistake the cap exists to prevent
+    stream = streaming_minhash_pairs(
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        jaccard_threshold=0.5,
+        max_bucket=256,
+    )
+    t0 = time.perf_counter()
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: bdf.write.mode("append").parquet(outp)
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = round(time.perf_counter() - t0, 2)
+    batches = []
+    for p in q.recentProgress:
+        so = (p.get("stateOperators") or [{}])[0]
+        batches.append(
+            {
+                "batch": p.get("batchId"),
+                "rows_in": p.get("numInputRows"),
+                "wall_s": round(
+                    (p.get("batchDuration") or 0) / 1000.0, 2
+                ),
+                "state_rows": so.get("numRowsTotal"),
+                "state_mb": round(
+                    (so.get("memoryUsedBytes") or 0) / 1e6, 1
+                ),
+            }
+        )
+    pairs = spark.read.parquet(outp).count()
+    return {
+        "op": "stateful LSH streaming dedup 10x (50k docs, applyInPandasWithState)",
+        "wall_s": wall,
+        "pairs_emitted": pairs,
+        "batches": batches,
+    }
+
+
 def run_fuzzy_k2_10x(spark) -> dict:
     from sea_serpent_spark.operators.fuzzy import edit_distance_join
 
@@ -282,6 +342,7 @@ RUNS = {
     "stream_ingest_10x_fullindex": lambda spark: run_stream_ingest_10x(
         spark, seed="full"
     ),
+    "stream_stateful_10x": run_stream_stateful_10x,
     "fuzzy_k2_10x": run_fuzzy_k2_10x,
 }
 
