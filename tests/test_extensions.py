@@ -1185,6 +1185,62 @@ def test_pq_roundtrip_and_topk_recall(spark):
     assert all(qid // 100 == nid // 100 for qid, nid in pq10)
 
 
+def test_pq_encode_bit_parity_with_sql_fold(spark):
+    """The numpy encode path is BIT-identical to Spark's SQL fold for
+    BOTH input dtypes — including float32, where parity requires
+    squaring in the source dtype before widening (the q41 oracle only
+    covers the cast-to-double path). Vectors include 1e±18 magnitude
+    spikes so any accumulation-order or promotion difference actually
+    changes the norm."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((20, 8))
+    vecs[3, 0] = 1e18   # magnitude spike: order/promotion-sensitive
+    vecs[7, 5] = 1e-18
+    books = [[[float(x) for x in rng.standard_normal(4)]
+              for _ in range(4)] for _ in range(2)]
+
+    def ref_codes(df, vec_col):
+        """The pre-round-8 pure-expression formulation: slice + fold
+        subdistances, struct array_min argmin — the SQL-fold truth."""
+        uv = F.transform(
+            F.col(vec_col),
+            lambda x: x / F.greatest(
+                F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0),
+                                   lambda a, v: a + v * v)),
+                F.lit(1e-12),
+            ),
+        )
+        codes = []
+        for j in range(2):
+            sub = F.slice(uv, j * 4 + 1, 4)
+            scored = F.array(*[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(sub, F.array(*[F.lit(x) for x in c]),
+                                   lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0), lambda acc, v: acc + v,
+                    ).alias("d"),
+                    F.lit(ci).alias("c"),
+                )
+                for ci, c in enumerate(books[j])
+            ])
+            codes.append(F.array_min(scored).getField("c"))
+        return df.select("vec_id", F.array(*codes).alias("ref"))
+
+    for dtype in ("float", "double"):
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            f"vec_id long, embedding array<{dtype}>",
+        )
+        got = {r["vec_id"]: list(r["pq_code"])
+               for r in S.pq_encode(df, books).collect()}
+        want = {r["vec_id"]: list(r["ref"])
+                for r in ref_codes(df, "embedding").collect()}
+        assert got == want, dtype
+
+
 def test_pq_encode_degrades_on_null_and_ragged_vectors(spark):
     """NULL or dimension-mismatched vectors get a NULL code instead of
     failing the job under ANSI mode (round-7 ADVICE), and pq_topk keeps
