@@ -355,7 +355,11 @@ def temperature_rates(
     }
     if not sizes:
         return {}
-    tot = sum(n**alpha for n in sizes.values())
+    # sum in SORTED source order: collect() row order varies run to run,
+    # and a float sum in arrival order would move the rates by an ulp —
+    # enough to flip the integer hash threshold mix_corpora derives and
+    # swap a boundary document between otherwise-identical runs
+    tot = sum(sizes[s] ** alpha for s in sorted(sizes))
     p = {s: n**alpha / tot for s, n in sizes.items()}
     ratio = {s: p[s] / sizes[s] for s in sizes}
     if target_rows is None:

@@ -283,6 +283,33 @@ def test_zorder_plan_shape(spark, sf_dir):
     assert rep["n_exchanges"] == 1
 
 
+def test_pq_topk_plan_single_encode_broadcast_queries(spark, sf_dir):
+    """IVF-free PQ ADC: exactly ONE Arrow eval per side (the round-8
+    duplicate-evaluation regression — Catalyst cloning the encode UDF
+    below a pushed isnotnull filter — re-encoded the whole corpus), the
+    QUERY side broadcast (BuildRight under the corpus-streaming cross
+    join), and the top-k rank pushed down as WindowGroupLimit rather
+    than a full per-query sort."""
+    from sea_serpent_spark.operators import similarity as S
+    from sea_serpent_spark.operators.pinned import PQ_CODEBOOKS
+    from sea_serpent_spark.operators.plan_report import plan_report
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = S.pq_topk(
+        S.pq_encode(e, PQ_CODEBOOKS),
+        e.where(F.col("vec_id") < 5),
+        PQ_CODEBOOKS,
+        k=3,
+    )
+    rep = plan_report(out)
+    assert rep["python_evals"] == 2, rep["python_evals"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+    assert "WindowGroupLimit" in plan
+
+
 def test_pack_sequences_python_sees_only_ids(spark, sf_dir):
     """pack_sequences: exactly one grouped-Pandas eval, and its input
     schema carries only (id, tokens, group) — documents never enter the
