@@ -399,11 +399,18 @@ def weighted_sample(
 
     keep ⇔ hash_bucket(id) < p(row)·BUCKETS with
     p = min(1, target·w / Σw): a row-local predicate over one
-    sum-aggregate, so the pass is layout-independent, reproducible, and
-    monotone — raising a row's weight or the target only ever ADDS rows.
-    Zero/negative weights never keep. ``max_weight`` clips weights
-    before normalization (heavy-tail control — standard importance-
-    sampling hygiene).
+    sum-aggregate, reproducible and monotone — raising a row's weight
+    or the target only ever ADDS rows. Zero/negative weights never
+    keep. ``max_weight`` clips weights before normalization (heavy-tail
+    control — standard importance-sampling hygiene).
+
+    Reproducibility caveat: the computed Σw is a FLOAT sum whose
+    partial-aggregation order follows the data layout, so a re-layout
+    (repartition, compaction) can move Σw by an ulp and flip a row
+    whose hash lands exactly on the derived threshold (~2⁻⁵² per row —
+    negligible but nonzero). Byte-stable reruns across layouts should
+    pass the pinned ``total=`` explicitly; this is also why the DSIR
+    family is property-tested rather than hash-oracled (BENCH_NOTES).
 
     Expected output size is ≈ target_rows minus the mass lost where
     p saturates at 1 (rows can't be kept twice; up-replication is an
