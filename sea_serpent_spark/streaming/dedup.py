@@ -187,7 +187,20 @@ def incremental_dedup_sink(
     The index directory must exist with ≥1 band file (seed it with
     ``minhash_band_index(history)`` — or an empty frame for a cold
     start). Batches are processed serially by Structured Streaming, so
-    the read-modify-append on the index is race-free."""
+    the read-modify-append on the index is race-free.
+
+    Replay semantics (at-least-once foreachBatch): a batch replayed
+    AFTER its index append completed is dropped wholesale —
+    ``incremental_dedup`` treats already-indexed ids as duplicates of
+    history — so the loop is idempotent past that point. The remaining
+    window is a crash BETWEEN the output append and the index append:
+    the replay then re-appends the same survivors to ``output_path``.
+    The appends are deliberately ordered output-first because the two
+    failure modes are asymmetric — duplicated output rows are
+    recoverable downstream (exact dedup by id), rows recorded in the
+    index but never written to the output are silently LOST. Exactly-
+    once needs an atomic sink for both paths (e.g. a transactional
+    table format) — out of scope for plain parquet."""
     from ..operators.incremental import (
         incremental_dedup,
         minhash_band_index,
