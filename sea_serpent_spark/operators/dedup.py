@@ -1104,6 +1104,47 @@ def simhash_pairs(
 # near-dup clusters → corpus-level dedup
 # ---------------------------------------------------------------------------
 
+def _union_find_local(edges: DataFrame, id_type) -> DataFrame:
+    """[id, component] by driver-side min-root union-find over a
+    metadata-sized (u, v) edge frame — the small-graph fast path of
+    ``connected_components`` (callers gate on the edge COUNT first).
+    Min-root union: the smaller root adopts the larger, so every root
+    stays the MIN of its merged set and the final label equals the
+    distributed loop's min-reachable-id exactly."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    rows = edges.collect()
+    for r in rows:
+        u, v = r["u"], r["v"]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    schema = T.StructType(
+        [
+            T.StructField("id", id_type, False),
+            T.StructField("component", id_type, False),
+        ]
+    )
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(x, find(x)) for x in parent], schema
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -1111,6 +1152,7 @@ def connected_components(
     max_iterations: int = 25,
     release_batch: int = 8,
     stats: dict | None = None,
+    small_graph_threshold: int = 20_000,
 ) -> DataFrame:
     """→ [id, component]: connected components over an undirected pair
     edge list, component = MIN reachable id (the canonical-doc choice
@@ -1137,7 +1179,23 @@ def connected_components(
 
     Raises ``RuntimeError`` if ``max_iterations`` rounds don't converge
     — a silently-partial clustering would dedup incorrectly downstream,
-    and with doubling 25 rounds cover graphs of diameter ~2²⁵."""
+    and with doubling 25 rounds cover graphs of diameter ~2²⁵.
+
+    SMALL-GRAPH FAST PATH: edge sets at or under
+    ``small_graph_threshold`` rows (counted on the already-materialized
+    edge checkpoint — one cheap job, never an ungated collect) are
+    solved by a driver-side min-root union-find instead of the
+    distributed loop. The distributed loop costs ~0.5 s of fixed job
+    overhead PER ROUND regardless of size — for the metadata-sized
+    graphs SemDeDup's cluster-scoped pairs or an incremental delta
+    produce (tens to thousands of edges), that overhead is 10-50× the
+    work. Result is identical by construction: min-root union keeps
+    every root the MIN of its merged set (Python str comparison is
+    code-point order == Spark's UTF-8 binary order, and UTF-8 preserves
+    code-point order), so component = MIN reachable id on both paths
+    (parity-tested). ``max_iterations`` does not apply on this path —
+    union-find has no convergence budget. Pass
+    ``small_graph_threshold=0`` to force the distributed loop."""
     # ids keep their native type: MIN as canonical choice must follow the
     # id column's own ordering (a string cast would pick '100' over '2')
     # Checkpoint BEFORE the symmetric union: both union branches read
@@ -1161,6 +1219,14 @@ def connected_components(
         .distinct(),
         storage_level=StorageLevel.DISK_ONLY,
     )
+    if small_graph_threshold and edges.count() <= small_graph_threshold:
+        out = _union_find_local(edges, pairs.schema[id_a].dataType)
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["round_wall_s"] = []
+            stats["small_graph"] = True
+        release_all([edges_h])
+        return out
     # undirected: propagate both ways (narrow union over the checkpoint —
     # cheap to recompute per round, no second materialization needed)
     sym = edges.unionByName(

@@ -1318,7 +1318,8 @@ def test_ivf_pq_same_cluster_only(spark):
 
 def test_connected_components_stats_hook(spark):
     """The optional stats dict reports rounds-to-convergence and
-    per-round wall — scale-rehearsal observability with no extra jobs."""
+    per-round wall — scale-rehearsal observability with no extra jobs.
+    Small inputs report the union-find fast path instead of rounds."""
     from sea_serpent_spark.operators.dedup import connected_components
 
     pairs = spark.createDataFrame(
@@ -1330,9 +1331,49 @@ def test_connected_components_stats_hook(spark):
         for r in connected_components(pairs, stats=stats).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert stats["small_graph"] and stats["rounds"] == 0
+
+    stats = {}
+    got2 = {
+        r.id: r.component
+        for r in connected_components(
+            pairs, stats=stats, small_graph_threshold=0
+        ).collect()
+    }
+    assert got2 == got
     assert stats["rounds"] >= 1
     assert len(stats["round_wall_s"]) == stats["rounds"]
     assert all(w >= 0 for w in stats["round_wall_s"])
+
+
+def test_connected_components_small_graph_parity(spark):
+    """The union-find fast path and the distributed pointer-doubling
+    loop label a messy random graph IDENTICALLY (min reachable id),
+    for long ids and for string ids (UTF-8 order = code-point order)."""
+    import random
+
+    from sea_serpent_spark.operators.dedup import connected_components
+
+    rng = random.Random(17)
+    edges = [
+        (rng.randrange(120), rng.randrange(120)) for _ in range(150)
+    ]
+    lp = spark.createDataFrame(edges, "id_a long, id_b long")
+    sp = spark.createDataFrame(
+        [(f"d{a:03d}", f"d{b:03d}") for a, b in edges],
+        "id_a string, id_b string",
+    )
+    for pairs in (lp, sp):
+        fast = {
+            r.id: r.component for r in connected_components(pairs).collect()
+        }
+        dist = {
+            r.id: r.component
+            for r in connected_components(
+                pairs, small_graph_threshold=0
+            ).collect()
+        }
+        assert fast == dist and fast
 
 
 def test_connected_components_long_chain_pointer_doubling(spark):
@@ -1347,12 +1388,21 @@ def test_connected_components_long_chain_pointer_doubling(spark):
         [(f"d{i:04d}", f"d{i + 1:04d}") for i in range(n)],
         "id_a string, id_b string",
     )
-    got = {r.id: r.component for r in connected_components(pairs).collect()}
+    # small_graph_threshold=0 forces the DISTRIBUTED loop — the pointer
+    # doubling and the convergence budget are what this test pins
+    got = {
+        r.id: r.component
+        for r in connected_components(
+            pairs, small_graph_threshold=0
+        ).collect()
+    }
     assert set(got.values()) == {"d0000"}
     assert len(got) == n + 1
 
     with pytest.raises(RuntimeError):
-        connected_components(pairs, max_iterations=2)
+        connected_components(
+            pairs, max_iterations=2, small_graph_threshold=0
+        )
 
 
 def test_strip_duplicate_spans_with_id_column(spark):
