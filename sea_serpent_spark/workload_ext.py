@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from .operators import dedup as D
 from .operators import similarity as S
 from .operators import text as X
-from .operators.hashing import MINHASH_COEFFS, P, SIMHASH_BITS, h48_sql, perm_sql
+from .operators.hashing import MINHASH_COEFFS, SIMHASH_BITS, h48_sql, perm_sql
 from .operators.pinned import PQ_CODEBOOKS, SEMDEDUP_CENTROIDS
 from .workload import df
 
