@@ -551,8 +551,18 @@ def q60_deterministic_split(spark, sf_dir):
       (operators/sampling.py stratified_sample): the first
       floor(n_lang·0.25) docs of every language in (md5-hash, id)
       order. All-integer arithmetic — hash order and the floor count
-      are recomputed verbatim in SQL."""
-    from .operators.curation import pack_shards
+      are recomputed verbatim in SQL.
+    - ``op='pack'`` (round 8) — best-fit-decreasing sequence packing
+      (operators/curation.py pack_sequences, partitions=1 so the
+      non-SQL-portable xxhash group key drops out, seq_len=550 with
+      ``oversize='isolate'`` so the overflow branch is exercised).
+      The oracle replays the EXACT greedy fold as a recursive CTE:
+      docs in (tokens desc, id) order; each takes the open bin with
+      the smallest remainder ≥ size, ties to the most recent insert
+      (bisect_left semantics); remainders re-inserted. The claim under
+      test is the whole sequential decision trace, not just bin
+      counts — shard carries the assigned seq_id."""
+    from .operators.curation import pack_sequences, pack_shards
     from .operators.sampling import deterministic_split, stratified_sample
 
     docs = df(spark, sf_dir, "documents")
@@ -570,7 +580,15 @@ def q60_deterministic_split(spark, sf_dir):
         F.lit(None).cast("long").alias("shard"),
         F.lit("strat").alias("op"),
     )
-    return packed.unionByName(strat)
+    seqs = pack_sequences(
+        docs, "n_chars", 550, partitions=1, oversize="isolate"
+    ).select(
+        "doc_id",
+        F.lit(None).cast("string").alias("split"),
+        F.col("seq_id").alias("shard"),
+        F.lit("pack").alias("op"),
+    )
+    return packed.unionByName(strat).unionByName(seqs)
 
 
 def q65_token_budget_mix(spark, sf_dir):
@@ -945,7 +963,56 @@ SELECT event_id, user_id, ts, snap_ts, snap_value FROM j WHERE rn = 1
         "    AS BIGINT) % 1000000, doc_id) AS rk, "
         "  COUNT(*) OVER (PARTITION BY lang) AS n "
         "  FROM documents) "
-        "WHERE rk <= FLOOR(n * 0.25)"
+        "WHERE rk <= FLOOR(n * 0.25) "
+        "UNION ALL "
+        # best-fit-decreasing replayed as a recursive fold: state =
+        # (open-bin list [rem, age, bin], bin counter); choose = min
+        # (rem, -age) over bins with rem >= size (bisect_left: among
+        # equal remainders the NEWEST pops first); exact fits (r=0)
+        # and isolated oversize docs (r=-1) never re-insert
+        """
+SELECT doc_id, CAST(NULL AS VARCHAR) AS split, bin AS shard,
+       'pack' AS op FROM (
+WITH RECURSIVE
+pd AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS t,
+    ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents),
+pf(rn, doc_id, bin, bins, nbins, age) AS (
+  SELECT CAST(0 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         CAST([] AS STRUCT(rem BIGINT, age BIGINT, bin BIGINT)[]),
+         CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT rn, doc_id, bin,
+    CASE WHEN r > 0
+      THEN list_append(rest, {'rem': r, 'age': age2, 'bin': bin})
+      ELSE rest END,
+    nbins2, age2
+  FROM (
+    SELECT rn, doc_id, t, nbins, bins, age2,
+      CASE WHEN t > 550 THEN nbins
+           WHEN ch IS NOT NULL THEN ch.bin
+           ELSE nbins END AS bin,
+      CASE WHEN t > 550 THEN CAST(-1 AS BIGINT)
+           WHEN ch IS NOT NULL THEN ch.rem - t
+           ELSE 550 - t END AS r,
+      CASE WHEN t > 550 OR ch IS NULL THEN nbins + 1
+           ELSE nbins END AS nbins2,
+      CASE WHEN t <= 550 AND ch IS NOT NULL
+        THEN list_filter(bins, x -> x.bin != ch.bin)
+        ELSE bins END AS rest
+    FROM (
+      SELECT pf.rn + 1 AS rn, pd.doc_id, pd.t, pf.bins, pf.nbins,
+        pf.age + 1 AS age2,
+        list_min(list_transform(
+          list_filter(pf.bins, y -> y.rem >= pd.t),
+          x -> {'rem': x.rem, 'negage': -x.age, 'bin': x.bin})) AS ch
+      FROM pf JOIN pd ON pd.rn = pf.rn + 1
+    )
+  )
+)
+SELECT doc_id, bin FROM pf WHERE rn > 0)
+"""
     ),
     # the semantic spec of token_budget_mix: per-source running sum over
     # the portable epoch_key(seed=7) hash order; keep while the EXCLUSIVE
