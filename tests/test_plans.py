@@ -352,8 +352,11 @@ def test_workload_plan_audit(spark, sf_dir):
     # q53: mapInPandas multimodal decode; q41: pq_encode + the ADC LUT
     # are DESIGNED Arrow-batched pandas UDFs — per-row vector math heavy
     # enough that the expression forms lose (round-8 measured rejection
-    # of the unrolled-chain variant, BENCH_NOTES)
-    PYEVAL_OK = {"q53_media_features", "q41_ann_topk"}
+    # of the unrolled-chain variant, BENCH_NOTES); q60: pack_sequences'
+    # grouped BFD fold is inherently sequential per group (Arrow batch
+    # sees only (id, tokens) pairs — plan-pinned in its own test)
+    PYEVAL_OK = {"q53_media_features", "q41_ann_topk",
+                 "q60_deterministic_split"}
     bad_cart, bad_py = [], []
     for name, fn in E.queries().items():
         rep = plan_report(fn(spark, sf_dir))
