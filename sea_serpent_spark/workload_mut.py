@@ -199,9 +199,16 @@ def q54_astype_map(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q52_stream_tumbling(spark, sf_dir):
-    """Structured Streaming tumbling window (beyond-reference §2.7): the
-    availableNow-drained stream must equal the batch computation — the
-    oracle is the batch SQL."""
+    """Structured Streaming windowed aggregations (beyond-reference
+    §2.7), two stateful shapes in one tagged-union oracle row — each
+    availableNow-drained stream must equal its batch SQL:
+
+    - ``op='tumbling'`` — fixed 1-hour windows per event type;
+    - ``op='session'`` (round 8) — ``F.session_window`` gap sessions
+      per user (30-minute gap). The oracle recomputes Spark's session
+      semantics from first principles: a LAG break at gap ≥ 30 min
+      (an event at exactly last+gap starts a NEW session — the window
+      end is exclusive), session_end = last event + gap."""
     import uuid
 
     from .streaming import events as sev
@@ -210,10 +217,29 @@ def q52_stream_tumbling(spark, sf_dir):
     stream = sev.read_events_stream(spark, sf_dir)
     agg = sev.tumbling_counts(stream, window="1 hour", watermark="2 hours")
     name = f"q52_sink_{uuid.uuid4().hex[:8]}"
-    out = sev.run_to_memory(agg, name, spark)
-    return out.withColumn(
-        "window_start", F.col("window_start").cast("timestamp_ntz")
+    out = sev.run_to_memory(agg, name, spark).select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+        F.lit(None).cast("timestamp_ntz").alias("session_end"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit("tumbling").alias("op"),
     )
+    sess = sev.run_to_memory(
+        sev.session_counts(sev.read_events_stream(spark, sf_dir)),
+        f"q52_sink_{uuid.uuid4().hex[:8]}",
+        spark,
+    ).select(
+        F.col("session_start").cast("timestamp_ntz").alias("window_start"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("n_events").alias("n"),
+        "sum_value",
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "user_id",
+        F.lit("session").alias("op"),
+    )
+    return out.unionByName(sess)
 
 
 def q69_stream_dedup(spark, sf_dir):
@@ -411,8 +437,35 @@ ORACLES_MUT: dict[str, str] = {
     ),
     "q52_stream_tumbling": (
         "SELECT date_trunc('hour', ts) AS window_start, event_type, "
-        "COUNT(*) AS n, ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value "
-        "FROM events GROUP BY 1, 2"
+        "COUNT(*) AS n, ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value, "
+        "CAST(NULL AS TIMESTAMP) AS session_end, "
+        "CAST(NULL AS BIGINT) AS user_id, 'tumbling' AS op "
+        "FROM events GROUP BY 1, 2 "
+        "UNION ALL "
+        # session semantics from first principles: break at gap >= 30min
+        # (window end exclusive: an event at exactly last+gap starts a
+        # new session); session_end = last event + gap
+        "SELECT session_start AS window_start, "
+        "CAST(NULL AS VARCHAR) AS event_type, n_events AS n, sum_value, "
+        "session_end, user_id, 'session' AS op FROM ("
+        "WITH o AS ("
+        "  SELECT user_id, ts, value,"
+        "    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)"
+        "              >= INTERVAL 30 MINUTE OR"
+        "              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)"
+        "              IS NULL"
+        "         THEN 1 ELSE 0 END AS brk"
+        "  FROM events),"
+        "s AS ("
+        "  SELECT user_id, ts, value,"
+        "    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts"
+        "                   ROWS UNBOUNDED PRECEDING) AS sid"
+        "  FROM o)"
+        "SELECT MIN(ts) AS session_start,"
+        "       MAX(ts) + INTERVAL 30 MINUTE AS session_end,"
+        "       user_id, COUNT(*) AS n_events,"
+        "       ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value "
+        "FROM s GROUP BY user_id, sid)"
     ),
     "q53_media_features": (
         "SELECT doc_id, CAST(octet_length(encode(coalesce(text, ''))) "
