@@ -156,13 +156,51 @@ def q49_append(spark, sf_dir):
 
 
 def q50_time_machine(spark, sf_dir):
-    """Snapshot time travel (time_machine, base.py:973-1034 — exact via
-    version snapshots, stronger than the reference's log replay): mutate,
-    then read version 0 → the original state."""
+    """Snapshot time travel + CDC stream in one tagged-union oracle row:
+
+    - ``op='snapshot'`` — time_machine (base.py:973-1034 — exact via
+      version snapshots, stronger than the reference's log replay):
+      mutate, then read version 0 → the original state.
+    - ``op='cdc'`` (round 8) — the availableNow-drained op-log CDC
+      stream (``streaming.events.oplog_stream``, the Delta
+      Change-Data-Feed pattern; reference analogue fetch_logs polling)
+      over the SAME mutation: one change row per nation row with the
+      original name as old_value. Deterministic columns only —
+      ``op_time`` is wall-clock and excluded; ``row_id`` is the
+      deterministic ingest id r{seq:08d} where _seq = parquet file
+      order = n_nationkey order for this table."""
+    import uuid
+
+    from .streaming import events as sev
+
     base, t = _managed_copy(spark, sf_dir, "nation")
     t.loc[t.n_nationkey >= 0, "n_name"] = "OVERWRITTEN"
     old = base.table("nation", version=0)
-    return old.df.select("n_nationkey", "n_name")
+    snap = old.df.select(
+        "n_nationkey",
+        "n_name",
+        F.lit(None).cast("string").alias("row_id"),
+        F.lit(None).cast("string").alias("old_value"),
+        F.lit(None).cast("string").alias("new_value"),
+        F.lit(None).cast("long").alias("op_id"),
+        F.lit("snapshot").alias("op"),
+    )
+    sev.drop_stale_sinks(spark, "q50_cdc_")
+    cdc = sev.run_to_memory(
+        sev.oplog_stream(spark, base.path, "nation"),
+        f"q50_cdc_{uuid.uuid4().hex[:8]}",
+        spark,
+        mode="append",
+    ).select(
+        F.lit(None).cast("long").alias("n_nationkey"),
+        F.lit(None).cast("string").alias("n_name"),
+        "row_id",
+        "old_value",
+        "new_value",
+        "op_id",
+        F.lit("cdc").alias("op"),
+    )
+    return snap.unionByName(cdc)
 
 
 def q51_bundle_edits(spark, sf_dir):
@@ -422,7 +460,19 @@ ORACLES_MUT: dict[str, str] = {
         "UNION ALL SELECT 100, 'ATLANTIS', NULL "
         "UNION ALL SELECT 101, 'ELDORADO', NULL"
     ),
-    "q50_time_machine": "SELECT n_nationkey, n_name FROM nation",
+    "q50_time_machine": (
+        "SELECT n_nationkey, n_name, CAST(NULL AS VARCHAR) AS row_id, "
+        "CAST(NULL AS VARCHAR) AS old_value, "
+        "CAST(NULL AS VARCHAR) AS new_value, "
+        "CAST(NULL AS BIGINT) AS op_id, 'snapshot' AS op FROM nation "
+        "UNION ALL "
+        # the CDC change set the drained op-log stream must equal: one
+        # row per nation row, original name as old_value; row_id is the
+        # deterministic ingest id r{seq:08d} (= key order here)
+        "SELECT CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), "
+        "'r' || lpad(CAST(n_nationkey AS VARCHAR), 8, '0'), "
+        "n_name, 'OVERWRITTEN', CAST(1 AS BIGINT), 'cdc' FROM nation"
+    ),
     "q51_bundle_edits": (
         "SELECT n_nationkey, CASE "
         "WHEN n_nationkey = 0 THEN 'ZERO' "
