@@ -400,7 +400,17 @@ def kmeans_fit(
     practice) — assignment cost is the same either way.
 
     Empty clusters are re-seeded from the corpus sample, so ``k``
-    centroids always come back."""
+    centroids always come back.
+
+    Reproducibility: the seed pins the init and the assignment argmax
+    is exact, but the per-cell means are FLOAT aggregates whose
+    partial-aggregation order follows the data layout — a re-layout
+    can move a centroid coordinate by an ulp, and a boundary vector
+    whose two best affinities are within that ulp can then flip
+    clusters. Byte-stable pipelines (and every oracle here) should fit
+    once and PIN the centroids (``operators/pinned.py`` — the
+    production posture at scale anyway: quantizers are versioned
+    artifacts, never re-fit per job)."""
     import random
 
     samp = [

@@ -125,11 +125,11 @@ def _docs_corpus(spark, replicas: int):
     return spark.read.parquet(path)
 
 
-def run_dedup_corpus_100x(spark) -> dict:
+def run_dedup_corpus_100x(spark, replicas: int = 100) -> dict:
     from sea_serpent_spark.operators import dedup as D
     from sea_serpent_spark.operators.util import release_checkpoints
 
-    corpus = _docs_corpus(spark, 100)
+    corpus = _docs_corpus(spark, replicas)
     first = next_stage(spark)
     cc_stats: dict = {}
     t0 = time.perf_counter()
@@ -143,7 +143,7 @@ def run_dedup_corpus_100x(spark) -> dict:
     D.release_caches()
     after = block_manager(spark)
     return {
-        "op": "dedup_corpus end-to-end 100x (500k docs, minhash t=0.5, spanning->CC->keep)",
+        "op": f"dedup_corpus end-to-end {replicas}x ({replicas*5}k docs, minhash t=0.5, spanning->CC->keep)",
         "wall_s": wall,
         "survivors": survivors,
         "cc_rounds": cc_stats.get("rounds"),
@@ -338,6 +338,7 @@ def run_fuzzy_k2_10x(spark) -> dict:
 
 RUNS = {
     "dedup_corpus_100x": run_dedup_corpus_100x,
+    "dedup_corpus_30x": lambda spark: run_dedup_corpus_100x(spark, 30),
     "stream_ingest_10x": run_stream_ingest_10x,
     "stream_ingest_10x_fullindex": lambda spark: run_stream_ingest_10x(
         spark, seed="full"
