@@ -30,6 +30,17 @@ from .query import preprocess
 RESERVED = ("_id", "_seq")
 
 
+def _stdin_isatty() -> bool:
+    """True only on an interactive terminal — gates the destructive-op
+    confirmation prompts so headless runs never block on ``input()``."""
+    import sys
+
+    try:
+        return sys.stdin is not None and sys.stdin.isatty()
+    except (AttributeError, ValueError):  # closed/replaced stdin
+        return False
+
+
 class Table:
     """Lazy table handle. ``loc``/``iloc``/attribute access mirror the
     reference's pandas-flavored surface; everything compiles to DataFrame
@@ -1375,8 +1386,24 @@ class Table:
         {'updated': n, 'inserted': n}."""
         return self._require_store().upsert(self, source, on, update_cols)
 
-    def delete_rows(self, rows, skip_confirmation: bool = True):
-        self._require_store().delete_rows(self, rows)
+    def delete_rows(self, rows, skip_confirmation: bool = False):
+        """Delete rows by position / id / mask / Filter (base.py:865-938).
+
+        Like the reference, asks for confirmation by default — with the
+        resolved row count in the prompt (base.py:919-927). The prompt
+        only fires on an interactive stdin: headless runs (pytest,
+        drivers, cron) proceed as if confirmed, because a blocked
+        ``input()`` on a captured stdin is strictly worse than the
+        reference's behavior it emulates."""
+        store = self._require_store()
+        if not skip_confirmation and _stdin_isatty():
+            n = store.count_rows_matching(self, rows)
+            ans = input(
+                f'Delete {n} rows in table "{self.name}"? [y/n] '
+            )
+            if ans.lower() != "y":
+                return
+        store.delete_rows(self, rows)
 
     def add_column(self, col_name: str, col_type: str, col_data=None,
                    col_options=None):
@@ -1475,9 +1502,10 @@ class Table:
         return t
 
     def delete(self, skip_confirmation: bool = False):
-        """Danger! Drop this whole table (base.py:942-971)."""
+        """Danger! Drop this whole table (base.py:942-971). Confirmation
+        is tty-gated like ``delete_rows``."""
         store = self._require_store()
-        if not skip_confirmation:  # pragma: no cover - interactive
+        if not skip_confirmation and _stdin_isatty():
             ans = input(f'Delete table "{self.name}"? [y/n] ')
             if ans.lower() != "y":
                 return

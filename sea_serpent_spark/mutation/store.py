@@ -1301,7 +1301,9 @@ class Base:
         self._write_meta(table.name, meta)
 
     # -- delete rows (base.py:865-938) ----------------------------------
-    def delete_rows(self, table: Table, rows) -> None:
+    def _rows_pred(self, table: Table, rows) -> DataFrame:
+        """Resolve the reference's polymorphic row selector (positions /
+        ids / mask / Filter, base.py:884-917) to a ``__pred`` column."""
         df = table.df
         if isinstance(rows, int):
             rows = [rows]
@@ -1312,11 +1314,18 @@ class Base:
             and not _is_bool_mask(rows)
         ):
             # index positions → _seq order (base.py:884-893)
-            dfp = df.withColumn(
+            return df.withColumn(
                 "__pred", self._pos_expr(table).isin(list(rows))
             )
-        else:
-            dfp = self._with_pred(df, rows, table)
+        return self._with_pred(df, rows, table)
+
+    def count_rows_matching(self, table: Table, rows) -> int:
+        """How many rows a ``delete_rows`` selector resolves to — feeds
+        the confirmation prompt (base.py:919-922 shows the count)."""
+        return self._rows_pred(table, rows).where(F.col("__pred")).count()
+
+    def delete_rows(self, table: Table, rows) -> None:
+        dfp = self._rows_pred(table, rows)
         removed = dfp.where(F.col("__pred")).drop("__pred")
         v = self._current_version(table.name) + 1
         oplog = removed.select(

@@ -1255,6 +1255,8 @@ def connected_components(
     if stats is not None:
         stats["rounds"] = 0
         stats["round_wall_s"] = round_walls
+        # key is present on BOTH paths so callers can branch on it
+        stats["small_graph"] = False
     for _ in range(max_iterations):
         _t0 = time.perf_counter()
         # min over self + neighbor labels

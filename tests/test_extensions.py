@@ -1343,6 +1343,9 @@ def test_connected_components_stats_hook(spark):
     assert got2 == got
     assert stats["rounds"] >= 1
     assert len(stats["round_wall_s"]) == stats["rounds"]
+    # the key is present (False) on the distributed path too — callers
+    # may branch on stats["small_graph"] regardless of which path ran
+    assert stats["small_graph"] is False
     assert all(w >= 0 for w in stats["round_wall_s"])
 
 

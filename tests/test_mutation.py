@@ -116,6 +116,46 @@ def test_delete_rows_by_filter(mytable):
     assert len(mytable) == 8
 
 
+def test_delete_rows_confirmation_refused(mytable, monkeypatch):
+    """Reference parity: delete_rows prompts by default (base.py:919-927)
+    with the RESOLVED row count; answering 'n' deletes nothing. The
+    prompt is tty-gated, so the test fakes an interactive stdin."""
+    import sea_serpent_spark.core.table as table_mod
+
+    monkeypatch.setattr(table_mod, "_stdin_isatty", lambda: True)
+    prompts = []
+
+    def fake_input(msg):
+        prompts.append(msg)
+        return "n"
+
+    monkeypatch.setattr("builtins.input", fake_input)
+    mytable.delete_rows(mytable.column1 > 8)
+    assert len(mytable) == 10  # refused → nothing deleted
+    assert "Delete 2 rows" in prompts[0]
+
+    monkeypatch.setattr("builtins.input", lambda msg: "y")
+    mytable.delete_rows(mytable.column1 > 8)
+    assert len(mytable) == 8
+
+    # headless (non-tty) path proceeds without prompting
+    monkeypatch.setattr(table_mod, "_stdin_isatty", lambda: False)
+    mytable.delete_rows([0])
+    assert len(mytable) == 7
+
+
+def test_delete_table_confirmation_refused(base, mytable, monkeypatch):
+    import sea_serpent_spark.core.table as table_mod
+
+    monkeypatch.setattr(table_mod, "_stdin_isatty", lambda: True)
+    monkeypatch.setattr("builtins.input", lambda msg: "n")
+    mytable.delete()
+    assert "mytable" in base
+    monkeypatch.setattr("builtins.input", lambda msg: "y")
+    mytable.delete()
+    assert "mytable" not in base
+
+
 def test_append_intersecting_columns(base, mytable):
     extra = pd.DataFrame({"column1": [100, 200], "other": ["x", "y"]})
     mytable.append(extra)
