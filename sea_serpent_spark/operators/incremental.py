@@ -44,8 +44,13 @@ dedupes nothing) — this is a beyond-reference LLM-pipeline extension
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+import uuid
+
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 from .dedup import (
     BROADCAST_VERIFY_CAP,
@@ -70,17 +75,202 @@ def minhash_band_index(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 1,
+    key_buckets: int | None = None,
 ) -> DataFrame:
-    """→ [id, band, key, sig]: the persistable LSH index — one row per
-    (document, band), carrying the full signature so probes verify
+    """→ [id, band, key, sig(, kb)]: the persistable LSH index — one row
+    per (document, band), carrying the full signature so probes verify
     inside the join without revisiting text. Banding is bit-identical
     to ``minhash_lsh_pairs`` structurally — both band through
     ``dedup.banded_signatures``, so an index built today matches a
-    probe built tomorrow."""
+    probe built tomorrow.
+
+    ``key_buckets`` adds the coarse bucket column ``kb =
+    pmod(xxhash64(key), key_buckets)`` that :func:`write_band_index`
+    partitions the on-disk layout by — a probe then prunes whole
+    partition directories to the buckets its delta actually touches
+    (see :func:`incremental_minhash_pairs`). Omit it for an in-memory
+    index (the bucket only pays off as a partition column)."""
     sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
-    return banded_signatures(sigs, num_hashes, bands, keep=("sig",)).select(
+    out = banded_signatures(sigs, num_hashes, bands, keep=("sig",)).select(
         "id", "band", "key", "sig"
     )
+    if key_buckets:
+        out = out.withColumn("kb", _kb_expr(key_buckets))
+    return out
+
+
+#: Sidecar filename for the on-disk band-index layout parameters.
+#: Underscore-prefixed, so Spark's parquet reader ignores it.
+_INDEX_META = "_band_index_meta.json"
+
+
+def _kb_expr(key_buckets: int):
+    """The ONE definition of the coarse key bucket: writer and probe
+    must agree bit-for-bit or partition pruning silently drops matches.
+    ``xxhash64`` is Spark's stable 64-bit hash (fixed seed 42)."""
+    return F.pmod(F.xxhash64(F.col("key")), F.lit(int(key_buckets))).cast(
+        "int"
+    )
+
+
+def write_band_index(
+    index: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    key_buckets: int | None = 64,
+) -> None:
+    """Persist a band index with the probe-prunable layout: partitioned
+    by ``band`` and the coarse key bucket ``kb``, rows sorted by ``key``
+    inside each file.
+
+    Why this layout (the 100 TB design): the incremental probe join's
+    keys are (band, key) — ``key`` is far too high-cardinality to be a
+    partition column, but ``pmod(xxhash64(key), key_buckets)`` is a
+    ≤``key_buckets``-ary coarsening of it, so the delta's distinct
+    (band, kb) pairs are bounded by ``bands × key_buckets`` REGARDLESS
+    of delta or index size. The probe collects that tiny set and filters
+    the scan with literal partition predicates → Spark prunes whole
+    directories; per-batch index I/O is then proportional to buckets the
+    delta touches, not to index size. The within-file key sort keeps
+    parquet row-group min/max stats tight for any future pushed key
+    predicates and gives compaction a stable layout. (At petabyte scale
+    the same layout maps 1:1 onto a Delta/Iceberg table partitioned by
+    (band, kb) with sorted data files; plain parquet directories are the
+    container-friendly stand-in.)
+
+    ``mode="append"`` is the per-batch ingest step (new files land in
+    the matching bucket directories); run :func:`compact_band_index`
+    periodically to fold the accumulated small files back into one
+    sorted file per bucket.
+
+    The layout parameters are recorded in a ``_band_index_meta.json``
+    sidecar so probes can recover ``key_buckets`` without the caller
+    re-threading it (:func:`read_band_index`)."""
+    part_cols = ["band"]
+    idx = index
+    if key_buckets:
+        if "kb" not in idx.columns:
+            idx = idx.withColumn("kb", _kb_expr(key_buckets))
+        part_cols.append("kb")
+    # one (band, kb) group per task → exactly one sorted file per
+    # partition directory; the writer streams because the within-task
+    # sort leads with the partition columns
+    (
+        idx.repartition(*part_cols)
+        .sortWithinPartitions(*part_cols, "key")
+        .write.mode(mode)
+        .partitionBy(*part_cols)
+        .parquet(path)
+    )
+    meta_path = os.path.join(path, _INDEX_META)
+    if mode == "overwrite" or not os.path.exists(meta_path):
+        with open(meta_path, "w") as fh:
+            json.dump({"key_buckets": key_buckets}, fh)
+
+
+def read_band_index(spark: SparkSession, path: str) -> DataFrame:
+    """Open a persisted band index, re-attaching the layout parameters
+    from the sidecar as column metadata on ``kb`` — probes then discover
+    ``key_buckets`` from the frame itself and apply partition pruning
+    automatically."""
+    df = spark.read.parquet(path)
+    meta_path = os.path.join(path, _INDEX_META)
+    if "kb" in df.columns and os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if meta.get("key_buckets"):
+            df = df.withMetadata(
+                "kb", {"key_buckets": int(meta["key_buckets"])}
+            )
+    return df
+
+
+def compact_band_index(
+    spark: SparkSession, path: str, key_buckets: int | None = None
+) -> dict:
+    """Fold a band index's accumulated per-batch appends back into one
+    sorted file per (band, kb) bucket. Returns
+    ``{"files_before": n, "files_after": m}``.
+
+    Rewrites into a staging directory, then swaps it in (rename-based —
+    atomic on a local/posix store; a table format with transactional
+    commit replaces the swap at multi-writer scale). Batches in a
+    ``foreachBatch`` loop are processed serially, so running this
+    between batches is race-free."""
+    meta_path = os.path.join(path, _INDEX_META)
+    if key_buckets is None and os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            key_buckets = json.load(fh).get("key_buckets")
+
+    def _nfiles(p: str) -> int:
+        return sum(
+            1
+            for root, _, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    before = _nfiles(path)
+    staging = f"{path.rstrip('/')}.__compact_{uuid.uuid4().hex}"
+    write_band_index(
+        spark.read.parquet(path), staging,
+        mode="overwrite", key_buckets=key_buckets,
+    )
+    trash = f"{path.rstrip('/')}.__old_{uuid.uuid4().hex}"
+    os.rename(path, trash)
+    os.rename(staging, path)
+    shutil.rmtree(trash)
+    return {"files_before": before, "files_after": _nfiles(path)}
+
+
+def _prune_index_for_delta(
+    index: DataFrame,
+    new_sigs: DataFrame,
+    num_hashes: int,
+    bands: int,
+    key_buckets: int | None = None,
+) -> DataFrame:
+    """Restrict the index to rows whose (band, key) bucket the delta
+    touches. EXACT for every delta-touching output: a candidate pair
+    must share ≥1 band bucket, and identical signatures share ALL band
+    buckets — so any old doc that can (a) pair with a new doc or
+    (b) share a canonicalization group with a bucket-matching old doc
+    survives the restriction. Old-only groups outside the delta's
+    buckets can never reach the output (tested pruned == unpruned).
+
+    Two levels:
+    - **partition pruning** (index layouts written by
+      :func:`write_band_index`): the delta's distinct (band, kb) pairs —
+      bounded by ``bands × key_buckets``, a constant — are collected and
+      pushed as literal predicates on the partition columns, so the scan
+      skips whole directories. ``key_buckets`` is discovered from the
+      ``kb`` column metadata (:func:`read_band_index`) when not passed.
+    - **row pruning** (always): a (band, key) semi-join against the
+      delta's distinct band keys — delta-bounded; join strategy left to
+      AQE (broadcasts the key set while it is small, shuffles when a
+      huge delta makes that wrong)."""
+    delta_keys = banded_signatures(new_sigs, num_hashes, bands).select(
+        "band", "key"
+    ).distinct()
+    nb = key_buckets
+    if nb is None and "kb" in index.columns:
+        md = index.schema["kb"].metadata or {}
+        nb = md.get("key_buckets")
+    if nb and "kb" in index.columns:
+        hit: dict[int, list[int]] = {}
+        for r in (
+            delta_keys.select("band", _kb_expr(int(nb)).alias("kb"))
+            .distinct()
+            .collect()
+        ):  # ≤ bands × key_buckets rows — constant-bounded collect
+            hit.setdefault(int(r["band"]), []).append(int(r["kb"]))
+        pred = F.lit(False)
+        for band, kbs in hit.items():
+            pred = pred | (
+                (F.col("band") == band) & F.col("kb").isin(kbs)
+            )
+        index = index.where(pred)
+    return index.join(delta_keys, ["band", "key"], "left_semi")
 
 
 def incremental_minhash_pairs(
@@ -93,6 +283,9 @@ def incremental_minhash_pairs(
     shingle_n: int = 1,
     jaccard_threshold: float = 0.5,
     emit: str = "pairs",
+    prune_index: bool = True,
+    key_buckets: int | None = None,
+    _sigs: DataFrame | None = None,
 ) -> DataFrame:
     """→ [id_a, id_b, jaccard]: estimate-verified near-dup pairs with at
     least one side in ``new_df`` — new-vs-indexed and new-vs-new both
@@ -130,7 +323,18 @@ def incremental_minhash_pairs(
     corpus, where the 5.9 M output pairs now dominate —
     BENCH_NOTES.md). Output is bit-identical: identical-sig
     pairs carry estimate exactly 1.0, cross-group pairs the rep-level
-    agreement their members share."""
+    agreement their members share.
+
+    ``prune_index`` (default on — the 100 TB posture) restricts the
+    index scan to buckets the delta touches before anything else runs:
+    partition pruning when the index carries the
+    :func:`write_band_index` layout, plus an exact (band, key) semi-join
+    either way (:func:`_prune_index_for_delta`). The signature
+    canonicalization, probe join, and witness logic then all scale with
+    the delta and its bucket collisions instead of with history — the
+    difference between a flat and a linearly-growing per-batch cost as
+    the index accumulates. Output is bit-identical with pruning on or
+    off (tested)."""
     if emit not in ("pairs", "spanning"):
         raise ValueError(f"emit must be 'pairs' or 'spanning', got {emit!r}")
     probe = index.select(F.size("sig").alias("w")).first()
@@ -140,13 +344,28 @@ def incremental_minhash_pairs(
             f"num_hashes={num_hashes} was requested — rebuild the index "
             "or probe with the parameters it was built with"
         )
-    # retire the previous call's persisted frames first (the dedup-module
-    # cache contract) — without this, a foreachBatch ingest loop pins one
-    # persisted band frame per micro-batch forever
-    release_caches()
-    new_sigs = minhash_signature(
-        new_df, text_col, id_col, num_hashes, shingle_n
-    )
+    if _sigs is not None:
+        # internal hand-off from incremental_dedup: signatures already
+        # cached and the index already pruned by the caller
+        new_sigs = _sigs
+    else:
+        # retire the previous call's persisted frames first (the
+        # dedup-module cache contract) — without this, a foreachBatch
+        # ingest loop pins one persisted band frame per micro-batch
+        # forever
+        release_caches()
+        new_sigs = minhash_signature(
+            new_df, text_col, id_col, num_hashes, shingle_n
+        )
+        if prune_index:
+            # the delta's shingle→hash subtree now has two consumers
+            # (its band keys prune the index; the sigs feed the groups
+            # aggregation) — persist the delta-sized frame once
+            new_sigs = _keep_cache(new_sigs)
+            new_sigs.count()
+            index = _prune_index_for_delta(
+                index, new_sigs, num_hashes, bands, key_buckets
+            )
     old_sigs = index.select("id", "sig").dropDuplicates(["id"])
     allsigs = old_sigs.withColumn("__new", F.lit(False)).unionByName(
         new_sigs.withColumn("__new", F.lit(True))
@@ -290,6 +509,9 @@ def incremental_dedup(
     bands: int = 4,
     shingle_n: int = 1,
     jaccard_threshold: float = 0.5,
+    prune_index: bool = True,
+    key_buckets: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Surviving rows of ``new_df`` after dedup against the indexed
     corpus AND within the delta itself: transitive duplicate components
@@ -309,13 +531,51 @@ def incremental_dedup(
     partial failure (at-least-once delivery) re-ingests the same batch
     without double-appending its docs. (Round-8 rehearsal caught the
     pre-fix behavior: re-ingesting a fully-indexed corpus kept 100%
-    of it instead of 0%.)"""
-    pairs = incremental_minhash_pairs(
-        new_df, index, text_col, id_col, num_hashes, bands, shingle_n,
-        jaccard_threshold, emit="spanning",
-    )
+    of it instead of 0%.)
+
+    The id-based drop is by design content-blind — an upstream id REUSE
+    (same id, different text) is silently discarded with it. Pass a
+    ``stats`` dict to surface that case: ``stats["id_collisions"]`` =
+    delta rows whose id already exists in the index,
+    ``stats["id_collision_content_mismatch"]`` = the subset whose minhash
+    signature differs from the indexed copy — nonzero means an upstream
+    id-allocation bug, not a replay. (Costs one extra narrow join job;
+    off by default.)
+
+    Scale terms with ``prune_index`` on (the default): pair enumeration,
+    canonicalization, components, and witness labeling are all bounded
+    by the delta + its bucket collisions. The one deliberately
+    index-linear term left is the reingest id check — a broadcast
+    semi-join that scans ONLY the index's id column (band 0's partition
+    when the :func:`write_band_index` layout is present), because the
+    idempotency contract is by id regardless of content and must see ids
+    whose buckets the delta misses. At petabyte scale that residual scan
+    is what an id-keyed bloom filter or id-partitioned manifest would
+    remove — noted, not needed at any scale this repo rehearses."""
+    if not prune_index:
+        pairs = incremental_minhash_pairs(
+            new_df, index, text_col, id_col, num_hashes, bands, shingle_n,
+            jaccard_threshold, emit="spanning", prune_index=False,
+        )
+        pidx = index
+    else:
+        release_caches()
+        new_sigs = _keep_cache(
+            minhash_signature(new_df, text_col, id_col, num_hashes,
+                              shingle_n)
+        )
+        new_sigs.count()
+        pidx = _prune_index_for_delta(
+            index, new_sigs, num_hashes, bands, key_buckets
+        )
+        pairs = incremental_minhash_pairs(
+            new_df, pidx, text_col, id_col, num_hashes, bands, shingle_n,
+            jaccard_threshold, emit="spanning", _sigs=new_sigs,
+        )
     comp = connected_components(pairs)
-    old_ids = index.select("id").distinct().withColumn(
+    # pair endpoints ⊆ delta ∪ bucket-matching old docs, so labeling
+    # against the PRUNED index is exact — and delta-bounded
+    old_ids = pidx.select("id").distinct().withColumn(
         "__old", F.lit(True)
     )
     lab = comp.join(old_ids, "id", "left")
@@ -337,13 +597,49 @@ def incremental_dedup(
     )
     # already-indexed ids: duplicates of history by construction (the
     # idempotent-replay case above) — the component logic never sees
-    # them because their only witness pair is a self-loop
-    reingested = (
-        new_df.select(F.col(id_col).alias("id"))
-        .join(old_ids.select("id"), "id", "left_semi")
-        .select(F.col("id").alias("__lid"))
+    # them because their only witness pair is a self-loop. This check
+    # must run against the FULL index (pruning sees only the delta's
+    # buckets; an id reused for different content may live elsewhere),
+    # so flip the semi-join: broadcast the delta's ids and stream the
+    # index's id column past them — no index shuffle, and only band 0's
+    # partition directories are read when the index is band-partitioned
+    # (every doc has a band-0 row).
+    delta_ids = new_df.select(F.col(id_col).alias("id")).distinct()
+    bcast_delta = _verify_gate(delta_ids, None, BROADCAST_VERIFY_CAP)
+    idx_band0 = (
+        index.where(F.col("band") == 0) if "band" in index.columns
+        else index
     )
+    if bcast_delta:
+        reingested = (
+            idx_band0.select("id")
+            .join(F.broadcast(delta_ids), "id", "left_semi")
+            .distinct()
+            .select(F.col("id").alias("__lid"))
+        )
+    else:  # delta too big to broadcast — plain shuffle semi-join
+        reingested = delta_ids.join(
+            idx_band0.select("id"), "id", "left_semi"
+        ).select(F.col("id").alias("__lid"))
     losers = losers.unionByName(reingested)
+    if stats is not None:
+        itw = idx_band0.select(
+            "id", F.col("sig").alias("__isig")
+        ).dropDuplicates(["id"])
+        dsig = new_sigs if prune_index else minhash_signature(
+            new_df, text_col, id_col, num_hashes, shingle_n
+        )
+        coll = itw.join(
+            _maybe_broadcast(dsig, bcast_delta), "id"
+        )
+        agg = coll.agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("sig") != F.col("__isig")).cast("long")
+            ).alias("m"),
+        ).first()
+        stats["id_collisions"] = int(agg["n"] or 0)
+        stats["id_collision_content_mismatch"] = int(agg["m"] or 0)
     # materialize the (delta-sized) loser set once — the broadcast
     # gate's count() and the anti-join would otherwise EACH re-run the
     # pairs + components + keeper subtree

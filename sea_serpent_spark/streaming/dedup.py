@@ -162,6 +162,8 @@ def incremental_dedup_sink(
     bands: int = 4,
     shingle_n: int = 1,
     jaccard_threshold: float = 0.5,
+    key_buckets: int | None = None,
+    compact_every: int | None = None,
 ):
     """→ a ``foreachBatch`` function closing the full streaming ingest
     loop: each micro-batch is deduped against the persisted LSH index
@@ -185,9 +187,23 @@ def incremental_dedup_sink(
         ).trigger(availableNow=True).start()
 
     The index directory must exist with ≥1 band file (seed it with
-    ``minhash_band_index(history)`` — or an empty frame for a cold
-    start). Batches are processed serially by Structured Streaming, so
-    the read-modify-append on the index is race-free.
+    ``write_band_index(minhash_band_index(history), path)`` — or an
+    empty frame for a cold start). Batches are processed serially by
+    Structured Streaming, so the read-modify-append on the index is
+    race-free.
+
+    Scale posture: the index is opened via ``read_band_index`` and
+    probed with ``prune_index`` on, so when it carries the
+    ``write_band_index`` layout (partitioned by band + coarse key
+    bucket, seeded layout's ``key_buckets`` is auto-discovered from the
+    sidecar unless overridden here) each batch reads only the bucket
+    directories its documents touch — per-batch cost stays ~flat as the
+    index accumulates instead of growing with history
+    (tools/rehearse_r9.py measures this). Survivor band rows are
+    appended in the same layout; pass ``compact_every=N`` to fold each
+    bucket's accumulated small per-batch files back into one sorted
+    file after every N batches (serial batches make the rewrite+swap
+    race-free).
 
     Replay semantics (at-least-once foreachBatch): a batch replayed
     AFTER its index append completed is dropped wholesale —
@@ -202,24 +218,45 @@ def incremental_dedup_sink(
     once needs an atomic sink for both paths (e.g. a transactional
     table format) — out of scope for plain parquet."""
     from ..operators.incremental import (
+        compact_band_index,
         incremental_dedup,
         minhash_band_index,
+        read_band_index,
+        write_band_index,
     )
+
+    batches_seen = {"n": 0}
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        idx = spark.read.parquet(index_path)
+        idx = read_band_index(spark, index_path)
+        nb = key_buckets
+        if nb is None and "kb" in idx.columns:
+            nb = (idx.schema["kb"].metadata or {}).get("key_buckets")
         kept = incremental_dedup(
             batch_df, idx, text_col, id_col,
             num_hashes, bands, shingle_n, jaccard_threshold,
+            key_buckets=nb,
         )
         # materialize survivors BEFORE touching the index so the band
         # append below cannot observe its own output
         kept.persist()
         kept.write.mode("append").parquet(output_path)
-        minhash_band_index(
-            kept, text_col, id_col, num_hashes, bands, shingle_n
-        ).write.mode("append").partitionBy("band").parquet(index_path)
+        band_rows = minhash_band_index(
+            kept, text_col, id_col, num_hashes, bands, shingle_n,
+            key_buckets=nb,
+        )
+        if nb:
+            write_band_index(
+                band_rows, index_path, mode="append", key_buckets=nb
+            )
+        else:  # legacy flat layout — keep appends compatible with it
+            band_rows.write.mode("append").partitionBy("band").parquet(
+                index_path
+            )
         kept.unpersist()
+        batches_seen["n"] += 1
+        if compact_every and batches_seen["n"] % compact_every == 0:
+            compact_band_index(spark, index_path, key_buckets=nb)
 
     return _sink

@@ -318,15 +318,41 @@ def q69_stream_dedup(spark, sf_dir):
 
 
 def q53_media_features(spark, sf_dir):
-    """Multimodal pipeline: binary payload column + Arrow-batched
-    mapInPandas feature extraction (operators/multimodal.py). The
-    deterministic parts (byte length, content sha256) are oracle-checked;
-    the stubbed decoder's feature vector is excluded from the output."""
+    """Multimodal pipeline, tagged union (round 9 adds ``op='meta'``):
+
+    - ``feat`` rows: binary payload column + Arrow-batched mapInPandas
+      feature extraction (operators/multimodal.py). The deterministic
+      parts (byte length, content sha256) are oracle-checked; the
+      stubbed decoder's feature vector is excluded.
+    - ``meta`` rows: REAL container-header decode. One genuine media
+      container per doc (``synthesize_test_media``: PNG/GIF/BMP/WAV
+      cycling by doc_id % 4, dims/duration closed-form in doc_id), then
+      ``attach_media_meta`` struct-parses the headers back
+      (``sniff_media`` — pure stdlib). The oracle predicts the parsed
+      values from the same arithmetic, so the hash check verifies the
+      parser actually read the bytes right."""
     from .operators import multimodal as mm
 
     docs = _df(spark, sf_dir, "documents")
-    feats = mm.extract_features(mm.attach_binary(docs, text_col="text"))
-    return feats.select("doc_id", "byte_len", "content_hash")
+    feats = mm.extract_features(
+        mm.attach_binary(docs, text_col="text")
+    ).select(
+        F.lit("feat").alias("op"), "doc_id", "byte_len", "content_hash",
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    meta = mm.attach_media_meta(mm.synthesize_test_media(docs)).select(
+        F.lit("meta").alias("op"), "doc_id",
+        F.lit(None).cast("long").alias("byte_len"),
+        F.lit(None).cast("string").alias("content_hash"),
+        F.col("media_meta.mime").alias("mime"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.col("media_meta.duration_ms").alias("duration_ms"),
+    )
+    return feats.unionByName(meta)
 
 
 def q57_stateful_totals(spark, sf_dir):
@@ -518,9 +544,23 @@ ORACLES_MUT: dict[str, str] = {
         "FROM s GROUP BY user_id, sid)"
     ),
     "q53_media_features": (
-        "SELECT doc_id, CAST(octet_length(encode(coalesce(text, ''))) "
-        "AS BIGINT) AS byte_len, sha256(coalesce(text, '')) AS content_hash "
-        "FROM documents"
+        "SELECT 'feat' AS op, doc_id, "
+        "CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) "
+        "AS byte_len, sha256(coalesce(text, '')) AS content_hash, "
+        "CAST(NULL AS VARCHAR) AS mime, CAST(NULL AS INTEGER) AS width, "
+        "CAST(NULL AS INTEGER) AS height, "
+        "CAST(NULL AS BIGINT) AS duration_ms FROM documents "
+        "UNION ALL "
+        "SELECT 'meta' AS op, doc_id, CAST(NULL AS BIGINT) AS byte_len, "
+        "CAST(NULL AS VARCHAR) AS content_hash, "
+        "CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif' "
+        "WHEN 2 THEN 'image/bmp' ELSE 'audio/wav' END AS mime, "
+        "CASE WHEN doc_id % 4 = 3 THEN NULL "
+        "ELSE CAST(1 + doc_id % 64 AS INTEGER) END AS width, "
+        "CASE WHEN doc_id % 4 = 3 THEN NULL "
+        "ELSE CAST(1 + (doc_id * 7) % 64 AS INTEGER) END AS height, "
+        "CASE WHEN doc_id % 4 = 3 THEN CAST(1 + doc_id % 100 AS BIGINT) "
+        "ELSE NULL END AS duration_ms FROM documents"
     ),
     "q57_stateful_totals": (
         "SELECT user_id, COUNT(*) AS n_events, "

@@ -209,3 +209,118 @@ def test_incremental_spanning_same_survivors(spark, halves):
         ).collect()
     }
     assert kept == all_new - survivors("pairs")
+
+
+# ---------------------------------------------------------------------------
+# prunable on-disk layout (round 9): write_band_index / read_band_index /
+# compact_band_index + the probe's partition pruning
+# ---------------------------------------------------------------------------
+
+def _pairset(df):
+    return {(r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()}
+
+
+def test_prune_toggle_bit_identical(spark, halves):
+    """prune_index=True (default) and False produce identical pairs —
+    the pruning is an exact restriction, not an approximation."""
+    old, new = halves
+    idx = I.minhash_band_index(old)
+    on = _pairset(I.incremental_minhash_pairs(new, idx,
+                                              jaccard_threshold=THRESH))
+    off = _pairset(I.incremental_minhash_pairs(
+        new, idx, jaccard_threshold=THRESH, prune_index=False
+    ))
+    assert on == off and on
+
+
+def test_band_index_layout_roundtrip_and_partition_pruning(
+    spark, halves, tmp_path
+):
+    """The write_band_index layout (partitioned by band + kb, sorted by
+    key) probes bit-identically to an in-memory index, and the probe's
+    scan carries literal PartitionFilters on kb — whole bucket
+    directories are skipped, the flat-scan growth term is gone."""
+    old, new = halves
+    small = new.limit(25)  # a small delta → only a few buckets touched
+    p = str(tmp_path / "idx")
+    I.write_band_index(
+        I.minhash_band_index(old, key_buckets=16), p, key_buckets=16
+    )
+    idx = I.read_band_index(spark, p)
+    assert (idx.schema["kb"].metadata or {}).get("key_buckets") == 16
+
+    pruned = I.incremental_minhash_pairs(
+        small, idx, jaccard_threshold=THRESH
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [((" in plan and "kb#" in plan
+    flat = I.incremental_minhash_pairs(
+        small, I.minhash_band_index(old), jaccard_threshold=THRESH,
+        prune_index=False,
+    )
+    assert _pairset(pruned) == _pairset(flat)
+
+
+def test_compact_band_index_folds_appends(spark, halves, tmp_path):
+    """Per-batch appends accumulate small files; compaction folds each
+    (band, kb) bucket back to one sorted file without changing a single
+    probe result, and the sidecar survives the swap."""
+    import os
+
+    old, new = halves
+    third = new.count() // 3
+    slices = [
+        new.where(F.col("doc_id") % 3 == i) for i in range(3)
+    ]
+    p = str(tmp_path / "idx")
+    I.write_band_index(
+        I.minhash_band_index(old, key_buckets=8), p, key_buckets=8
+    )
+    for s in slices[:2]:
+        I.write_band_index(
+            I.minhash_band_index(s, key_buckets=8), p,
+            mode="append", key_buckets=8,
+        )
+    probe = slices[2]
+    before = _pairset(I.incremental_minhash_pairs(
+        probe, I.read_band_index(spark, p), jaccard_threshold=THRESH
+    ))
+    stats = I.compact_band_index(spark, p)
+    assert stats["files_after"] < stats["files_before"]
+    assert os.path.exists(os.path.join(p, "_band_index_meta.json"))
+    after_idx = I.read_band_index(spark, p)
+    assert (after_idx.schema["kb"].metadata or {}).get("key_buckets") == 8
+    after = _pairset(I.incremental_minhash_pairs(
+        probe, after_idx, jaccard_threshold=THRESH
+    ))
+    assert before == after and before
+    assert third >= 0  # slices cover the delta; silence the unused var
+
+
+def test_incremental_dedup_stats_surface_id_collisions(spark, halves):
+    """ADVICE r8: id-colliding delta rows are dropped by design, but a
+    stats dict surfaces how many collided and how many of those carry
+    DIFFERENT content than the indexed copy (an upstream id-reuse bug,
+    not a replay)."""
+    old, _ = halves
+    idx = I.minhash_band_index(old)
+    # pure replay: all collide, none mismatch
+    stats: dict = {}
+    out = I.incremental_dedup(
+        old, idx, jaccard_threshold=THRESH, stats=stats
+    )
+    n_old = old.count()
+    assert out.count() == 0
+    assert stats["id_collisions"] == n_old
+    assert stats["id_collision_content_mismatch"] == 0
+    # id reuse with different text: still dropped, but now visible
+    one = old.orderBy("doc_id").limit(1).withColumn(
+        "text", F.lit("entirely different content zz qq ww ee rr tt")
+    )
+    stats = {}
+    out2 = I.incremental_dedup(
+        one, idx, jaccard_threshold=THRESH, stats=stats
+    )
+    assert out2.count() == 0  # by-id idempotency contract holds
+    assert stats["id_collisions"] == 1
+    assert stats["id_collision_content_mismatch"] == 1

@@ -245,11 +245,15 @@ def test_streaming_dedup_against_static_index(spark, sf_dir):
     assert not (set(got["fp"]) & old_fps)
 
 
-def test_incremental_dedup_sink_loop(spark, sf_dir, tmp_path):
+@pytest.mark.parametrize("layout", ["legacy_flat", "bucketed_compacting"])
+def test_incremental_dedup_sink_loop(spark, sf_dir, tmp_path, layout):
     """The foreachBatch ingest loop: multi-batch stream deduped against
     a seeded index; survivors land in the output, their bands grow the
     index, and the final output contains no near-dup of the seed
-    history or of itself."""
+    history or of itself. Run twice: against a legacy flat index (old
+    deployments keep working) and against the prunable
+    write_band_index layout with periodic compaction — the 100 TB
+    shape."""
     import pyspark.sql.functions as F
 
     from sea_serpent_spark.operators import dedup as D
@@ -265,7 +269,14 @@ def test_incremental_dedup_sink_loop(spark, sf_dir, tmp_path):
     outp = str(tmp_path / "clean")
     # history pre-deduped, its bands seed the index
     hist = D.dedup_corpus(seed, threshold=0.5)
-    I.minhash_band_index(hist).write.partitionBy("band").parquet(idxp)
+    sink_kw = {}
+    if layout == "legacy_flat":
+        I.minhash_band_index(hist).write.partitionBy("band").parquet(idxp)
+    else:
+        I.write_band_index(
+            I.minhash_band_index(hist, key_buckets=8), idxp, key_buckets=8
+        )
+        sink_kw = {"compact_every": 2}  # key_buckets from the sidecar
     # the delta arrives as 4 files → multiple micro-batches
     delta.repartition(4).write.parquet(src)
 
@@ -276,7 +287,9 @@ def test_incremental_dedup_sink_loop(spark, sf_dir, tmp_path):
     )
     q = (
         stream.writeStream.foreachBatch(
-            incremental_dedup_sink(idxp, outp, jaccard_threshold=0.5)
+            incremental_dedup_sink(
+                idxp, outp, jaccard_threshold=0.5, **sink_kw
+            )
         )
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
@@ -308,3 +321,17 @@ def test_incremental_dedup_sink_loop(spark, sf_dir, tmp_path):
     assert {r["id"] for r in idx.select("id").distinct().collect()} == (
         hist_ids | survivors
     )
+    if layout == "bucketed_compacting":
+        import os
+
+        # the layout survives the append+compact cycle: sidecar intact,
+        # kb partition dirs present, ≤1 file per (band, kb) directory
+        # after the final compaction folded the per-batch appends
+        assert os.path.exists(
+            os.path.join(idxp, "_band_index_meta.json")
+        )
+        assert "kb" in idx.columns
+        for root, dirs, files in os.walk(idxp):
+            if "kb=" in os.path.basename(root):
+                pq = [f for f in files if f.endswith(".parquet")]
+                assert len(pq) <= 1, (root, pq)

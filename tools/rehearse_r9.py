@@ -1,0 +1,168 @@
+"""Round-9 scale rehearsal: per-batch ingest cost vs index size under
+the PRUNABLE band-index layout.
+
+Round 8's control measured the weak point the judge flagged: with a flat
+parquet index, the foreachBatch near-dup ingest loop's per-batch wall
+grew with index size (100x index = 1.6x per-batch cost — sub-linear but
+unbounded; BENCH_NOTES "full-index control"). Round 9 replaces the flat
+layout with ``write_band_index`` (partitioned by band + coarse key
+bucket kb, sorted by key) and prunes every probe to the buckets the
+delta touches (``_prune_index_for_delta``).
+
+This rehearsal re-runs the EXACT r8 control — 50k docs, 10 serial
+micro-batches, index seeded at 1% vs 100% of the corpus — on the new
+layout. Done-condition from VERDICT r8 item 1: per-batch wall ~flat
+across the two seeds (the full-seed mean within noise of the small-seed
+mean, not 1.6x above it).
+
+Usage: python tools/rehearse_r9.py [--buckets 64] [--compact-every 4]
+Writes one JSON blob to stdout and appends a summary to BENCH_NOTES.md
+by hand (not automated — notes are curated).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from rehearse_r8 import _docs_corpus  # noqa: E402 — same corpus builder
+
+
+def run_stream_ingest_10x_bucketed(
+    spark, seed: str, key_buckets: int | None, compact_every: int | None
+) -> dict:
+    from sea_serpent_spark.operators.incremental import (
+        minhash_band_index,
+        write_band_index,
+    )
+    from sea_serpent_spark.streaming.dedup import incremental_dedup_sink
+
+    corpus = _docs_corpus(spark, 10)  # 50k docs
+    tag = f"{seed}_{key_buckets or 'flat'}"
+    base = f"/tmp/rehearse_r9_stream_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    src, idx, outp, ckpt = (
+        f"{base}/{d}" for d in ("src", "idx", "out", "ckpt")
+    )
+    corpus.repartition(10).write.parquet(src)
+    history = (
+        corpus if seed == "full"
+        else corpus.where(F.col("doc_id") % 100 == 0)
+    )
+    if key_buckets:
+        write_band_index(
+            minhash_band_index(history, key_buckets=key_buckets),
+            idx, key_buckets=key_buckets,
+        )
+    else:  # the r8 flat control, for an in-tree baseline
+        minhash_band_index(history).write.partitionBy("band").parquet(idx)
+
+    sink = incremental_dedup_sink(
+        idx, outp, key_buckets=key_buckets, compact_every=compact_every
+    )
+    batch_walls: list[dict] = []
+
+    def timed(batch_df, batch_id):
+        t0 = time.perf_counter()
+        n = batch_df.count()
+        sink(batch_df, batch_id)
+        batch_walls.append(
+            {
+                "batch": int(batch_id),
+                "rows_in": n,
+                "wall_s": round(time.perf_counter() - t0, 2),
+                "index_mb": round(
+                    sum(
+                        f.stat().st_size
+                        for f in Path(idx).rglob("*.parquet")
+                    )
+                    / 1e6,
+                    1,
+                ),
+                "index_files": sum(
+                    1 for _ in Path(idx).rglob("*.parquet")
+                ),
+            }
+        )
+
+    t0 = time.perf_counter()
+    q = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(timed)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = round(time.perf_counter() - t0, 2)
+    kept = spark.read.parquet(outp).count()
+    walls = [b["wall_s"] for b in batch_walls]
+    mean = round(sum(walls) / max(len(walls), 1), 2)
+    return {
+        "op": (
+            f"foreachBatch near-dup ingest 10x, {seed}-seeded index, "
+            f"layout={'bucketed kb=' + str(key_buckets) if key_buckets else 'flat'}"
+            f"{', compact_every=' + str(compact_every) if compact_every else ''}"
+        ),
+        "wall_s": wall,
+        "batches": batch_walls,
+        "survivors_appended": kept,
+        "mean_batch_s": mean,
+        "first_batch_s": walls[0] if walls else None,
+        "last_batch_s": walls[-1] if walls else None,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--compact-every", type=int, default=4)
+    ap.add_argument(
+        "--with-flat-control", action="store_true",
+        help="also re-run the r8 flat layout for an in-tree baseline",
+    )
+    args = ap.parse_args()
+
+    from sea_serpent_spark.session import get_spark
+
+    spark = get_spark()
+    out: dict = {"loadavg_1m": round(__import__("os").getloadavg()[0], 1)}
+    runs = []
+    for seed in ("small", "full"):
+        runs.append(
+            run_stream_ingest_10x_bucketed(
+                spark, seed, args.buckets, args.compact_every
+            )
+        )
+        if args.with_flat_control:
+            runs.append(
+                run_stream_ingest_10x_bucketed(spark, seed, None, None)
+            )
+    out["runs"] = runs
+    by_op = {r["op"]: r["mean_batch_s"] for r in runs}
+    small = next(
+        r["mean_batch_s"] for r in runs
+        if "small-seeded" in r["op"] and "bucketed" in r["op"]
+    )
+    full = next(
+        r["mean_batch_s"] for r in runs
+        if "full-seeded" in r["op"] and "bucketed" in r["op"]
+    )
+    out["full_over_small_mean_batch"] = round(full / max(small, 0.01), 2)
+    out["mean_batch_by_op"] = by_op
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
