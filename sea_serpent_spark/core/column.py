@@ -40,7 +40,24 @@ class Column:
     # -- plumbing ----------------------------------------------------------
     @property
     def expr(self) -> SparkColumn:
-        return self.table.df[self.name]
+        # UNBOUND (name-based) reference, not ``df[name]``: predicates
+        # built here must also resolve against the stats-pruned re-read
+        # of the same table files (store.scan_stats_pruned) — a bound
+        # AttributeReference only resolves against the exact plan it was
+        # captured from. Existence is still validated eagerly; backticks
+        # keep literal dots/spaces in names from parsing as field access.
+        if self.name not in self.table.df.columns:
+            raise KeyError(self.name)
+        return F.col("`" + self.name.replace("`", "``") + "`")
+
+    def _term(self, op: str, value) -> tuple:
+        """One prunable conjunct, or () when the comparison is not a
+        plain literal (col-to-col, NULL, bool checkbox values)."""
+        if isinstance(value, bool) or not isinstance(
+            value, (int, float, str)
+        ):
+            return ()
+        return ((self.name, op, value),)
 
     @property
     def dtype(self) -> str:
@@ -81,22 +98,22 @@ class Column:
 
     # -- comparisons → Filter (base.py:1724-1752) --------------------------
     def __eq__(self, other) -> Filter:  # type: ignore[override]
-        return Filter(self.expr == _rhs(other))
+        return Filter(self.expr == _rhs(other), self._term("=", other))
 
     def __ne__(self, other) -> Filter:  # type: ignore[override]
         return Filter(self.expr != _rhs(other))
 
     def __lt__(self, other) -> Filter:
-        return Filter(self.expr < _rhs(other))
+        return Filter(self.expr < _rhs(other), self._term("<", other))
 
     def __le__(self, other) -> Filter:
-        return Filter(self.expr <= _rhs(other))
+        return Filter(self.expr <= _rhs(other), self._term("<=", other))
 
     def __gt__(self, other) -> Filter:
-        return Filter(self.expr > _rhs(other))
+        return Filter(self.expr > _rhs(other), self._term(">", other))
 
     def __ge__(self, other) -> Filter:
-        return Filter(self.expr >= _rhs(other))
+        return Filter(self.expr >= _rhs(other), self._term(">=", other))
 
     # -- boolean algebra on checkbox columns (base.py:1754-1780) -----------
     def __and__(self, other) -> Filter:
@@ -135,14 +152,24 @@ class Column:
             return self == other
         vals = list(other)
         if online and len(vals) <= ISIN_LITERAL_CAP:
-            return Filter(self.expr.isin(vals))
+            terms = ()
+            if vals and all(
+                isinstance(v, (int, float, str))
+                and not isinstance(v, bool)
+                for v in vals
+            ):
+                terms = ((self.name, "in", tuple(vals)),)
+            return Filter(self.expr.isin(vals), terms)
         spark = self.table.spark
         lit_df = spark.createDataFrame([(v,) for v in vals], [self.name])
         # Consumed by Table.filter as a semi-join marker.
         return _SemiJoinFilter(self.name, lit_df)
 
     def between(self, low, high) -> Filter:
-        return Filter(self.expr.between(_rhs(low), _rhs(high)))
+        return Filter(
+            self.expr.between(_rhs(low), _rhs(high)),
+            self._term(">=", low) + self._term("<=", high),
+        )
 
     # -- null tests with ''≡NULL duality (base.py:2014-2050) ---------------
     def isnull(self, empty_str: bool = True) -> Filter:

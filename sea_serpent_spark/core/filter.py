@@ -21,24 +21,34 @@ class Filter:
 
     Composable with ``&`` (AND), ``|`` (OR), ``~`` (NOT). Never executes I/O;
     consumed by ``Table.loc`` / ``Table.filter``.
+
+    ``terms`` is a SOUND UNDER-APPROXIMATION of the predicate as simple
+    conjuncts ``(column, op, literal)`` — the structured form the mutation
+    store's per-bucket min/max statistics can prune files with (the Delta
+    data-skipping analogue). Soundness contract: every row satisfying
+    ``expr`` satisfies every term, so skipping a file that fails a term
+    can never drop a matching row. AND concatenates both sides' terms
+    (a conjunction implies each conjunct); OR and NOT yield ``()`` —
+    no claim, no pruning, never wrong.
     """
 
-    __slots__ = ("expr",)
+    __slots__ = ("expr", "terms")
 
-    def __init__(self, expr: SparkColumn):
+    def __init__(self, expr: SparkColumn, terms: tuple = ()):
         if not isinstance(expr, SparkColumn):
             raise TypeError(f"Filter expects a pyspark Column, got {type(expr)}")
         self.expr = expr
+        self.terms = tuple(terms)
 
     # -- composition -------------------------------------------------------
     def __and__(self, other: "Filter | SparkColumn") -> "Filter":
-        return Filter(self.expr & _unwrap(other))
+        return Filter(self.expr & _unwrap(other), self.terms + _terms(other))
 
     def __or__(self, other: "Filter | SparkColumn") -> "Filter":
         return Filter(self.expr | _unwrap(other))
 
     def __rand__(self, other):  # checkbox Column & Filter
-        return Filter(_unwrap(other) & self.expr)
+        return Filter(_unwrap(other) & self.expr, _terms(other) + self.terms)
 
     def __ror__(self, other):
         return Filter(_unwrap(other) | self.expr)
@@ -49,6 +59,12 @@ class Filter:
 
     def __repr__(self) -> str:
         return f"<Filter {self.expr}>"
+
+
+def _terms(obj) -> tuple:
+    """Prunable conjuncts of the other operand (Filters carry them; raw
+    Columns and engine checkbox promises claim nothing)."""
+    return obj.terms if isinstance(obj, Filter) else ()
 
 
 def _unwrap(obj) -> SparkColumn:

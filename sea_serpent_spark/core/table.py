@@ -422,7 +422,30 @@ class Table:
             return self._semi_join(pred)
         if isinstance(pred, Column):
             pred = Filter(pred.expr == F.lit(True))
+        base = self._stats_prune(pred)
+        if base is not None:
+            return self._derive(base.where(pred.expr))
         return self._derive(self.df.where(pred.expr))
+
+    def _stats_prune(self, pred: Filter):
+        """Predicate file pruning on managed tables: the manifest's
+        per-bucket min/max stats (store.scan_stats_pruned) skip bucket
+        files that provably hold no row matching the predicate's sound
+        conjuncts (Filter.terms) — the Delta data-skipping analogue, and
+        the predicate twin of ``_prune_for_ids``. Returns the narrowed
+        DataFrame or None when pruning doesn't apply. Only the root
+        managed Table prunes (derived tables carry store=None, so an
+        already-transformed plan is never swapped out)."""
+        if (
+            self.store is None
+            or getattr(self, "_bundle", None) is not None
+            or not getattr(pred, "terms", ())
+        ):
+            return None
+        try:
+            return self.store.scan_stats_pruned(self.name, pred.terms)
+        except Exception:
+            return None
 
     where = filter
 

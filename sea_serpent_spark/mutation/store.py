@@ -57,6 +57,99 @@ from ..types import (
     validate_scalar,
 )
 
+#: Spark simple-type names whose per-bucket min/max are recorded in the
+#: manifest for data skipping. Deliberately narrow: orderable scalars
+#: whose values JSON-roundtrip losslessly AND whose Python comparison
+#: order equals Spark's (ints/floats; str — Python code-point order ==
+#: Spark's UTF-8 binary order). Decimals (JSON-lossy), timestamps/dates
+#: (tz-sensitive reconstruction), booleans, and nested types are
+#: excluded — an absent stat only disables pruning, never breaks it.
+_STAT_TYPES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double", "string"
+)
+
+
+def _stat_ok(v) -> bool:
+    """Value is storable as a pruning bound. NaN is NOT (any comparison
+    with it is False, which would falsely prune matching buckets)."""
+    if v is None:
+        return True
+    if isinstance(v, float) and v != v:
+        return False
+    return isinstance(v, (int, float, str)) and not isinstance(v, bool)
+
+
+def _merge_stats(old: dict | None, new: dict) -> dict:
+    """Column-wise union of two [min, max] stat dicts (the append path:
+    existing bucket files plus newly appended ones). A column present on
+    only one side has unknown bounds for the other's files — dropped to
+    stay sound. [None, None] means 'no non-null values', the identity."""
+    if old is None:
+        return new
+
+    def lo(a, b):
+        vals = [x for x in (a, b) if x is not None]
+        return min(vals) if vals else None
+
+    def hi(a, b):
+        vals = [x for x in (a, b) if x is not None]
+        return max(vals) if vals else None
+
+    return {
+        c: [lo(old[c][0], new[c][0]), hi(old[c][1], new[c][1])]
+        for c in old.keys() & new.keys()
+    }
+
+
+def _cmp_ok(a, b) -> bool:
+    """The literal and the stored bound compare meaningfully: both
+    numeric (bool excluded) or both strings."""
+
+    def num(x):
+        return isinstance(x, (int, float)) and not isinstance(x, bool)
+
+    return (num(a) and num(b)) or (
+        isinstance(a, str) and isinstance(b, str)
+    )
+
+
+def _bucket_may_match(st: dict | None, terms) -> bool:
+    """Can ANY row of a bucket with stats ``st`` satisfy every conjunct?
+    Missing stats (None / absent column / incomparable literal) make the
+    term unusable — the bucket is kept. [None, None] bounds mean the
+    bucket holds NO non-null value for the column, and every term op
+    here is NULL-rejecting — the bucket is skipped."""
+    if not st:
+        return True
+    for col, op, val in terms:
+        s = st.get(col)
+        if s is None:
+            continue
+        mn, mx = s
+        if mn is None and mx is None:
+            return False
+        if op == "in":
+            vs = list(val)
+            if not all(_cmp_ok(x, mn) for x in vs):
+                continue
+            if all(x < mn or x > mx for x in vs):
+                return False
+            continue
+        if not _cmp_ok(val, mn):
+            continue
+        if op == "=" and (val < mn or val > mx):
+            return False
+        if op == "<" and mn >= val:
+            return False
+        if op == "<=" and mn > val:
+            return False
+        if op == ">" and mx <= val:
+            return False
+        if op == ">=" and mx < val:
+            return False
+    return True
+
+
 OPLOG_SCHEMA = T.StructType(
     [
         T.StructField("user", T.StringType()),
@@ -307,15 +400,53 @@ class Base:
                         out[int(d.split("=")[1])] = os.path.join(commit_rel, d)
             return out
 
+        def _fresh_stats() -> dict[str, dict[str, list]]:
+            """Per-bucket min/max of the files THIS commit wrote — the
+            data-skipping side of the manifest (Delta stats analogue).
+            One aggregation over the just-written commit dir (the same
+            read-back posture as the oplog bucket probe above); keyed by
+            PHYSICAL column name so renames stay metadata-only."""
+            if not os.path.isdir(commit_dir):
+                return {}
+            wdf = self.spark.read.parquet(commit_dir)
+            cols = [
+                f.name for f in wdf.schema.fields
+                if f.name != "_b"
+                and f.dataType.simpleString() in _STAT_TYPES
+            ]
+            if not cols:
+                return {}
+            aggs = []
+            for c in cols:
+                aggs.append(F.min(c).alias(f"mn_{c}"))
+                aggs.append(F.max(c).alias(f"mx_{c}"))
+            out: dict[str, dict[str, list]] = {}
+            for r in wdf.groupBy("_b").agg(*aggs).collect():
+                cs: dict[str, list] = {}
+                for c in cols:
+                    mn, mx = r[f"mn_{c}"], r[f"mx_{c}"]
+                    if _stat_ok(mn) and _stat_ok(mx):
+                        cs[c] = [mn, mx]
+                out[str(int(r["_b"]))] = cs
+            return out
+
+        prev_stats: dict = (
+            (self._log_entry(name, v - 1).get("cstats") or {})
+            if versions else {}
+        )
         rewrite = "full"
         if touched == "metadata" and prev is not None:
             manifest = prev
+            cstats = prev_stats
             rewrite = "metadata"
         elif touched == "append" and prev is not None and append_df is not None:
             leaves = _write_bucketed(append_df)
             manifest = {b: list(ps) for b, ps in prev.items()}
             for b, p in leaves.items():
                 manifest.setdefault(b, []).append(p)
+            cstats = dict(prev_stats)
+            for b, cs in _fresh_stats().items():
+                cstats[b] = _merge_stats(prev_stats.get(b), cs)
             rewrite = "append"
         elif touched == "oplog" and prev is not None and oplog is not None:
             # read back ONLY this commit's oplog files (listed above) —
@@ -338,6 +469,7 @@ class Base:
             n_changed = sum(r["n"] for r in stats)
             if not buckets:
                 manifest = prev  # no cell actually changed
+                cstats = prev_stats
                 rewrite = "noop"
             else:
                 src = None
@@ -371,9 +503,17 @@ class Base:
                 }
                 for b, p in leaves.items():
                     manifest[b] = [p]
+                fresh = _fresh_stats()
+                cstats = {
+                    b: cs for b, cs in prev_stats.items()
+                    if int(b) not in set(buckets)
+                }
+                for b in leaves:
+                    cstats[str(b)] = fresh.get(str(b), {})
         else:
             leaves = _write_bucketed(df)
             manifest = {b: [p] for b, p in leaves.items()}
+            cstats = _fresh_stats()
 
         entry = {
             "version": v,
@@ -382,6 +522,7 @@ class Base:
             "user": self.user,
             "detail": {**(detail or {}), "rewrite": rewrite},
             "files": {str(b): ps for b, ps in sorted(manifest.items())},
+            "cstats": cstats,
             "schema": df.schema.json(),
             "colmap": cm,
         }
@@ -420,6 +561,41 @@ class Base:
         if not hist:
             raise FileNotFoundError(f"no versions for table {name!r}")
         return max(e["version"] for e in hist)
+
+    def scan_stats_pruned(self, name: str, terms) -> DataFrame | None:
+        """Current-version scan restricted to buckets whose min/max
+        statistics can satisfy every predicate conjunct — the
+        data-skipping half of the manifest (Delta stats pruning), and the
+        predicate twin of :meth:`read_pruned`'s id pruning. ``terms`` is
+        ``Filter.terms``: sound conjuncts (col, op, literal), so a bucket
+        failing ANY term provably holds no matching row. Returns None
+        when pruning can't help (no terms, no stats, legacy layout, or
+        every bucket survives)."""
+        terms = list(terms or ())
+        if not terms:
+            return None
+        v = self._current_version(name)
+        entry = self._log_entry(name, v)
+        files = entry.get("files")
+        cstats = entry.get("cstats")
+        if files is None or not cstats:
+            return None
+        cm = self._colmap(name)
+        pterms = [(cm.get(c, c), op, val) for c, op, val in terms]
+        keep = [
+            (b, ps) for b, ps in files.items()
+            if _bucket_may_match(cstats.get(b), pterms)
+        ]
+        if len(keep) >= len(files):
+            return None
+        tdir = self._tdir(name)
+        paths = [
+            os.path.join(tdir, p) for _, ps in keep for p in ps
+        ]
+        if not paths:  # no bucket can hold a matching row
+            schema = T.StructType.fromJson(json.loads(entry["schema"]))
+            return self.spark.createDataFrame([], schema)
+        return self._normalized_read(entry, paths)
 
     def read_pruned(self, name: str, row_ids) -> DataFrame | None:
         """Current-version scan restricted to the bucket files owning

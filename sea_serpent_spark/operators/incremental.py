@@ -103,6 +103,10 @@ def minhash_band_index(
 #: Underscore-prefixed, so Spark's parquet reader ignores it.
 _INDEX_META = "_band_index_meta.json"
 
+#: Unsorted append tail (LSM L0) under the index root — also
+#: underscore-prefixed so the main bucket scan never double-reads it.
+_TAIL_DIR = "_tail"
+
 
 def _kb_expr(key_buckets: int):
     """The ONE definition of the coarse key bucket: writer and probe
@@ -138,20 +142,38 @@ def write_band_index(
     (band, kb) with sorted data files; plain parquet directories are the
     container-friendly stand-in.)
 
-    ``mode="append"`` is the per-batch ingest step (new files land in
-    the matching bucket directories); run :func:`compact_band_index`
-    periodically to fold the accumulated small files back into one
-    sorted file per bucket.
+    ``mode="append"`` is the per-batch ingest step. Appends do NOT land
+    in the bucket directories — a small batch fanned across
+    ``bands × key_buckets`` directories writes hundreds of tiny files
+    per batch (measured: the per-file writer overhead alone outweighed
+    the pruning win). Instead they go to a flat band-partitioned TAIL
+    under ``{path}/_tail`` — the LSM/Delta L0 shape: cheap to write
+    (≤ ``bands`` files per batch), small, scanned in full by probes
+    (``read_band_index`` unions it in; underscore-prefixed paths are
+    invisible to the main directory scan). :func:`compact_band_index`
+    folds the tail back into the sorted bucket layout; run it every N
+    batches to keep the unpruned tail bounded.
 
     The layout parameters are recorded in a ``_band_index_meta.json``
     sidecar so probes can recover ``key_buckets`` without the caller
     re-threading it (:func:`read_band_index`)."""
-    part_cols = ["band"]
     idx = index
-    if key_buckets:
-        if "kb" not in idx.columns:
-            idx = idx.withColumn("kb", _kb_expr(key_buckets))
-        part_cols.append("kb")
+    if key_buckets and "kb" not in idx.columns:
+        idx = idx.withColumn("kb", _kb_expr(key_buckets))
+    if mode == "append" and os.path.exists(
+        os.path.join(path, _INDEX_META)
+    ):
+        # L0 tail: kb rides as a DATA column (partition-dir layouts
+        # cannot mix depths under one root); ≤ `bands` files per batch
+        (
+            idx.repartition("band")
+            .sortWithinPartitions("band", "key")
+            .write.mode("append")
+            .partitionBy("band")
+            .parquet(os.path.join(path, _TAIL_DIR))
+        )
+        return
+    part_cols = ["band", "kb"] if key_buckets else ["band"]
     # one (band, kb) group per task → exactly one sorted file per
     # partition directory; the writer streams because the within-task
     # sort leads with the partition columns
@@ -169,11 +191,22 @@ def write_band_index(
 
 
 def read_band_index(spark: SparkSession, path: str) -> DataFrame:
-    """Open a persisted band index, re-attaching the layout parameters
-    from the sidecar as column metadata on ``kb`` — probes then discover
-    ``key_buckets`` from the frame itself and apply partition pruning
-    automatically."""
+    """Open a persisted band index — the sorted bucket layout UNION any
+    append tail (:func:`write_band_index` ``mode="append"``) — with the
+    layout parameters from the sidecar re-attached as column metadata on
+    ``kb``, so probes discover ``key_buckets`` from the frame itself and
+    apply partition pruning automatically (to the bucketed part; the
+    tail is small by the compaction contract and scans whole)."""
     df = spark.read.parquet(path)
+    tail_dir = os.path.join(path, _TAIL_DIR)
+    if os.path.isdir(tail_dir):
+        # the main schema is GIVEN to the tail read: an all-duplicate
+        # batch appends zero rows (no data files, just _SUCCESS), and a
+        # schema-less read of that empty dir fails inference
+        df = df.unionByName(
+            spark.read.schema(df.schema).parquet(tail_dir)
+            .select(*df.columns)
+        )
     meta_path = os.path.join(path, _INDEX_META)
     if "kb" in df.columns and os.path.exists(meta_path):
         with open(meta_path) as fh:
@@ -212,15 +245,35 @@ def compact_band_index(
 
     before = _nfiles(path)
     staging = f"{path.rstrip('/')}.__compact_{uuid.uuid4().hex}"
-    write_band_index(
-        spark.read.parquet(path), staging,
-        mode="overwrite", key_buckets=key_buckets,
-    )
+    main = spark.read.parquet(path)  # ignores the _-prefixed tail
+    tail_dir = os.path.join(path, _TAIL_DIR)
+    if os.path.isdir(tail_dir):  # fold the L0 tail into the buckets
+        main = main.unionByName(
+            spark.read.schema(main.schema).parquet(tail_dir)
+            .select(*main.columns)
+        )
+    write_band_index(main, staging, mode="overwrite",
+                     key_buckets=key_buckets)
     trash = f"{path.rstrip('/')}.__old_{uuid.uuid4().hex}"
-    os.rename(path, trash)
+    os.rename(path, trash)  # takes the old tail with it
     os.rename(staging, path)
     shutil.rmtree(trash)
     return {"files_before": before, "files_after": _nfiles(path)}
+
+
+def _check_index_width(index: DataFrame, num_hashes: int) -> None:
+    """Validate the index's signature width against the probe's
+    ``num_hashes`` — under Spark's default non-ANSI mode an out-of-range
+    ``element_at`` returns NULL, so without the check a too-wide probe
+    would silently deflate the jaccard estimate instead of failing.
+    Run on the RAW index (one-row LIMIT scan), never a pruned plan."""
+    probe = index.select(F.size("sig").alias("w")).first()
+    if probe is not None and int(probe["w"]) != int(num_hashes):
+        raise ValueError(
+            f"index signatures are {int(probe['w'])} hashes wide but "
+            f"num_hashes={num_hashes} was requested — rebuild the index "
+            "or probe with the parameters it was built with"
+        )
 
 
 def _prune_index_for_delta(
@@ -270,7 +323,17 @@ def _prune_index_for_delta(
                 (F.col("band") == band) & F.col("kb").isin(kbs)
             )
         index = index.where(pred)
-    return index.join(delta_keys, ["band", "key"], "left_semi")
+    pruned = index.join(delta_keys, ["band", "key"], "left_semi")
+    # MATERIALIZE the pruned index: it is delta-collision-bounded
+    # (small), but as a lazy plan every downstream consumer — the probe
+    # width check, the canonicalization's old_sigs, the witness
+    # labeling's old_ids — would re-run the index scan + semi-join.
+    # Measured on the 10-batch rehearsal BEFORE this cache: the repeated
+    # executions made the "pruned" loop SLOWER than the flat scan it
+    # replaced.
+    pruned = _keep_cache(pruned.select("id", "band", "key", "sig"))
+    pruned.count()
+    return pruned
 
 
 def incremental_minhash_pairs(
@@ -337,13 +400,7 @@ def incremental_minhash_pairs(
     off (tested)."""
     if emit not in ("pairs", "spanning"):
         raise ValueError(f"emit must be 'pairs' or 'spanning', got {emit!r}")
-    probe = index.select(F.size("sig").alias("w")).first()
-    if probe is not None and int(probe["w"]) != int(num_hashes):
-        raise ValueError(
-            f"index signatures are {int(probe['w'])} hashes wide but "
-            f"num_hashes={num_hashes} was requested — rebuild the index "
-            "or probe with the parameters it was built with"
-        )
+    _check_index_width(index, num_hashes)
     if _sigs is not None:
         # internal hand-off from incremental_dedup: signatures already
         # cached and the index already pruned by the caller
@@ -552,6 +609,7 @@ def incremental_dedup(
     whose buckets the delta misses. At petabyte scale that residual scan
     is what an id-keyed bloom filter or id-partitioned manifest would
     remove — noted, not needed at any scale this repo rehearses."""
+    n_delta = None
     if not prune_index:
         pairs = incremental_minhash_pairs(
             new_df, index, text_col, id_col, num_hashes, bands, shingle_n,
@@ -559,12 +617,13 @@ def incremental_dedup(
         )
         pidx = index
     else:
+        _check_index_width(index, num_hashes)
         release_caches()
         new_sigs = _keep_cache(
             minhash_signature(new_df, text_col, id_col, num_hashes,
                               shingle_n)
         )
-        new_sigs.count()
+        n_delta = new_sigs.count()
         pidx = _prune_index_for_delta(
             index, new_sigs, num_hashes, bands, key_buckets
         )
@@ -605,7 +664,12 @@ def incremental_dedup(
     # partition directories are read when the index is band-partitioned
     # (every doc has a band-0 row).
     delta_ids = new_df.select(F.col(id_col).alias("id")).distinct()
-    bcast_delta = _verify_gate(delta_ids, None, BROADCAST_VERIFY_CAP)
+    # the cached signature count (an upper bound on distinct delta ids)
+    # gates the broadcast for free; only the unpruned path pays a count
+    bcast_delta = (
+        n_delta <= BROADCAST_VERIFY_CAP if n_delta is not None
+        else _verify_gate(delta_ids, None, BROADCAST_VERIFY_CAP)
+    )
     idx_band0 = (
         index.where(F.col("band") == 0) if "band" in index.columns
         else index

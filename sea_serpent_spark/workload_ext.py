@@ -194,9 +194,29 @@ def q36_minhash_lsh_pairs(spark, sf_dir):
 
 
 def q37_ngram_jaccard(spark, sf_dir):
-    return D.ngram_jaccard_pairs(
-        df(spark, sf_dir, "documents"), shingle_n=1, threshold=0.8
+    """N-gram Jaccard pairs AND train/test decontamination in one
+    tagged-union oracle row (round 9 adds ``op='decon'``).
+
+    - ``pair`` rows: exact 1-gram Jaccard ≥ 0.8 pairs, v = jaccard.
+    - ``decon`` rows: ``contamination_check`` (dedup.py:1451) of the
+      corpus against an eval slice (doc_id % 97 == 0), 8-gram overlap,
+      v = n_hits — the count of distinct 8-grams a corpus doc shares
+      with ANY eval doc. The oracle groups on gram STRINGS where the
+      engine groups on their h48 hashes — identical modulo 48-bit hash
+      collisions (the q62 convention)."""
+    d = df(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, shingle_n=1, threshold=0.8).select(
+        "id_a", "id_b", F.col("jaccard").alias("v"),
+        F.lit("pair").alias("op"),
     )
+    evalset = d.where(F.col("doc_id") % 97 == 0)
+    decon = D.contamination_check(d, evalset, ngram=8).select(
+        F.col("id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.col("n_hits").cast("double").alias("v"),
+        F.lit("decon").alias("op"),
+    )
+    return pairs.unionByName(decon)
 
 
 def q39_simhash_pairs(spark, sf_dir):
@@ -537,8 +557,10 @@ def q61_connected_components(spark, sf_dir):
 
 
 def q60_deterministic_split(spark, sf_dir):
-    """Three deterministic curation assignments in one oracle row
-    (tagged union — stratified added in round 8):
+    """Five deterministic curation assignments in one oracle row
+    (tagged union — stratified added in round 8, temperature rates +
+    DSIR weights in round 9; with those, every substantive sampling/
+    selection operator is hash-checked):
 
     - ``op='split'`` — train/val/test as a pure function of
       md5(doc_id), so the DuckDB oracle computes identical labels from
@@ -563,21 +585,28 @@ def q60_deterministic_split(spark, sf_dir):
       test is the whole sequential decision trace, not just bin
       counts — shard carries the assigned seq_id."""
     from .operators.curation import pack_sequences, pack_shards
-    from .operators.sampling import deterministic_split, stratified_sample
+    from .operators.sampling import (
+        deterministic_split,
+        stratified_sample,
+        temperature_rates,
+    )
+    from .operators.selection import dsir_weights
 
     docs = df(spark, sf_dir, "documents")
+    null_v = F.lit(None).cast("double").alias("v")
     out = deterministic_split(
         docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
     ).select("doc_id", "n_chars", "split")
     packed = pack_shards(
         out, "n_chars", budget=50_000, order_col="doc_id"
     ).select(
-        "doc_id", "split", "shard", F.lit("split").alias("op")
+        "doc_id", "split", "shard", null_v, F.lit("split").alias("op")
     )
     strat = stratified_sample(docs, "lang", 0.25, "doc_id").select(
         "doc_id",
         F.lit(None).cast("string").alias("split"),
         F.lit(None).cast("long").alias("shard"),
+        null_v,
         F.lit("strat").alias("op"),
     )
     seqs = pack_sequences(
@@ -586,9 +615,49 @@ def q60_deterministic_split(spark, sf_dir):
         "doc_id",
         F.lit(None).cast("string").alias("split"),
         F.col("seq_id").alias("shard"),
+        null_v,
         F.lit("pack").alias("op"),
     )
-    return packed.unionByName(strat).unionByName(seqs)
+    # round 9 — op='temp': temperature keep rates (sampling.py
+    # temperature_rates, α=0.3, no target) over LANG — the skewed
+    # grouping (en ≈ 3× fr), so the α-law actually discriminates
+    # (source sizes are uniform → all-1.0 rates would pin nothing).
+    # The tot term cancels in the normalized rate
+    # (rate_g = n_g^(α−1) / max n^(α−1)), so the oracle recomputes it
+    # closed-form; ROUND(6) absorbs the differing float routes (Python
+    # pow+sorted sum vs DuckDB POWER). One row per lang, the lang
+    # riding the string slot.
+    rates = temperature_rates(docs, "lang", alpha=0.3)
+    temp = spark.createDataFrame(
+        [(s, float(r)) for s, r in sorted(rates.items())],
+        "split string, v double",
+    ).select(
+        F.lit(None).cast("long").alias("doc_id"),
+        "split",
+        F.lit(None).cast("long").alias("shard"),
+        F.round("v", 6).alias("v"),
+        F.lit("temp").alias("op"),
+    )
+    # round 9 — op='dsir': per-doc DSIR log-weights (selection.py
+    # dsir_weights; target = doc_id % 10 == 0 slice, defaults: hashed
+    # 2-gram buckets B=10000, α=0.1, length-normalized). The oracle
+    # replays the full hash→model→log-ratio pipeline in SQL; ROUND(4)
+    # absorbs partial-aggregation float-order (sums of ~10² O(1) terms
+    # agree to ~1e-13 — the round-8 caveat, now bounded instead of
+    # unpinned). Docs with no features (logw = −inf) are excluded.
+    dsir = dsir_weights(
+        docs, docs.where(F.col("doc_id") % 10 == 0)
+    ).where(F.col("dsir_logw") != float("-inf")).select(
+        "doc_id",
+        F.lit(None).cast("string").alias("split"),
+        F.lit(None).cast("long").alias("shard"),
+        F.round("dsir_logw", 4).alias("v"),
+        F.lit("dsir").alias("op"),
+    )
+    return (
+        packed.unionByName(strat).unionByName(seqs)
+        .unionByName(temp).unionByName(dsir)
+    )
 
 
 def q65_token_budget_mix(spark, sf_dir):
@@ -726,11 +795,24 @@ WITH sh AS (
 sz AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
 p AS (
   SELECT x.id AS ia, y.id AS ib, COUNT(*) AS inter
-  FROM sh x JOIN sh y USING (s) WHERE x.id < y.id GROUP BY 1, 2)
+  FROM sh x JOIN sh y USING (s) WHERE x.id < y.id GROUP BY 1, 2),
+t AS (SELECT doc_id AS id, {WORDS_SQL} AS toks FROM documents),
+g AS (
+  SELECT DISTINCT id,
+         array_to_string(list_slice(toks, i, i + 7), ' ') AS w
+  FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+  WHERE len(toks) >= 8),
+ref AS (SELECT DISTINCT w FROM g WHERE id % 97 = 0),
+hits AS (SELECT id, COUNT(*) AS n FROM g JOIN ref USING (w) GROUP BY id)
 SELECT ia AS id_a, ib AS id_b,
-  ROUND(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) AS jaccard
+  ROUND(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) AS v,
+  'pair' AS op
 FROM p JOIN sz sa ON sa.id = ia JOIN sz sb ON sb.id = ib
 WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8
+UNION ALL
+SELECT id AS id_a, CAST(NULL AS BIGINT) AS id_b,
+  CAST(n AS DOUBLE) AS v, 'decon' AS op
+FROM hits
 """,
     "q39_simhash_pairs": f"""
 WITH sigs AS (
@@ -954,10 +1036,12 @@ SELECT event_id, user_id, ts, snap_ts, snap_value FROM j WHERE rn = 1
         "ELSE 'test' END AS split, "
         "CAST(FLOOR((SUM(n_chars) OVER (ORDER BY doc_id "
         "ROWS UNBOUNDED PRECEDING) - n_chars) / 50000.0) AS BIGINT) "
-        "AS shard, 'split' AS op FROM documents "
+        "AS shard, CAST(NULL AS DOUBLE) AS v, 'split' AS op "
+        "FROM documents "
         "UNION ALL "
         "SELECT doc_id, CAST(NULL AS VARCHAR) AS split, "
-        "CAST(NULL AS BIGINT) AS shard, 'strat' AS op FROM ("
+        "CAST(NULL AS BIGINT) AS shard, CAST(NULL AS DOUBLE) AS v, "
+        "'strat' AS op FROM ("
         "  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY "
         "    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) "
         "    AS BIGINT) % 1000000, doc_id) AS rk, "
@@ -972,7 +1056,7 @@ SELECT event_id, user_id, ts, snap_ts, snap_value FROM j WHERE rn = 1
         # and isolated oversize docs (r=-1) never re-insert
         """
 SELECT doc_id, CAST(NULL AS VARCHAR) AS split, bin AS shard,
-       'pack' AS op FROM (
+       CAST(NULL AS DOUBLE) AS v, 'pack' AS op FROM (
 WITH RECURSIVE
 pd AS (
   SELECT doc_id, CAST(n_chars AS BIGINT) AS t,
@@ -1012,6 +1096,54 @@ pf(rn, doc_id, bin, bins, nbins, age) AS (
   )
 )
 SELECT doc_id, bin FROM pf WHERE rn > 0)
+"""
+        # temperature rates: tot cancels in the normalized rate, so the
+        # closed form n^(α−1)/max n^(α−1) replays it; ROUND(6) absorbs
+        # the differing float routes (Python pow + sorted sum vs POWER)
+        """
+UNION ALL
+SELECT CAST(NULL AS BIGINT) AS doc_id, split, CAST(NULL AS BIGINT) AS shard,
+       v, 'temp' AS op FROM (
+  WITH src AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+  tr AS (SELECT lang, POWER(CAST(n AS DOUBLE),
+                            CAST('0.3' AS DOUBLE) - 1.0) AS ratio
+         FROM src)
+  SELECT lang AS split,
+         ROUND(ratio / (SELECT MAX(ratio) FROM tr), 6) AS v FROM tr)
+"""
+        # DSIR log-weights: full hash→model→log-ratio replay (target =
+        # doc_id % 10 = 0 slice, B=10000, α=0.1, length-normalized,
+        # selection.py:91). coalescing the ln numerator equals the
+        # engine's whole-term coalesce (identical subtrahend); ROUND(4)
+        # bounds partial-aggregation float order
+        f"""
+UNION ALL
+SELECT doc_id, CAST(NULL AS VARCHAR) AS split, CAST(NULL AS BIGINT) AS shard,
+       v, 'dsir' AS op FROM (
+WITH ws AS (
+  SELECT doc_id AS id, list_filter({WORDS_SQL}, w -> w != '') AS w
+  FROM documents),
+g AS (
+  SELECT id, unnest(CASE WHEN len(w) < 2 THEN w
+    ELSE list_transform(generate_series(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i + 1]) END) AS gram
+  FROM ws),
+bt AS (SELECT id, {h48_sql('gram')} % 10000 AS b FROM g),
+tc AS (SELECT b, COUNT(*) AS n FROM bt WHERE id % 10 = 0 GROUP BY b),
+rc AS (SELECT b, COUNT(*) AS n FROM bt GROUP BY b),
+tt AS (SELECT SUM(n) AS t FROM tc),
+rt AS (SELECT SUM(n) AS t FROM rc),
+ratio AS (
+  SELECT rc.b,
+    COALESCE(ln(tc.n + CAST('0.1' AS DOUBLE)), ln(CAST('0.1' AS DOUBLE)))
+      - ln((SELECT t FROM tt) + CAST('0.1' AS DOUBLE) * 10000)
+    - (ln(rc.n + CAST('0.1' AS DOUBLE))
+      - ln((SELECT t FROM rt) + CAST('0.1' AS DOUBLE) * 10000)) AS lr
+  FROM rc LEFT JOIN tc USING (b)),
+perdoc AS (
+  SELECT id, SUM(lr) / COUNT(*) AS logw
+  FROM bt JOIN ratio USING (b) GROUP BY id)
+SELECT id AS doc_id, ROUND(logw, 4) AS v FROM perdoc)
 """
     ),
     # the semantic spec of token_budget_mix: per-source running sum over

@@ -324,3 +324,28 @@ def test_incremental_dedup_stats_surface_id_collisions(spark, halves):
     assert out2.count() == 0  # by-id idempotency contract holds
     assert stats["id_collisions"] == 1
     assert stats["id_collision_content_mismatch"] == 1
+
+
+def test_band_index_empty_append_then_read(spark, halves, tmp_path):
+    """Regression (r9 rehearsal): an all-duplicate batch appends ZERO
+    survivor rows — the tail dir then holds no data files, and a
+    schema-less read of it failed inference and killed the ingest loop.
+    The tail read now carries the main schema."""
+    old, _ = halves
+    p = str(tmp_path / "idx")
+    I.write_band_index(
+        I.minhash_band_index(old, key_buckets=8), p, key_buckets=8
+    )
+    empty = old.limit(0)
+    I.write_band_index(
+        I.minhash_band_index(empty, key_buckets=8), p,
+        mode="append", key_buckets=8,
+    )
+    idx = I.read_band_index(spark, p)
+    n = idx.count()
+    assert n > 0  # readable despite the empty tail
+    # a full replay still dedups to zero through the tail-bearing index
+    assert I.incremental_dedup(old, idx, jaccard_threshold=THRESH).count() == 0
+    st = I.compact_band_index(spark, p)  # empty tail folds away
+    assert I.read_band_index(spark, p).count() == n
+    assert st["files_after"] <= st["files_before"]
