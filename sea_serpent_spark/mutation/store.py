@@ -405,8 +405,12 @@ class Base:
             data-skipping side of the manifest (Delta stats analogue).
             One aggregation over the just-written commit dir (the same
             read-back posture as the oplog bucket probe above); keyed by
-            PHYSICAL column name so renames stay metadata-only."""
-            if not os.path.isdir(commit_dir):
+            PHYSICAL column name so renames stay metadata-only.
+
+            Single-bucket tables (the auto-sizer's answer below 1 M
+            rows) skip the job entirely — with one bucket there is
+            nothing to skip TO, so the stats could never prune a read."""
+            if n_buckets <= 1 or not os.path.isdir(commit_dir):
                 return {}
             wdf = self.spark.read.parquet(commit_dir)
             cols = [

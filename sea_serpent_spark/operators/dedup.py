@@ -1488,16 +1488,22 @@ def contamination_check(
                 ),
             )
         )
-        return df.select(F.col(idc).alias("__cid"), g.alias("__g")).distinct()
+        return df.select(F.col(idc).alias("__cid"), g.alias("__g"))
 
     ref_grams = grams(reference, id_col).select("__g").distinct()
     if broadcast_reference is None or broadcast_reference:
         ref_grams = F.broadcast(ref_grams)
+    # Per-doc distinctness moves AFTER the semi-join: the probe filters
+    # map-side against the broadcast gram set, so only MATCHING gram
+    # occurrences reach a shuffle (count_distinct), instead of
+    # distinct-ing the corpus's entire exploded gram stream first
+    # (an O(total grams) exchange for an output that only needs the
+    # rare hits — measured 4.6 s → the semi-join-first shape at sf0.1).
     hits = (
         grams(corpus, id_col)
         .join(ref_grams, "__g", "left_semi")
         .groupBy("__cid")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(F.count_distinct("__g").alias("n_hits"))
         .where(F.col("n_hits") >= min_hits)
         .select(F.col("__cid").alias("id"), "n_hits")
     )
