@@ -557,10 +557,11 @@ def q61_connected_components(spark, sf_dir):
 
 
 def q60_deterministic_split(spark, sf_dir):
-    """Five deterministic curation assignments in one oracle row
-    (tagged union — stratified added in round 8, temperature rates +
-    DSIR weights in round 9; with those, every substantive sampling/
-    selection operator is hash-checked):
+    """Seven deterministic curation assignments in one oracle row
+    (tagged union — stratified added in round 8; temperature rates,
+    DSIR weights, n-gram cross-entropy, and weighted_sample in round 9
+    — with those, every substantive sampling/selection operator is
+    hash-checked):
 
     - ``op='split'`` — train/val/test as a pure function of
       md5(doc_id), so the DuckDB oracle computes identical labels from
@@ -654,9 +655,44 @@ def q60_deterministic_split(spark, sf_dir):
         F.round("dsir_logw", 4).alias("v"),
         F.lit("dsir").alias("op"),
     )
+    # round 9 — op='xent': hashed-n-gram cross-entropy (selection.py
+    # ngram_cross_entropy) of every doc under the SAME target slice's
+    # model — the CCNet-style perplexity signal; ROUND(4) absorbs the
+    # AVG float order. Featureless docs score NULL and are excluded.
+    from .operators.selection import ngram_cross_entropy
+
+    xent = ngram_cross_entropy(
+        docs.select("doc_id", "text"),
+        docs.where(F.col("doc_id") % 10 == 0),
+    ).where(F.col("xent").isNotNull()).select(
+        "doc_id",
+        F.lit(None).cast("string").alias("split"),
+        F.lit(None).cast("long").alias("shard"),
+        F.round("xent", 4).alias("v"),
+        F.lit("xent").alias("op"),
+    )
+    # round 9 — op='wsamp': weighted_sample survivors under
+    # INTEGER-VALUED weights (doc_id % 7 + 1): Σw is then exact in
+    # float regardless of aggregation order, so the keep predicate
+    # hash(id) < floor(min(1, w·target/Σw)·10⁶) is bit-replicable —
+    # the one regime where the sampler's float-order caveat vanishes
+    # (weighted_sample docstring). target=800 makes w=7 saturate p=1.
+    from .operators.sampling import weighted_sample
+
+    wdf = docs.select(
+        "doc_id", (F.col("doc_id") % 7 + 1).cast("double").alias("w")
+    )
+    wsamp = weighted_sample(wdf, "w", 800, "doc_id").select(
+        "doc_id",
+        F.lit(None).cast("string").alias("split"),
+        F.lit(None).cast("long").alias("shard"),
+        F.lit(None).cast("double").alias("v"),
+        F.lit("wsamp").alias("op"),
+    )
     return (
         packed.unionByName(strat).unionByName(seqs)
         .unionByName(temp).unionByName(dsir)
+        .unionByName(xent).unionByName(wsamp)
     )
 
 
@@ -1144,6 +1180,47 @@ perdoc AS (
   SELECT id, SUM(lr) / COUNT(*) AS logw
   FROM bt JOIN ratio USING (b) GROUP BY id)
 SELECT id AS doc_id, ROUND(logw, 4) AS v FROM perdoc)
+"""
+        # perplexity: −AVG of per-feature log-prob under the target
+        # slice's add-α model — same featurization CTEs as dsir
+        f"""
+UNION ALL
+SELECT doc_id, CAST(NULL AS VARCHAR) AS split, CAST(NULL AS BIGINT) AS shard,
+       v, 'xent' AS op FROM (
+WITH ws AS (
+  SELECT doc_id AS id, list_filter({WORDS_SQL}, w -> w != '') AS w
+  FROM documents),
+g AS (
+  SELECT id, unnest(CASE WHEN len(w) < 2 THEN w
+    ELSE list_transform(generate_series(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i + 1]) END) AS gram
+  FROM ws),
+bt AS (SELECT id, {h48_sql('gram')} % 10000 AS b FROM g),
+tc AS (SELECT b, COUNT(*) AS n FROM bt WHERE id % 10 = 0 GROUP BY b),
+tt AS (SELECT SUM(n) AS t FROM tc),
+px AS (
+  SELECT bt.id,
+    -AVG(COALESCE(ln(tc.n + CAST('0.1' AS DOUBLE)),
+                  ln(CAST('0.1' AS DOUBLE)))
+         - ln((SELECT t FROM tt) + CAST('0.1' AS DOUBLE) * 10000)) AS xv
+  FROM bt LEFT JOIN tc USING (b) GROUP BY bt.id)
+SELECT id AS doc_id, ROUND(xv, 4) AS v FROM px)
+"""
+        # weighted_sample: integer-valued weights make Σw exact, so the
+        # keep predicate replays bit-for-bit; FLOOR not CAST — DuckDB's
+        # double→BIGINT cast ROUNDS where Spark's truncates
+        f"""
+UNION ALL
+SELECT doc_id, CAST(NULL AS VARCHAR) AS split, CAST(NULL AS BIGINT) AS shard,
+       CAST(NULL AS DOUBLE) AS v, 'wsamp' AS op FROM (
+WITH w AS (
+  SELECT doc_id, CAST(doc_id % 7 + 1 AS DOUBLE) AS w FROM documents),
+s AS (SELECT SUM(w) AS tot FROM w)
+SELECT doc_id FROM w
+WHERE {h48_sql('CAST(doc_id AS VARCHAR)')} % 1000000
+      < CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE),
+                         w * 800 / (SELECT tot FROM s)) * 1000000)
+             AS BIGINT))
 """
     ),
     # the semantic spec of token_budget_mix: per-source running sum over
