@@ -330,18 +330,30 @@ def q53_media_features(spark, sf_dir):
       ``attach_media_meta`` struct-parses the headers back
       (``sniff_media`` — pure stdlib). The oracle predicts the parsed
       values from the same arithmetic, so the hash check verifies the
-      parser actually read the bytes right."""
+      parser actually read the bytes right.
+    - ``pix`` rows (round 9): REAL pixel/sample decode. The same
+      containers regenerated with PATTERNED content (pixel(x,y) =
+      (x+3y) % 251; sample(i) = i % 201 − 100), decoded back by
+      ``extract_media_content`` (PNG zlib+unfilter, BMP rows, WAV PCM16
+      via the stdlib ``wave`` module), emitting the exact integer
+      value SUM — which the oracle recomputes from the closed form, so
+      the hash check verifies every decoded byte, not just headers.
+      GIF is entropy-coded (LZW) and stays NULL-stats by design."""
     from .operators import multimodal as mm
 
     docs = _df(spark, sf_dir, "documents")
-    feats = mm.extract_features(
-        mm.attach_binary(docs, text_col="text")
-    ).select(
-        F.lit("feat").alias("op"), "doc_id", "byte_len", "content_hash",
+    null_media = (
         F.lit(None).cast("string").alias("mime"),
         F.lit(None).cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
+    )
+    feats = mm.extract_features(
+        mm.attach_binary(docs, text_col="text")
+    ).select(
+        F.lit("feat").alias("op"), "doc_id", "byte_len", "content_hash",
+        *null_media,
+        F.lit(None).cast("long").alias("vsum"),
     )
     meta = mm.attach_media_meta(mm.synthesize_test_media(docs)).select(
         F.lit("meta").alias("op"), "doc_id",
@@ -351,8 +363,19 @@ def q53_media_features(spark, sf_dir):
         F.col("media_meta.width").alias("width"),
         F.col("media_meta.height").alias("height"),
         F.col("media_meta.duration_ms").alias("duration_ms"),
+        F.lit(None).cast("long").alias("vsum"),
     )
-    return feats.unionByName(meta)
+    pix = mm.extract_media_content(
+        mm.synthesize_test_media(docs, pattern=True)
+    ).select(
+        F.lit("pix").alias("op"), "doc_id",
+        F.lit(None).cast("long").alias("byte_len"),
+        F.lit(None).cast("string").alias("content_hash"),
+        "mime", "width", "height",
+        F.lit(None).cast("long").alias("duration_ms"),
+        "vsum",
+    )
+    return feats.unionByName(meta).unionByName(pix)
 
 
 def q57_stateful_totals(spark, sf_dir):
@@ -549,7 +572,8 @@ ORACLES_MUT: dict[str, str] = {
         "AS byte_len, sha256(coalesce(text, '')) AS content_hash, "
         "CAST(NULL AS VARCHAR) AS mime, CAST(NULL AS INTEGER) AS width, "
         "CAST(NULL AS INTEGER) AS height, "
-        "CAST(NULL AS BIGINT) AS duration_ms FROM documents "
+        "CAST(NULL AS BIGINT) AS duration_ms, "
+        "CAST(NULL AS BIGINT) AS vsum FROM documents "
         "UNION ALL "
         "SELECT 'meta' AS op, doc_id, CAST(NULL AS BIGINT) AS byte_len, "
         "CAST(NULL AS VARCHAR) AS content_hash, "
@@ -560,7 +584,35 @@ ORACLES_MUT: dict[str, str] = {
         "CASE WHEN doc_id % 4 = 3 THEN NULL "
         "ELSE CAST(1 + (doc_id * 7) % 64 AS INTEGER) END AS height, "
         "CASE WHEN doc_id % 4 = 3 THEN CAST(1 + doc_id % 100 AS BIGINT) "
-        "ELSE NULL END AS duration_ms FROM documents"
+        "ELSE NULL END AS duration_ms, "
+        "CAST(NULL AS BIGINT) AS vsum FROM documents "
+        # pix: the decoder's exact pixel/sample sums recomputed from
+        # the generator's closed form — (x+3y)%251 per pixel (×3
+        # channels for BMP), i%201−100 per WAV sample; GIF stays NULL
+        # (entropy-coded, not stdlib-decodable — by design)
+        "UNION ALL "
+        "SELECT 'pix' AS op, doc_id, CAST(NULL AS BIGINT) AS byte_len, "
+        "CAST(NULL AS VARCHAR) AS content_hash, "
+        "CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif' "
+        "WHEN 2 THEN 'image/bmp' ELSE 'audio/wav' END AS mime, "
+        "CASE WHEN doc_id % 4 IN (0, 2) "
+        "THEN CAST(1 + doc_id % 64 AS INTEGER) END AS width, "
+        "CASE WHEN doc_id % 4 IN (0, 2) "
+        "THEN CAST(1 + (doc_id * 7) % 64 AS INTEGER) END AS height, "
+        "CAST(NULL AS BIGINT) AS duration_ms, "
+        "CASE doc_id % 4 "
+        "WHEN 0 THEN CAST(list_sum(list_transform("
+        "  generate_series(0, (doc_id * 7) % 64), y -> list_sum("
+        "    list_transform(generate_series(0, doc_id % 64), "
+        "                   x -> (x + 3 * y) % 251)))) AS BIGINT) "
+        "WHEN 2 THEN CAST(3 * list_sum(list_transform("
+        "  generate_series(0, (doc_id * 7) % 64), y -> list_sum("
+        "    list_transform(generate_series(0, doc_id % 64), "
+        "                   x -> (x + 3 * y) % 251)))) AS BIGINT) "
+        "WHEN 3 THEN CAST(list_sum(list_transform("
+        "  generate_series(0, 8 * (1 + doc_id % 100) - 1), "
+        "  i -> i % 201 - 100)) AS BIGINT) "
+        "END AS vsum FROM documents"
     ),
     "q57_stateful_totals": (
         "SELECT user_id, COUNT(*) AS n_events, "

@@ -153,3 +153,112 @@ def test_attach_media_meta_is_arrow_batched(spark):
     )
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round 9b: REAL pixel/sample decode (stdlib zlib + struct + wave)
+# ---------------------------------------------------------------------------
+
+def test_decode_png_bmp_wav_patterned_roundtrip():
+    w, h = 33, 47
+    exp = sum(M._pattern_px(x, y) for x in range(w) for y in range(h))
+    wp, hp, ch, px = M.decode_image(M.png_bytes(w, h, pattern=True))
+    assert (wp, hp, ch) == (w, h, 1) and sum(px) == exp
+    wb, hb, chb, pxb = M.decode_image(M.bmp_bytes(w, h, pattern=True))
+    assert (wb, hb, chb) == (w, h, 3) and sum(pxb) == 3 * exp
+    rate, samples = M.decode_audio(M.wav_bytes(8 * 77, pattern=True))
+    assert rate == 8000 and len(samples) == 616
+    assert sum(samples) == sum((i % 201) - 100 for i in range(616))
+    # zero-content variants decode to zero sums
+    assert sum(M.decode_image(M.png_bytes(5, 5))[3]) == 0
+    assert sum(M.decode_image(M.bmp_bytes(5, 5))[3]) == 0
+
+
+def test_decode_png_all_filter_types():
+    """The unfilter loop must handle every RFC 2083 filter, not just
+    the filter-0 rows our own encoder writes: re-encode a known image
+    with each row cycling through none/sub/up/average/paeth and decode
+    it back bit-for-bit."""
+    import struct
+    import zlib
+
+    def png_with_filters(w, h, pixels, filters):
+        def chunk(t, p):
+            return (
+                struct.pack(">I", len(p)) + t + p
+                + struct.pack(">I", zlib.crc32(t + p) & 0xFFFFFFFF)
+            )
+
+        raw = bytearray()
+        prev = bytes(w)
+        for y in range(h):
+            line = bytes(pixels[y * w:(y + 1) * w])
+            f = filters[y % len(filters)]
+            enc = bytearray(line)
+            if f == 1:
+                for x in range(w - 1, 0, -1):
+                    enc[x] = (enc[x] - line[x - 1]) & 0xFF
+            elif f == 2:
+                for x in range(w):
+                    enc[x] = (enc[x] - prev[x]) & 0xFF
+            elif f == 3:
+                for x in range(w):
+                    left = line[x - 1] if x else 0
+                    enc[x] = (enc[x] - ((left + prev[x]) >> 1)) & 0xFF
+            elif f == 4:
+                for x in range(w):
+                    left = line[x - 1] if x else 0
+                    ul = prev[x - 1] if x else 0
+                    enc[x] = (
+                        enc[x] - M._paeth(left, prev[x], ul)
+                    ) & 0xFF
+            raw += bytes([f]) + bytes(enc)
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    w, h = 13, 10
+    pixels = [(x * 7 + y * 31) % 256 for y in range(h) for x in range(w)]
+    got = M.decode_image(png_with_filters(w, h, pixels, [0, 1, 2, 3, 4]))
+    assert got[:3] == (w, h, 1)
+    assert list(got[3]) == pixels
+
+
+def test_decode_unsupported_raises():
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        M.decode_image(M.gif_bytes(3, 3))  # LZW needs an entropy decoder
+
+
+def test_extract_media_content_end_to_end(spark):
+    import pyspark.sql.functions as F
+
+    ids = spark.range(0, 16).select(F.col("id").alias("doc_id"))
+    out = {
+        r["doc_id"]: r
+        for r in M.extract_media_content(
+            M.synthesize_test_media(ids, pattern=True)
+        ).collect()
+    }
+    for i in range(16):
+        r = out[i]
+        kind = i % 4
+        w, h = 1 + i % 64, 1 + (i * 7) % 64
+        if kind == 0:
+            exp = sum(M._pattern_px(x, y) for x in range(w) for y in range(h))
+            assert (r["width"], r["height"], r["channels"]) == (w, h, 1)
+            assert r["vsum"] == exp and r["n_values"] == w * h
+        elif kind == 2:
+            exp = sum(M._pattern_px(x, y) for x in range(w) for y in range(h))
+            assert r["vsum"] == 3 * exp and r["channels"] == 3
+        elif kind == 3:
+            n = 8 * (1 + i % 100)
+            assert r["vsum"] == sum((j % 201) - 100 for j in range(n))
+            assert r["n_values"] == n
+        else:  # gif: sniffed but not stdlib-decodable
+            assert r["mime"] == "image/gif" and r["vsum"] is None
