@@ -1499,8 +1499,11 @@ def contamination_check(
     # distinct-ing the corpus's entire exploded gram stream first
     # (an O(total grams) exchange for an output that only needs the
     # rare hits — measured 4.6 s → the semi-join-first shape at sf0.1).
+    # fan_out: the gram hashing is CPU-bound per row and a small file
+    # count must not bound parallelism (same posture as the tokenizing
+    # operators above)
     hits = (
-        grams(corpus, id_col)
+        grams(fan_out(corpus), id_col)
         .join(ref_grams, "__g", "left_semi")
         .groupBy("__cid")
         .agg(F.count_distinct("__g").alias("n_hits"))
