@@ -7,19 +7,23 @@ resize / frame-sample stages run as Arrow-batched ``mapInPandas`` pipelines
 — the correct shape for 100 TB: batches stream through Python workers with
 columnar transfer, partitioning preserved, no driver involvement.
 
-Pixel/sample decoding is STUBBED (this container has no image/audio
-libraries): ``decode_image``/``decode_audio`` raise NotImplementedError
-behind an import-try, and ``fake_decode`` produces deterministic
-pseudo-features from the bytes so the Spark-side plumbing (schema,
-batching, UDF signatures) is real and testable end-to-end.
+Media decoding is REAL, pure stdlib (r9):
 
-Container METADATA decoding is REAL: :func:`sniff_media` parses
-PNG / GIF / BMP / JPEG headers (dimensions) and RIFF/WAVE chunk lists
-(PCM duration) with pure-stdlib ``struct`` — no imaging library needed,
-because the numbers live in the container header, not the pixel data.
-``attach_media_meta`` runs it as an Arrow-batched pandas UDF, so
-``media_meta`` carries real width/height/duration for those formats
-(and typed NULLs, never garbage, for everything else).
+- METADATA: :func:`sniff_media` parses PNG / GIF / BMP / JPEG headers
+  (dimensions) and RIFF/WAVE chunk lists (PCM duration) with ``struct``;
+  ``attach_media_meta`` runs it as an Arrow-batched pandas UDF, so
+  ``media_meta`` carries real width/height/duration (typed NULLs,
+  never garbage, for unrecognized payloads).
+- CONTENT: :func:`decode_image` decodes PNG (zlib inflate + all five
+  RFC 2083 scanline filters), BMP (bottom-up padded rows), and GIF
+  (full variable-width LZW, :func:`_lzw_decode`); :func:`decode_audio`
+  reads PCM16 WAV samples via the ``wave`` module.
+  :func:`extract_media_content` streams them through ``mapInPandas``.
+
+Only JPEG content decoding (DCT + huffman) still defers to an imaging
+library behind an import-try NotImplementedError; ``fake_decode``
+remains as the deterministic feature-vector stand-in for the
+embedding-model stage a real pipeline would plug in.
 """
 
 from __future__ import annotations
@@ -216,12 +220,14 @@ def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
         return _decode_png(b)
     if b[:2] == b"BM":
         return _decode_bmp(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(b)
     try:
         import PIL.Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "JPEG/GIF decode needs an entropy decoder (PIL) not present "
-            "in this environment; PNG and BMP decode natively here"
+            "JPEG decode needs a DCT+huffman decoder (PIL) not present "
+            "in this environment; PNG, BMP, and GIF decode natively here"
         ) from e
 
 
@@ -317,6 +323,149 @@ def _decode_bmp(b: bytes) -> tuple[int, int, int, bytes]:
     return w, h, 3, bytes(out)
 
 
+def _decode_gif(b: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-stdlib GIF decode: global color table + full variable-width
+    LZW (GIF89a spec appendix F — code widths grow
+    ``min_code_size``+1 → 12 bits, CLEAR resets the dictionary), first
+    image block, non-interlaced. Palette indices are mapped through the
+    color table → (w, h, 3, RGB bytes)."""
+    w, h = struct.unpack("<HH", b[6:10])
+    flags = b[10]
+    i = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = b[i:i + 3 * n]
+        i += 3 * n
+    while i < len(b):
+        blk = b[i]
+        if blk == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(b) and b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+        elif blk == 0x2C:  # image descriptor
+            ix, iy, iw, ih = struct.unpack("<HHHH", b[i + 1:i + 9])
+            lflags = b[i + 9]
+            i += 10
+            ct = gct
+            if lflags & 0x80:
+                n = 2 << (lflags & 0x07)
+                ct = b[i:i + 3 * n]
+                i += 3 * n
+            if lflags & 0x40:
+                raise NotImplementedError("interlaced GIF unsupported")
+            mcs = b[i]
+            i += 1
+            data = bytearray()
+            while i < len(b) and b[i] != 0:
+                ln = b[i]
+                data += b[i + 1:i + 1 + ln]
+                i += 1 + ln
+            idx = _lzw_decode(bytes(data), mcs, iw * ih)
+            if ct is None:
+                raise ValueError("GIF image without a color table")
+            out = bytearray(iw * ih * 3)
+            for p, v in enumerate(idx):
+                out[3 * p:3 * p + 3] = ct[3 * v:3 * v + 3]
+            return iw, ih, 3, bytes(out)
+        elif blk == 0x3B:  # trailer before any image
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{blk:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def _lzw_decode(data: bytes, min_code_size: int, limit: int) -> bytes:
+    """GIF-flavor LZW: LSB-first bit stream, CLEAR/END codes, dict caps
+    at 4096 with code width growing at each power of two."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([c]) for c in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+
+    width = min_code_size + 1
+    reset()
+    acc = bits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == end:
+                return bytes(out[:limit])
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+                if len(table) < 4096:
+                    table.append(entry)
+            else:
+                raise ValueError("corrupt LZW stream")
+            out += entry
+            prev = entry
+            # the decoder's table lags the encoder's by ONE entry (the
+            # encoder adds the boundary entry before emitting the next
+            # code, the decoder on reading it) — so the width grows at
+            # 2^width − 1, not 2^width
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+            if len(out) >= limit:
+                return bytes(out[:limit])
+    return bytes(out[:limit])
+
+
+def _lzw_encode_literal(indices: bytes, min_code_size: int = 8) -> bytes:
+    """A VALID (if uncompressed) GIF LZW stream: every pixel emitted as
+    a literal code, with CLEAR re-issued before the dictionary growth
+    would widen codes past ``min_code_size``+1 bits — the classic
+    'uncompressed GIF' technique; any spec decoder reads it back."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    room = (1 << width) - (clear + 2) - 1  # codes addable before widening
+    acc = bits = 0
+    out = bytearray()
+
+    def emit(code: int):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    emit(clear)
+    since_clear = 0
+    for px in indices:
+        if since_clear >= room:
+            emit(clear)
+            since_clear = 0
+        emit(px)
+        since_clear += 1
+    emit(end)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
 def decode_audio(data: bytes) -> tuple[int, list[int]]:
     """REAL audio decode for PCM16 RIFF/WAVE via the stdlib ``wave``
     module — → (sample_rate, samples as ints, channel-interleaved)."""
@@ -368,9 +517,31 @@ def png_bytes(w: int, h: int, pattern: bool = False) -> bytes:
     )
 
 
-def gif_bytes(w: int, h: int) -> bytes:
-    """Minimal GIF89a: header + logical screen descriptor + trailer."""
-    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00" + b"\x3b"
+def gif_bytes(w: int, h: int, pattern: bool = False) -> bytes:
+    """GIF89a. Plain: header + logical screen descriptor + trailer
+    (metadata-only — enough for the sniffer). ``pattern``: a COMPLETE
+    image — 256-entry grayscale global color table (palette[i] =
+    (i,i,i)), image descriptor, and :func:`_lzw_encode_literal` pixel
+    data of :func:`_pattern_px` in ≤255-byte sub-blocks — every spec
+    decoder (including :func:`_decode_gif`) reads it back; RGB pixel
+    sum = 3 × Σ pattern, same closed form as the BMP."""
+    head = b"GIF89a" + struct.pack("<HH", w, h)
+    if not pattern:
+        return head + b"\x00\x00\x00" + b"\x3b"
+    # flags: GCT present, 8-bit color resolution, 256-entry table
+    head += bytes((0xF7, 0, 0))
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    desc = b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    idx = bytes(
+        _pattern_px(x, y) for y in range(h) for x in range(w)
+    )
+    lzw = _lzw_encode_literal(idx, 8)
+    blocks = bytearray([8])  # min LZW code size
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    return head + gct + desc + bytes(blocks) + b"\x3b"
 
 
 def bmp_bytes(w: int, h: int, pattern: bool = False) -> bytes:
@@ -438,7 +609,7 @@ def synthesize_test_media(
             if kind == 0:
                 out.append(png_bytes(w, h, pattern=pat))
             elif kind == 1:
-                out.append(gif_bytes(w, h))
+                out.append(gif_bytes(w, h, pattern=pat))
             elif kind == 2:
                 out.append(bmp_bytes(w, h, pattern=pat))
             else:
@@ -513,9 +684,11 @@ def extract_media_content(
     (mapInPandas): PNG/BMP pixels via :func:`decode_image` (numpy sum
     over the decoded bytes), WAV PCM16 samples via
     :func:`decode_audio`. One row per input with
-    (mime, width, height, channels, n_values, vsum); payloads the
-    stdlib cannot entropy-decode (JPEG/GIF) or that are not media keep
-    their sniffed mime and NULL stats — typed NULLs, never garbage.
+    (mime, width, height, channels, n_values, vsum); GIF decodes via
+    the pure-python LZW in :func:`_decode_gif`. Payloads the stdlib
+    cannot decode (JPEG, content-less containers) or that are not media
+    keep their sniffed mime and NULL stats — typed NULLs, never
+    garbage.
     ``vsum`` (Σ pixel bytes / Σ samples) is exact integer arithmetic,
     so generated patterned media is verifiable by a SQL oracle."""
 
@@ -528,7 +701,7 @@ def extract_media_content(
                 mime = sniff_media(b)[0]
                 w = h = ch = nv = vs = None
                 try:
-                    if mime in ("image/png", "image/bmp"):
+                    if mime in ("image/png", "image/bmp", "image/gif"):
                         w, h, ch, px = decode_image(b)
                         arr = np.frombuffer(px, dtype=np.uint8)
                         nv, vs = int(arr.size), int(

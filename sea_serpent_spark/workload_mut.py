@@ -337,8 +337,10 @@ def q53_media_features(spark, sf_dir):
       ``extract_media_content`` (PNG zlib+unfilter, BMP rows, WAV PCM16
       via the stdlib ``wave`` module), emitting the exact integer
       value SUM — which the oracle recomputes from the closed form, so
-      the hash check verifies every decoded byte, not just headers.
-      GIF is entropy-coded (LZW) and stays NULL-stats by design."""
+      the hash check verifies every decoded byte, not just headers —
+      INCLUDING the GIF branch, whose pure-python variable-width LZW
+      (multimodal.py _lzw_decode) reads back the spec-valid LZW stream
+      the generator writes."""
     from .operators import multimodal as mm
 
     docs = _df(spark, sf_dir, "documents")
@@ -595,13 +597,19 @@ ORACLES_MUT: dict[str, str] = {
         "CAST(NULL AS VARCHAR) AS content_hash, "
         "CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif' "
         "WHEN 2 THEN 'image/bmp' ELSE 'audio/wav' END AS mime, "
-        "CASE WHEN doc_id % 4 IN (0, 2) "
+        "CASE WHEN doc_id % 4 IN (0, 1, 2) "
         "THEN CAST(1 + doc_id % 64 AS INTEGER) END AS width, "
-        "CASE WHEN doc_id % 4 IN (0, 2) "
+        "CASE WHEN doc_id % 4 IN (0, 1, 2) "
         "THEN CAST(1 + (doc_id * 7) % 64 AS INTEGER) END AS height, "
         "CAST(NULL AS BIGINT) AS duration_ms, "
         "CASE doc_id % 4 "
         "WHEN 0 THEN CAST(list_sum(list_transform("
+        "  generate_series(0, (doc_id * 7) % 64), y -> list_sum("
+        "    list_transform(generate_series(0, doc_id % 64), "
+        "                   x -> (x + 3 * y) % 251)))) AS BIGINT) "
+        # GIF decodes through the pure-python LZW; grayscale palette ->
+        # RGB sum = 3 x pattern, same closed form as the BMP
+        "WHEN 1 THEN CAST(3 * list_sum(list_transform("
         "  generate_series(0, (doc_id * 7) % 64), y -> list_sum("
         "    list_transform(generate_series(0, doc_id % 64), "
         "                   x -> (x + 3 * y) % 251)))) AS BIGINT) "

@@ -229,10 +229,86 @@ def test_decode_png_all_filter_types():
 
 
 def test_decode_unsupported_raises():
+    import struct
+
     import pytest as _pytest
 
+    # JPEG content (DCT+huffman) stays behind the imaging-library stub
+    jpeg = (
+        b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 2, 2) + b"\x01\x11\x00" + b"\xff\xd9"
+    )
     with _pytest.raises(NotImplementedError):
-        M.decode_image(M.gif_bytes(3, 3))  # LZW needs an entropy decoder
+        M.decode_image(jpeg)
+    # a content-less GIF (header+trailer only) has no image to decode
+    with _pytest.raises(ValueError):
+        M.decode_image(M.gif_bytes(3, 3))
+
+
+def test_decode_gif_lzw_roundtrip():
+    """The generator's spec-valid literal LZW stream AND a real
+    compressing encoder's stream (width growth 9→12 bits, 4096-cap
+    CLEAR resets, the KwKwK case) both decode exactly."""
+    for (w, h) in ((1, 1), (33, 47), (64, 64)):
+        wd, hd, ch, px = M.decode_image(M.gif_bytes(w, h, pattern=True))
+        exp = 3 * sum(
+            M._pattern_px(x, y) for x in range(w) for y in range(h)
+        )
+        assert (wd, hd, ch) == (w, h, 3) and sum(px) == exp
+
+    def lzw_encode_full(indices, mcs=8):
+        clear, end = 1 << mcs, (1 << mcs) + 1
+        out = bytearray()
+        buf = {"acc": 0, "bits": 0}
+        state = {"width": mcs + 1}
+
+        def em(code):
+            buf["acc"] |= code << buf["bits"]
+            buf["bits"] += state["width"]
+            while buf["bits"] >= 8:
+                out.append(buf["acc"] & 0xFF)
+                buf["acc"] >>= 8
+                buf["bits"] -= 8
+
+        def fresh():
+            state["width"] = mcs + 1
+            return {bytes([c]): c for c in range(clear)}, end + 1
+
+        em(clear)
+        table, nxt = fresh()
+        wbuf = b""
+        for cc in bytes(indices):
+            t = wbuf + bytes([cc])
+            if t in table:
+                wbuf = t
+                continue
+            em(table[wbuf])
+            if nxt < 4096:
+                table[t] = nxt
+                nxt += 1
+                if nxt == (1 << state["width"]) and state["width"] < 12:
+                    state["width"] += 1
+            else:
+                em(clear)
+                table, nxt = fresh()
+            wbuf = bytes([cc])
+        if wbuf:
+            em(table[wbuf])
+        em(end)
+        if buf["bits"]:
+            out.append(buf["acc"] & 0xFF)
+        return bytes(out)
+
+    import random
+
+    rng = random.Random(7)
+    for data in (
+        bytes(rng.randrange(256) for _ in range(4000)) + bytes(2000),
+        bytes(3) * 3000 + b"\x07" * 3000,
+        bytes(rng.randrange(256) for _ in range(20000)),  # cap resets
+        b"\x01" * 8,  # KwKwK
+    ):
+        assert M._lzw_decode(lzw_encode_full(data), 8, len(data)) == data
 
 
 def test_extract_media_content_end_to_end(spark):
@@ -260,5 +336,8 @@ def test_extract_media_content_end_to_end(spark):
             n = 8 * (1 + i % 100)
             assert r["vsum"] == sum((j % 201) - 100 for j in range(n))
             assert r["n_values"] == n
-        else:  # gif: sniffed but not stdlib-decodable
-            assert r["mime"] == "image/gif" and r["vsum"] is None
+        else:  # gif: pure-python LZW decode, grayscale palette → RGB
+            exp = sum(M._pattern_px(x, y) for x in range(w) for y in range(h))
+            assert r["mime"] == "image/gif"
+            assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+            assert r["vsum"] == 3 * exp
