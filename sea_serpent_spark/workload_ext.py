@@ -403,7 +403,20 @@ def q41_ann_topk(spark, sf_dir):
     part plain LSH can't see: nprobe=2 on the axis buckets means each
     query also probes the bucket one smallest-|margin| bit-flip away
     (ties → lowest dim), so the oracle recomputes argmin(|v[i]|, i) and
-    XORs the flip into the base bucket."""
+    XORs the flip into the base bucket.
+
+    The persisted-index branch (``ivfp``, round 9) exercises the FULL
+    production artifact path: ``build_ivf_index`` writes the corpus
+    list-partitioned by its pinned-centroid assignment + quantizer
+    sidecar, and ``ivf_index_topk`` probes it with nprobe=2 — probe
+    selection (affinity desc, index asc ties), literal partition
+    pruning, and ranking all replayed by the oracle in all-double
+    arithmetic (the r7 fold-parity route)."""
+    import tempfile
+
+    from .operators.ann_index import build_ivf_index, ivf_index_topk
+    from .operators.pinned import SEMDEDUP_CENTROIDS
+
     e = df(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 20)
     brute = S.brute_force_topk(e, q, k=5).withColumn(
@@ -421,9 +434,14 @@ def q41_ann_topk(spark, sf_dir):
         PQ_CODEBOOKS,
         k=3,
     ).withColumn("method", F.lit("pq"))
+    idx_path = tempfile.mkdtemp(prefix="ss_ivf_") + "/idx"
+    build_ivf_index(ed, idx_path, centroids=SEMDEDUP_CENTROIDS)
+    ivfp = ivf_index_topk(
+        spark, idx_path, ed.where(F.col("vec_id") < 20), k=3, nprobe=2
+    ).withColumn("method", F.lit("ivfp"))
     return (
         brute.unionByName(lsh).unionByName(mp)
-        .unionByName(ivf).unionByName(pq)
+        .unionByName(ivf).unionByName(pq).unionByName(ivfp)
     )
 
 
@@ -746,6 +764,18 @@ _SEM_BEST = "list_max([" + ", ".join(
     for j, c in enumerate(SEMDEDUP_CENTROIDS)
 ) + "])"
 
+# top-2 probe lists for the persisted-IVF branch: sort struct(−s, i)
+# ascending = affinity desc with index-asc ties — exactly
+# ann_index.ivf_probes' array_sort semantics
+_IVF_PROBES2 = (
+    "list_transform(list_sort(["
+    + ", ".join(
+        "{'ns': -(%s), 'i': %d}" % (_affinity_sql("v", "nv", c), j)
+        for j, c in enumerate(SEMDEDUP_CENTROIDS)
+    )
+    + "]), x -> x.i)[1:2]"
+)
+
 _PQ_M = len(PQ_CODEBOOKS)
 _PQ_KSUB = len(PQ_CODEBOOKS[0])
 _PQ_DSUB = len(PQ_CODEBOOKS[0][0])
@@ -1044,12 +1074,37 @@ pq AS (
     SELECT query_id, neighbor_id,
       ROW_NUMBER() OVER (PARTITION BY query_id
                          ORDER BY d ASC, neighbor_id ASC) AS rank
-    FROM pq_scored) WHERE rank <= 3)
+    FROM pq_scored) WHERE rank <= 3),
+ivfp_nrm AS (
+  SELECT vec_id, v,
+    greatest(sqrt(list_sum(list_transform(v, x -> x * x))), 1e-12) AS nv
+  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+        AS v FROM embeddings)),
+ivfp_asg AS (
+  SELECT vec_id AS neighbor_id, v AS cv, nv AS nc,
+         ({_SEM_BEST}).i AS lbl
+  FROM ivfp_nrm),
+ivfp_q AS (
+  SELECT vec_id AS query_id, v AS qv, nv AS nq, {_IVF_PROBES2} AS probes
+  FROM ivfp_nrm WHERE vec_id < 20),
+ivfp_scored AS (
+  SELECT query_id, neighbor_id,
+    list_sum(list_transform(generate_series(1, len(qv)),
+                            i -> qv[i] * cv[i])) / (nq * nc) AS cos
+  FROM ivfp_asg JOIN ivfp_q ON list_contains(probes, lbl)
+  WHERE neighbor_id != query_id),
+ivfp AS (
+  SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM ivfp_scored) WHERE rank <= 3)
 SELECT 'brute' AS method, * FROM brute
 UNION ALL SELECT 'lsh' AS method, * FROM lsh
 UNION ALL SELECT 'lsh_mp' AS method, * FROM lsh_mp
 UNION ALL SELECT 'ivf' AS method, * FROM ivf
 UNION ALL SELECT 'pq' AS method, * FROM pq
+UNION ALL SELECT 'ivfp' AS method, * FROM ivfp
 """,
     "q58_asof_join": """
 WITH snap AS (

@@ -1,0 +1,96 @@
+"""Persisted IVF index (operators/ann_index.py): build → probe parity
+with the in-memory operator, partition pruning in the probe plan, and
+multi-probe recall monotonicity."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from sea_serpent_spark.operators import ann_index as A
+from sea_serpent_spark.operators import similarity as S
+from sea_serpent_spark.operators.pinned import SEMDEDUP_CENTROIDS
+
+
+@pytest.fixture(scope="module")
+def vectors(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, vectors, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("ann") / "idx")
+    cents = A.build_ivf_index(vectors, p, centroids=SEMDEDUP_CENTROIDS)
+    assert cents == SEMDEDUP_CENTROIDS
+    return p
+
+
+def _ranks(df):
+    return {
+        (r["query_id"], r["rank"]): r["neighbor_id"] for r in df.collect()
+    }
+
+
+def test_nprobe1_equals_in_memory_ivf(spark, vectors, index_path):
+    """With the same quantizer and nprobe=1 the persisted probe equals
+    ivf_topk over ivf_assign-labeled frames — the exactness contract."""
+    q = vectors.where(F.col("vec_id") < 20)
+    ref = _ranks(
+        S.ivf_topk(
+            S.ivf_assign(vectors, SEMDEDUP_CENTROIDS),
+            S.ivf_assign(q, SEMDEDUP_CENTROIDS),
+            k=3,
+        )
+    )
+    got = _ranks(A.ivf_index_topk(spark, index_path, q, k=3, nprobe=1))
+    assert got == ref and got
+
+
+def test_probe_scan_prunes_partitions(spark, vectors, index_path):
+    """A single query's probe reads ONLY its probed list directory —
+    literal PartitionFilters on the label partition column."""
+    one = vectors.where(F.col("vec_id") == 5)
+    out = A.ivf_index_topk(spark, index_path, one, k=3, nprobe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*label[^\]]*\]", plan)
+    assert m, "no label partition filter in the probe plan"
+    assert out.count() == 3
+
+
+def test_multi_probe_recall_monotone(spark, vectors, index_path):
+    """nprobe=2 candidates ⊇ nprobe=1 candidates per query, so ranked
+    results can only get closer to brute force; with nprobe = all
+    lists, the persisted probe EQUALS brute force exactly."""
+    q = vectors.where(F.col("vec_id") < 20)
+    brute = _ranks(S.brute_force_topk(vectors, q, k=3))
+    full = _ranks(
+        A.ivf_index_topk(
+            spark, index_path, q, k=3, nprobe=len(SEMDEDUP_CENTROIDS)
+        )
+    )
+    assert full == brute
+
+    def top1_cos_hits(nprobe):
+        got = _ranks(
+            A.ivf_index_topk(spark, index_path, q, k=3, nprobe=nprobe)
+        )
+        return sum(
+            1 for key, nb in got.items() if brute.get(key) == nb
+        )
+
+    assert top1_cos_hits(2) >= top1_cos_hits(1)
+
+
+def test_sidecar_roundtrip(spark, index_path):
+    df, cents = A.read_ivf_index(spark, index_path)
+    assert cents == SEMDEDUP_CENTROIDS
+    assert set(df.columns) >= {"vec_id", "embedding", "label"}
+    # lists partition the corpus: every vector appears exactly once
+    n = df.count()
+    assert df.select("vec_id").distinct().count() == n
+
+
+def test_probes_staging_collision_guard(spark, vectors):
+    bad = vectors.withColumn("__an", F.lit(1))
+    with pytest.raises(ValueError):
+        A.ivf_probes(bad, SEMDEDUP_CENTROIDS)
