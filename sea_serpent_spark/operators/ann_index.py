@@ -44,6 +44,10 @@ from .util import fan_out
 
 _ANN_META = "_ivf_index_meta.json"
 
+#: Query batches at or under this many (query, probe) rows broadcast in
+#: the candidate join; ~512 B/row at dim=64 → ≈250 MB worst case.
+_QUERY_BROADCAST_CAP = 500_000
+
 
 def build_ivf_index(
     corpus: DataFrame,
@@ -140,8 +144,10 @@ def ivf_index_topk(
     ids (≤ centroid count, a CONSTANT-bounded collect) become literal
     partition predicates so the index scan opens only probed
     directories; the candidate join is (list id)-keyed with the query
-    side exploded per probe and broadcast while small (AQE decides);
-    ranking is the standard per-query window."""
+    side exploded per probe and broadcast under a count gate (the list
+    id is deliberately low-cardinality, so the shuffle fallback bounds
+    parallelism by |probed| — split bulk batches instead); ranking is
+    the standard per-query window."""
     with open(os.path.join(path, _ANN_META)) as fh:
         centroids = json.load(fh)["centroids"]
     q = ivf_probes(
@@ -166,8 +172,16 @@ def ivf_index_topk(
         F.greatest(norm(F.col(vec_col)), F.lit(1e-12)).alias("nc"),
         "label",
     )
+    # the candidate join is keyed on the LIST id — a deliberately
+    # low-cardinality key, so a shuffle join would collapse to
+    # ≤ |probed| reducers. Broadcasting the (exploded) query side keeps
+    # the index side map-local — but only while the batch is genuinely
+    # broadcastable; a bulk scoring job (millions of queries) falls
+    # back to the shuffle join and should split its batch instead.
+    if q.count() <= _QUERY_BROADCAST_CAP:
+        q = F.broadcast(q)
     scored = (
-        idx.join(F.broadcast(q), "label")
+        idx.join(q, "label")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
