@@ -216,12 +216,18 @@ def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
     ``PIL.Image.open`` inside the same mapInPandas worker; the
     Spark-side pipeline is format-agnostic either way."""
     b = bytes(data or b"")
-    if b[:8] == b"\x89PNG\r\n\x1a\n":
-        return _decode_png(b)
-    if b[:2] == b"BM":
-        return _decode_bmp(b)
-    if b[:6] in (b"GIF87a", b"GIF89a"):
-        return _decode_gif(b)
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            return _decode_png(b)
+        if b[:2] == b"BM":
+            return _decode_bmp(b)
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            return _decode_gif(b)
+    except (struct.error, zlib.error, IndexError) as e:
+        # truncated/corrupted container (the common scrape defect) —
+        # surface ONE clean error type, never a raw codec exception
+        # (found by the hypothesis fuzz over valid-prefix + garbage)
+        raise ValueError(f"corrupt or truncated container: {e}") from e
     try:
         import PIL.Image  # noqa: F401
     except ImportError as e:
@@ -468,14 +474,21 @@ def _lzw_encode_literal(indices: bytes, min_code_size: int = 8) -> bytes:
 
 def decode_audio(data: bytes) -> tuple[int, list[int]]:
     """REAL audio decode for PCM16 RIFF/WAVE via the stdlib ``wave``
-    module — → (sample_rate, samples as ints, channel-interleaved)."""
+    module — → (sample_rate, samples as ints, channel-interleaved).
+    Truncated/corrupt input raises ValueError (one clean error type)."""
     import io
     import wave
 
-    wf = wave.open(io.BytesIO(bytes(data)))
-    if wf.getsampwidth() != 2:
-        raise NotImplementedError("PCM16 only")
-    frames = wf.readframes(wf.getnframes())
+    try:
+        wf = wave.open(io.BytesIO(bytes(data)))
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError("PCM16 only")
+        frames = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError, struct.error,
+            RuntimeError, OSError) as e:
+        # the stdlib wave module leaks bare RuntimeError/OSError on some
+        # corrupted chunk layouts (found by fuzzing) — normalize them
+        raise ValueError(f"corrupt or truncated WAV: {e}") from e
     n = len(frames) // 2
     return wf.getframerate(), list(
         struct.unpack(f"<{n}h", frames)
@@ -711,8 +724,8 @@ def extract_media_content(
                         _, samples = decode_audio(b)
                         a = np.asarray(samples, dtype=np.int64)
                         nv, vs = int(a.size), int(a.sum())
-                except NotImplementedError:
-                    pass  # entropy-coded format — stats stay NULL
+                except (NotImplementedError, ValueError):
+                    pass  # undecodable/corrupt payload — stats stay NULL
                 rows.append((int(rid), mime, w, h, ch, nv, vs))
             yield pd.DataFrame(
                 rows,

@@ -341,3 +341,51 @@ def test_extract_media_content_end_to_end(spark):
             assert r["mime"] == "image/gif"
             assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
             assert r["vsum"] == 3 * exp
+
+
+# ---------------------------------------------------------------------------
+# fuzz: scraped-data robustness — decoders must fail CLEANLY on garbage
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=400))
+def test_sniff_media_never_raises(data):
+    out = M.sniff_media(data)
+    assert isinstance(out, tuple) and len(out) == 5
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=400))
+def test_decode_image_fails_cleanly_on_garbage(data):
+    """Arbitrary bytes → either a clean decode (if they accidentally
+    form a valid container) or ValueError/NotImplementedError — never
+    an unhandled IndexError/struct.error/zlib crash."""
+    try:
+        M.decode_image(data)
+    except (ValueError, NotImplementedError):
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=300))
+def test_decoders_on_corrupted_valid_prefixes(data):
+    """A REAL container header followed by garbage must also fail
+    cleanly (truncation/corruption mid-file is the common scrape
+    defect)."""
+    for prefix in (
+        M.png_bytes(5, 4, pattern=True)[:30],
+        M.bmp_bytes(5, 4, pattern=True)[:40],
+        M.gif_bytes(5, 4, pattern=True)[:25],
+    ):
+        try:
+            M.decode_image(prefix + data)
+        except (ValueError, NotImplementedError):
+            pass
+    try:
+        M.decode_audio(M.wav_bytes(16, pattern=True)[:30] + data)
+    except (ValueError, NotImplementedError):
+        pass  # wave.Error et al. are converted to ValueError
