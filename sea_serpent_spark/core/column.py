@@ -46,6 +46,18 @@ class Column:
         # AttributeReference only resolves against the exact plan it was
         # captured from. Existence is still validated eagerly; backticks
         # keep literal dots/spaces in names from parsing as field access.
+        #
+        # RESTRICTION (documented contract): being name-based, the
+        # expression resolves by NAME in whatever plan it is applied to.
+        # Filters/Columns built from one table must be applied through
+        # that table's own verbs (filter/loc/assign) — using one inside
+        # a context holding ANOTHER frame with the same column name
+        # (self-joins, post-merge frames with duplicate names) is
+        # ambiguous and raises AMBIGUOUS_REFERENCE instead of silently
+        # picking a side, which is the safe failure mode. Every engine
+        # join (link/merge/fuzzy/temporal) aliases or drops duplicate
+        # names before exposing the result, so the ambiguity cannot be
+        # hit through the public API.
         if self.name not in self.table.df.columns:
             raise KeyError(self.name)
         return F.col("`" + self.name.replace("`", "``") + "`")

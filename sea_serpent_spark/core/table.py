@@ -55,8 +55,14 @@ class Table:
         order_col: str | None = None,
         store=None,
         read_only: bool = False,
+        version: int | None = None,
     ):
         self.df = df
+        #: Store version this handle's df was read at (managed tables
+        #: only) — stats pruning re-reads files WITHIN this version, so
+        #: a handle never mixes its pinned plan with a newer manifest
+        #: written through another handle.
+        self._version = version
         self.name = name
         self.spark = spark or df.sparkSession
         self.id_col = id_col if (id_col and id_col in df.columns) else (
@@ -438,12 +444,19 @@ class Table:
         already-transformed plan is never swapped out)."""
         if (
             self.store is None
+            or self._version is None
             or getattr(self, "_bundle", None) is not None
             or not getattr(pred, "terms", ())
         ):
             return None
         try:
-            return self.store.scan_stats_pruned(self.name, pred.terms)
+            # prune within the HANDLE's version, not the store's current
+            # one — another handle may have committed since this one was
+            # opened, and mixing manifests would return an inconsistent
+            # snapshot (filter results from v+1, count()/iloc from v).
+            return self.store.scan_stats_pruned(
+                self.name, pred.terms, version=self._version
+            )
         except Exception:
             return None
 
@@ -1328,12 +1341,15 @@ class Table:
         table. No-op for derived/unmanaged/bundled tables."""
         if (
             self.store is None
+            or self._version is None
             or self.id_col != "_id"
             or getattr(self, "_bundle", None) is not None
         ):
             return self
         try:
-            pruned = self.store.read_pruned(self.name, list(ids))
+            pruned = self.store.read_pruned(
+                self.name, list(ids), version=self._version
+            )
         except Exception:
             return self
         if pruned is None:

@@ -49,7 +49,9 @@ class BundleEdits:
         self.table._bundle = None
         if exc_type is not None:
             # abandon queued edits; reload committed state
-            self.table.df = self.table.store.table(self.table.name).df
+            fresh = self.table.store.table(self.table.name)
+            self.table.df = fresh.df
+            self.table._version = fresh._version
             return False
         if self._df is not None:
             combined = None
@@ -82,5 +84,7 @@ class BundleEdits:
                 touched="oplog" if (all_oplog and combined is not None) else None,
                 transform=composed,
             )
-            self.table.df = self.table.store.table(self.table.name).df
+            fresh = self.table.store.table(self.table.name)
+            self.table.df = fresh.df
+            self.table._version = fresh._version
         return False

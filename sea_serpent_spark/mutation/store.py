@@ -450,7 +450,16 @@ class Base:
                 manifest.setdefault(b, []).append(p)
             cstats = dict(prev_stats)
             for b, cs in _fresh_stats().items():
-                cstats[b] = _merge_stats(prev_stats.get(b), cs)
+                if b in prev_stats:
+                    cstats[b] = _merge_stats(prev_stats[b], cs)
+                elif int(b) not in prev:
+                    # genuinely new bucket — this commit's files are ALL
+                    # of its files, so the fresh bounds are the bounds
+                    cstats[b] = cs
+                # else: legacy bucket (has files but no recorded stats,
+                # written before cstats existed) — leave it stat-less so
+                # _bucket_may_match keeps it. Recording only the fresh
+                # files' bounds would prune rows living in the old files.
             rewrite = "append"
         elif touched == "oplog" and prev is not None and oplog is not None:
             # read back ONLY this commit's oplog files (listed above) —
@@ -566,7 +575,9 @@ class Base:
             raise FileNotFoundError(f"no versions for table {name!r}")
         return max(e["version"] for e in hist)
 
-    def scan_stats_pruned(self, name: str, terms) -> DataFrame | None:
+    def scan_stats_pruned(
+        self, name: str, terms, version: int | None = None
+    ) -> DataFrame | None:
         """Current-version scan restricted to buckets whose min/max
         statistics can satisfy every predicate conjunct — the
         data-skipping half of the manifest (Delta stats pruning), and the
@@ -574,11 +585,14 @@ class Base:
         ``Filter.terms``: sound conjuncts (col, op, literal), so a bucket
         failing ANY term provably holds no matching row. Returns None
         when pruning can't help (no terms, no stats, legacy layout, or
-        every bucket survives)."""
+        every bucket survives). ``version`` pins the manifest consulted
+        (a Table handle passes the version its df was read at, so a
+        concurrent commit through another handle can't skew the
+        snapshot); None means current."""
         terms = list(terms or ())
         if not terms:
             return None
-        v = self._current_version(name)
+        v = self._current_version(name) if version is None else version
         entry = self._log_entry(name, v)
         files = entry.get("files")
         cstats = entry.get("cstats")
@@ -601,16 +615,19 @@ class Base:
             return self.spark.createDataFrame([], schema)
         return self._normalized_read(entry, paths)
 
-    def read_pruned(self, name: str, row_ids) -> DataFrame | None:
-        """Current-version scan restricted to the bucket files owning
+    def read_pruned(
+        self, name: str, row_ids, version: int | None = None
+    ) -> DataFrame | None:
+        """Version scan restricted to the bucket files owning
         ``row_ids`` — the read-side half of the COW layout: a point
         lookup opens 1/bucket_count of the table's files instead of all
         of them. Returns None when pruning can't help (legacy layout,
-        huge id list, or every bucket touched)."""
+        huge id list, or every bucket touched). ``version`` pins the
+        manifest consulted (see scan_stats_pruned); None means current."""
         row_ids = [str(r) for r in row_ids]
         if not row_ids or len(row_ids) > 10_000:
             return None
-        v = self._current_version(name)
+        v = self._current_version(name) if version is None else version
         manifest = self._manifest(name, v)
         if manifest is None:
             return None
@@ -703,6 +720,7 @@ class Base:
             order_col="_seq",
             store=None if pinned else self,
             read_only=read_only or pinned,
+            version=version,
         )
 
     def _version_at(self, name: str, at: str | datetime) -> int:
@@ -993,7 +1011,9 @@ class Base:
             return
         self._commit(table.name, new_df, op, detail, oplog, touched,
                      append_df, transform)
-        table.df = self.table(table.name).df
+        fresh = self.table(table.name)
+        table.df = fresh.df
+        table._version = fresh._version
 
     def _oplog_entries(
         self, table: Table, old_df: DataFrame, new_col: str, new_expr

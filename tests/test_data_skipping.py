@@ -119,6 +119,68 @@ def test_stats_merge_on_append(base, skiptable):
     ) == [1_000_007, 1_000_077, 1_000_177, 5_000_000]
 
 
+def test_append_onto_legacy_no_cstats_version_keeps_old_rows(
+    base, skiptable
+):
+    """ADVICE r9 (medium): a version written before cstats existed has
+    files but no stats. An append must NOT record the fresh files'
+    bounds as the whole bucket's stats — that would falsely prune the
+    legacy rows out of filter results."""
+    import json
+
+    lp = base._log_path("skiptable")
+    with open(lp) as f:
+        entries = [json.loads(ln) for ln in f if ln.strip()]
+    for e in entries:  # simulate the pre-cstats log format
+        e.pop("cstats", None)
+    with open(lp, "w") as f:
+        for e in entries:
+            f.write(json.dumps(e) + "\n")
+    t = base.table("skiptable")
+    # enough appended rows that every bucket almost surely gets a file
+    extra = pd.DataFrame(
+        {
+            "v": [5_000_000 + i for i in range(64)],
+            "s": [f"zz{i:02d}" for i in range(64)],
+        }
+    )
+    t.append(extra)
+    t = base.table("skiptable")
+    # the LEGACY outlier must still be findable: pre-fix the appended
+    # bucket's stats were the fresh-file bounds ([~5e6, ~5e6]) and the
+    # equality read pruned the old row away
+    assert t.loc[t.v == 1_000_007].to_frame()["v"].tolist() == [1_000_007]
+    assert len(t.loc[t.v >= 5_000_000].to_frame()) == 64
+    # buckets that existed pre-append (legacy, stat-less) must have NO
+    # stats entry in the new manifest; genuinely new buckets may
+    entry = base._log_entry("skiptable", base._current_version("skiptable"))
+    prev_buckets = {
+        b for e in entries if e.get("files") for b in e["files"]
+    }
+    for b in entry.get("cstats", {}):
+        assert b not in prev_buckets, (
+            f"bucket {b} existed pre-cstats but got (unsound) stats"
+        )
+
+
+def test_stats_prune_version_skew(base, skiptable):
+    """ADVICE r9 (medium): filter through a handle must reflect the
+    version that handle's df was read at — a commit through ANOTHER
+    handle must not leak newer buckets into its pruned reads."""
+    a = base.table("skiptable")
+    b = base.table("skiptable")
+    b.loc[b.v == 1_000_077, "v"] = 9_000_000
+    # handle a still sees the OLD snapshot — consistently across the
+    # pruned filter path and the plain scan
+    assert a.loc[a.v == 1_000_077].to_frame()["v"].tolist() == [1_000_077]
+    assert a.loc[a.v == 9_000_000].to_frame().empty
+    assert (a.to_frame()["v"] == 1_000_077).sum() == 1
+    # handle b and a fresh handle see the new state
+    assert b.loc[b.v == 9_000_000].to_frame()["v"].tolist() == [9_000_000]
+    c = base.table("skiptable")
+    assert c.loc[c.v == 1_000_077].to_frame().empty
+
+
 def test_bucket_may_match_unit():
     st = {"c0001": [10, 20], "c0002": ["aa", "mm"], "c0003": [None, None]}
     ok = _bucket_may_match
