@@ -15,15 +15,17 @@ Media decoding is REAL, pure stdlib (r9):
   ``media_meta`` carries real width/height/duration (typed NULLs,
   never garbage, for unrecognized payloads).
 - CONTENT: :func:`decode_image` decodes PNG (zlib inflate + all five
-  RFC 2083 scanline filters), BMP (bottom-up padded rows), and GIF
-  (full variable-width LZW, :func:`_lzw_decode`); :func:`decode_audio`
-  reads PCM16 WAV samples via the ``wave`` module.
-  :func:`extract_media_content` streams them through ``mapInPandas``.
+  RFC 2083 scanline filters), BMP (bottom-up padded rows), GIF
+  (full variable-width LZW, :func:`_lzw_decode`), and JPEG
+  (baseline-sequential: huffman + dequant + 8×8 IDCT + YCbCr→RGB,
+  :func:`_decode_jpeg` — r10); :func:`decode_audio` reads PCM16 WAV
+  samples via the ``wave`` module. :func:`extract_media_content`
+  streams them through ``mapInPandas``.
 
-Only JPEG content decoding (DCT + huffman) still defers to an imaging
-library behind an import-try NotImplementedError; ``fake_decode``
-remains as the deterministic feature-vector stand-in for the
-embedding-model stage a real pipeline would plug in.
+Progressive JPEG is the one remaining content stub (raises
+NotImplementedError); ``fake_decode`` remains as the deterministic
+feature-vector stand-in for the embedding-model stage a real pipeline
+would plug in.
 """
 
 from __future__ import annotations
@@ -202,7 +204,7 @@ def attach_media_meta(
 
 
 def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
-    """REAL pixel decode for the stdlib-decodable containers —
+    """REAL pixel decode, pure stdlib + numpy —
     → (width, height, channels, pixel bytes, row-major, top-down).
 
     - PNG: zlib inflate + full scanline UNFILTERING (all five filter
@@ -210,11 +212,16 @@ def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
       gray/RGB/gray+alpha/RGBA, non-interlaced (:func:`_decode_png`).
     - BMP: bottom-up padded 24-bit rows re-ordered to top-down BGR
       (:func:`_decode_bmp`).
+    - GIF: full variable-width LZW + palette mapping
+      (:func:`_decode_gif` / :func:`_lzw_decode`).
+    - JPEG: baseline-sequential JFIF from scratch — huffman entropy
+      decode, dequantize, 8×8 IDCT, chroma upsample, YCbCr→RGB
+      (:func:`_decode_jpeg`). Progressive/hierarchical scans raise
+      NotImplementedError (baseline covers the overwhelming share of
+      scraped JPEGs; the production note stays: a PIL-backed decoder
+      drops into the same mapInPandas worker unchanged).
 
-    Entropy-coded formats stay out of stdlib reach: JPEG (DCT+huffman)
-    and GIF (LZW) raise NotImplementedError with the production note —
-    ``PIL.Image.open`` inside the same mapInPandas worker; the
-    Spark-side pipeline is format-agnostic either way."""
+    Unrecognized containers raise ValueError."""
     b = bytes(data or b"")
     try:
         if b[:8] == b"\x89PNG\r\n\x1a\n":
@@ -223,18 +230,15 @@ def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
             return _decode_bmp(b)
         if b[:6] in (b"GIF87a", b"GIF89a"):
             return _decode_gif(b)
-    except (struct.error, zlib.error, IndexError) as e:
+        if b[:3] == b"\xff\xd8\xff":
+            return _decode_jpeg(b)
+    except (struct.error, zlib.error, IndexError, KeyError,
+            ZeroDivisionError) as e:
         # truncated/corrupted container (the common scrape defect) —
         # surface ONE clean error type, never a raw codec exception
         # (found by the hypothesis fuzz over valid-prefix + garbage)
         raise ValueError(f"corrupt or truncated container: {e}") from e
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "JPEG decode needs a DCT+huffman decoder (PIL) not present "
-            "in this environment; PNG, BMP, and GIF decode natively here"
-        ) from e
+    raise ValueError("unrecognized image container")
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -472,6 +476,394 @@ def _lzw_encode_literal(indices: bytes, min_code_size: int = 8) -> bytes:
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# JPEG baseline-sequential decoder (ITU-T T.81), from scratch — the same
+# route as the GIF LZW: huffman entropy decode + dequant + 8×8 IDCT +
+# YCbCr→RGB, no imaging library. Scope: SOF0/SOF1, 8-bit, 1 or 3
+# components, any sampling factors (nearest-neighbor chroma upsample),
+# restart intervals. Progressive (SOF2) and the other frame types raise
+# NotImplementedError.
+# ---------------------------------------------------------------------------
+
+#: zig-zag scan order (T.81 Figure 5): _JPEG_ZIGZAG[k] = natural index of
+#: the k-th zig-zag coefficient.
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+def _jpeg_huff_table(counts, values) -> dict:
+    """DHT (bits[1..16], values) → {(length, code): value} per the
+    canonical code assignment of T.81 Annex C."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            if k >= len(values):
+                raise ValueError("huffman table value underrun")
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    byte-stuffing removal; stops at any real marker (T.81 §B.1.1.5)."""
+
+    __slots__ = ("b", "i", "acc", "n", "marker")
+
+    def __init__(self, b: bytes, i: int):
+        self.b = b
+        self.i = i
+        self.acc = 0
+        self.n = 0
+        self.marker = None
+
+    def _fill(self):
+        b, i = self.b, self.i
+        if i >= len(b):
+            raise ValueError("JPEG entropy data truncated")
+        byte = b[i]
+        if byte == 0xFF:
+            nxt = b[i + 1] if i + 1 < len(b) else None
+            if nxt == 0x00:  # stuffed literal FF
+                self.i = i + 2
+            else:  # a real marker terminates the entropy segment
+                self.marker = nxt
+                raise ValueError("JPEG entropy data ran into a marker")
+        else:
+            self.i = i + 1
+        self.acc = (self.acc << 8) | byte
+        self.n += 8
+
+    def take(self, k: int) -> int:
+        while self.n < k:
+            self._fill()
+        self.n -= k
+        out = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
+        return out
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.take(1)
+            v = table.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError("invalid huffman code in JPEG stream")
+
+    def align_restart(self) -> None:
+        """Byte-align and consume one RSTn marker."""
+        self.acc = 0
+        self.n = 0
+        b = self.b
+        i = self.i
+        while i + 1 < len(b) and not (
+            b[i] == 0xFF and 0xD0 <= b[i + 1] <= 0xD7
+        ):
+            i += 1
+        if i + 1 >= len(b):
+            raise ValueError("missing JPEG restart marker")
+        self.i = i + 2
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """RECEIVE/EXTEND (T.81 §F.2.2.1): map an s-bit magnitude code to
+    its signed coefficient value."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _idct_basis():
+    """8×8 DCT-II basis matrix M with M[u, x] = c(u)/2 · cos((2x+1)uπ/16)
+    — IDCT(F) = Mᵀ·F·M (the orthonormal form of T.81 A.3.3)."""
+    import math
+
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return m
+
+
+_IDCT_M = None
+
+
+def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
+    """Baseline-sequential JFIF decoder — see :func:`decode_image`."""
+    import numpy as np
+
+    global _IDCT_M
+    if _IDCT_M is None:
+        _IDCT_M = _idct_basis()
+
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    dri = 0
+    scan = None
+    i = 2
+    n = len(b)
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            raise ValueError("desynchronized JPEG marker stream")
+        m = b[i + 1]
+        if m == 0xFF:
+            i += 1
+            continue
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if m == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", b[i + 2:i + 4])
+        seg = b[i + 4:i + 2 + ln]
+        if m == 0xDB:  # DQT — one or more tables per segment
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq == 0:
+                    vals = list(seg[p + 1:p + 65])
+                    p += 65
+                else:
+                    vals = list(
+                        struct.unpack(">64H", seg[p + 1:p + 129])
+                    )
+                    p += 129
+                if len(vals) != 64:
+                    raise ValueError("truncated JPEG quant table")
+                natural = np.zeros(64, dtype=np.int32)
+                for k, zz in enumerate(_JPEG_ZIGZAG):
+                    natural[zz] = vals[k]
+                qt[tq] = natural.reshape(8, 8)
+        elif m == 0xC4:  # DHT — one or more tables per segment
+            p = 0
+            while p + 17 <= len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                counts = seg[p + 1:p + 17]
+                total = sum(counts)
+                values = seg[p + 17:p + 17 + total]
+                huff[(tc, th)] = _jpeg_huff_table(counts, values)
+                p += 17 + total
+        elif m in (0xC0, 0xC1):  # baseline / extended sequential
+            if seg[0] != 8:
+                raise NotImplementedError("JPEG precision != 8")
+            hgt, wdt = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            comps = []
+            for k in range(nc):
+                cid = seg[6 + 3 * k]
+                hv = seg[7 + 3 * k]
+                comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * k]))
+            frame = (hgt, wdt, comps)
+        elif m in _JPEG_SOF:  # progressive/lossless/hierarchical
+            raise NotImplementedError(
+                "only baseline-sequential JPEG is supported"
+            )
+        elif m == 0xDD:  # DRI
+            (dri,) = struct.unpack(">H", seg[:2])
+        elif m == 0xDA:  # SOS — entropy data follows
+            ns = seg[0]
+            smap = []
+            for k in range(ns):
+                smap.append(
+                    (seg[1 + 2 * k], seg[2 + 2 * k] >> 4,
+                     seg[2 + 2 * k] & 0x0F)
+                )
+            scan = (smap, i + 2 + ln)
+            break
+        i += 2 + ln
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    hgt, wdt, comps = frame
+    if hgt == 0 or wdt == 0 or not comps:
+        raise ValueError("empty JPEG frame")
+    if len(comps) not in (1, 3):
+        raise NotImplementedError(
+            f"{len(comps)}-component JPEG unsupported (grayscale/YCbCr)"
+        )
+    smap, pos = scan
+    tables = {cs: (td, ta) for cs, td, ta in smap}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax == 0 or vmax == 0:
+        raise ValueError("zero JPEG sampling factor")
+    mcus_x = (wdt + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (hgt + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for cid, hs, vs, tq in comps:
+        if hs == 0 or vs == 0:
+            raise ValueError("zero JPEG sampling factor")
+        planes.append(
+            np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.uint8)
+        )
+    bits = _JpegBits(b, pos)
+    pred = [0] * len(comps)
+    mt = _IDCT_M.T
+    done = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if dri and done and done % dri == 0:
+                bits.align_restart()
+                pred = [0] * len(comps)
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                if cid not in tables:
+                    raise ValueError(
+                        f"JPEG scan lacks component id {cid}"
+                    )
+                td, ta = tables[cid]
+                dct = huff.get((0, td))
+                act = huff.get((1, ta))
+                q = qt.get(tq)
+                if dct is None or act is None or q is None:
+                    raise ValueError("JPEG scan references missing table")
+                for by in range(vs):
+                    for bx in range(hs):
+                        coef = np.zeros(64, dtype=np.int32)
+                        s = bits.huff(dct)
+                        if s > 11:
+                            raise ValueError("bad JPEG DC category")
+                        diff = _jpeg_extend(bits.take(s), s)
+                        pred[ci] += diff
+                        coef[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = bits.huff(act)
+                            r, sz = rs >> 4, rs & 0x0F
+                            if sz == 0:
+                                if r != 15:
+                                    break  # EOB
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflow")
+                            coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(
+                                bits.take(sz), sz
+                            )
+                            k += 1
+                        block = (coef.reshape(8, 8) * q).astype(float)
+                        px = mt @ block @ _IDCT_M
+                        px = np.clip(np.rint(px) + 128, 0, 255)
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px.astype(
+                            np.uint8
+                        )
+            done += 1
+    # upsample subsampled planes to full resolution (nearest) and crop
+    full = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        p = planes[ci]
+        if hs != hmax or vs != vmax:
+            p = np.repeat(
+                np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1
+            )
+        full.append(p[:hgt, :wdt])
+    if len(full) == 1:
+        return wdt, hgt, 1, full[0].tobytes()
+    y = full[0].astype(float)
+    cb = full[1].astype(float) - 128.0
+    cr = full[2].astype(float) - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    rgb = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return wdt, hgt, 3, rgb.tobytes()
+
+
+def jpeg_bytes(w: int, h: int, pattern: bool = False) -> bytes:
+    """A COMPLETE valid baseline-sequential grayscale JPEG with
+    EXACTLY-decodable content: quant table all ones, every 8×8 block
+    FLAT with value :func:`_pattern_px`(bx, by) (bx/by = block grid
+    coordinates), so each block is a pure DC term — DC = 8·(v−128),
+    dequant ×1, IDCT of a DC-only block is exactly flat v. Lossy
+    format, lossless construction: any spec decoder (including
+    :func:`_decode_jpeg`) reproduces pixel(x, y) =
+    ``_pattern_px(x // 8, y // 8)`` bit-exactly, giving the q53 oracle a
+    closed-form pixel sum. ``pattern=False`` writes all-zero blocks."""
+    bw = (w + 7) // 8
+    bh = (h + 7) // 8
+    # custom DHT: DC categories 0..11 as 4-bit codes (the all-ones
+    # 4-bit code stays unused per T.81 §C.2); AC needs only EOB
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    dc_vals = list(range(12))
+    ac_counts = [0, 1] + [0] * 14
+    ac_vals = [0x00]
+    dc_codes = _jpeg_huff_table(bytes(dc_counts), bytes(dc_vals))
+    ac_codes = _jpeg_huff_table(bytes(ac_counts), bytes(ac_vals))
+    enc_dc = {v: lc for lc, v in dc_codes.items()}
+    enc_ac = {v: lc for lc, v in ac_codes.items()}
+
+    out = bytearray()
+    acc = [0, 0]  # bit accumulator, count
+
+    def emit(code: int, nbits: int):
+        acc[0] = (acc[0] << nbits) | code
+        acc[1] += nbits
+        while acc[1] >= 8:
+            acc[1] -= 8
+            byte = (acc[0] >> acc[1]) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)  # byte stuffing
+        acc[0] &= (1 << acc[1]) - 1
+
+    pred = 0
+    for my in range(bh):
+        for mx in range(bw):
+            v = _pattern_px(mx, my) if pattern else 0
+            dc = 8 * (v - 128)
+            diff = dc - pred
+            pred = dc
+            s = diff.bit_length() if diff >= 0 else (-diff).bit_length()
+            ln, code = enc_dc[s]
+            emit(code, ln)
+            if s:
+                emit(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            ln, code = enc_ac[0x00]  # EOB: all 63 AC coefficients zero
+            emit(code, ln)
+    if acc[1]:  # pad the final byte with 1-bits (T.81 §F.1.2.3)
+        pad = 8 - acc[1]
+        emit((1 << pad) - 1, pad)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(
+            ">H", len(payload) + 2
+        ) + payload
+
+    dqt = seg(0xDB, b"\x00" + bytes([1] * 64))
+    sof = seg(
+        0xC0,
+        b"\x08" + struct.pack(">HH", h, w) + b"\x01" + b"\x01\x11\x00",
+    )
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(dc_counts) + bytes(dc_vals)
+        + b"\x10" + bytes(ac_counts) + bytes(ac_vals),
+    )
+    sos = seg(0xDA, b"\x01" + b"\x01\x00" + b"\x00\x3f\x00")
+    return (
+        b"\xff\xd8" + dqt + sof + dht + sos + bytes(out) + b"\xff\xd9"
+    )
+
+
 def decode_audio(data: bytes) -> tuple[int, list[int]]:
     """REAL audio decode for PCM16 RIFF/WAVE via the stdlib ``wave``
     module — → (sample_rate, samples as ints, channel-interleaved).
@@ -602,13 +994,17 @@ def synthesize_test_media(
     df: DataFrame, id_col: str = "doc_id", pattern: bool = False
 ) -> DataFrame:
     """→ [id_col, content]: one REAL media container per row, format
-    cycling by ``id % 4`` (png, gif, bmp, wav) with dimensions derived
-    from the id — ``width = 1 + id % 64``, ``height = 1 + (id·7) % 64``,
-    wav duration ``1 + id % 100`` ms (8 samples/ms at 8 kHz · 16-bit
-    mono). The arithmetic is deliberately closed-form so an external
-    oracle can predict, in SQL, exactly what :func:`sniff_media` must
-    parse OUT of the generated headers — an end-to-end bytes-level check
-    of the real parsers, not a fixture comparison."""
+    cycling by ``id % 5`` (png, gif, bmp, wav, jpeg) with dimensions
+    derived from the id — ``width = 1 + id % 64``,
+    ``height = 1 + (id·7) % 64``, wav duration ``1 + id % 100`` ms
+    (8 samples/ms at 8 kHz · 16-bit mono). The arithmetic is
+    deliberately closed-form so an external oracle can predict, in SQL,
+    exactly what :func:`sniff_media` must parse OUT of the generated
+    headers — and, with ``pattern=True``, exactly what the content
+    decoders must sum OUT of the pixel/sample data (the JPEG is built
+    from flat DC-only blocks, so the lossy format decodes losslessly —
+    see :func:`jpeg_bytes`). An end-to-end bytes-level check of the
+    real parsers, not a fixture comparison."""
 
     pat = pattern
 
@@ -618,15 +1014,17 @@ def synthesize_test_media(
         for i in ids:
             i = int(i)
             w, h = 1 + i % 64, 1 + (i * 7) % 64
-            kind = i % 4
+            kind = i % 5
             if kind == 0:
                 out.append(png_bytes(w, h, pattern=pat))
             elif kind == 1:
                 out.append(gif_bytes(w, h, pattern=pat))
             elif kind == 2:
                 out.append(bmp_bytes(w, h, pattern=pat))
-            else:
+            elif kind == 3:
                 out.append(wav_bytes(8 * (1 + i % 100), pattern=pat))
+            else:
+                out.append(jpeg_bytes(w, h, pattern=pat))
         return pd.Series(out)
 
     return df.select(F.col(id_col), _gen(F.col(id_col)).alias("content"))
@@ -714,7 +1112,8 @@ def extract_media_content(
                 mime = sniff_media(b)[0]
                 w = h = ch = nv = vs = None
                 try:
-                    if mime in ("image/png", "image/bmp", "image/gif"):
+                    if mime in ("image/png", "image/bmp", "image/gif",
+                                "image/jpeg"):
                         w, h, ch, px = decode_image(b)
                         arr = np.frombuffer(px, dtype=np.uint8)
                         nv, vs = int(arr.size), int(

@@ -325,22 +325,24 @@ def q53_media_features(spark, sf_dir):
       parts (byte length, content sha256) are oracle-checked; the
       stubbed decoder's feature vector is excluded.
     - ``meta`` rows: REAL container-header decode. One genuine media
-      container per doc (``synthesize_test_media``: PNG/GIF/BMP/WAV
-      cycling by doc_id % 4, dims/duration closed-form in doc_id), then
+      container per doc (``synthesize_test_media``: PNG/GIF/BMP/WAV/JPEG
+      cycling by doc_id % 5, dims/duration closed-form in doc_id), then
       ``attach_media_meta`` struct-parses the headers back
       (``sniff_media`` — pure stdlib). The oracle predicts the parsed
       values from the same arithmetic, so the hash check verifies the
       parser actually read the bytes right.
-    - ``pix`` rows (round 9): REAL pixel/sample decode. The same
-      containers regenerated with PATTERNED content (pixel(x,y) =
-      (x+3y) % 251; sample(i) = i % 201 − 100), decoded back by
+    - ``pix`` rows (round 9; JPEG added round 10): REAL pixel/sample
+      decode. The same containers regenerated with PATTERNED content
+      (pixel(x,y) = (x+3y) % 251; sample(i) = i % 201 − 100; JPEG
+      blocks flat with pattern(x//8, y//8) — DC-only blocks decode
+      LOSSLESSLY, see multimodal.jpeg_bytes), decoded back by
       ``extract_media_content`` (PNG zlib+unfilter, BMP rows, WAV PCM16
-      via the stdlib ``wave`` module), emitting the exact integer
-      value SUM — which the oracle recomputes from the closed form, so
-      the hash check verifies every decoded byte, not just headers —
-      INCLUDING the GIF branch, whose pure-python variable-width LZW
-      (multimodal.py _lzw_decode) reads back the spec-valid LZW stream
-      the generator writes."""
+      via the stdlib ``wave`` module, GIF via the pure-python
+      variable-width LZW, JPEG via the from-scratch baseline
+      huffman+IDCT decoder), emitting the exact integer value SUM —
+      which the oracle recomputes from the closed form, so the hash
+      check verifies every decoded byte of every format, headers AND
+      entropy-coded content."""
     from .operators import multimodal as mm
 
     docs = _df(spark, sf_dir, "documents")
@@ -579,30 +581,33 @@ ORACLES_MUT: dict[str, str] = {
         "UNION ALL "
         "SELECT 'meta' AS op, doc_id, CAST(NULL AS BIGINT) AS byte_len, "
         "CAST(NULL AS VARCHAR) AS content_hash, "
-        "CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif' "
-        "WHEN 2 THEN 'image/bmp' ELSE 'audio/wav' END AS mime, "
-        "CASE WHEN doc_id % 4 = 3 THEN NULL "
+        "CASE doc_id % 5 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif' "
+        "WHEN 2 THEN 'image/bmp' WHEN 3 THEN 'audio/wav' "
+        "ELSE 'image/jpeg' END AS mime, "
+        "CASE WHEN doc_id % 5 = 3 THEN NULL "
         "ELSE CAST(1 + doc_id % 64 AS INTEGER) END AS width, "
-        "CASE WHEN doc_id % 4 = 3 THEN NULL "
+        "CASE WHEN doc_id % 5 = 3 THEN NULL "
         "ELSE CAST(1 + (doc_id * 7) % 64 AS INTEGER) END AS height, "
-        "CASE WHEN doc_id % 4 = 3 THEN CAST(1 + doc_id % 100 AS BIGINT) "
+        "CASE WHEN doc_id % 5 = 3 THEN CAST(1 + doc_id % 100 AS BIGINT) "
         "ELSE NULL END AS duration_ms, "
         "CAST(NULL AS BIGINT) AS vsum FROM documents "
         # pix: the decoder's exact pixel/sample sums recomputed from
         # the generator's closed form — (x+3y)%251 per pixel (×3
-        # channels for BMP), i%201−100 per WAV sample; GIF stays NULL
-        # (entropy-coded, not stdlib-decodable — by design)
+        # channels for BMP and GIF-through-grayscale-palette),
+        # i%201−100 per WAV sample, and (x//8 + 3*(y//8))%251 per JPEG
+        # pixel (flat DC-only blocks decode losslessly — r10)
         "UNION ALL "
         "SELECT 'pix' AS op, doc_id, CAST(NULL AS BIGINT) AS byte_len, "
         "CAST(NULL AS VARCHAR) AS content_hash, "
-        "CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif' "
-        "WHEN 2 THEN 'image/bmp' ELSE 'audio/wav' END AS mime, "
-        "CASE WHEN doc_id % 4 IN (0, 1, 2) "
+        "CASE doc_id % 5 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif' "
+        "WHEN 2 THEN 'image/bmp' WHEN 3 THEN 'audio/wav' "
+        "ELSE 'image/jpeg' END AS mime, "
+        "CASE WHEN doc_id % 5 IN (0, 1, 2, 4) "
         "THEN CAST(1 + doc_id % 64 AS INTEGER) END AS width, "
-        "CASE WHEN doc_id % 4 IN (0, 1, 2) "
+        "CASE WHEN doc_id % 5 IN (0, 1, 2, 4) "
         "THEN CAST(1 + (doc_id * 7) % 64 AS INTEGER) END AS height, "
         "CAST(NULL AS BIGINT) AS duration_ms, "
-        "CASE doc_id % 4 "
+        "CASE doc_id % 5 "
         "WHEN 0 THEN CAST(list_sum(list_transform("
         "  generate_series(0, (doc_id * 7) % 64), y -> list_sum("
         "    list_transform(generate_series(0, doc_id % 64), "
@@ -620,6 +625,13 @@ ORACLES_MUT: dict[str, str] = {
         "WHEN 3 THEN CAST(list_sum(list_transform("
         "  generate_series(0, 8 * (1 + doc_id % 100) - 1), "
         "  i -> i % 201 - 100)) AS BIGINT) "
+        # JPEG: pixel(x,y) = pattern(x//8, y//8) — the flat-block
+        # construction; the oracle replays the block-grid closed form
+        "WHEN 4 THEN CAST(list_sum(list_transform("
+        "  generate_series(0, (doc_id * 7) % 64), y -> list_sum("
+        "    list_transform(generate_series(0, doc_id % 64), "
+        "                   x -> (x // 8 + 3 * (y // 8)) % 251)))) "
+        "AS BIGINT) "
         "END AS vsum FROM documents"
     ),
     "q57_stateful_totals": (

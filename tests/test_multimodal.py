@@ -40,9 +40,11 @@ def test_extract_features_is_arrow_batched(media):
     assert "BatchEvalPython" not in plan
 
 
-def test_decode_image_stub_raises():
-    with pytest.raises(NotImplementedError):
-        M.decode_image(b"\x89PNG...")
+def test_decode_image_rejects_unknown_container():
+    with pytest.raises(ValueError):
+        M.decode_image(b"\x89PNG...")  # bad signature, not a container
+    with pytest.raises(ValueError):
+        M.decode_image(b"definitely not media")
 
 
 def test_frame_sample_plan(spark):
@@ -123,13 +125,15 @@ def test_attach_media_meta_end_to_end(spark):
     )
     for r in out.collect():
         i = r["doc_id"]
-        kind = i % 4
+        kind = i % 5
         if kind == 3:
             assert r["mime"] == "audio/wav" and r["codec"] == "pcm"
             assert r["duration_ms"] == 1 + i % 100
             assert r["width"] is None and r["height"] is None
         else:
-            assert r["mime"] == ["image/png", "image/gif", "image/bmp"][kind]
+            assert r["mime"] == [
+                "image/png", "image/gif", "image/bmp", None, "image/jpeg"
+            ][kind]
             assert r["width"] == 1 + i % 64
             assert r["height"] == 1 + (i * 7) % 64
             assert r["duration_ms"] is None
@@ -233,13 +237,20 @@ def test_decode_unsupported_raises():
 
     import pytest as _pytest
 
-    # JPEG content (DCT+huffman) stays behind the imaging-library stub
+    # a JPEG frame header with no scan data is corrupt, not unsupported
     jpeg = (
         b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
         + struct.pack(">HH", 2, 2) + b"\x01\x11\x00" + b"\xff\xd9"
     )
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         M.decode_image(jpeg)
+    # PROGRESSIVE JPEG (SOF2) is the documented remaining stub
+    prog = (
+        b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 2, 2) + b"\x01\x11\x00" + b"\xff\xd9"
+    )
+    with _pytest.raises(NotImplementedError):
+        M.decode_image(prog)
     # a content-less GIF (header+trailer only) has no image to decode
     with _pytest.raises(ValueError):
         M.decode_image(M.gif_bytes(3, 3))
@@ -314,16 +325,16 @@ def test_decode_gif_lzw_roundtrip():
 def test_extract_media_content_end_to_end(spark):
     import pyspark.sql.functions as F
 
-    ids = spark.range(0, 16).select(F.col("id").alias("doc_id"))
+    ids = spark.range(0, 20).select(F.col("id").alias("doc_id"))
     out = {
         r["doc_id"]: r
         for r in M.extract_media_content(
             M.synthesize_test_media(ids, pattern=True)
         ).collect()
     }
-    for i in range(16):
+    for i in range(20):
         r = out[i]
-        kind = i % 4
+        kind = i % 5
         w, h = 1 + i % 64, 1 + (i * 7) % 64
         if kind == 0:
             exp = sum(M._pattern_px(x, y) for x in range(w) for y in range(h))
@@ -336,11 +347,254 @@ def test_extract_media_content_end_to_end(spark):
             n = 8 * (1 + i % 100)
             assert r["vsum"] == sum((j % 201) - 100 for j in range(n))
             assert r["n_values"] == n
+        elif kind == 4:  # jpeg: baseline huffman+IDCT, flat DC blocks
+            exp = sum(
+                M._pattern_px(x // 8, y // 8)
+                for x in range(w) for y in range(h)
+            )
+            assert r["mime"] == "image/jpeg"
+            assert (r["width"], r["height"], r["channels"]) == (w, h, 1)
+            assert r["vsum"] == exp and r["n_values"] == w * h
         else:  # gif: pure-python LZW decode, grayscale palette → RGB
             exp = sum(M._pattern_px(x, y) for x in range(w) for y in range(h))
             assert r["mime"] == "image/gif"
             assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
             assert r["vsum"] == 3 * exp
+
+
+# ---------------------------------------------------------------------------
+# round 10: baseline JPEG decode (from-scratch huffman + IDCT)
+# ---------------------------------------------------------------------------
+
+def test_decode_jpeg_patterned_roundtrip():
+    """The generator's flat-DC-block construction decodes LOSSLESSLY:
+    pixel(x, y) == pattern(x//8, y//8) bit-for-bit."""
+    for (w, h) in ((1, 1), (8, 8), (33, 47), (64, 64), (9, 17)):
+        jb = M.jpeg_bytes(w, h, pattern=True)
+        assert M.sniff_media(jb) == ("image/jpeg", w, h, None, "jpeg")
+        wd, hd, ch, px = M.decode_image(jb)
+        assert (wd, hd, ch) == (w, h, 1)
+        exp = bytes(
+            M._pattern_px(x // 8, y // 8)
+            for y in range(h) for x in range(w)
+        )
+        assert bytes(px) == exp
+    assert sum(M.decode_image(M.jpeg_bytes(10, 10))[3]) == 0
+
+
+def _encode_jpeg_independent(planes, w, h, samplings, dri=0):
+    """An INDEPENDENT full baseline encoder (forward DCT + quant-1 +
+    huffman with its own 256-symbol AC table + optional subsampling and
+    restart markers) — pins the decoder's entropy/zigzag/IDCT/upsample
+    plumbing against a second implementation of the standard, not
+    against the engine's own generator."""
+    import struct
+
+    import numpy as np
+
+    mb = M._idct_basis()
+    zz = M._JPEG_ZIGZAG
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    dc_vals = list(range(12))
+    ac_counts = [0] * 16
+    ac_counts[7] = 255
+    ac_counts[8] = 1
+    ac_vals = list(range(256))
+    enc_dc = {
+        v: lc for lc, v in M._jpeg_huff_table(
+            bytes(dc_counts), bytes(dc_vals)
+        ).items()
+    }
+    enc_ac = {
+        v: lc for lc, v in M._jpeg_huff_table(
+            bytes(ac_counts), bytes(ac_vals)
+        ).items()
+    }
+    out = bytearray()
+    st = {"acc": 0, "n": 0}
+
+    def emit(code, nbits):
+        st["acc"] = (st["acc"] << nbits) | code
+        st["n"] += nbits
+        while st["n"] >= 8:
+            st["n"] -= 8
+            byte = (st["acc"] >> st["n"]) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        st["acc"] &= (1 << st["n"]) - 1
+
+    def align_pad():
+        if st["n"]:
+            pad = 8 - st["n"]
+            emit((1 << pad) - 1, pad)
+
+    def cat(v):
+        v = int(v)
+        return v.bit_length() if v >= 0 else (-v).bit_length()
+
+    hmax = max(s[0] for s in samplings)
+    vmax = max(s[1] for s in samplings)
+    mcx = (w + 8 * hmax - 1) // (8 * hmax)
+    mcy = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = []
+    for p, (hs, vs) in zip(planes, samplings):
+        ph, pw = mcy * vs * 8, mcx * hs * 8
+        canvas = np.zeros((ph, pw), dtype=float)
+        canvas[: p.shape[0], : p.shape[1]] = p
+        # replicate edges so padded blocks stay mild (keeps DC diffs
+        # within baseline's 11 categories)
+        canvas[p.shape[0]:, : p.shape[1]] = p[-1:, :]
+        canvas[:, p.shape[1]:] = canvas[:, p.shape[1] - 1:p.shape[1]]
+        padded.append(canvas)
+    pred = [0] * len(planes)
+    done = 0
+    rst = 0
+    for my in range(mcy):
+        for mx in range(mcx):
+            if dri and done and done % dri == 0:
+                align_pad()
+                out.append(0xFF)
+                out.append(0xD0 + rst % 8)
+                rst += 1
+                pred = [0] * len(planes)
+            for ci, (hs, vs) in enumerate(samplings):
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        blk = padded[ci][y0:y0 + 8, x0:x0 + 8] - 128.0
+                        coef = np.rint(mb @ blk @ mb.T).astype(int)
+                        zzc = [coef.flat[zz[k]] for k in range(64)]
+                        diff = zzc[0] - pred[ci]
+                        pred[ci] = zzc[0]
+                        s = cat(diff)
+                        ln, code = enc_dc[s]
+                        emit(code, ln)
+                        if s:
+                            emit(
+                                diff if diff >= 0
+                                else diff + (1 << s) - 1, s,
+                            )
+                        run = 0
+                        for k in range(1, 64):
+                            v = zzc[k]
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                ln, code = enc_ac[0xF0]  # ZRL
+                                emit(code, ln)
+                                run -= 16
+                            s = cat(v)
+                            ln, code = enc_ac[(run << 4) | s]
+                            emit(code, ln)
+                            emit(v if v >= 0 else v + (1 << s) - 1, s)
+                            run = 0
+                        if run:
+                            ln, code = enc_ac[0x00]  # EOB
+                            emit(code, ln)
+            done += 1
+    align_pad()
+
+    def seg(marker, payload):
+        return bytes((0xFF, marker)) + struct.pack(
+            ">H", len(payload) + 2
+        ) + payload
+
+    nc = len(planes)
+    sof_comps = b"".join(
+        bytes((ci + 1, (hs << 4) | vs, 0))
+        for ci, (hs, vs) in enumerate(samplings)
+    )
+    sos_comps = b"".join(bytes((ci + 1, 0x00)) for ci in range(nc))
+    parts = [b"\xff\xd8", seg(0xDB, b"\x00" + bytes([1] * 64))]
+    if dri:
+        parts.append(seg(0xDD, struct.pack(">H", dri)))
+    parts += [
+        seg(0xC0, b"\x08" + struct.pack(">HH", h, w)
+            + bytes((nc,)) + sof_comps),
+        seg(0xC4, b"\x00" + bytes(dc_counts) + bytes(dc_vals)
+            + b"\x10" + bytes(ac_counts) + bytes(ac_vals)),
+        seg(0xDA, bytes((nc,)) + sos_comps + b"\x00\x3f\x00"),
+        bytes(out), b"\xff\xd9",
+    ]
+    return b"".join(parts)
+
+
+def test_decode_jpeg_general_grayscale_with_ac():
+    """Real AC coefficients (smooth gradient → many nonzero ACs, runs,
+    EOBs) through the independent encoder must decode within the
+    quant-1 rounding envelope."""
+    import numpy as np
+
+    w, h = 21, 14
+    plane = np.array(
+        [[30 + ((5 * x + 3 * y + (x * y) % 7) % 180) for x in range(w)]
+         for y in range(h)], dtype=float,
+    )
+    jb = _encode_jpeg_independent([plane], w, h, [(1, 1)])
+    wd, hd, ch, px = M.decode_image(jb)
+    assert (wd, hd, ch) == (w, h, 1)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(h, w).astype(float)
+    assert np.abs(got - plane).max() <= 6.0
+
+
+def test_decode_jpeg_color_and_subsampling():
+    """3-component YCbCr, 4:4:4 and a 2×1-subsampled variant — the
+    chroma upsample + color conversion path."""
+    import numpy as np
+
+    w, h = 16, 12
+    y = np.array(
+        [[40 + (7 * x + 11 * yy) % 170 for x in range(w)]
+         for yy in range(h)], dtype=float,
+    )
+    cb = np.full((h, w), 140.0)
+    cr = np.full((h, w), 120.0)
+    jb = _encode_jpeg_independent(
+        [y, cb, cr], w, h, [(1, 1), (1, 1), (1, 1)]
+    )
+    wd, hd, ch, px = M.decode_image(jb)
+    assert (wd, hd, ch) == (w, h, 3)
+    rgb = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3).astype(float)
+    exp_r = np.clip(np.rint(y + 1.402 * (cr - 128)), 0, 255)
+    exp_g = np.clip(
+        np.rint(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)), 0, 255
+    )
+    exp_b = np.clip(np.rint(y + 1.772 * (cb - 128)), 0, 255)
+    assert np.abs(rgb[:, :, 0] - exp_r).max() <= 8.0
+    assert np.abs(rgb[:, :, 1] - exp_g).max() <= 8.0
+    assert np.abs(rgb[:, :, 2] - exp_b).max() <= 8.0
+
+    # 2×1 luma sampling (4:2:2-style): chroma stored at half width
+    cb2 = np.full((h, w // 2), 150.0)
+    cr2 = np.full((h, w // 2), 110.0)
+    jb2 = _encode_jpeg_independent(
+        [y, cb2, cr2], w, h, [(2, 1), (1, 1), (1, 1)]
+    )
+    wd, hd, ch, px = M.decode_image(jb2)
+    assert (wd, hd, ch) == (w, h, 3)
+    rgb2 = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3).astype(float)
+    exp_r2 = np.clip(np.rint(y + 1.402 * (110.0 - 128)), 0, 255)
+    assert np.abs(rgb2[:, :, 0] - exp_r2).max() <= 8.0
+
+
+def test_decode_jpeg_restart_intervals():
+    """DRI/RSTn: predictors reset and the bit reader re-aligns at every
+    restart marker."""
+    import numpy as np
+
+    w, h = 40, 24  # 5×3 = 15 MCUs, restart every 2
+    plane = np.array(
+        [[60 + (x * 3 + y * 5) % 120 for x in range(w)]
+         for y in range(h)], dtype=float,
+    )
+    jb = _encode_jpeg_independent([plane], w, h, [(1, 1)], dri=2)
+    wd, hd, ch, px = M.decode_image(jb)
+    assert (wd, hd, ch) == (w, h, 1)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(h, w).astype(float)
+    assert np.abs(got - plane).max() <= 6.0
 
 
 # ---------------------------------------------------------------------------
@@ -380,6 +634,7 @@ def test_decoders_on_corrupted_valid_prefixes(data):
         M.png_bytes(5, 4, pattern=True)[:30],
         M.bmp_bytes(5, 4, pattern=True)[:40],
         M.gif_bytes(5, 4, pattern=True)[:25],
+        M.jpeg_bytes(5, 4, pattern=True)[:60],
     ):
         try:
             M.decode_image(prefix + data)
