@@ -94,11 +94,42 @@ def _dvec_sql(v: list[float]) -> str:
 # text analysis
 # ---------------------------------------------------------------------------
 
+#: PII-redaction fixture: (input, expected after redact_pii +
+#: normalize_text). Inputs cover every pattern plus the ordering
+#: interactions the pattern table documents (ip-before-phone,
+#: card-before-phone, email-first) and the whitespace canonicalizer.
+#: Expected strings are goldens VERIFIED against the engine (r10) and
+#: replayed literally by the DuckDB oracle — DuckDB's RE2 regex has no
+#: lookaround, so it cannot re-run the patterns themselves.
+_PII_FIXTURE: list[tuple[str, str]] = [
+    ("reach me at alice.smith+work@example.co.uk now",
+     "reach me at <EMAIL> now"),
+    ("server 192.168.0.1 responded", "server <IP> responded"),
+    ("ssn 123-45-6789 on file", "ssn <SSN> on file"),
+    ("card 4111 1111 1111 1111 declined", "card <CARD> declined"),
+    ("call +1 555-123-4567 today", "call <PHONE> today"),
+    ("dial 10.20.30.40 maybe", "dial <IP> maybe"),
+    ("pay 4111-1111-1111-1111 ok", "pay <CARD> ok"),
+    ("a\x00b\t\tc   d\n\n\n\ne", "ab c d\n\ne"),
+    ("email bob@x.io or 1.2.3.4", "email <EMAIL> or <IP>"),
+    ("mixed: jane@corp.org, 555-867-5309, 10.0.0.1, 999-88-7777",
+     "mixed: <EMAIL>, <PHONE>, <IP>, <SSN>"),
+]
+
+
 def q30_text_analysis(spark, sf_dir):
     """Full text-analysis pass in ONE scan: token count, punctuation /
     stopword ratios, composite quality, language-ID and fingerprint
     (operators/text.py). All pure pyspark.sql.functions — no Python in
     the hot path, one pass over the corpus instead of four.
+
+    Round 10 adds ``op='pii'`` rows: PII redaction + text normalization
+    (operators/curation.py redact_pii/normalize_text — chained JVM
+    regexp_replace, zero-shuffle) over the :data:`_PII_FIXTURE` inputs,
+    hash-checked against engine-verified goldens (reference anchor:
+    the download sanitizer utils.py:177-182 is the reference's only
+    text-normalization surface; redaction is beyond-reference).
+    ``op='text'`` rows keep the original per-document analysis shape.
 
     STAGED projections (round-3 bench regression fix): the naive single
     mega-projection re-derived ``words(text)`` — a regex split — inside
@@ -132,7 +163,7 @@ def q30_text_analysis(spark, sf_dir):
             for lang, s in X.lang_scores(F.array_distinct(tk)).items()
         ],
     )
-    return staged.select(
+    text_rows = staged.select(
         "doc_id",
         X.token_count(c, toks=tk).alias("n_tokens"),
         X.round_half_up(F.col("__pr"), 4).alias("punct_ratio"),
@@ -151,7 +182,30 @@ def q30_text_analysis(spark, sf_dir):
         X.round_half_up(dup_frac(F.col("__g2")), 4).alias(
             "dup_2gram_frac"
         ),
+        F.lit("text").alias("op"),
+        F.lit(None).cast("string").alias("pii_text"),
     )
+    from .operators.curation import normalize_text, redact_pii
+
+    fixture = spark.createDataFrame(
+        [(1_000_000 + i, s) for i, (s, _) in enumerate(_PII_FIXTURE)],
+        "doc_id long, raw string",
+    )
+    pii_rows = fixture.select(
+        "doc_id",
+        F.lit(None).cast("int").alias("n_tokens"),
+        *[
+            F.lit(None).cast("double").alias(m)
+            for m in ("punct_ratio", "stopword_ratio", "quality")
+        ],
+        F.lit(None).cast("string").alias("lang_pred"),
+        F.lit(None).cast("string").alias("fp"),
+        F.lit(None).cast("double").alias("dup_word_frac"),
+        F.lit(None).cast("double").alias("dup_2gram_frac"),
+        F.lit("pii").alias("op"),
+        normalize_text(redact_pii(F.col("raw"))).alias("pii_text"),
+    )
+    return text_rows.unionByName(pii_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -1423,6 +1477,23 @@ _CASE += "ELSE 'und' END"
 # IEEE-double arithmetic at rounding boundaries. FLOOR(x*10^k + 0.5)/10^k
 # on both sides (see operators/text.py:round_half_up). `toks` = all
 # tokens (counts/ratios), `ws` = distinct tokens (lang-ID markers).
+def _sql_str(s: str) -> str:
+    """A DuckDB string literal for ``s`` — quotes doubled, newlines via
+    chr(10) so the oracle SQL stays single-line-safe."""
+    return " || chr(10) || ".join(
+        "'" + part.replace("'", "''") + "'" for part in s.split("\n")
+    )
+
+
+_PII_ORACLE_ROWS = " UNION ALL ".join(
+    f"SELECT CAST({1_000_000 + i} AS BIGINT), CAST(NULL AS INT), "
+    "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+    "CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), "
+    "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+    f"'pii', {_sql_str(expected)}"
+    for i, (_, expected) in enumerate(_PII_FIXTURE)
+)
+
 ORACLES_EXT["q30_text_analysis"] = f"""
 SELECT doc_id,
   CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS INT)
@@ -1444,7 +1515,8 @@ SELECT doc_id,
   FLOOR((CASE WHEN len(g2) = 0 THEN CAST(0.0 AS DOUBLE)
         ELSE CAST(1.0 AS DOUBLE)
              - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE) END)
-      * 10000 + CAST(0.5 AS DOUBLE)) / 10000 AS dup_2gram_frac
+      * 10000 + CAST(0.5 AS DOUBLE)) / 10000 AS dup_2gram_frac,
+  'text' AS op, CAST(NULL AS VARCHAR) AS pii_text
 FROM (
   SELECT doc_id, text, toks, ws, fp,
     list_transform(generate_series(1, len(toks) - 1),
@@ -1459,6 +1531,7 @@ FROM (
               / CAST(len(toks) AS DOUBLE) END AS sw
   FROM (SELECT doc_id, text, {WORDS_SQL} AS toks, {DWORDS_SQL} AS ws,
         {FP_SQL} AS fp FROM documents))
+UNION ALL {_PII_ORACLE_ROWS}
 """
 
 ORACLES_EXT = {k: v for k, v in ORACLES_EXT.items() if v is not None}

@@ -204,15 +204,91 @@ def q50_time_machine(spark, sf_dir):
 
 
 def q51_bundle_edits(spark, sf_dir):
-    """BundleEdits (base.py:2629-2693): queued predicate writes coalesced
-    per row/column (last-writer-wins) and flushed as one commit."""
+    """Write coalescing AND the business-key MERGE in one tagged union
+    (round 10 adds ``merge``/``mlog``/``mstat``):
+
+    - ``bundle`` — BundleEdits (base.py:2629-2693): queued predicate
+      writes coalesced per row/column (last-writer-wins), one commit.
+    - ``merge`` — ``Table.upsert`` (store.upsert: Delta-style
+      MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT,
+      beyond-reference; anchors: update rows base.py:2379 + append rows
+      base.py:822): two matched keys update, one matched key carries
+      its CURRENT value (a no-op update — proves the diff-aware oplog),
+      two new keys insert. Rows = the final table state.
+    - ``mlog`` — the update phase's cell-level oplog (op_id=1): exactly
+      the two genuinely-changed cells, old/new values, deterministic
+      ``r{seq:08d}`` row ids; the no-op match logs NOTHING.
+    - ``mstat`` — the returned {'updated', 'inserted'} counts (updated
+      counts MATCHED rows incl. the no-op; inserted counts new keys)."""
+    import pandas as pd
+
     base, t = _managed_copy(spark, sf_dir, "nation")
     with t.bundle():
         t.loc[t.n_nationkey < 5, "n_name"] = "SMALL"
         t.loc[t.n_nationkey >= 20, "n_name"] = "BIG"
         t.loc[t.n_nationkey == 0, "n_name"] = "ZERO"  # overrides SMALL
     t = base.table("nation")
-    return t.df.select("n_nationkey", "n_name")
+    ktype = dict(t.df.dtypes)["n_nationkey"]
+
+    def _nulls():
+        return [
+            F.lit(None).cast("string").alias(c)
+            for c in ("row_id", "col", "old_value", "new_value")
+        ]
+
+    bundle = t.df.select(
+        F.lit("bundle").alias("op"), "n_nationkey", "n_name", *_nulls()
+    )
+
+    base2, t2 = _managed_copy(spark, sf_dir, "nation")
+    # the no-op matched row reuses the CURRENT stored value (taken from
+    # the data, not hardcoded) — matched but unchanged
+    orig5 = (
+        t2.df.where(F.col("n_nationkey") == 5)
+        .select("n_name").collect()[0][0]
+    )
+    src = pd.DataFrame(
+        {
+            "n_nationkey": [3, 7, 5, 200, 201],
+            "n_name": ["MERGED_3", "MERGED_7", orig5, "NEWLAND", "TERRA"],
+        }
+    )
+    stats = t2.upsert(src, on="n_nationkey")
+    t2 = base2.table("nation")
+    merge = t2.df.select(
+        F.lit("merge").alias("op"), "n_nationkey", "n_name", *_nulls()
+    )
+    mlog = (
+        base2.fetch_logs("nation", max_entries=None, unpack=True)
+        .where(F.col("op_id") == 1)
+        .select(
+            F.lit("mlog").alias("op"),
+            F.lit(None).cast(ktype).alias("n_nationkey"),
+            F.lit(None).cast("string").alias("n_name"),
+            "row_id",
+            F.col("column").alias("col"),
+            "old_value",
+            "new_value",
+        )
+    )
+    mstat = spark.createDataFrame(
+        [
+            ("updated", str(stats["updated"])),
+            ("inserted", str(stats["inserted"])),
+        ],
+        "col string, new_value string",
+    ).select(
+        F.lit("mstat").alias("op"),
+        F.lit(None).cast(ktype).alias("n_nationkey"),
+        F.lit(None).cast("string").alias("n_name"),
+        F.lit(None).cast("string").alias("row_id"),
+        "col",
+        F.lit(None).cast("string").alias("old_value"),
+        "new_value",
+    )
+    return (
+        bundle.unionByName(merge).unionByName(mlog).unionByName(mstat)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -527,11 +603,40 @@ ORACLES_MUT: dict[str, str] = {
         "n_name, 'OVERWRITTEN', CAST(1 AS BIGINT), 'cdc' FROM nation"
     ),
     "q51_bundle_edits": (
-        "SELECT n_nationkey, CASE "
+        "SELECT 'bundle' AS op, n_nationkey, CASE "
         "WHEN n_nationkey = 0 THEN 'ZERO' "
         "WHEN n_nationkey < 5 THEN 'SMALL' "
         "WHEN n_nationkey >= 20 THEN 'BIG' "
-        "ELSE n_name END AS n_name FROM nation"
+        "ELSE n_name END AS n_name, "
+        "CAST(NULL AS VARCHAR) AS row_id, CAST(NULL AS VARCHAR) AS col, "
+        "CAST(NULL AS VARCHAR) AS old_value, "
+        "CAST(NULL AS VARCHAR) AS new_value FROM nation "
+        # merge: matched keys 3/7 update, matched key 5 is a no-op
+        # (source carries its current value), keys 200/201 insert
+        "UNION ALL "
+        "SELECT 'merge', n_nationkey, "
+        "CASE WHEN n_nationkey = 3 THEN 'MERGED_3' "
+        "WHEN n_nationkey = 7 THEN 'MERGED_7' ELSE n_name END, "
+        "NULL, NULL, NULL, NULL FROM nation "
+        "UNION ALL SELECT 'merge', 200, 'NEWLAND', NULL, NULL, NULL, NULL "
+        "UNION ALL SELECT 'merge', 201, 'TERRA', NULL, NULL, NULL, NULL "
+        # mlog: ONLY the genuinely-changed cells (diff-aware oplog);
+        # row_id is the deterministic ingest id r{seq:08d} (= key order)
+        "UNION ALL "
+        "SELECT 'mlog', NULL, NULL, "
+        "'r' || lpad(CAST(n_nationkey AS VARCHAR), 8, '0'), 'n_name', "
+        "n_name, 'MERGED_' || CAST(n_nationkey AS VARCHAR) FROM nation "
+        "WHERE n_nationkey IN (3, 7) "
+        # mstat: updated counts MATCHED rows (incl. the no-op), inserted
+        # counts keys absent from the table
+        "UNION ALL "
+        "SELECT 'mstat', NULL, NULL, NULL, 'updated', NULL, "
+        "CAST((SELECT COUNT(*) FROM nation "
+        "WHERE n_nationkey IN (3, 5, 7)) AS VARCHAR) "
+        "UNION ALL "
+        "SELECT 'mstat', NULL, NULL, NULL, 'inserted', NULL, "
+        "CAST(2 - (SELECT COUNT(*) FROM nation "
+        "WHERE n_nationkey IN (200, 201)) AS VARCHAR)"
     ),
     "q54_astype_map": (
         "SELECT CAST(n_nationkey AS VARCHAR) AS key_str, "
