@@ -208,6 +208,99 @@ def q30_text_analysis(spark, sf_dir):
     return text_rows.unionByName(pii_rows)
 
 
+def q70_profile_qa(spark, sf_dir):
+    """Dataset-QA trio in one tagged union (round 10 — the profiler
+    family's driver hash checks; operators/profile.py, all
+    beyond-reference: the reference exposes only row counts and
+    value_counts, base.py:357-360, 2205-2219):
+
+    - ``expect`` rows: the declarative data-quality gate — five rules
+      (not_null, unique, between, in, rlike) over orders compiled into
+      ONE conditional-count aggregation pass; (column, rule,
+      violations, total) per rule.
+    - ``skew`` rows: skew_report over events.event_type — the
+      pre-flight shuffle-key heaviness check (TakeOrdered top-k, never
+      a global sort); (key, n, rank, share, cum_share).
+    - ``diff`` rows: dataset_diff of orders against a transformed copy
+      (status-P rows dropped → 'removed'; status-F prices zeroed →
+      'changed' with the changed column named; two synthetic keys →
+      'added'). Full-outer join on the key, NULL-safe compare.
+
+    Union schema: (op, k, s1, s2, n1, n2, d1, d2)."""
+    from .operators.profile import dataset_diff, expect, skew_report
+
+    o = df(spark, sf_dir, "orders")
+    snull = F.lit(None).cast("string")
+    lnull = F.lit(None).cast("long")
+    dnull = F.lit(None).cast("double")
+
+    ex = expect(
+        o,
+        {
+            "o_orderkey": ["not_null", "unique"],
+            "o_totalprice": [("between", 1000.0, 500000.0)],
+            "o_orderstatus": [("in", ["F", "O", "P"])],
+            "o_orderpriority": [("rlike", "^[0-9]-")],
+        },
+    ).select(
+        F.lit("expect").alias("op"),
+        F.col("column").alias("k"),
+        F.col("rule").alias("s1"),
+        snull.alias("s2"),
+        F.col("violations").alias("n1"),
+        F.col("total").alias("n2"),
+        dnull.alias("d1"),
+        dnull.alias("d2"),
+    )
+
+    sk = skew_report(
+        df(spark, sf_dir, "events"), ["event_type"], top=20
+    ).select(
+        F.lit("skew").alias("op"),
+        F.col("key").alias("k"),
+        snull.alias("s1"),
+        snull.alias("s2"),
+        F.col("n").alias("n1"),
+        F.col("rank").cast("long").alias("n2"),
+        F.col("share").alias("d1"),
+        F.col("cum_share").alias("d2"),
+    )
+
+    right = o.where(F.col("o_orderstatus") != "P").withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderstatus") == "F", F.lit(0.0)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    dtypes = dict(o.dtypes)
+    added = spark.createDataFrame(
+        [(-1,), (-2,)], "o_orderkey long"
+    ).select(
+        F.col("o_orderkey").cast(dtypes["o_orderkey"]),
+        *[
+            F.lit(None).cast(dtypes[c]).alias(c)
+            for c in o.columns
+            if c != "o_orderkey"
+        ],
+    )
+    dd = dataset_diff(
+        o,
+        right.unionByName(added),
+        on="o_orderkey",
+        compare_cols=["o_totalprice", "o_orderpriority"],
+    ).select(
+        F.lit("diff").alias("op"),
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.col("change").alias("s1"),
+        F.concat_ws(",", "changed_cols").alias("s2"),
+        lnull.alias("n1"),
+        lnull.alias("n2"),
+        dnull.alias("d1"),
+        dnull.alias("d2"),
+    )
+    return ex.unionByName(sk).unionByName(dd)
+
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
@@ -892,6 +985,60 @@ _SIG_MATCHES_SQL = " + ".join(
 
 ORACLES_EXT: dict[str, str] = {
     "q30_text_analysis": None,  # filled below (needs the generated lang CASE)
+    # Dataset-QA trio: expect = conditional counts over one scan; skew =
+    # grouped counts + rank/share windows (HALF_UP replayed as
+    # FLOOR(x*1e6+0.5)); diff = the three change classes from the same
+    # transformation the workload applies.
+    "q70_profile_qa": """
+SELECT 'expect' AS op, CAST('o_orderkey' AS VARCHAR) AS k,
+  CAST('not_null' AS VARCHAR) AS s1, CAST(NULL AS VARCHAR) AS s2,
+  CAST(COUNT(*) FILTER (o_orderkey IS NULL) AS BIGINT) AS n1,
+  CAST(COUNT(*) AS BIGINT) AS n2,
+  CAST(NULL AS DOUBLE) AS d1, CAST(NULL AS DOUBLE) AS d2 FROM orders
+UNION ALL
+SELECT 'expect', 'o_orderkey', 'unique', NULL,
+  COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey), COUNT(*), NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'expect', 'o_totalprice', 'between(1000.0,500000.0)', NULL,
+  COUNT(*) FILTER (o_totalprice IS NOT NULL
+                   AND o_totalprice NOT BETWEEN 1000.0 AND 500000.0),
+  COUNT(*), NULL, NULL FROM orders
+UNION ALL
+SELECT 'expect', 'o_orderstatus', 'in(3 values)', NULL,
+  COUNT(*) FILTER (o_orderstatus IS NOT NULL
+                   AND o_orderstatus NOT IN ('F', 'O', 'P')),
+  COUNT(*), NULL, NULL FROM orders
+UNION ALL
+SELECT 'expect', 'o_orderpriority', 'rlike(^[0-9]-)', NULL,
+  COUNT(*) FILTER (o_orderpriority IS NOT NULL
+                   AND NOT regexp_matches(o_orderpriority, '^[0-9]-')),
+  COUNT(*), NULL, NULL FROM orders
+UNION ALL
+SELECT 'skew', key, NULL, NULL, n, CAST(rank AS BIGINT),
+  FLOOR(n / tot * 1000000 + CAST(0.5 AS DOUBLE)) / 1000000,
+  FLOOR(cum / tot * 1000000 + CAST(0.5 AS DOUBLE)) / 1000000
+FROM (
+  SELECT key, n,
+    ROW_NUMBER() OVER (ORDER BY n DESC, key ASC) AS rank,
+    SUM(n) OVER (ORDER BY n DESC, key ASC
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+    CAST((SELECT COUNT(*) FROM events) AS DOUBLE) AS tot
+  FROM (SELECT CAST(event_type AS VARCHAR) AS key, COUNT(*) AS n
+        FROM events GROUP BY 1))
+WHERE rank <= 20
+UNION ALL
+SELECT 'diff', CAST(o_orderkey AS VARCHAR), 'removed', '',
+  NULL, NULL, NULL, NULL FROM orders WHERE o_orderstatus = 'P'
+UNION ALL
+SELECT 'diff', CAST(o_orderkey AS VARCHAR), 'changed', 'o_totalprice',
+  NULL, NULL, NULL, NULL FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice IS DISTINCT FROM 0.0
+UNION ALL
+SELECT 'diff', '-1', 'added', '', NULL, NULL, NULL, NULL
+UNION ALL
+SELECT 'diff', '-2', 'added', '', NULL, NULL, NULL, NULL
+""",
     # Tagged union: minhash signatures + exact-dedup groups (one row
     # per document each over the same corpus).
     "q35_minhash_sig": f"""
