@@ -39,6 +39,7 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from . import artifact
 from .similarity import dot, ivf_assign, kmeans_fit, norm
 from .util import fan_out
 
@@ -60,31 +61,59 @@ def build_ivf_index(
     """Assign every corpus vector to its IVF list and persist the
     list-partitioned layout + the quantizer sidecar. Returns the
     centroids actually used (pass pinned ones for byte-stable builds;
-    ``kmeans_fit`` is the from-scratch path)."""
+    ``kmeans_fit`` is the from-scratch path).
+
+    Versioned-manifest commit (round 10): the layout lands in a fresh
+    generation directory and is published by the atomic manifest swap
+    of ``operators/artifact.py`` — a REBUILD over a live index cannot
+    tear a concurrent probe (readers pin the generation they resolved;
+    the previous one is retained through one publish)."""
     if centroids is None:
         centroids = kmeans_fit(corpus, vec_col, k)
     assigned = ivf_assign(
         corpus.select(id_col, vec_col), centroids, vec_col
     )
+    legacy = artifact.read_manifest(path) is None and os.path.exists(
+        os.path.join(path, _ANN_META)
+    )
+    gen, staging = artifact.new_generation_dir(path)
     (
         assigned.repartition("label")
         .sortWithinPartitions("label", id_col)
         .write.mode("overwrite")
         .partitionBy("label")
-        .parquet(path)
+        .parquet(staging)
     )
-    with open(os.path.join(path, _ANN_META), "w") as fh:
+    with open(os.path.join(staging, _ANN_META), "w") as fh:
         json.dump({"centroids": centroids}, fh)
+    artifact.publish_generation(path, gen)
+    if legacy:
+        artifact.clear_legacy_layout(path)
+        legacy_meta = os.path.join(path, _ANN_META)
+        if os.path.exists(legacy_meta):
+            os.remove(legacy_meta)
     return centroids
+
+
+def _resolve(path: str) -> tuple[str, list[list[float]]]:
+    """→ (pinned generation dir, its centroids) — legacy flat layouts
+    (meta at the root) resolve to the root."""
+    src = artifact.current_dir(path)
+    meta = os.path.join(src, _ANN_META)
+    if not os.path.exists(meta):  # legacy layout
+        meta = os.path.join(path, _ANN_META)
+        src = path
+    with open(meta) as fh:
+        return src, json.load(fh)["centroids"]
 
 
 def read_ivf_index(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, list[list[float]]]:
-    """→ (list-partitioned corpus frame, quantizer centroids)."""
-    with open(os.path.join(path, _ANN_META)) as fh:
-        centroids = json.load(fh)["centroids"]
-    return spark.read.parquet(path), centroids
+    """→ (list-partitioned corpus frame, quantizer centroids), pinned
+    to the manifest's current generation."""
+    src, centroids = _resolve(path)
+    return spark.read.parquet(src), centroids
 
 
 def ivf_probes(
@@ -148,8 +177,7 @@ def ivf_index_topk(
     id is deliberately low-cardinality, so the shuffle fallback bounds
     parallelism by |probed| — split bulk batches instead); ranking is
     the standard per-query window."""
-    with open(os.path.join(path, _ANN_META)) as fh:
-        centroids = json.load(fh)["centroids"]
+    src, centroids = _resolve(path)
     q = ivf_probes(
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -165,7 +193,7 @@ def ivf_index_topk(
         {int(r["label"]) for r in q.select("label").distinct().collect()}
     )  # ≤ len(centroids) rows — constant-bounded collect
     idx = fan_out(
-        spark.read.parquet(path).where(F.col("label").isin(probed))
+        spark.read.parquet(src).where(F.col("label").isin(probed))
     ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),

@@ -46,12 +46,11 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
-import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from . import artifact
 from .dedup import (
     BROADCAST_VERIFY_CAP,
     _keep_cache,
@@ -156,12 +155,21 @@ def write_band_index(
 
     The layout parameters are recorded in a ``_band_index_meta.json``
     sidecar so probes can recover ``key_buckets`` without the caller
-    re-threading it (:func:`read_band_index`)."""
+    re-threading it (:func:`read_band_index`).
+
+    Commit discipline (round 10): full builds land in a fresh
+    GENERATION directory under the root and are published by the
+    atomic single-file manifest swap of ``operators/artifact.py`` —
+    the mutation store's versioned-manifest pattern applied to the
+    artifact, closing the r9 crash-window/torn-read advice. Appends
+    stay within the current generation (its tail), so they remain
+    cheap; only (re)builds and compactions cut a generation."""
     idx = index
     if key_buckets and "kb" not in idx.columns:
         idx = idx.withColumn("kb", _kb_expr(key_buckets))
+    cur = artifact.current_dir(path)
     if mode == "append" and os.path.exists(
-        os.path.join(path, _INDEX_META)
+        os.path.join(cur, _INDEX_META)
     ):
         # L0 tail: kb rides as a DATA column (partition-dir layouts
         # cannot mix depths under one root); ≤ `bands` files per batch
@@ -170,24 +178,35 @@ def write_band_index(
             .sortWithinPartitions("band", "key")
             .write.mode("append")
             .partitionBy("band")
-            .parquet(os.path.join(path, _TAIL_DIR))
+            .parquet(os.path.join(cur, _TAIL_DIR))
         )
         return
+    legacy = artifact.read_manifest(path) is None and os.path.exists(
+        os.path.join(path, _INDEX_META)
+    )
+    gen, staging = artifact.new_generation_dir(path)
+    _write_layout(idx, staging, key_buckets)
+    artifact.publish_generation(path, gen, {"key_buckets": key_buckets})
+    if legacy:  # readers already resolve the generation — clear the old
+        artifact.clear_legacy_layout(path)
+
+
+def _write_layout(
+    idx: DataFrame, target: str, key_buckets: int | None
+) -> None:
+    """The physical bucket write: one (band, kb) group per task →
+    exactly one sorted file per partition directory; the writer streams
+    because the within-task sort leads with the partition columns."""
     part_cols = ["band", "kb"] if key_buckets else ["band"]
-    # one (band, kb) group per task → exactly one sorted file per
-    # partition directory; the writer streams because the within-task
-    # sort leads with the partition columns
     (
         idx.repartition(*part_cols)
         .sortWithinPartitions(*part_cols, "key")
-        .write.mode(mode)
+        .write.mode("overwrite")
         .partitionBy(*part_cols)
-        .parquet(path)
+        .parquet(target)
     )
-    meta_path = os.path.join(path, _INDEX_META)
-    if mode == "overwrite" or not os.path.exists(meta_path):
-        with open(meta_path, "w") as fh:
-            json.dump({"key_buckets": key_buckets}, fh)
+    with open(os.path.join(target, _INDEX_META), "w") as fh:
+        json.dump({"key_buckets": key_buckets}, fh)
 
 
 def read_band_index(spark: SparkSession, path: str) -> DataFrame:
@@ -196,9 +215,16 @@ def read_band_index(spark: SparkSession, path: str) -> DataFrame:
     layout parameters from the sidecar re-attached as column metadata on
     ``kb``, so probes discover ``key_buckets`` from the frame itself and
     apply partition pruning automatically (to the bucketed part; the
-    tail is small by the compaction contract and scans whole)."""
-    df = spark.read.parquet(path)
-    tail_dir = os.path.join(path, _TAIL_DIR)
+    tail is small by the compaction contract and scans whole).
+
+    The read PINS the artifact's current generation (atomic manifest
+    resolution, ``operators/artifact.py``): a compaction publishing a
+    new generation never changes the files under an already-opened
+    frame, and the previous generation is retained through one publish
+    for exactly that reader."""
+    src = artifact.current_dir(path)
+    df = spark.read.parquet(src)
+    tail_dir = os.path.join(src, _TAIL_DIR)
     if os.path.isdir(tail_dir):
         # the main schema is GIVEN to the tail read: an all-duplicate
         # batch appends zero rows (no data files, just _SUCCESS), and a
@@ -207,7 +233,7 @@ def read_band_index(spark: SparkSession, path: str) -> DataFrame:
             spark.read.schema(df.schema).parquet(tail_dir)
             .select(*df.columns)
         )
-    meta_path = os.path.join(path, _INDEX_META)
+    meta_path = os.path.join(src, _INDEX_META)
     if "kb" in df.columns and os.path.exists(meta_path):
         with open(meta_path) as fh:
             meta = json.load(fh)
@@ -225,12 +251,17 @@ def compact_band_index(
     sorted file per (band, kb) bucket. Returns
     ``{"files_before": n, "files_after": m}``.
 
-    Rewrites into a staging directory, then swaps it in (rename-based —
-    atomic on a local/posix store; a table format with transactional
-    commit replaces the swap at multi-writer scale). Batches in a
-    ``foreachBatch`` loop are processed serially, so running this
-    between batches is race-free."""
-    meta_path = os.path.join(path, _INDEX_META)
+    Versioned-manifest commit (round 10, replacing the r9 rename swap
+    and its crash window): the compacted layout is written COMPLETELY
+    into a fresh generation directory, then published by the atomic
+    manifest-file swap (``operators/artifact.py``); the previous
+    generation is retained through one publish so a concurrent reader
+    that resolved it keeps a consistent snapshot, and there is no
+    instant at which the index path does not exist. A crash mid-write
+    leaves the old generation live and the staging directory as
+    unreferenced garbage for the next publish's GC."""
+    src = artifact.current_dir(path)
+    meta_path = os.path.join(src, _INDEX_META)
     if key_buckets is None and os.path.exists(meta_path):
         with open(meta_path) as fh:
             key_buckets = json.load(fh).get("key_buckets")
@@ -243,22 +274,26 @@ def compact_band_index(
             if f.endswith(".parquet")
         )
 
-    before = _nfiles(path)
-    staging = f"{path.rstrip('/')}.__compact_{uuid.uuid4().hex}"
-    main = spark.read.parquet(path)  # ignores the _-prefixed tail
-    tail_dir = os.path.join(path, _TAIL_DIR)
+    before = _nfiles(src)
+    main = spark.read.parquet(src)  # ignores the _-prefixed tail
+    tail_dir = os.path.join(src, _TAIL_DIR)
     if os.path.isdir(tail_dir):  # fold the L0 tail into the buckets
         main = main.unionByName(
             spark.read.schema(main.schema).parquet(tail_dir)
             .select(*main.columns)
         )
-    write_band_index(main, staging, mode="overwrite",
-                     key_buckets=key_buckets)
-    trash = f"{path.rstrip('/')}.__old_{uuid.uuid4().hex}"
-    os.rename(path, trash)  # takes the old tail with it
-    os.rename(staging, path)
-    shutil.rmtree(trash)
-    return {"files_before": before, "files_after": _nfiles(path)}
+    if key_buckets and "kb" not in main.columns:
+        main = main.withColumn("kb", _kb_expr(key_buckets))
+    legacy = artifact.read_manifest(path) is None
+    gen, staging = artifact.new_generation_dir(path)
+    _write_layout(main, staging, key_buckets)
+    artifact.publish_generation(path, gen, {"key_buckets": key_buckets})
+    if legacy:
+        artifact.clear_legacy_layout(path)
+    return {
+        "files_before": before,
+        "files_after": _nfiles(artifact.current_dir(path)),
+    }
 
 
 def _check_index_width(index: DataFrame, num_hashes: int) -> None:

@@ -90,6 +90,38 @@ def test_sidecar_roundtrip(spark, index_path):
     assert df.select("vec_id").distinct().count() == n
 
 
+def test_rebuild_is_versioned_and_probe_consistent(
+    spark, vectors, tmp_path
+):
+    """Round-10 commit discipline: rebuilding a live IVF index cuts a
+    new generation under an atomic manifest swap — a probe plan opened
+    before the rebuild keeps its pinned (retained) generation, a fresh
+    probe resolves the new one, and a second rebuild GCs the oldest."""
+    import os
+
+    from sea_serpent_spark.operators import artifact as ART
+
+    p = str(tmp_path / "idx")
+    A.build_ivf_index(vectors, p, centroids=SEMDEDUP_CENTROIDS)
+    gen1 = ART.read_manifest(p)["current"]
+    q = vectors.where(F.col("vec_id") < 10)
+    pinned = A.ivf_index_topk(spark, p, q, k=3, nprobe=1)
+    before = _ranks(pinned)
+    # rebuild over the live index (same corpus/quantizer here — the
+    # point is the commit mechanics, not the content)
+    A.build_ivf_index(vectors, p, centroids=SEMDEDUP_CENTROIDS)
+    m = ART.read_manifest(p)
+    assert m["current"] != gen1 and gen1 in m["generations"]
+    # the pre-rebuild plan still collects its consistent snapshot
+    assert _ranks(pinned) == before and before
+    # a fresh probe resolves the new generation, same results
+    assert _ranks(A.ivf_index_topk(spark, p, q, k=3, nprobe=1)) == before
+    A.build_ivf_index(vectors, p, centroids=SEMDEDUP_CENTROIDS)
+    m2 = ART.read_manifest(p)
+    assert gen1 not in m2["generations"]
+    assert not os.path.isdir(os.path.join(p, gen1))
+
+
 def test_probes_staging_collision_guard(spark, vectors):
     bad = vectors.withColumn("__an", F.lit(1))
     with pytest.raises(ValueError):

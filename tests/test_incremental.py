@@ -287,7 +287,11 @@ def test_compact_band_index_folds_appends(spark, halves, tmp_path):
     ))
     stats = I.compact_band_index(spark, p)
     assert stats["files_after"] < stats["files_before"]
-    assert os.path.exists(os.path.join(p, "_band_index_meta.json"))
+    from sea_serpent_spark.operators import artifact as A
+
+    assert os.path.exists(
+        os.path.join(A.current_dir(p), "_band_index_meta.json")
+    )
     after_idx = I.read_band_index(spark, p)
     assert (after_idx.schema["kb"].metadata or {}).get("key_buckets") == 8
     after = _pairset(I.incremental_minhash_pairs(
@@ -295,6 +299,74 @@ def test_compact_band_index_folds_appends(spark, halves, tmp_path):
     ))
     assert before == after and before
     assert third >= 0  # slices cover the delta; silence the unused var
+
+
+def test_versioned_manifest_probe_during_compaction(spark, halves, tmp_path):
+    """Round-10 commit discipline (r9 verdict item 5 / advice): a reader
+    opened BEFORE a compaction keeps a consistent pinned generation (its
+    files are retained through one publish); a fresh reader resolves the
+    compacted generation; the manifest swap is a single atomic file
+    rename, so the index path never stops resolving; old generations GC
+    after the retention window."""
+    import os
+
+    from sea_serpent_spark.operators import artifact as A
+
+    old, new = halves
+    p = str(tmp_path / "idx")
+    I.write_band_index(
+        I.minhash_band_index(old, key_buckets=8), p, key_buckets=8
+    )
+    I.write_band_index(
+        I.minhash_band_index(new, key_buckets=8), p,
+        mode="append", key_buckets=8,
+    )
+    pinned = I.read_band_index(spark, p)
+    gen_before = A.read_manifest(p)["current"]
+    n_before = pinned.count()
+    I.compact_band_index(spark, p)
+    m = A.read_manifest(p)
+    assert m["current"] != gen_before
+    assert gen_before in m["generations"]  # retained for pinned readers
+    # the pinned frame still reads its CONSISTENT pre-compaction snapshot
+    assert pinned.count() == n_before
+    # a fresh reader resolves the compacted generation, same content
+    assert I.read_band_index(spark, p).count() == n_before
+    # the next publish GCs the oldest generation
+    I.compact_band_index(spark, p)
+    m2 = A.read_manifest(p)
+    assert gen_before not in m2["generations"]
+    assert not os.path.isdir(os.path.join(p, gen_before))
+    assert os.path.isdir(A.current_dir(p))
+
+
+def test_legacy_flat_layout_migrates_on_compaction(spark, halves, tmp_path):
+    """A pre-r10 flat layout (data directly under the root, no manifest)
+    stays readable, and its first compaction migrates it into a
+    generation — probe results unchanged, root data cleared."""
+    import os
+
+    from sea_serpent_spark.operators import artifact as A
+
+    old, new = halves
+    p = str(tmp_path / "idx_legacy")
+    idx = I.minhash_band_index(old, key_buckets=8)
+    I._write_layout(idx, p, 8)  # the r9 on-disk shape, no manifest
+    assert A.read_manifest(p) is None
+    small = new.limit(25)
+    before = _pairset(I.incremental_minhash_pairs(
+        small, I.read_band_index(spark, p), jaccard_threshold=THRESH
+    ))
+    I.compact_band_index(spark, p)
+    assert A.read_manifest(p) is not None
+    # legacy partition dirs are gone from the root; data lives in a gen
+    assert not any(
+        d.startswith("band=") for d in os.listdir(p)
+    )
+    after = _pairset(I.incremental_minhash_pairs(
+        small, I.read_band_index(spark, p), jaccard_threshold=THRESH
+    ))
+    assert before == after and before
 
 
 def test_incremental_dedup_stats_surface_id_collisions(spark, halves):

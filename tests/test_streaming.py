@@ -317,21 +317,27 @@ def test_incremental_dedup_sink_loop(spark, sf_dir, tmp_path, layout):
     # invariant 2: the output contains no internal near-dup pair
     assert D.minhash_lsh_pairs(out, jaccard_threshold=0.5).count() == 0
     # invariant 3: the index grew by exactly the survivors' bands
-    idx = spark.read.parquet(idxp)
+    # (read through the API — the root now holds versioned generations)
+    idx = I.read_band_index(spark, idxp)
     assert {r["id"] for r in idx.select("id").distinct().collect()} == (
         hist_ids | survivors
     )
     if layout == "bucketed_compacting":
         import os
 
-        # the layout survives the append+compact cycle: sidecar intact,
-        # kb partition dirs present, ≤1 file per (band, kb) directory
-        # after the final compaction folded the per-batch appends
+        from sea_serpent_spark.operators import artifact as A
+
+        # the layout survives the append+compact cycle: sidecar intact
+        # in the current generation, kb partition dirs present, ≤1 file
+        # per (band, kb) directory after the final compaction folded
+        # the per-batch appends
+        cur = A.current_dir(idxp)
+        assert cur != idxp  # compaction published a generation
         assert os.path.exists(
-            os.path.join(idxp, "_band_index_meta.json")
+            os.path.join(cur, "_band_index_meta.json")
         )
         assert "kb" in idx.columns
-        for root, dirs, files in os.walk(idxp):
+        for root, dirs, files in os.walk(cur):
             if "kb=" in os.path.basename(root):
                 pq = [f for f in files if f.endswith(".parquet")]
                 assert len(pq) <= 1, (root, pq)
