@@ -64,9 +64,14 @@ class Column:
 
     def _term(self, op: str, value) -> tuple:
         """One prunable conjunct, or () when the comparison is not a
-        plain literal (col-to-col, NULL, bool checkbox values)."""
+        plain literal (col-to-col, NULL, bool checkbox values).
+        datetime/date literals are carried as-is — the store converts
+        them to its integer stat representation at prune time (r10
+        temporal data skipping); ISO strings prune the same way."""
+        import datetime as _dt
+
         if isinstance(value, bool) or not isinstance(
-            value, (int, float, str)
+            value, (int, float, str, _dt.date)
         ):
             return ()
         return ((self.name, op, value),)

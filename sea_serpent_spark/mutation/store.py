@@ -68,6 +68,53 @@ _STAT_TYPES = (
     "tinyint", "smallint", "int", "bigint", "float", "double", "string"
 )
 
+#: Temporal columns get data-skipping stats too (round 10) — stored as
+#: tz-independent INTEGERS (timestamp → epoch micros, date → epoch
+#: days), never as formatted strings (tz-sensitive and JSON-lossy, the
+#: r9 exclusion reason). Predicate literals are converted to the same
+#: integers at prune time (:func:`_temporal_literal`).
+_TEMPORAL_STAT_TYPES = ("timestamp", "date")
+
+
+def _temporal_literal(val, kind: str, session_tz: str):
+    """A predicate literal against a timestamp/date column → the stats'
+    integer representation (epoch micros / epoch days), or None when the
+    conversion isn't exact (the term is then skipped — bucket kept,
+    sound). Naive datetime literals are interpreted in the SESSION
+    timezone, exactly as Spark casts them."""
+    import datetime as dt
+
+    def to_micros(d: "dt.datetime") -> int | None:
+        if d.tzinfo is None:
+            try:
+                from zoneinfo import ZoneInfo
+
+                d = d.replace(tzinfo=ZoneInfo(session_tz))
+            except Exception:
+                return None
+        epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+        return (d - epoch) // dt.timedelta(microseconds=1)
+
+    if isinstance(val, str):
+        try:
+            val = dt.datetime.fromisoformat(val)
+        except ValueError:
+            return None
+    if isinstance(val, dt.datetime):
+        if kind == "timestamp":
+            return to_micros(val)
+        # date column: only an exact-midnight naive literal converts
+        # losslessly (Spark promotes the DATE side to timestamp in mixed
+        # comparisons, which integer day bounds cannot mirror)
+        if val.tzinfo is None and val.time() == dt.time(0, 0):
+            return (val.date() - dt.date(1970, 1, 1)).days
+        return None
+    if isinstance(val, dt.date):
+        if kind == "date":
+            return (val - dt.date(1970, 1, 1)).days
+        return to_micros(dt.datetime(val.year, val.month, val.day))
+    return None
+
 
 def _stat_ok(v) -> bool:
     """Value is storable as a pruning bound. NaN is NOT (any comparison
@@ -413,17 +460,31 @@ class Base:
             if n_buckets <= 1 or not os.path.isdir(commit_dir):
                 return {}
             wdf = self.spark.read.parquet(commit_dir)
+            kinds = {
+                f.name: f.dataType.simpleString()
+                for f in wdf.schema.fields
+            }
             cols = [
-                f.name for f in wdf.schema.fields
-                if f.name != "_b"
-                and f.dataType.simpleString() in _STAT_TYPES
+                c for c, k in kinds.items()
+                if c != "_b"
+                and k in _STAT_TYPES + _TEMPORAL_STAT_TYPES
             ]
             if not cols:
                 return {}
             aggs = []
             for c in cols:
-                aggs.append(F.min(c).alias(f"mn_{c}"))
-                aggs.append(F.max(c).alias(f"mx_{c}"))
+                # temporal bounds land as tz-independent INTEGERS
+                # (epoch micros / epoch days) — see _temporal_literal
+                if kinds[c] == "timestamp":
+                    aggs.append(F.unix_micros(F.min(c)).alias(f"mn_{c}"))
+                    aggs.append(F.unix_micros(F.max(c)).alias(f"mx_{c}"))
+                elif kinds[c] == "date":
+                    e = F.to_date(F.lit("1970-01-01"))
+                    aggs.append(F.datediff(F.min(c), e).alias(f"mn_{c}"))
+                    aggs.append(F.datediff(F.max(c), e).alias(f"mx_{c}"))
+                else:
+                    aggs.append(F.min(c).alias(f"mn_{c}"))
+                    aggs.append(F.max(c).alias(f"mx_{c}"))
             out: dict[str, dict[str, list]] = {}
             for r in wdf.groupBy("_b").agg(*aggs).collect():
                 cs: dict[str, list] = {}
@@ -599,7 +660,30 @@ class Base:
         if files is None or not cstats:
             return None
         cm = self._colmap(name)
-        pterms = [(cm.get(c, c), op, val) for c, op, val in terms]
+        kinds = {
+            f.name: f.dataType.simpleString()
+            for f in T.StructType.fromJson(
+                json.loads(entry["schema"])
+            ).fields
+        }
+        tz = self.spark.conf.get("spark.sql.session.timeZone", "UTC")
+        pterms = []
+        for c, op, val in terms:
+            if kinds.get(c) in _TEMPORAL_STAT_TYPES:
+                # convert the literal to the stats' integer form;
+                # inexact conversions drop the term (bucket kept)
+                if op == "in":
+                    vs = [
+                        _temporal_literal(v, kinds[c], tz) for v in val
+                    ]
+                    if any(v is None for v in vs):
+                        continue
+                    val = tuple(vs)
+                else:
+                    val = _temporal_literal(val, kinds[c], tz)
+                    if val is None:
+                        continue
+            pterms.append((cm.get(c, c), op, val))
         keep = [
             (b, ps) for b, ps in files.items()
             if _bucket_may_match(cstats.get(b), pterms)

@@ -181,6 +181,81 @@ def test_stats_prune_version_skew(base, skiptable):
     assert c.loc[c.v == 1_000_077].to_frame().empty
 
 
+def test_temporal_data_skipping(base, spark):
+    """Round 10: timestamp/date columns carry integer stats (epoch
+    micros / epoch days) and date-range predicates — ISO strings,
+    datetimes, and dates — prune files; a pruned read stays
+    value-identical. The most common selective filter in practice
+    (q01-style shipdate ranges)."""
+    import datetime as dt
+
+    rows = []
+    for i in range(200):
+        rows.append(
+            (
+                i,
+                dt.datetime(1995, 1, 1) + dt.timedelta(hours=i),
+                dt.date(1995, 1, 1) + dt.timedelta(days=i % 30),
+            )
+        )
+    # outliers only a few buckets own — the prunable shape
+    rows[7] = (7, dt.datetime(2031, 6, 1, 12, 30), dt.date(2031, 6, 1))
+    rows[77] = (77, dt.datetime(2032, 6, 1), dt.date(2032, 6, 1))
+    sdf = spark.createDataFrame(rows, "k long, ts timestamp, d date")
+    base.from_df(sdf, "temporal", buckets=8)
+    t = base.table("temporal")
+    all_files = set(t.df.inputFiles())
+
+    # ISO-string literal on a timestamp (the q01 shape)
+    got = t.loc[t.ts >= "2030-01-01"]
+    assert set(got.df.inputFiles()) < all_files
+    assert sorted(got.to_frame()["k"].tolist()) == [7, 77]
+    # datetime literal + between
+    got = t.loc[
+        t.ts.between(
+            dt.datetime(2031, 1, 1), dt.datetime(2031, 12, 31)
+        )
+    ]
+    assert set(got.df.inputFiles()) < all_files
+    assert got.to_frame()["k"].tolist() == [7]
+    # date column with a date literal
+    got = t.loc[t.d > dt.date(2031, 1, 1)]
+    assert set(got.df.inputFiles()) < all_files
+    assert sorted(got.to_frame()["k"].tolist()) == [7, 77]
+    # date column with an ISO string
+    got = t.loc[t.d == "2032-06-01"]
+    assert set(got.df.inputFiles()) < all_files
+    assert got.to_frame()["k"].tolist() == [77]
+    # a literal the stat conversion refuses (time-of-day against a DATE
+    # column: Spark promotes the date side to timestamp, which integer
+    # day bounds can't mirror) → no pruning, still correct
+    got = t.loc[t.d > dt.datetime(2031, 1, 1, 12, 0)]
+    assert set(got.df.inputFiles()) == all_files
+    assert sorted(got.to_frame()["k"].tolist()) == [7, 77]
+    # non-selective range → every bucket may match, full scan, correct
+    got = t.loc[t.ts >= "1990-01-01"]
+    assert len(got.to_frame()) == 200
+
+
+def test_temporal_prune_never_drops_boundary_rows(base, spark):
+    """Boundary exactness: a timestamp exactly AT a bucket's recorded
+    bound must survive >=/<= pruning (epoch-micros conversion is exact,
+    no rounding at the edges)."""
+    import datetime as dt
+
+    edge = dt.datetime(2000, 1, 1, 23, 59, 59, 999999)
+    rows = [(i, dt.datetime(1999, 1, 1) + dt.timedelta(days=i))
+            for i in range(50)]
+    rows[13] = (13, edge)
+    sdf = spark.createDataFrame(rows, "k long, ts timestamp")
+    base.from_df(sdf, "edges", buckets=4)
+    t = base.table("edges")
+    got = t.loc[t.ts >= "2000-01-01 23:59:59.999999"].to_frame()
+    assert got["k"].tolist() == [13]
+    got = t.loc[t.ts == edge].to_frame()
+    assert got["k"].tolist() == [13]
+
+
 def test_bucket_may_match_unit():
     st = {"c0001": [10, 20], "c0002": ["aa", "mm"], "c0003": [None, None]}
     ok = _bucket_may_match
