@@ -57,11 +57,21 @@ def build_ivf_index(
     k: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
 ) -> list[list[float]]:
     """Assign every corpus vector to its IVF list and persist the
     list-partitioned layout + the quantizer sidecar. Returns the
     centroids actually used (pass pinned ones for byte-stable builds;
     ``kmeans_fit`` is the from-scratch path).
+
+    ``codebooks`` (round 10) additionally stores each vector's PQ code
+    (``similarity.pq_encode``) as a ``pq_code`` column of the SAME
+    list-partitioned layout — the IVF-PQ artifact. An ADC probe
+    (:func:`ivf_index_pq_topk`) then selects ONLY (id, code, label):
+    parquet column pruning keeps the raw vectors on disk, so the probed
+    lists are scanned as m-byte codes instead of full vectors — the
+    production memory shape at 100 TB (the billion-scale FAISS layout).
+    The codebooks ride the sidecar next to the quantizer.
 
     Versioned-manifest commit (round 10): the layout lands in a fresh
     generation directory and is published by the atomic manifest swap
@@ -73,6 +83,10 @@ def build_ivf_index(
     assigned = ivf_assign(
         corpus.select(id_col, vec_col), centroids, vec_col
     )
+    if codebooks is not None:
+        from .similarity import pq_encode
+
+        assigned = pq_encode(assigned, codebooks, vec_col=vec_col)
     legacy = artifact.read_manifest(path) is None and os.path.exists(
         os.path.join(path, _ANN_META)
     )
@@ -84,8 +98,11 @@ def build_ivf_index(
         .partitionBy("label")
         .parquet(staging)
     )
+    meta = {"centroids": centroids}
+    if codebooks is not None:
+        meta["codebooks"] = codebooks
     with open(os.path.join(staging, _ANN_META), "w") as fh:
-        json.dump({"centroids": centroids}, fh)
+        json.dump(meta, fh)
     artifact.publish_generation(path, gen)
     if legacy:
         artifact.clear_legacy_layout(path)
@@ -95,16 +112,16 @@ def build_ivf_index(
     return centroids
 
 
-def _resolve(path: str) -> tuple[str, list[list[float]]]:
-    """→ (pinned generation dir, its centroids) — legacy flat layouts
-    (meta at the root) resolve to the root."""
+def _resolve(path: str) -> tuple[str, dict]:
+    """→ (pinned generation dir, its sidecar meta) — legacy flat
+    layouts (meta at the root) resolve to the root."""
     src = artifact.current_dir(path)
     meta = os.path.join(src, _ANN_META)
     if not os.path.exists(meta):  # legacy layout
         meta = os.path.join(path, _ANN_META)
         src = path
     with open(meta) as fh:
-        return src, json.load(fh)["centroids"]
+        return src, json.load(fh)
 
 
 def read_ivf_index(
@@ -112,8 +129,8 @@ def read_ivf_index(
 ) -> tuple[DataFrame, list[list[float]]]:
     """→ (list-partitioned corpus frame, quantizer centroids), pinned
     to the manifest's current generation."""
-    src, centroids = _resolve(path)
-    return spark.read.parquet(src), centroids
+    src, meta = _resolve(path)
+    return spark.read.parquet(src), meta["centroids"]
 
 
 def ivf_probes(
@@ -177,7 +194,8 @@ def ivf_index_topk(
     id is deliberately low-cardinality, so the shuffle fallback bounds
     parallelism by |probed| — split bulk batches instead); ranking is
     the standard per-query window."""
-    src, centroids = _resolve(path)
+    src, meta = _resolve(path)
+    centroids = meta["centroids"]
     q = ivf_probes(
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -228,4 +246,55 @@ def ivf_index_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def ivf_index_pq_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ [query_id, neighbor_id, rank]: ADC top-k of each query over
+    the PROBED lists of a persisted IVF-PQ index (built with
+    ``codebooks``) — the production memory shape at 100 TB: probe
+    selection and partition pruning exactly as :func:`ivf_index_topk`,
+    but the index scan selects ONLY (id, pq_code, label); the raw
+    vectors never leave disk (parquet column pruning), and scoring is
+    the per-query LUT + m array lookups of ``similarity.pq_topk``.
+
+    With ``nprobe = len(centroids)`` the result equals plain
+    ``pq_topk`` over the full corpus (every list probed — tested); the
+    probe order/tie rules match ``ivf_index_topk`` so the q41 oracle
+    replays the whole pipeline in SQL."""
+    src, meta = _resolve(path)
+    centroids = meta["centroids"]
+    codebooks = meta.get("codebooks")
+    if not codebooks:
+        raise ValueError(
+            "index was built without PQ codebooks — rebuild with "
+            "build_ivf_index(..., codebooks=...)"
+        )
+    from .similarity import pq_topk
+
+    q = ivf_probes(
+        queries.select(F.col(id_col), F.col(vec_col)),
+        centroids, nprobe, vec_col=vec_col,
+    ).select(
+        id_col, vec_col, F.explode("probes").alias("label")
+    )
+    probed = sorted(
+        {int(r["label"]) for r in q.select("label").distinct().collect()}
+    )  # ≤ len(centroids) rows — constant-bounded collect
+    idx = spark.read.parquet(src).where(
+        F.col("label").isin(probed)
+    ).select(id_col, "pq_code", "label")
+    # assignment partitions the corpus, so a neighbor sits in exactly
+    # one probed list — pq_topk's per-query ranking needs no dedup
+    return pq_topk(
+        idx, q, codebooks, k=k,
+        id_col=id_col, vec_col=vec_col, cluster_col="label",
     )

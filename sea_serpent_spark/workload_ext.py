@@ -562,7 +562,11 @@ def q41_ann_topk(spark, sf_dir):
     import os
     import tempfile
 
-    from .operators.ann_index import build_ivf_index, ivf_index_topk
+    from .operators.ann_index import (
+        build_ivf_index,
+        ivf_index_pq_topk,
+        ivf_index_topk,
+    )
     from .operators.pinned import SEMDEDUP_CENTROIDS
 
     e = df(spark, sf_dir, "embeddings")
@@ -594,13 +598,24 @@ def q41_ann_topk(spark, sf_dir):
     idx_path = os.path.join(
         tempfile.gettempdir(), "sea_serpent_scratch", f"ivf{sf_tag}", "idx"
     )
-    build_ivf_index(ed, idx_path, centroids=SEMDEDUP_CENTROIDS)
+    build_ivf_index(
+        ed, idx_path, centroids=SEMDEDUP_CENTROIDS,
+        codebooks=PQ_CODEBOOKS,
+    )
     ivfp = ivf_index_topk(
         spark, idx_path, ed.where(F.col("vec_id") < 20), k=3, nprobe=2
     ).withColumn("method", F.lit("ivfp"))
+    # ivfpq (round 10): the SAME persisted artifact probed by ADC —
+    # probe selection + literal partition pruning as ivfp, but the
+    # scan reads ONLY (id, pq_code, label); the oracle replays probe
+    # lists, codes, LUTs, and the ADC fold in all-double SQL
+    ivfpq = ivf_index_pq_topk(
+        spark, idx_path, ed.where(F.col("vec_id") < 20), k=3, nprobe=2
+    ).withColumn("method", F.lit("ivfpq"))
     return (
         brute.unionByName(lsh).unionByName(mp)
         .unionByName(ivf).unionByName(pq).unionByName(ivfp)
+        .unionByName(ivfpq)
     )
 
 
@@ -1311,13 +1326,28 @@ ivfp AS (
     SELECT query_id, neighbor_id,
       ROW_NUMBER() OVER (PARTITION BY query_id
                          ORDER BY cos DESC, neighbor_id ASC) AS rank
-    FROM ivfp_scored) WHERE rank <= 3)
+    FROM ivfp_scored) WHERE rank <= 3),
+ivfpq_scored AS (
+  SELECT q.query_id, c.neighbor_id, {_PQ_DIST_SQL} AS d
+  FROM (SELECT a.neighbor_id, a.lbl, pc.codes
+        FROM ivfp_asg a JOIN pq_codes pc ON pc.vec_id = a.neighbor_id) c
+  JOIN (SELECT iq.query_id, iq.probes, ql.lut
+        FROM ivfp_q iq JOIN pq_lut ql ON ql.vec_id = iq.query_id) q
+    ON list_contains(q.probes, c.lbl)
+  WHERE c.neighbor_id != q.query_id),
+ivfpq AS (
+  SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY d ASC, neighbor_id ASC) AS rank
+    FROM ivfpq_scored) WHERE rank <= 3)
 SELECT 'brute' AS method, * FROM brute
 UNION ALL SELECT 'lsh' AS method, * FROM lsh
 UNION ALL SELECT 'lsh_mp' AS method, * FROM lsh_mp
 UNION ALL SELECT 'ivf' AS method, * FROM ivf
 UNION ALL SELECT 'pq' AS method, * FROM pq
 UNION ALL SELECT 'ivfp' AS method, * FROM ivfp
+UNION ALL SELECT 'ivfpq' AS method, * FROM ivfpq
 """,
     "q58_asof_join": """
 WITH snap AS (

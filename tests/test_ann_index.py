@@ -122,6 +122,64 @@ def test_rebuild_is_versioned_and_probe_consistent(
     assert not os.path.isdir(os.path.join(p, gen1))
 
 
+def test_ivfpq_probe_prunes_partitions_and_columns(
+    spark, vectors, tmp_path
+):
+    """The IVF-PQ probe must read ONLY probed list directories
+    (PartitionFilters on label) and ONLY the code column (ReadSchema
+    without the raw vector) — the ADC memory shape."""
+    import re
+
+    from sea_serpent_spark.operators.pinned import PQ_CODEBOOKS
+
+    ed = vectors.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    p = str(tmp_path / "idx")
+    A.build_ivf_index(
+        ed, p, centroids=SEMDEDUP_CENTROIDS, codebooks=PQ_CODEBOOKS
+    )
+    one = ed.where(F.col("vec_id") == 5)
+    out = A.ivf_index_pq_topk(spark, p, one, k=3, nprobe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*label[^\]]*\]", plan)
+    scans = re.findall(r"ReadSchema: struct<[^>]*>", plan)
+    idx_scans = [s for s in scans if "pq_code" in s]
+    assert idx_scans and all(
+        "embedding" not in s for s in idx_scans
+    ), idx_scans
+    assert out.count() == 3
+
+
+def test_ivfpq_all_probes_equals_plain_pq(spark, vectors, tmp_path):
+    """nprobe = all lists ⇒ every candidate scored ⇒ the persisted ADC
+    probe equals plain pq_topk over the full corpus, rank for rank."""
+    from sea_serpent_spark.operators.pinned import PQ_CODEBOOKS
+
+    ed = vectors.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    p = str(tmp_path / "idx")
+    A.build_ivf_index(
+        ed, p, centroids=SEMDEDUP_CENTROIDS, codebooks=PQ_CODEBOOKS
+    )
+    q = ed.where(F.col("vec_id") < 15)
+    got = _ranks(
+        A.ivf_index_pq_topk(
+            spark, p, q, k=3, nprobe=len(SEMDEDUP_CENTROIDS)
+        )
+    )
+    ref = _ranks(
+        S.pq_topk(S.pq_encode(ed, PQ_CODEBOOKS), q, PQ_CODEBOOKS, k=3)
+    )
+    assert got == ref and got
+    # an index built WITHOUT codebooks refuses the ADC probe
+    p2 = str(tmp_path / "idx2")
+    A.build_ivf_index(ed, p2, centroids=SEMDEDUP_CENTROIDS)
+    with pytest.raises(ValueError):
+        A.ivf_index_pq_topk(spark, p2, q, k=3)
+
+
 def test_probes_staging_collision_guard(spark, vectors):
     bad = vectors.withColumn("__an", F.lit(1))
     with pytest.raises(ValueError):
