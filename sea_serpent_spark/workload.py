@@ -167,13 +167,15 @@ def q03_string_preds(spark, sf_dir):
     return t.loc[f, ["p_partkey", "p_name", "p_type", "p_brand"]].df
 
 
-def q06_count(spark, sf_dir):
+def _scalar_shapes(spark, sf_dir):
     """COUNT(*) pushdown (base.py:357-360, parquet metadata-only scan),
     the `value in column` existence probe (Column.__contains__,
     base.py:1782-1792 — a pushdown LIMIT-1 scan), AND the isnull/notnull
-    empty-string≡NULL duality aggregates (base.py:2014-2050 — formerly
-    q12, folded in to free a driver slot for q61): all single-row
-    scalar shapes, combined via a 1×1 cross join."""
+    empty-string≡NULL duality aggregates (base.py:2014-2050): all
+    single-row scalar shapes, combined via a 1×1 cross join. Formerly
+    the q06 slot; folded into q08's tagged union in round 10 to free
+    the driver slot for q70_profile_qa (the driver caps oracle slots
+    at 50)."""
     t = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
     d = load(spark, sf_dir, "documents")
@@ -192,11 +194,16 @@ def q06_count(spark, sf_dir):
 
 
 def q08_value_counts(spark, sf_dir):
-    """Tagged union of BOTH key-aggregation shapes, one oracle row
+    """Tagged union of the key-aggregation shapes, one oracle row
     (frees the former q07 slot for q62_span_dedup): value_counts
     (base.py:2205-2219, made distributed — group-by count on orders
     priority) and SELECT DISTINCT (base.py:2158-2169, partial-agg'd
-    map-side — lineitem flag/status key pairs, count NULL)."""
+    map-side — lineitem flag/status key pairs, count NULL).
+
+    Round 10 folds the former q06 slot in as ``op='scalar'`` rows
+    (COUNT(*) pushdown, the LIMIT-1 existence probe, the ''≡NULL
+    duality aggregates — :func:`_scalar_shapes`), melted into the
+    (key, count) shape; the freed slot carries q70_profile_qa."""
     o = load(spark, sf_dir, "orders")
     l = load(spark, sf_dir, "lineitem")
     vc = (
@@ -219,7 +226,17 @@ def q08_value_counts(spark, sf_dir):
             F.lit("distinct").alias("op"),
         )
     )
-    return vc.unionByName(di)
+    scalars = _scalar_shapes(spark, sf_dir).select(
+        F.explode(
+            F.create_map(
+                F.lit("lineitem_count"), F.col("n").cast("long"),
+                F.lit("brand7_present"), F.col("present").cast("long"),
+                F.lit("doc_text_notnull"), F.col("n_notnull").cast("long"),
+                F.lit("doc_text_null"), F.col("n_null").cast("long"),
+            )
+        ).alias("key", "count")
+    ).withColumn("op", F.lit("scalar"))
+    return vc.unionByName(di).unionByName(scalars)
 
 
 def q09_topn_slice(spark, sf_dir):
@@ -544,20 +561,24 @@ ORACLES: dict[str, str] = {
         "WHERE (p_name LIKE '%a%' AND p_type LIKE 'S%' AND p_brand LIKE '%2') "
         "OR p_brand IN ('Brand#1', 'Brand#5', 'Brand#9')"
     ),
-    "q06_count": (
-        "SELECT (SELECT COUNT(*) FROM lineitem) AS n, "
-        "(SELECT COUNT(*) > 0 FROM part WHERE p_brand = 'Brand#7') AS present, "
-        "(SELECT CAST(COUNT(*) FILTER (WHERE text IS NOT NULL AND text != '') "
-        "AS BIGINT) FROM documents) AS n_notnull, "
-        "(SELECT CAST(COUNT(*) FILTER (WHERE text IS NULL OR text = '') "
-        "AS BIGINT) FROM documents) AS n_null"
-    ),
     "q08_value_counts": (
         "SELECT o_orderpriority AS key, COUNT(*) AS count, "
         "'value_counts' AS op FROM orders GROUP BY o_orderpriority "
         "UNION ALL "
         "SELECT DISTINCT l_returnflag || '|' || l_linestatus AS key, "
-        "CAST(NULL AS BIGINT) AS count, 'distinct' AS op FROM lineitem"
+        "CAST(NULL AS BIGINT) AS count, 'distinct' AS op FROM lineitem "
+        # the former q06 scalar shapes, melted to (key, count)
+        "UNION ALL SELECT 'lineitem_count', "
+        "(SELECT COUNT(*) FROM lineitem), 'scalar' "
+        "UNION ALL SELECT 'brand7_present', "
+        "(SELECT CAST(COUNT(*) > 0 AS BIGINT) FROM part "
+        "WHERE p_brand = 'Brand#7'), 'scalar' "
+        "UNION ALL SELECT 'doc_text_notnull', "
+        "(SELECT CAST(COUNT(*) FILTER (WHERE text IS NOT NULL "
+        "AND text != '') AS BIGINT) FROM documents), 'scalar' "
+        "UNION ALL SELECT 'doc_text_null', "
+        "(SELECT CAST(COUNT(*) FILTER (WHERE text IS NULL OR text = '') "
+        "AS BIGINT) FROM documents), 'scalar'"
     ),
     "q09_topn_slice": (
         "SELECT o_orderkey, o_totalprice, 'topn' AS op FROM ("

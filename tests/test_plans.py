@@ -341,12 +341,13 @@ def test_workload_plan_audit(spark, sf_dir):
     import __spark_entry__ as E
     from sea_serpent_spark.operators.plan_report import plan_report
 
-    # q06: limit-1 existence probe (1-row broadcast side)
+    # q08: carries the folded scalar shapes (limit-1 existence probe,
+    #      1×1 cross join of single-row aggregates — formerly q06)
     # q37: dense-regime all-pairs — reps broadcast under allpairs_rep_cap
     # q41: carries the brute-force ANN baseline tag — broadcast-bounded
     # q43: the oracle-pinned exact (nbits=0) all-pairs variant
     CARTESIAN_OK = {
-        "q06_count", "q37_ngram_jaccard",
+        "q08_value_counts", "q37_ngram_jaccard",
         "q41_ann_topk", "q43_embedding_near_dup",
     }
     # q53: mapInPandas multimodal decode; q41: pq_encode + the ADC LUT
