@@ -363,8 +363,6 @@ def _decode_gif(b: bytes) -> tuple[int, int, int, bytes]:
                 n = 2 << (lflags & 0x07)
                 ct = b[i:i + 3 * n]
                 i += 3 * n
-            if lflags & 0x40:
-                raise NotImplementedError("interlaced GIF unsupported")
             mcs = b[i]
             i += 1
             data = bytearray()
@@ -375,6 +373,8 @@ def _decode_gif(b: bytes) -> tuple[int, int, int, bytes]:
             idx = _lzw_decode(bytes(data), mcs, iw * ih)
             if ct is None:
                 raise ValueError("GIF image without a color table")
+            if lflags & 0x40:  # interlaced: 4-pass row order (r10)
+                idx = _gif_deinterlace(idx, iw, ih)
             out = bytearray(iw * ih * 3)
             for p, v in enumerate(idx):
                 out[3 * p:3 * p + 3] = ct[3 * v:3 * v + 3]
@@ -384,6 +384,19 @@ def _decode_gif(b: bytes) -> tuple[int, int, int, bytes]:
         else:
             raise ValueError(f"unknown GIF block 0x{blk:02x}")
     raise ValueError("GIF contains no image data")
+
+
+def _gif_deinterlace(idx: bytes, w: int, h: int) -> bytes:
+    """Reorder interlaced GIF rows to top-down: the stream stores rows
+    in four passes — every 8th from 0, every 8th from 4, every 4th
+    from 2, every 2nd from 1 (GIF89a spec appendix E)."""
+    out = bytearray(len(idx))
+    src = 0
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        for y in range(start, h, step):
+            out[y * w:(y + 1) * w] = idx[src:src + w]
+            src += w
+    return bytes(out)
 
 
 def _lzw_decode(data: bytes, min_code_size: int, limit: int) -> bytes:

@@ -362,6 +362,46 @@ def test_extract_media_content_end_to_end(spark):
             assert r["vsum"] == 3 * exp
 
 
+def test_decode_gif_interlaced():
+    """Interlaced GIFs (the 0x40 descriptor flag) deinterlace through
+    the 4-pass row order — decoded pixels equal the logical top-down
+    image, bit for bit."""
+    import struct
+
+    def interlaced_gif(w, h):
+        head = b"GIF89a" + struct.pack("<HH", w, h) + bytes((0xF7, 0, 0))
+        gct = bytes(v for i in range(256) for v in (i, i, i))
+        desc = b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x40"
+        rows = [
+            bytes(M._pattern_px(x, y) for x in range(w))
+            for y in range(h)
+        ]
+        order = [
+            y
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+            for y in range(start, h, step)
+        ]
+        idx = b"".join(rows[y] for y in order)
+        lzw = M._lzw_encode_literal(idx, 8)
+        blocks = bytearray([8])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            blocks += bytes([len(chunk)]) + chunk
+        blocks += b"\x00"
+        return head + gct + desc + bytes(blocks) + b"\x3b"
+
+    for (w, h) in ((3, 1), (7, 5), (16, 16), (13, 29)):
+        wd, hd, ch, px = M.decode_image(interlaced_gif(w, h))
+        exp = bytes(
+            v
+            for y in range(h)
+            for x in range(w)
+            for v in [M._pattern_px(x, y)] * 3
+        )
+        assert (wd, hd, ch) == (w, h, 3)
+        assert bytes(px) == exp
+
+
 # ---------------------------------------------------------------------------
 # round 10: baseline JPEG decode (from-scratch huffman + IDCT)
 # ---------------------------------------------------------------------------
