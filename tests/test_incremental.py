@@ -396,6 +396,22 @@ def test_incremental_dedup_stats_surface_id_collisions(spark, halves):
     assert out2.count() == 0  # by-id idempotency contract holds
     assert stats["id_collisions"] == 1
     assert stats["id_collision_content_mismatch"] == 1
+    # strict mode (r10): the same id reuse becomes a loud failure ...
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="DIFFERENT content"):
+        I.incremental_dedup(
+            one, idx, jaccard_threshold=THRESH,
+            on_id_collision="error",
+        )
+    # ... while a pure same-content replay stays idempotent under it
+    assert I.incremental_dedup(
+        old, idx, jaccard_threshold=THRESH, on_id_collision="error"
+    ).count() == 0
+    with _pytest.raises(ValueError, match="on_id_collision"):
+        I.incremental_dedup(
+            one, idx, jaccard_threshold=THRESH, on_id_collision="nope"
+        )
 
 
 def test_band_index_empty_append_then_read(spark, halves, tmp_path):
