@@ -36,12 +36,14 @@ from __future__ import annotations
 import json
 import os
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from . import artifact
 from .similarity import dot, ivf_assign, kmeans_fit, norm
-from .util import fan_out
+from .util import fan_out, tracked_checkpoint
 
 _ANN_META = "_ivf_index_meta.json"
 
@@ -133,6 +135,15 @@ def read_ivf_index(
     return spark.read.parquet(src), meta["centroids"]
 
 
+#: Above this many centroid×dim literal terms, probe selection switches
+#: from the constant-folded expression to an Arrow-batched numpy UDF:
+#: the literal form embeds k·dim literals inside k sorted structs, and
+#: Catalyst analysis/codegen of that tree grows superlinearly — the
+#: r10 rehearsal measured a k=64/dim=64 probe spending MORE wall in
+#: plan compilation than brute force spends scanning (BENCH_NOTES r10).
+_PROBE_LITERAL_CAP = 1024
+
+
 def ivf_probes(
     df: DataFrame,
     centroids: list[list[float]],
@@ -141,17 +152,54 @@ def ivf_probes(
     out_col: str = "probes",
 ) -> DataFrame:
     """Attach each row's top-``nprobe`` IVF list ids — the probe
-    SELECTION, as a pure broadcast-literal expression (no shuffle, no
-    join; the same staged-norm shape as ``ivf_assign``). Deterministic
-    order: affinity descending, centroid index ascending on ties
-    (array_sort over struct(−affinity, index) — the lexicographic tie
-    rule the q41 oracle replays)."""
+    SELECTION. Deterministic order: affinity descending, centroid index
+    ascending on ties.
+
+    Two physical forms, same semantics: small quantizers (k·dim ≤
+    ``_PROBE_LITERAL_CAP``) use the pure broadcast-literal expression
+    (no shuffle, no join, bit-pinned by the q41 oracle — array_sort
+    over struct(−affinity, index), the lexicographic tie rule the SQL
+    replays); larger quantizers use an Arrow-batched numpy UDF (the
+    centroid matrix rides the closure), because the literal tree's
+    Catalyst analysis cost grows superlinearly in k·dim and at k=64
+    already exceeded the probe's own execution (r10 rehearsal). The
+    UDF path is parity-tested against the literal path; its float64
+    matrix product may differ from the in-order fold in the last ulp,
+    which can only matter on exact affinity ties — the oracle-pinned
+    path stays literal."""
     for staging in ("__an",):
         if staging in df.columns:
             raise ValueError(
                 f"ivf_probes stages an internal column {staging!r}; "
                 "rename the conflicting input column first"
             )
+    k = len(centroids)
+    dim = len(centroids[0]) if k else 0
+    if k * dim > _PROBE_LITERAL_CAP:
+        from pyspark.sql.types import ArrayType, IntegerType
+
+        C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+        npb = int(nprobe)
+
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def _probes(vs: pd.Series) -> pd.Series:
+            res: list = [None] * len(vs)
+            for i, v in enumerate(vs):
+                if v is None or len(v) != C.shape[1]:
+                    continue
+                u = np.asarray(v, dtype=np.float64)
+                nv = max(float(np.sqrt((u * u).sum())), 1e-12)
+                aff = C @ u / nv
+                # affinity desc, index asc on ties == lexicographic
+                # sort of (−aff, index); argsort is stable, so sorting
+                # −aff alone gives index-ascending tie order
+                order = np.argsort(-aff, kind="stable")[:npb]
+                res[i] = [int(x) for x in order]
+            return pd.Series(res)
+
+        # optimizer fence against duplicate evaluation (see pq_encode)
+        _probes = _probes.asNondeterministic()
+        return df.withColumn(out_col, _probes(F.col(vec_col)))
     staged = df.withColumn(
         "__an", F.greatest(norm(F.col(vec_col)), F.lit(1e-12))
     )
@@ -207,6 +255,11 @@ def ivf_index_topk(
     ).select(
         "query_id", "qv", "nq", F.explode("probes").alias("label")
     )
+    # materialize the (queries × nprobe)-sized probe frame ONCE: the
+    # probed-label collect, the broadcast count gate, and the candidate
+    # join otherwise EACH re-run the query-source scan + probe selection
+    # (three executions, measured in the r10 k=64 rehearsal)
+    q, _ = tracked_checkpoint(q)
     probed = sorted(
         {int(r["label"]) for r in q.select("label").distinct().collect()}
     )  # ≤ len(centroids) rows — constant-bounded collect
@@ -286,6 +339,9 @@ def ivf_index_pq_topk(
     ).select(
         id_col, vec_col, F.explode("probes").alias("label")
     )
+    # one materialization serves the label collect and the join side
+    # (see ivf_index_topk — same three-execution finding)
+    q, _ = tracked_checkpoint(q)
     probed = sorted(
         {int(r["label"]) for r in q.select("label").distinct().collect()}
     )  # ≤ len(centroids) rows — constant-bounded collect

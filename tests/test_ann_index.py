@@ -180,6 +180,32 @@ def test_ivfpq_all_probes_equals_plain_pq(spark, vectors, tmp_path):
         A.ivf_index_pq_topk(spark, p2, q, k=3)
 
 
+def test_probe_udf_path_matches_literal_path(
+    spark, vectors, monkeypatch
+):
+    """Probe selection has two physical forms (literal expression under
+    the k·dim cap, Arrow-batched numpy above it — the r10 rehearsal
+    found the literal tree's analysis cost exceeding execution at
+    k=64); both must pick the same probe lists in the same order."""
+    q = vectors.where(F.col("vec_id") < 50).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    lit = {
+        r["vec_id"]: r["probes"]
+        for r in A.ivf_probes(
+            q, SEMDEDUP_CENTROIDS, nprobe=3
+        ).select("vec_id", "probes").collect()
+    }
+    monkeypatch.setattr(A, "_PROBE_LITERAL_CAP", 0)  # force the UDF
+    udf = {
+        r["vec_id"]: r["probes"]
+        for r in A.ivf_probes(
+            q, SEMDEDUP_CENTROIDS, nprobe=3
+        ).select("vec_id", "probes").collect()
+    }
+    assert udf == lit and lit
+
+
 def test_probes_staging_collision_guard(spark, vectors):
     bad = vectors.withColumn("__an", F.lit(1))
     with pytest.raises(ValueError):
