@@ -431,25 +431,15 @@ def kmeans_fit(
 
     cents = [_unit(c) for c in cents]
     for _ in range(iters):
-        cent_lits = [
-            F.array(*[F.lit(float(x)) for x in c]) for c in cents
-        ]
-        scores = F.array(
-            *[
-                F.struct(
-                    (dot(F.col("__v"), cl) / F.greatest(norm(F.col("__v")),
-                                                        F.lit(1e-12))
-                     ).alias("s"),
-                    F.lit(i).alias("i"),
-                )
-                for i, cl in enumerate(cent_lits)
-            ]
-        )
-        assigned = (
-            fan_out(df.select(F.col(vec_col).alias("__v")))
-            .where(F.size("__v") > 0)
-            .select("__v", F.array_max(scores).getField("i").alias("__c"))
-        )
+        # assignment through ivf_assign: identical argmax/tie semantics,
+        # and large quantizers route through its capped UDF path instead
+        # of recompiling a k·dim literal tree every iteration (r10)
+        assigned = ivf_assign(
+            fan_out(df.select(F.col(vec_col).alias("__v"))).where(
+                F.size("__v") > 0
+            ),
+            cents, vec_col="__v", cluster_col="__c",
+        ).select("__v", "__c").where(F.col("__c").isNotNull())
         sums = (
             assigned.select(
                 "__c", F.posexplode("__v").alias("__p", "__x")
@@ -475,6 +465,14 @@ def kmeans_fit(
     return cents
 
 
+#: Same cap as ann_index._PROBE_LITERAL_CAP and for the same measured
+#: reason (r10 rehearsal): the literal argmax tree embeds k·dim literal
+#: terms and its Catalyst analysis grows superlinearly — above the cap
+#: the assignment runs as an Arrow-batched numpy UDF instead. The
+#: oracle-pinned k=8 paths (q41/q43) stay on the literal form.
+_ASSIGN_LITERAL_CAP = 1024
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],
@@ -490,13 +488,58 @@ def ivf_assign(
 
     The vector norm is STAGED once per row behind a projection boundary
     (CollapseProject keeps a non-cheap alias referenced k times) — the
-    naive form re-inlined the norm fold into every centroid score."""
+    naive form re-inlined the norm fold into every centroid score.
+
+    Quantizers above ``_ASSIGN_LITERAL_CAP`` (k·dim literal terms)
+    assign via an Arrow-batched numpy UDF with the SAME tie rule as
+    ``array_max`` over struct(s, i) — highest affinity, HIGHEST index
+    on ties — parity-tested against the literal path; malformed rows
+    (NULL / wrong dimension) get a NULL label there instead of the
+    literal path's degenerate all-zero scores."""
     for staging in ("__an", "__best"):
         if staging in df.columns:
             raise ValueError(
                 f"ivf_assign stages an internal column {staging!r}; "
                 "rename the conflicting input column first"
             )
+    k = len(centroids)
+    dim = len(centroids[0]) if k else 0
+    if k * dim > _ASSIGN_LITERAL_CAP:
+        from pyspark.sql import types as T
+
+        C = np.asarray(centroids, dtype=np.float64)
+
+        @F.pandas_udf(
+            T.StructType(
+                [
+                    T.StructField("s", T.DoubleType()),
+                    T.StructField("i", T.IntegerType()),
+                ]
+            )
+        )
+        def _best_udf(vs: pd.Series) -> pd.DataFrame:
+            s_out: list = [None] * len(vs)
+            i_out: list = [None] * len(vs)
+            for r, v in enumerate(vs):
+                if v is None or len(v) != C.shape[1]:
+                    continue
+                u = np.asarray(v, dtype=np.float64)
+                nv = max(float(np.sqrt((u * u).sum())), 1e-12)
+                aff = C @ u / nv
+                # array_max(struct(s, i)) ties take the HIGHEST index;
+                # argmax takes the first max, so scan the reversal
+                bi = len(aff) - 1 - int(np.argmax(aff[::-1]))
+                s_out[r] = float(aff[bi])
+                i_out[r] = bi
+            return pd.DataFrame({"s": s_out, "i": i_out})
+
+        # optimizer fence against duplicate evaluation (see pq_encode)
+        _best_udf = _best_udf.asNondeterministic()
+        best = df.withColumn("__best", _best_udf(F.col(vec_col)))
+        out = best.withColumn(cluster_col, F.col("__best").getField("i"))
+        if sim_col is not None:
+            out = out.withColumn(sim_col, F.col("__best").getField("s"))
+        return out.drop("__best")
     staged = df.withColumn(
         "__an", F.greatest(norm(F.col(vec_col)), F.lit(1e-12))
     )

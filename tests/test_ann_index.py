@@ -206,6 +206,45 @@ def test_probe_udf_path_matches_literal_path(
     assert udf == lit and lit
 
 
+def test_ivf_assign_udf_path_matches_literal(
+    spark, vectors, monkeypatch
+):
+    """ivf_assign's capped Arrow path (large quantizers) must pick the
+    same list as the literal argmax expression — including the
+    highest-index tie rule of array_max over struct(s, i)."""
+    import math
+
+    from sea_serpent_spark.operators import similarity as SIM
+
+    ed = vectors.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    lit = {
+        r["vec_id"]: (r["label"], r["aff"])
+        for r in SIM.ivf_assign(
+            ed, SEMDEDUP_CENTROIDS, sim_col="aff"
+        ).select("vec_id", "label", "aff").collect()
+    }
+    monkeypatch.setattr(SIM, "_ASSIGN_LITERAL_CAP", 0)  # force the UDF
+    udf = {
+        r["vec_id"]: (r["label"], r["aff"])
+        for r in SIM.ivf_assign(
+            ed, SEMDEDUP_CENTROIDS, sim_col="aff"
+        ).select("vec_id", "label", "aff").collect()
+    }
+    assert set(udf) == set(lit) and lit
+    for vid, (label, aff) in lit.items():
+        ul, ua = udf[vid]
+        assert ul == label, vid
+        assert math.isclose(ua, aff, rel_tol=1e-12), vid
+    # kmeans_fit routes through the same path: still returns k unit
+    # centroids under the forced UDF assignment
+    cents = SIM.kmeans_fit(ed, k=4, iters=2)
+    assert len(cents) == 4
+    for c in cents:
+        assert math.isclose(sum(x * x for x in c), 1.0, rel_tol=1e-9)
+
+
 def test_probes_staging_collision_guard(spark, vectors):
     bad = vectors.withColumn("__an", F.lit(1))
     with pytest.raises(ValueError):
