@@ -106,6 +106,129 @@ _INDEX_META = "_band_index_meta.json"
 #: underscore-prefixed so the main bucket scan never double-reads it.
 _TAIL_DIR = "_tail"
 
+#: Id-bloom sidecar of a generation (main layout ids) plus per-append
+#: delta blobs — the r10 fix for the reingest check's one remaining
+#: index-linear term (see incremental_dedup): a batch of NOVEL ids can
+#: prove "no collision" from the bloom alone and skip the index's id
+#: scan; bloom positives still verify through the exact semi-join, so
+#: false positives cost work, never correctness.
+_BLOOM_FILE = "_id_bloom.bin"
+_BLOOM_TAIL_DIR = "_bloom_tail"
+
+#: Blooms above this size are not loaded (driver-memory guard) — the
+#: probe falls back to the exact index scan.
+_BLOOM_LOAD_CAP = 64 * 1024 * 1024
+
+
+def _bloom_params(n: int, fp: float = 0.01) -> tuple[int, int]:
+    """(m bits, k hashes) for ``n`` ids at target false-positive rate
+    ``fp`` — m capped at 2^27 bits (16 MB) so the sidecar stays a
+    driver-friendly artifact; beyond that the fp rate degrades
+    gracefully rather than the file growing unboundedly."""
+    import math
+
+    n = max(1, n)
+    m = int(-n * math.log(fp) / (math.log(2) ** 2)) + 1
+    m = max(1024, min(m, 1 << 27))
+    k = max(1, min(8, round(m / n * math.log(2))))
+    return m, k
+
+
+def _bloom_positions(id_str: str, m: int, k: int) -> list[int]:
+    """k bit positions for an id — one blake2b digest split into two
+    64-bit halves, expanded Kirsch-Mitzenmacher style (h1 + i·h2).
+    Pure stdlib and endian-pinned, so build and probe agree across
+    processes and machines."""
+    import hashlib
+
+    d = hashlib.blake2b(id_str.encode("utf-8"), digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def build_id_bloom(ids: DataFrame, id_col: str = "id",
+                   fp: float = 0.01,
+                   params: tuple[int, int] | None = None) -> bytes:
+    """Distributed bloom build over an id column → header (m, k as
+    little-endian uint64) + bitmap bytes. Per-partition numpy bitmaps
+    are OR-reduced — only bitmap bytes ever reach the driver, never
+    ids. ``params`` pins (m, k) — append deltas MUST reuse the main
+    bloom's parameters so the blobs OR together."""
+    import numpy as np
+    import struct as _struct
+
+    if params is not None:
+        m, k = params
+    else:
+        n = ids.count()
+        m, k = _bloom_params(n, fp)
+    nbytes = (m + 7) // 8
+
+    def _part(rows):
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        for r in rows:
+            v = r[0]
+            if v is None:
+                continue
+            for p in _bloom_positions(str(v), m, k):
+                bm[p >> 3] |= 1 << (p & 7)
+        yield bm
+
+    # fold, not reduce: an all-duplicate batch appends ZERO ids and an
+    # empty RDD must still yield the (empty) bitmap
+    agg = ids.select(id_col).rdd.mapPartitions(_part).fold(
+        np.zeros(nbytes, dtype=np.uint8),
+        lambda a, b: np.bitwise_or(a, b),
+    )
+    return _struct.pack("<QQ", m, k) + agg.tobytes()
+
+
+def _bloom_contains(bloom: tuple[int, int, bytes], id_str: str) -> bool:
+    m, k, bm = bloom
+    for p in _bloom_positions(id_str, m, k):
+        if not (bm[p >> 3] >> (p & 7)) & 1:
+            return False
+    return True
+
+
+def _load_id_bloom(gen_dir: str):
+    """→ (m, k, bitmap bytes) with every append delta OR'd in, or None
+    (absent / oversized / any delta unreadable — fall back to the exact
+    scan; a bloom that might MISS an indexed id is never used)."""
+    import struct as _struct
+
+    main = os.path.join(gen_dir, _BLOOM_FILE)
+    if not os.path.exists(main):
+        return None
+    try:
+        paths = [main]
+        tdir = os.path.join(gen_dir, _BLOOM_TAIL_DIR)
+        if os.path.isdir(tdir):
+            paths += sorted(
+                os.path.join(tdir, f) for f in os.listdir(tdir)
+                if f.endswith(".bin")
+            )
+        if sum(os.path.getsize(p) for p in paths) > _BLOOM_LOAD_CAP:
+            return None
+        m = k = None
+        bm = None
+        for p in paths:
+            with open(p, "rb") as fh:
+                raw = fh.read()
+            pm, pk = _struct.unpack("<QQ", raw[:16])
+            body = bytearray(raw[16:])
+            if m is None:
+                m, k, bm = pm, pk, body
+            else:
+                if (pm, pk) != (m, k):  # parameter drift — unusable
+                    return None
+                for i, b in enumerate(body):
+                    bm[i] |= b
+        return int(m), int(k), bytes(bm)
+    except Exception:
+        return None
+
 
 def _kb_expr(key_buckets: int):
     """The ONE definition of the coarse key bucket: writer and probe
@@ -171,6 +294,29 @@ def write_band_index(
     if mode == "append" and os.path.exists(
         os.path.join(cur, _INDEX_META)
     ):
+        # bloom delta FIRST: a crash between the two writes then leaves
+        # ids in the bloom that never landed in the tail — false
+        # positives (harmless extra verification), never false
+        # negatives (which would silently re-ingest duplicates)
+        main_bloom = os.path.join(cur, _BLOOM_FILE)
+        if os.path.exists(main_bloom):
+            import struct as _struct
+            import uuid as _uuid
+
+            with open(main_bloom, "rb") as fh:
+                m, kk = _struct.unpack("<QQ", fh.read(16))
+            blob = build_id_bloom(
+                idx.where(F.col("band") == 0).select("id"),
+                params=(int(m), int(kk)),
+            )
+            tdir = os.path.join(cur, _BLOOM_TAIL_DIR)
+            os.makedirs(tdir, exist_ok=True)
+            tmp = os.path.join(tdir, f".{_uuid.uuid4().hex}.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+            os.rename(tmp, os.path.join(
+                tdir, f"{_uuid.uuid4().hex}.bin"
+            ))
         # L0 tail: kb rides as a DATA column (partition-dir layouts
         # cannot mix depths under one root); ≤ `bands` files per batch
         (
@@ -196,7 +342,10 @@ def _write_layout(
 ) -> None:
     """The physical bucket write: one (band, kb) group per task →
     exactly one sorted file per partition directory; the writer streams
-    because the within-task sort leads with the partition columns."""
+    because the within-task sort leads with the partition columns. An
+    id-bloom sidecar is built from the written files' band-0 ids (one
+    narrow partition-pruned column scan at build time) so probes can
+    short-circuit the reingest check."""
     part_cols = ["band", "kb"] if key_buckets else ["band"]
     (
         idx.repartition(*part_cols)
@@ -207,6 +356,14 @@ def _write_layout(
     )
     with open(os.path.join(target, _INDEX_META), "w") as fh:
         json.dump({"key_buckets": key_buckets}, fh)
+    written = idx.sparkSession.read.parquet(target)
+    blob = build_id_bloom(
+        written.where(F.col("band") == 0).select("id")
+    )
+    tmp = os.path.join(target, f".{_BLOOM_FILE}.tmp")
+    with open(tmp, "wb") as fh:
+        fh.write(blob)
+    os.rename(tmp, os.path.join(target, _BLOOM_FILE))
 
 
 def read_band_index(spark: SparkSession, path: str) -> DataFrame:
@@ -241,6 +398,13 @@ def read_band_index(spark: SparkSession, path: str) -> DataFrame:
             df = df.withMetadata(
                 "kb", {"key_buckets": int(meta["key_buckets"])}
             )
+    if "id" in df.columns and os.path.exists(
+        os.path.join(src, _BLOOM_FILE)
+    ):
+        # the probe discovers the id bloom from the frame itself, like
+        # key_buckets — the generation dir is pinned, so the sidecar a
+        # later probe loads matches the files this frame reads
+        df = df.withMetadata("id", {"bloom_dir": src})
     return df
 
 
@@ -645,14 +809,16 @@ def incremental_dedup(
 
     Scale terms with ``prune_index`` on (the default): pair enumeration,
     canonicalization, components, and witness labeling are all bounded
-    by the delta + its bucket collisions. The one deliberately
-    index-linear term left is the reingest id check — a broadcast
-    semi-join that scans ONLY the index's id column (band 0's partition
-    when the :func:`write_band_index` layout is present), because the
-    idempotency contract is by id regardless of content and must see ids
-    whose buckets the delta misses. At petabyte scale that residual scan
-    is what an id-keyed bloom filter or id-partitioned manifest would
-    remove — noted, not needed at any scale this repo rehearses."""
+    by the delta + its bucket collisions. The reingest id check — which
+    must see ids whose buckets the delta misses, because the idempotency
+    contract is by id regardless of content — short-circuits through the
+    index's id-BLOOM sidecar when one is present (r10,
+    :func:`build_id_bloom` / ``write_band_index``): a batch of novel ids
+    proves "no collision" from the bloom alone and never scans the
+    index; bloom positives (real replays or false positives) verify
+    through the exact semi-join over band 0's id column. Without a
+    bloom (in-memory indexes, legacy layouts, oversized blooms) the
+    exact scan remains the fallback."""
     n_delta = None
     if not prune_index:
         pairs = incremental_minhash_pairs(
@@ -718,17 +884,54 @@ def incremental_dedup(
         index.where(F.col("band") == 0) if "band" in index.columns
         else index
     )
-    if bcast_delta:
-        reingested = (
-            idx_band0.select("id")
-            .join(F.broadcast(delta_ids), "id", "left_semi")
-            .distinct()
-            .select(F.col("id").alias("__lid"))
-        )
-    else:  # delta too big to broadcast — plain shuffle semi-join
-        reingested = delta_ids.join(
-            idx_band0.select("id"), "id", "left_semi"
-        ).select(F.col("id").alias("__lid"))
+    # id-bloom short-circuit (r10 — removes the docstring's "one
+    # deliberately index-linear term"): when the index frame carries a
+    # bloom sidecar (read_band_index metadata) and the delta is
+    # broadcast-sized, test the delta's ids against the bloom on the
+    # driver. A batch of NOVEL content — the common ingest regime —
+    # proves "no collision" without touching the index at all; bloom
+    # POSITIVES still verify through the exact semi-join (false
+    # positives cost one small scan, never correctness; the bloom is
+    # only consulted when it provably covers every indexed id).
+    reingested = None
+    bloom_dir = (
+        (index.schema["id"].metadata or {}).get("bloom_dir")
+        if "id" in index.columns else None
+    )
+    if bloom_dir and bcast_delta:
+        bloom = _load_id_bloom(bloom_dir)
+        if bloom is not None:
+            cand = [
+                r["id"]
+                for r in delta_ids.collect()  # ≤ BROADCAST_VERIFY_CAP
+                if _bloom_contains(bloom, str(r["id"]))
+            ]
+            if not cand:
+                reingested = new_df.sparkSession.createDataFrame(
+                    [], delta_ids.schema
+                ).select(F.col("id").alias("__lid"))
+            else:
+                cdf = new_df.sparkSession.createDataFrame(
+                    [(c,) for c in cand], delta_ids.schema
+                )
+                reingested = (
+                    idx_band0.select("id")
+                    .join(F.broadcast(cdf), "id", "left_semi")
+                    .distinct()
+                    .select(F.col("id").alias("__lid"))
+                )
+    if reingested is None:
+        if bcast_delta:
+            reingested = (
+                idx_band0.select("id")
+                .join(F.broadcast(delta_ids), "id", "left_semi")
+                .distinct()
+                .select(F.col("id").alias("__lid"))
+            )
+        else:  # delta too big to broadcast — plain shuffle semi-join
+            reingested = delta_ids.join(
+                idx_band0.select("id"), "id", "left_semi"
+            ).select(F.col("id").alias("__lid"))
     losers = losers.unionByName(reingested)
     if on_id_collision not in ("drop", "error"):
         raise ValueError(

@@ -369,6 +369,98 @@ def test_legacy_flat_layout_migrates_on_compaction(spark, halves, tmp_path):
     assert before == after and before
 
 
+def test_id_bloom_primitive(spark):
+    """Bloom invariants: every inserted id is a member (NO false
+    negatives — the correctness contract); absent ids false-positive at
+    roughly the design rate, not wildly above it."""
+    from sea_serpent_spark.operators.incremental import (
+        _bloom_contains,
+        _load_id_bloom,
+        build_id_bloom,
+    )
+    import struct
+
+    ids = spark.range(0, 5000).select(
+        F.concat(F.lit("doc_"), F.col("id")).alias("id")
+    )
+    blob = build_id_bloom(ids)
+    m, k = struct.unpack("<QQ", blob[:16])
+    bloom = (int(m), int(k), blob[16:])
+    for i in range(0, 5000, 97):
+        assert _bloom_contains(bloom, f"doc_{i}")
+    fp = sum(
+        _bloom_contains(bloom, f"absent_{i}") for i in range(4000)
+    )
+    assert fp < 4000 * 0.05, fp
+    assert _load_id_bloom("/nonexistent") is None
+
+
+def test_reingest_check_through_bloom(spark, halves, tmp_path):
+    """The persisted layout's id bloom must (a) never change results —
+    novel batches, pure replays, and id-reuse all behave exactly as the
+    bloom-less in-memory index — and (b) cover APPENDED ids too (the
+    bloom delta is written before the tail, so a replay of an appended
+    batch is still caught)."""
+    import os
+
+    from sea_serpent_spark.operators import artifact as A
+
+    old, new = halves
+    p = str(tmp_path / "idx")
+    I.write_band_index(
+        I.minhash_band_index(old, key_buckets=8), p, key_buckets=8
+    )
+    assert os.path.exists(
+        os.path.join(A.current_dir(p), "_id_bloom.bin")
+    )
+    idx = I.read_band_index(spark, p)
+    assert (idx.schema["id"].metadata or {}).get("bloom_dir")
+    mem = I.minhash_band_index(old)
+    # novel batch: same survivors as the bloom-less in-memory index
+    kept_disk = {
+        r["doc_id"] for r in I.incremental_dedup(
+            new, idx, jaccard_threshold=THRESH
+        ).collect()
+    }
+    kept_mem = {
+        r["doc_id"] for r in I.incremental_dedup(
+            new, mem, jaccard_threshold=THRESH
+        ).collect()
+    }
+    assert kept_disk == kept_mem and kept_disk
+    # pure replay: all dropped (bloom positives verify exactly)
+    assert I.incremental_dedup(
+        old, idx, jaccard_threshold=THRESH
+    ).count() == 0
+    # append survivors, then replay the appended batch: the bloom
+    # delta written with the tail must catch every appended id
+    survivors = new.join(
+        spark.createDataFrame(
+            [(i,) for i in sorted(kept_disk)], "doc_id long"
+        ),
+        "doc_id", "left_semi",
+    )
+    I.write_band_index(
+        I.minhash_band_index(survivors, key_buckets=8), p,
+        mode="append", key_buckets=8,
+    )
+    tdir = os.path.join(A.current_dir(p), "_bloom_tail")
+    assert os.path.isdir(tdir) and os.listdir(tdir)
+    idx2 = I.read_band_index(spark, p)
+    assert I.incremental_dedup(
+        survivors, idx2, jaccard_threshold=THRESH
+    ).count() == 0
+    # compaction folds the tail and rebuilds one bloom for the new gen
+    I.compact_band_index(spark, p)
+    gen = A.current_dir(p)
+    assert os.path.exists(os.path.join(gen, "_id_bloom.bin"))
+    assert not os.path.isdir(os.path.join(gen, "_bloom_tail"))
+    idx3 = I.read_band_index(spark, p)
+    assert I.incremental_dedup(
+        survivors, idx3, jaccard_threshold=THRESH
+    ).count() == 0
+
+
 def test_incremental_dedup_stats_surface_id_collisions(spark, halves):
     """ADVICE r8: id-colliding delta rows are dropped by design, but a
     stats dict surfaces how many collided and how many of those carry
