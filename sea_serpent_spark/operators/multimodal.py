@@ -16,14 +16,17 @@ Media decoding is REAL, pure stdlib (r9):
   never garbage, for unrecognized payloads).
 - CONTENT: :func:`decode_image` decodes PNG (zlib inflate + all five
   RFC 2083 scanline filters), BMP (bottom-up padded rows), GIF
-  (full variable-width LZW, :func:`_lzw_decode`), and JPEG
-  (baseline-sequential: huffman + dequant + 8×8 IDCT + YCbCr→RGB,
-  :func:`_decode_jpeg` — r10); :func:`decode_audio` reads PCM16 WAV
-  samples via the ``wave`` module. :func:`extract_media_content`
-  streams them through ``mapInPandas``.
+  (full variable-width LZW + interlace, :func:`_lzw_decode`), and JPEG
+  — BOTH baseline-sequential AND progressive (huffman + dequant + 8×8
+  IDCT + YCbCr→RGB; progressive scans with spectral selection,
+  successive approximation, and EOB runs accumulate into a
+  coefficient store, :func:`_decode_jpeg` — r10);
+  :func:`decode_audio` reads PCM16 WAV samples via the ``wave``
+  module. :func:`extract_media_content` streams them through
+  ``mapInPandas``.
 
-Progressive JPEG is the one remaining content stub (raises
-NotImplementedError); ``fake_decode`` remains as the deterministic
+Lossless/hierarchical/arithmetic-coded JPEG stay out of scope
+(NotImplementedError); ``fake_decode`` remains as the deterministic
 feature-vector stand-in for the embedding-model stage a real pipeline
 would plug in.
 """
@@ -214,12 +217,14 @@ def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
       (:func:`_decode_bmp`).
     - GIF: full variable-width LZW + palette mapping
       (:func:`_decode_gif` / :func:`_lzw_decode`).
-    - JPEG: baseline-sequential JFIF from scratch — huffman entropy
-      decode, dequantize, 8×8 IDCT, chroma upsample, YCbCr→RGB
-      (:func:`_decode_jpeg`). Progressive/hierarchical scans raise
-      NotImplementedError (baseline covers the overwhelming share of
-      scraped JPEGs; the production note stays: a PIL-backed decoder
-      drops into the same mapInPandas worker unchanged).
+    - JPEG: sequential AND progressive JFIF from scratch — huffman
+      entropy decode (incl. progressive spectral selection, successive
+      approximation, and EOBn runs), dequantize, 8×8 IDCT, chroma
+      upsample, YCbCr→RGB (:func:`_decode_jpeg`).
+      Lossless/hierarchical/arithmetic variants raise
+      NotImplementedError (vanishingly rare in scraped corpora; a
+      PIL-backed decoder drops into the same mapInPandas worker
+      unchanged).
 
     Unrecognized containers raise ValueError."""
     b = bytes(data or b"")
@@ -613,8 +618,118 @@ def _idct_basis():
 _IDCT_M = None
 
 
+def _skip_to_marker(b: bytes, pos: int) -> int:
+    """Position of the next real marker (0xFF + non-stuffing,
+    non-restart byte) at or after ``pos``."""
+    n = len(b)
+    i = pos
+    while i + 1 < n:
+        if b[i] == 0xFF and b[i + 1] not in (0x00, 0xFF) and not (
+            0xD0 <= b[i + 1] <= 0xD7
+        ):
+            return i
+        i += 1
+    return n
+
+
+class _JpegState:
+    """Per-image decode state shared across scans: the zig-zag
+    coefficient store (progressive scans each contribute a piece),
+    per-scan DC predictors, and the EOB run counter."""
+
+    __slots__ = ("coefs", "pred", "eobrun")
+
+    def __init__(self, shapes):
+        import numpy as np
+
+        self.coefs = [
+            np.zeros((by, bx, 64), dtype=np.int32) for by, bx in shapes
+        ]
+        self.pred = []
+        self.eobrun = 0
+
+
+def _decode_block_ac_first(bits, act, coef, Ss, Se, Al, st) -> None:
+    """Progressive AC initial scan for one block (T.81 G.1.2.2):
+    run/size symbols with EOBn run-length codes; new coefficients land
+    shifted by the successive-approximation low bit ``Al``."""
+    if st.eobrun > 0:
+        st.eobrun -= 1
+        return
+    k = Ss
+    while k <= Se:
+        rs = bits.huff(act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:  # EOBn: 2^r - 1 + r extra bits further blocks
+                st.eobrun = (1 << r) - 1
+                if r:
+                    st.eobrun += bits.take(r)
+                return
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > Se:
+            raise ValueError("JPEG AC run past spectral band")
+        coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(bits.take(s), s) << Al
+        k += 1
+
+
+def _decode_block_ac_refine(bits, act, coef, Ss, Se, Al, st) -> None:
+    """Progressive AC refinement for one block (T.81 G.1.2.3 /
+    the libjpeg decode_mcu_AC_refine logic): already-nonzero
+    coefficients receive correction bits; new ±1<<Al coefficients are
+    placed after skipping ``r`` zero-history positions."""
+    p1 = 1 << Al
+    m1 = -1 << Al
+    zz = _JPEG_ZIGZAG
+    k = Ss
+    if st.eobrun == 0:
+        while k <= Se:
+            rs = bits.huff(act)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    st.eobrun = 1 << r
+                    if r:
+                        st.eobrun += bits.take(r)
+                    break  # finish this block in the eobrun branch
+                # r == 15: pass over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad JPEG AC refine size")
+                newval = p1 if bits.take(1) else m1
+            while k <= Se:
+                z = zz[k]
+                if coef[z] != 0:
+                    if bits.take(1) and not (coef[z] & p1):
+                        coef[z] += p1 if coef[z] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= Se:
+                coef[zz[k]] = newval
+            k += 1
+    if st.eobrun > 0:
+        while k <= Se:  # correction bits for the remaining nonzeros
+            z = zz[k]
+            if coef[z] != 0:
+                if bits.take(1) and not (coef[z] & p1):
+                    coef[z] += p1 if coef[z] >= 0 else m1
+            k += 1
+        st.eobrun -= 1
+
+
 def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
-    """Baseline-sequential JFIF decoder — see :func:`decode_image`."""
+    """Sequential AND progressive JFIF decoder — see
+    :func:`decode_image`. All scans accumulate into a per-component
+    zig-zag coefficient store; dequantization and the IDCT run once at
+    the end, so a progressive file's spectral-selection and
+    successive-approximation passes compose exactly like a sequential
+    file's single pass."""
     import numpy as np
 
     global _IDCT_M
@@ -624,8 +739,10 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
     qt: dict[int, "np.ndarray"] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    progressive = False
     dri = 0
-    scan = None
+    state = None
+    saw_scan = False
     i = 2
     n = len(b)
     while i + 4 <= n:
@@ -669,9 +786,10 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                 values = seg[p + 17:p + 17 + total]
                 huff[(tc, th)] = _jpeg_huff_table(counts, values)
                 p += 17 + total
-        elif m in (0xC0, 0xC1):  # baseline / extended sequential
+        elif m in (0xC0, 0xC1, 0xC2):  # sequential / progressive frame
             if seg[0] != 8:
                 raise NotImplementedError("JPEG precision != 8")
+            progressive = m == 0xC2
             hgt, wdt = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
             comps = []
@@ -679,14 +797,34 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                 cid = seg[6 + 3 * k]
                 hv = seg[7 + 3 * k]
                 comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * k]))
-            frame = (hgt, wdt, comps)
-        elif m in _JPEG_SOF:  # progressive/lossless/hierarchical
+            if hgt == 0 or wdt == 0 or not comps:
+                raise ValueError("empty JPEG frame")
+            if len(comps) not in (1, 3):
+                raise NotImplementedError(
+                    f"{len(comps)}-component JPEG unsupported "
+                    "(grayscale/YCbCr)"
+                )
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if hmax == 0 or vmax == 0 or any(
+                c[1] == 0 or c[2] == 0 for c in comps
+            ):
+                raise ValueError("zero JPEG sampling factor")
+            mcus_x = (wdt + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (hgt + 8 * vmax - 1) // (8 * vmax)
+            frame = (hgt, wdt, comps, hmax, vmax, mcus_x, mcus_y)
+            state = _JpegState(
+                [(mcus_y * vs, mcus_x * hs) for _, hs, vs, _ in comps]
+            )
+        elif m in _JPEG_SOF:  # lossless / hierarchical / arithmetic
             raise NotImplementedError(
-                "only baseline-sequential JPEG is supported"
+                "only sequential and progressive huffman JPEG supported"
             )
         elif m == 0xDD:  # DRI
             (dri,) = struct.unpack(">H", seg[:2])
-        elif m == 0xDA:  # SOS — entropy data follows
+        elif m == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG scan before frame header")
             ns = seg[0]
             smap = []
             for k in range(ns):
@@ -694,96 +832,48 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                     (seg[1 + 2 * k], seg[2 + 2 * k] >> 4,
                      seg[2 + 2 * k] & 0x0F)
                 )
-            scan = (smap, i + 2 + ln)
-            break
+            Ss, Se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            AhAl = seg[3 + 2 * ns]
+            Ah, Al = AhAl >> 4, AhAl & 0x0F
+            if not progressive:
+                Ss, Se, Ah, Al = 0, 63, 0, 0
+            end = _decode_jpeg_scan(
+                b, i + 2 + ln, frame, smap, Ss, Se, Ah, Al,
+                qt, huff, dri, state, progressive,
+            )
+            saw_scan = True
+            i = end
+            continue
         i += 2 + ln
-    if frame is None or scan is None:
+    if frame is None or not saw_scan:
         raise ValueError("JPEG missing SOF/SOS")
-    hgt, wdt, comps = frame
-    if hgt == 0 or wdt == 0 or not comps:
-        raise ValueError("empty JPEG frame")
-    if len(comps) not in (1, 3):
-        raise NotImplementedError(
-            f"{len(comps)}-component JPEG unsupported (grayscale/YCbCr)"
-        )
-    smap, pos = scan
-    tables = {cs: (td, ta) for cs, td, ta in smap}
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    if hmax == 0 or vmax == 0:
-        raise ValueError("zero JPEG sampling factor")
-    mcus_x = (wdt + 8 * hmax - 1) // (8 * hmax)
-    mcus_y = (hgt + 8 * vmax - 1) // (8 * vmax)
-    planes = []
-    for cid, hs, vs, tq in comps:
-        if hs == 0 or vs == 0:
-            raise ValueError("zero JPEG sampling factor")
-        planes.append(
-            np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.uint8)
-        )
-    bits = _JpegBits(b, pos)
-    pred = [0] * len(comps)
+    hgt, wdt, comps, hmax, vmax, mcus_x, mcus_y = frame
     mt = _IDCT_M.T
-    done = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if dri and done and done % dri == 0:
-                bits.align_restart()
-                pred = [0] * len(comps)
-            for ci, (cid, hs, vs, tq) in enumerate(comps):
-                if cid not in tables:
-                    raise ValueError(
-                        f"JPEG scan lacks component id {cid}"
-                    )
-                td, ta = tables[cid]
-                dct = huff.get((0, td))
-                act = huff.get((1, ta))
-                q = qt.get(tq)
-                if dct is None or act is None or q is None:
-                    raise ValueError("JPEG scan references missing table")
-                for by in range(vs):
-                    for bx in range(hs):
-                        coef = np.zeros(64, dtype=np.int32)
-                        s = bits.huff(dct)
-                        if s > 11:
-                            raise ValueError("bad JPEG DC category")
-                        diff = _jpeg_extend(bits.take(s), s)
-                        pred[ci] += diff
-                        coef[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = bits.huff(act)
-                            r, sz = rs >> 4, rs & 0x0F
-                            if sz == 0:
-                                if r != 15:
-                                    break  # EOB
-                                k += 16
-                                continue
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC run overflow")
-                            coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(
-                                bits.take(sz), sz
-                            )
-                            k += 1
-                        block = (coef.reshape(8, 8) * q).astype(float)
-                        px = mt @ block @ _IDCT_M
-                        px = np.clip(np.rint(px) + 128, 0, 255)
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px.astype(
-                            np.uint8
-                        )
-            done += 1
-    # upsample subsampled planes to full resolution (nearest) and crop
     full = []
     for ci, (cid, hs, vs, tq) in enumerate(comps):
-        p = planes[ci]
+        q = qt.get(tq)
+        if q is None:
+            raise ValueError("JPEG component references missing "
+                             "quant table")
+        cblocks = state.coefs[ci]
+        by_n, bx_n, _ = cblocks.shape
+        plane = np.zeros((by_n * 8, bx_n * 8), dtype=np.uint8)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                block = (
+                    cblocks[by, bx].reshape(8, 8) * q
+                ).astype(float)
+                px = mt @ block @ _IDCT_M
+                px = np.clip(np.rint(px) + 128, 0, 255)
+                plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                    px.astype(np.uint8)
+                )
         if hs != hmax or vs != vmax:
-            p = np.repeat(
-                np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1
+            plane = np.repeat(
+                np.repeat(plane, vmax // vs, axis=0),
+                hmax // hs, axis=1,
             )
-        full.append(p[:hgt, :wdt])
+        full.append(plane[:hgt, :wdt])
     if len(full) == 1:
         return wdt, hgt, 1, full[0].tobytes()
     y = full[0].astype(float)
@@ -799,6 +889,128 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
     )
     rgb = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
     return wdt, hgt, 3, rgb.tobytes()
+
+
+def _decode_jpeg_scan(
+    b, pos, frame, smap, Ss, Se, Ah, Al, qt, huff, dri, state,
+    progressive,
+) -> int:
+    """Decode ONE entropy-coded scan into the coefficient store;
+    → the byte position of the marker terminating the scan.
+
+    Interleaved scans (>1 component — always DC in progressive files)
+    walk MCUs; single-component scans walk that component's OWN
+    data-unit grid (T.81 A.2.2 — NOT the MCU-padded grid). Restart
+    intervals reset the DC predictors and the EOB run."""
+    hgt, wdt, comps, hmax, vmax, mcus_x, mcus_y = frame
+    tables = {cs: (td, ta) for cs, td, ta in smap}
+    order = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        if cid in tables:
+            order.append(ci)
+    if len(order) != len(smap):
+        raise ValueError("JPEG scan names unknown component ids")
+    bits = _JpegBits(b, pos)
+    state.pred = [0] * len(comps)
+    state.eobrun = 0
+
+    def _restart():
+        bits.align_restart()
+        state.pred = [0] * len(comps)
+        state.eobrun = 0
+
+    def _dc(ci, coef, dct):
+        if Ah == 0:  # initial DC scan (baseline's too, Al=0 then)
+            s = bits.huff(dct)
+            if s > 11:
+                raise ValueError("bad JPEG DC category")
+            diff = _jpeg_extend(bits.take(s), s)
+            state.pred[ci] += diff
+            coef[0] = state.pred[ci] << Al
+        else:  # DC refinement: one correction bit
+            if bits.take(1):
+                coef[0] |= 1 << Al
+
+    def _seq_ac(coef, act):
+        k = 1
+        while k < 64:
+            rs = bits.huff(act)
+            r, sz = rs >> 4, rs & 0x0F
+            if sz == 0:
+                if r != 15:
+                    break  # EOB
+                k += 16
+                continue
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC run overflow")
+            coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(bits.take(sz), sz)
+            k += 1
+
+    if len(order) > 1:  # interleaved: MCU walk
+        if progressive and Ss != 0:
+            raise ValueError("interleaved progressive AC scan")
+        done = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if dri and done and done % dri == 0:
+                    _restart()
+                for ci in order:
+                    cid, hs, vs, tq = comps[ci]
+                    td, ta = tables[cid]
+                    dct = huff.get((0, td))
+                    if dct is None and not (progressive and Ah > 0):
+                        raise ValueError("missing JPEG DC table")
+                    for by in range(vs):
+                        for bx in range(hs):
+                            coef = state.coefs[ci][
+                                my * vs + by, mx * hs + bx
+                            ]
+                            _dc(ci, coef, dct)
+                            if not progressive:
+                                act = huff.get((1, ta))
+                                if act is None:
+                                    raise ValueError(
+                                        "missing JPEG AC table"
+                                    )
+                                _seq_ac(coef, act)
+                done += 1
+    else:  # single component: its own data-unit grid
+        ci = order[0]
+        cid, hs, vs, tq = comps[ci]
+        td, ta = tables[cid]
+        cw = (wdt * hs + 8 * hmax - 1) // (8 * hmax)
+        ch = (hgt * vs + 8 * vmax - 1) // (8 * vmax)
+        done = 0
+        for by in range(ch):
+            for bx in range(cw):
+                if dri and done and done % dri == 0:
+                    _restart()
+                coef = state.coefs[ci][by, bx]
+                if Ss == 0:
+                    dct = huff.get((0, td))
+                    if dct is None and Ah == 0:
+                        raise ValueError("missing JPEG DC table")
+                    _dc(ci, coef, dct)
+                    if not progressive:
+                        act = huff.get((1, ta))
+                        if act is None:
+                            raise ValueError("missing JPEG AC table")
+                        _seq_ac(coef, act)
+                else:
+                    act = huff.get((1, ta))
+                    if act is None:
+                        raise ValueError("missing JPEG AC table")
+                    if Ah == 0:
+                        _decode_block_ac_first(
+                            bits, act, coef, Ss, Se, Al, state
+                        )
+                    else:
+                        _decode_block_ac_refine(
+                            bits, act, coef, Ss, Se, Al, state
+                        )
+                done += 1
+    return _skip_to_marker(b, bits.i)
 
 
 def jpeg_bytes(w: int, h: int, pattern: bool = False) -> bytes:

@@ -244,13 +244,22 @@ def test_decode_unsupported_raises():
     )
     with _pytest.raises(ValueError):
         M.decode_image(jpeg)
-    # PROGRESSIVE JPEG (SOF2) is the documented remaining stub
+    # progressive (SOF2) is SUPPORTED since r10; a progressive frame
+    # with no scan is corrupt, not unsupported
     prog = (
         b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11) + b"\x08"
         + struct.pack(">HH", 2, 2) + b"\x01\x11\x00" + b"\xff\xd9"
     )
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         M.decode_image(prog)
+    # lossless (SOF3) and arithmetic-coded (SOF9) stay unsupported
+    for marker in (b"\xff\xc3", b"\xff\xc9"):
+        frame = (
+            b"\xff\xd8" + marker + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 2, 2) + b"\x01\x11\x00" + b"\xff\xd9"
+        )
+        with _pytest.raises(NotImplementedError):
+            M.decode_image(frame)
     # a content-less GIF (header+trailer only) has no image to decode
     with _pytest.raises(ValueError):
         M.decode_image(M.gif_bytes(3, 3))
@@ -635,6 +644,292 @@ def test_decode_jpeg_restart_intervals():
     assert (wd, hd, ch) == (w, h, 1)
     got = np.frombuffer(px, dtype=np.uint8).reshape(h, w).astype(float)
     assert np.abs(got - plane).max() <= 6.0
+
+
+def _encode_jpeg_progressive(plane, w, h, scans):
+    """An INDEPENDENT progressive (SOF2) grayscale encoder: forward DCT
+    + quant-1 coefficients delivered through the caller's scan script —
+    spectral selection (Ss..Se bands), successive approximation (first
+    pass sends v/2^Al, refinement passes send correction bits), EOBn
+    run codes, ZRL-in-refinement, the works (T.81 G.1.2 encode side).
+    Exists to pin the decoder against a second implementation; the
+    engine has no progressive encoder."""
+    import struct
+
+    import numpy as np
+
+    mb = M._idct_basis()
+    zz = M._JPEG_ZIGZAG
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    dc_vals = list(range(12))
+    ac_counts = [0] * 16
+    ac_counts[7] = 255
+    ac_counts[8] = 1
+    ac_vals = list(range(256))
+    enc_dc = {
+        v: lc for lc, v in M._jpeg_huff_table(
+            bytes(dc_counts), bytes(dc_vals)
+        ).items()
+    }
+    enc_ac = {
+        v: lc for lc, v in M._jpeg_huff_table(
+            bytes(ac_counts), bytes(ac_vals)
+        ).items()
+    }
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    canvas = np.zeros((bh * 8, bw * 8), dtype=float)
+    canvas[:h, :w] = plane
+    canvas[h:, :w] = plane[-1:, :]
+    canvas[:, w:] = canvas[:, w - 1:w]
+    blocks = []  # zig-zag int coefficients per block, raster order
+    for by in range(bh):
+        for bx in range(bw):
+            blk = canvas[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+            coef = np.rint(mb @ blk @ mb.T).astype(int)
+            blocks.append([int(coef.flat[zz[k]]) for k in range(64)])
+
+    out = bytearray()
+    st = {"acc": 0, "n": 0}
+
+    def emit(code, nbits):
+        if nbits == 0:
+            return
+        st["acc"] = (st["acc"] << nbits) | code
+        st["n"] += nbits
+        while st["n"] >= 8:
+            st["n"] -= 8
+            byte = (st["acc"] >> st["n"]) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        st["acc"] &= (1 << st["n"]) - 1
+
+    def pad():
+        if st["n"]:
+            k = 8 - st["n"]
+            emit((1 << k) - 1, k)
+
+    def cat(v):
+        v = int(v)
+        return v.bit_length() if v >= 0 else (-v).bit_length()
+
+    def approx(v, al):
+        return v >> al if v >= 0 else -((-v) >> al)
+
+    def scan_bits(Ss, Se, Ah, Al):
+        if Ss == 0 and Ah == 0:  # DC first (at precision Al)
+            # DC uses the ARITHMETIC shift (libjpeg/T.81 G.1.2.1): the
+            # refinement OR of bit Al then reconstructs negatives in
+            # two's complement; python's >> on ints IS the floor shift
+            pred = 0
+            for zc in blocks:
+                dc = zc[0] >> Al
+                diff = dc - pred
+                pred = dc
+                s = cat(diff)
+                ln, code = enc_dc[s]
+                emit(code, ln)
+                if s:
+                    emit(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        elif Ss == 0:  # DC refinement: bit Al of each block's DC
+            for zc in blocks:
+                emit((zc[0] >> Al) & 1, 1)
+        elif Ah == 0:  # AC first
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    ln, code = enc_ac[r << 4]
+                    emit(code, ln)
+                    emit(eobrun - (1 << r), r)
+                    eobrun = 0
+
+            for zc in blocks:
+                vals = [approx(zc[k], Al) for k in range(64)]
+                last = 0
+                for k in range(Ss, Se + 1):
+                    if vals[k]:
+                        last = k
+                if not any(vals[k] for k in range(Ss, Se + 1)):
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                r = 0
+                for k in range(Ss, Se + 1):
+                    v = vals[k]
+                    if v == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        ln, code = enc_ac[0xF0]
+                        emit(code, ln)
+                        r -= 16
+                    s = cat(v)
+                    ln, code = enc_ac[(r << 4) | s]
+                    emit(code, ln)
+                    emit(v if v >= 0 else v + (1 << s) - 1, s)
+                    r = 0
+                    if k == last:
+                        break
+                if last < Se:
+                    eobrun += 1
+            flush_eob()
+        else:  # AC refinement (T.81 G.1.2.3 encode side)
+            eobrun = 0
+            be: list = []  # correction bits riding the pending EOB run
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    ln, code = enc_ac[r << 4]
+                    emit(code, ln)
+                    emit(eobrun - (1 << r), r)
+                    eobrun = 0
+                for bit in be:
+                    emit(bit, 1)
+                del be[:]
+
+            band = range(Ss, Se + 1)
+            for zc in blocks:
+                av = [approx(zc[k], Al) for k in band]
+                absv = [abs(a) for a in av]
+                # index AFTER the last newly-significant coefficient
+                eob = 0
+                for j, t in enumerate(absv):
+                    if t == 1:
+                        eob = j + 1
+                if eob == 0:  # nothing new: whole block rides the run
+                    eobrun += 1
+                    be.extend(t & 1 for t in absv if t > 1)
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                r = 0
+                br: list = []  # corrections since the last symbol
+                for j in range(eob):
+                    t = absv[j]
+                    if t == 0:
+                        r += 1
+                        continue
+                    if t > 1:  # history-nonzero → correction bit
+                        br.append(t & 1)
+                        continue
+                    # newly significant (t == 1)
+                    while r > 15:
+                        flush_eob()
+                        ln, code = enc_ac[0xF0]
+                        emit(code, ln)
+                        for bit in br:
+                            emit(bit, 1)
+                        br = []
+                        r -= 16
+                    flush_eob()
+                    ln, code = enc_ac[(r << 4) | 1]
+                    emit(code, ln)
+                    emit(1 if av[j] > 0 else 0, 1)
+                    for bit in br:
+                        emit(bit, 1)
+                    br = []
+                    r = 0
+                if eob <= len(absv) - 1:  # tail → EOB run + corrections
+                    eobrun += 1
+                    be.extend(
+                        absv[j] & 1
+                        for j in range(eob, len(absv))
+                        if absv[j] > 1
+                    )
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+            flush_eob()
+
+    def seg(marker, payload):
+        return bytes((0xFF, marker)) + struct.pack(
+            ">H", len(payload) + 2
+        ) + payload
+
+    parts = [
+        b"\xff\xd8",
+        seg(0xDB, b"\x00" + bytes([1] * 64)),
+        seg(0xC2, b"\x08" + struct.pack(">HH", h, w)
+            + b"\x01" + b"\x01\x11\x00"),
+        seg(0xC4, b"\x00" + bytes(dc_counts) + bytes(dc_vals)
+            + b"\x10" + bytes(ac_counts) + bytes(ac_vals)),
+    ]
+    body = bytearray()
+    for (Ss, Se, Ah, Al) in scans:
+        body += seg(
+            0xDA,
+            b"\x01" + b"\x01\x00"
+            + bytes((Ss, Se, (Ah << 4) | Al)),
+        )
+        out.clear()
+        st["acc"] = st["n"] = 0
+        scan_bits(Ss, Se, Ah, Al)
+        pad()
+        body += bytes(out)
+    return b"".join(parts) + bytes(body) + b"\xff\xd9"
+
+
+def test_decode_jpeg_progressive_spectral_selection():
+    """Spectral-selection-only progressive (DC scan + two AC band
+    scans, Ah=Al=0) must decode identically to the same coefficients
+    delivered sequentially."""
+    import numpy as np
+
+    w, h = 21, 14
+    plane = np.array(
+        [[30 + ((5 * x + 3 * y + (x * y) % 7) % 180) for x in range(w)]
+         for y in range(h)], dtype=float,
+    )
+    seq = M.decode_image(_encode_jpeg_independent([plane], w, h, [(1, 1)]))
+    prog = M.decode_image(
+        _encode_jpeg_progressive(
+            plane, w, h,
+            [(0, 0, 0, 0), (1, 31, 0, 0), (32, 63, 0, 0)],
+        )
+    )
+    assert prog[:3] == (w, h, 1) == seq[:3]
+    assert bytes(prog[3]) == bytes(seq[3])
+
+
+def test_decode_jpeg_progressive_successive_approximation():
+    """Full progressive script: DC first at Al=1 + DC refinement, AC
+    first at Al=1 in two bands + AC refinements (correction bits, EOB
+    runs, newly-significant placement) — decodes identically to the
+    sequential encoding of the same coefficients."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for (w, h) in ((16, 16), (13, 22)):
+        plane = np.clip(
+            120 + 60 * np.sin(np.arange(h)[:, None] / 3.0)
+            + 50 * np.cos(np.arange(w)[None, :] / 2.0)
+            + rng.randint(-20, 20, size=(h, w)),
+            0, 255,
+        ).astype(float)
+        seq = M.decode_image(
+            _encode_jpeg_independent([plane], w, h, [(1, 1)])
+        )
+        prog = M.decode_image(
+            _encode_jpeg_progressive(
+                plane, w, h,
+                [
+                    (0, 0, 0, 1),
+                    (1, 5, 0, 1),
+                    (6, 63, 0, 1),
+                    (0, 0, 1, 0),
+                    (1, 5, 1, 0),
+                    (6, 63, 1, 0),
+                ],
+            )
+        )
+        assert prog[:3] == (w, h, 1) == seq[:3]
+        assert bytes(prog[3]) == bytes(seq[3])
 
 
 # ---------------------------------------------------------------------------
