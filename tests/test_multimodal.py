@@ -965,11 +965,18 @@ def test_decoders_on_corrupted_valid_prefixes(data):
     """A REAL container header followed by garbage must also fail
     cleanly (truncation/corruption mid-file is the common scrape
     defect)."""
+    import numpy as _np
+
+    prog_prefix = _encode_jpeg_progressive(
+        _np.full((4, 5), 90.0), 5, 4,
+        [(0, 0, 0, 1), (1, 63, 0, 1), (0, 0, 1, 0), (1, 63, 1, 0)],
+    )[:80]
     for prefix in (
         M.png_bytes(5, 4, pattern=True)[:30],
         M.bmp_bytes(5, 4, pattern=True)[:40],
         M.gif_bytes(5, 4, pattern=True)[:25],
         M.jpeg_bytes(5, 4, pattern=True)[:60],
+        prog_prefix,
     ):
         try:
             M.decode_image(prefix + data)
