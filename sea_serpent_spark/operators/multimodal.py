@@ -246,6 +246,23 @@ def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
     raise ValueError("unrecognized image container")
 
 
+#: Decode-size guard: a corrupt (or hostile) header can declare
+#: 65535×65535 and demand multi-GB coefficient/pixel allocations in the
+#: Python worker before ANY pixel data is validated — the r10
+#: corruption fuzz thrashed on exactly this. 2^26 px = 64 megapixels,
+#: far above any sane training-corpus image; raise it deliberately if
+#: a pipeline really decodes gigapixel media.
+MAX_DECODE_PIXELS = 1 << 26
+
+
+def _check_dims(w: int, h: int) -> None:
+    if w <= 0 or h <= 0 or w * h > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"refusing to decode a {w}x{h} image "
+            f"(cap MAX_DECODE_PIXELS={MAX_DECODE_PIXELS})"
+        )
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     """PNG paeth predictor (RFC 2083 §6.6)."""
     p = a + b - c
@@ -277,6 +294,7 @@ def _decode_png(b: bytes) -> tuple[int, int, int, bytes]:
         i += 12 + ln
     if w is None:
         raise ValueError("PNG without IHDR")
+    _check_dims(w, h)
     if depth != 8 or interlace != 0:
         raise NotImplementedError(
             f"PNG bit depth {depth} / interlace {interlace} unsupported "
@@ -329,7 +347,13 @@ def _decode_bmp(b: bytes) -> tuple[int, int, int, bytes]:
         raise NotImplementedError(f"BMP bpp {bpp} unsupported (24 only)")
     topdown = h < 0
     h = abs(h)
+    _check_dims(w, h)
     row = (w * 3 + 3) // 4 * 4
+    if off + row * h > len(b) or off < 0:
+        # must be checked up front: a short source slice assigned into
+        # the bytearray RESIZES it (shrinks + memmove), and a corrupted
+        # height turned that into a quadratic near-hang (r10 fuzz)
+        raise ValueError("truncated BMP pixel data")
     out = bytearray(w * 3 * h)
     for y in range(h):
         src = y if topdown else h - 1 - y
@@ -361,6 +385,7 @@ def _decode_gif(b: bytes) -> tuple[int, int, int, bytes]:
             i += 1
         elif blk == 0x2C:  # image descriptor
             ix, iy, iw, ih = struct.unpack("<HHHH", b[i + 1:i + 9])
+            _check_dims(iw, ih)
             lflags = b[i + 9]
             i += 10
             ct = gct
@@ -380,8 +405,15 @@ def _decode_gif(b: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError("GIF image without a color table")
             if lflags & 0x40:  # interlaced: 4-pass row order (r10)
                 idx = _gif_deinterlace(idx, iw, ih)
+            n_colors = len(ct) // 3
             out = bytearray(iw * ih * 3)
             for p, v in enumerate(idx):
+                if v >= n_colors:
+                    # a short ct slice would RESIZE the bytearray (the
+                    # same near-hang shape as the BMP case — r10 fuzz)
+                    raise ValueError(
+                        "GIF pixel index outside the color table"
+                    )
                 out[3 * p:3 * p + 3] = ct[3 * v:3 * v + 3]
             return iw, ih, 3, bytes(out)
         elif blk == 0x3B:  # trailer before any image
@@ -799,6 +831,7 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                 comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * k]))
             if hgt == 0 or wdt == 0 or not comps:
                 raise ValueError("empty JPEG frame")
+            _check_dims(wdt, hgt)
             if len(comps) not in (1, 3):
                 raise NotImplementedError(
                     f"{len(comps)}-component JPEG unsupported "
@@ -1107,8 +1140,11 @@ def decode_audio(data: bytes) -> tuple[int, list[int]]:
         # corrupted chunk layouts (found by fuzzing) — normalize them
         raise ValueError(f"corrupt or truncated WAV: {e}") from e
     n = len(frames) // 2
+    # slice to the even prefix: a corrupt chunk size can hand back an
+    # odd byte count, and an exact-size unpack would leak struct.error
+    # (r10 corruption fuzz)
     return wf.getframerate(), list(
-        struct.unpack(f"<{n}h", frames)
+        struct.unpack(f"<{n}h", frames[:2 * n])
     )
 
 

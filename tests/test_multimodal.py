@@ -371,6 +371,71 @@ def test_extract_media_content_end_to_end(spark):
             assert r["vsum"] == 3 * exp
 
 
+def test_decode_refuses_absurd_dimensions():
+    """A corrupt/hostile header declaring a multi-gigapixel image must
+    raise BEFORE allocating coefficient/pixel buffers (the r10
+    corruption fuzz thrashed on a flipped dimension byte)."""
+    import struct
+
+    import pytest as _pytest
+
+    # JPEG claiming 65535x65535
+    jb = bytearray(M.jpeg_bytes(8, 8, pattern=True))
+    sof = jb.find(b"\xff\xc0")
+    jb[sof + 5:sof + 9] = struct.pack(">HH", 65535, 65535)
+    with _pytest.raises(ValueError, match="refusing"):
+        M.decode_image(bytes(jb))
+    # PNG IHDR claiming 2^30 x 2^30
+    pb = bytearray(M.png_bytes(4, 4, pattern=True))
+    pb[16:24] = struct.pack(">II", 1 << 30, 1 << 30)
+    with _pytest.raises(ValueError):
+        M.decode_image(bytes(pb))
+    # GIF image descriptor claiming 65535x65535 (descriptor sits right
+    # after the 13-byte header + 768-byte global color table; a find()
+    # would hit palette byte 0x2C first)
+    gb = bytearray(M.gif_bytes(4, 4, pattern=True))
+    d = 13 + 768
+    assert gb[d] == 0x2C
+    gb[d + 5:d + 9] = struct.pack("<HH", 65535, 65535)
+    with _pytest.raises(ValueError):
+        M.decode_image(bytes(gb))
+    # BMP claiming 65535x65535
+    bb = bytearray(M.bmp_bytes(4, 4, pattern=True))
+    bb[18:26] = struct.pack("<ii", 65535, 65535)
+    with _pytest.raises(ValueError):
+        M.decode_image(bytes(bb))
+
+
+def test_decode_rejects_truncated_bmp_and_bad_gif_palette():
+    """Two quadratic-resize near-hangs from the r10 corruption fuzz:
+    a BMP whose (corrupted) height points past the pixel data, and a
+    GIF pixel index outside the color table — both previously assigned
+    short slices into the output bytearray, shrinking and memmoving it
+    per pixel/row. Both must raise promptly instead."""
+    import struct
+    import time
+
+    import pytest as _pytest
+
+    bb = bytearray(M.bmp_bytes(10, 6, pattern=True))
+    bb[24] = 8  # height byte 2 → h ≈ 524k, within the pixel cap
+    t0 = time.time()
+    with _pytest.raises(ValueError):
+        M.decode_image(bytes(bb))
+    assert time.time() - t0 < 1.0
+
+    # GIF with a 2-color local table but 8-bit pattern indices
+    head = b"GIF89a" + struct.pack("<HH", 4, 4) + bytes((0, 0, 0))
+    desc = b"\x2C" + struct.pack("<HHHH", 0, 0, 4, 4) + b"\x80"
+    lct = bytes((0, 0, 0, 255, 255, 255))  # 2 entries
+    idx = bytes((0, 1, 2, 3) * 4)  # indices 2/3 are out of range
+    lzw = M._lzw_encode_literal(idx, 8)
+    blocks = bytearray([8])
+    blocks += bytes([len(lzw)]) + lzw + b"\x00"
+    with _pytest.raises(ValueError):
+        M.decode_image(head + desc + lct + bytes(blocks) + b"\x3b")
+
+
 def test_decode_gif_interlaced():
     """Interlaced GIFs (the 0x40 descriptor flag) deinterlace through
     the 4-pass row order — decoded pixels equal the logical top-down
