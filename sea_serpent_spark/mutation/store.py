@@ -216,7 +216,8 @@ class Base:
     database of tables discovered via ``find_base``, utils.py:248-368)."""
 
     def __init__(self, path: str, spark: SparkSession | None = None,
-                 user: str = "local", bucket_count: int = 16):
+                 user: str = "local", bucket_count: int = 16,
+                 checkpoint_every: int = 20):
         self.path = os.path.abspath(path)
         os.makedirs(self.path, exist_ok=True)
         if spark is None:
@@ -225,6 +226,10 @@ class Base:
             spark = get_spark()
         self.spark = spark
         self.user = user
+        #: Write a ``_last_checkpoint.json`` every N commits (Delta's
+        #: checkpoint cadence). ≤0 disables checkpoint WRITES (reads
+        #: still honor an existing checkpoint).
+        self.checkpoint_every = int(checkpoint_every)
         #: MAX number of _id-hash buckets per table — the copy-on-write
         #: file granularity. A mutation rewrites only the buckets owning
         #: changed rows; at cluster scale this is sized so a bucket ≈ a
@@ -273,9 +278,129 @@ class Base:
         return os.path.join(self._tdir(name), "_meta.json")
 
     def history(self, name: str) -> list[dict]:
-        """Version log — DESCRIBE HISTORY analogue."""
+        """Version log — DESCRIBE HISTORY analogue (full scan by
+        design: this is the "give me everything" audit API; the hot
+        paths — open, commit, version lookup — go through the
+        checkpoint instead, see :meth:`_load_ckpt`)."""
         with open(self._log_path(name)) as f:
             return [json.loads(ln) for ln in f if ln.strip()]
+
+    # -- log checkpoint (Delta _last_checkpoint analogue) ---------------
+    #
+    # ``_log.jsonl`` is append-only and each entry is SELF-CONTAINED
+    # (full manifest + cstats), so unlike Delta no state replay is
+    # needed — the scale problem is purely that finding "the latest
+    # entry" or "entry v" used to JSON-parse the whole O(versions ×
+    # buckets) file on every open and commit. The checkpoint fixes the
+    # read cost: ``_last_checkpoint.json`` carries (a) the latest entry
+    # verbatim (the overwhelmingly common lookup: open + commit's
+    # prev-manifest read), (b) ``tail_offset`` — the byte length of the
+    # log when the checkpoint was cut, so readers parse ONLY the ≤N
+    # tail commits after it, and (c) a version → byte-offset index so
+    # deep time travel seeks directly instead of scanning. Open/commit
+    # cost is thereby O(checkpoint_every), flat in table age
+    # (tools/rehearse_r11.py measures it across 500 commits). Every
+    # read path verifies the checkpoint against the live log (size,
+    # version echo) and falls back to the full scan on any mismatch —
+    # a deleted/stale/corrupt checkpoint can never change results,
+    # only speed. Log SIZE is handled separately: ``vacuum(...,
+    # trim_log=True)`` drops entries whose data files were vacuumed.
+
+    def _ckpt_path(self, name: str) -> str:
+        return os.path.join(self._tdir(name), "_last_checkpoint.json")
+
+    def _load_ckpt(self, name: str) -> dict | None:
+        """Validated checkpoint, or None (missing / corrupt / stale).
+        Stale = the log shrank below the recorded tail offset (log was
+        replaced externally); growth is fine — that's the tail."""
+        try:
+            with open(self._ckpt_path(name)) as f:
+                ck = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+        try:
+            size = os.path.getsize(self._log_path(name))
+        except OSError:
+            return None
+        if (
+            not isinstance(ck, dict)
+            or ck.get("entry", {}).get("version") != ck.get("version")
+            or not isinstance(ck.get("tail_offset"), int)
+            or ck["tail_offset"] > size
+        ):
+            return None
+        return ck
+
+    def _scan_log(
+        self, name: str, from_offset: int = 0
+    ) -> list[tuple[int, dict]]:
+        """(byte_offset, entry) pairs from ``from_offset`` to EOF."""
+        out: list[tuple[int, dict]] = []
+        with open(self._log_path(name), "rb") as f:
+            f.seek(from_offset)
+            pos = from_offset
+            for raw in f:
+                ln = raw.strip()
+                if ln:
+                    out.append((pos, json.loads(ln)))
+                pos += len(raw)
+        return out
+
+    def _tail_entries(self, name: str, ck: dict) -> list[dict] | None:
+        """Entries after checkpoint ``ck``, or None if the seek lands
+        mid-line (externally rewritten log) — callers full-scan then."""
+        try:
+            return [e for _, e in self._scan_log(name, ck["tail_offset"])]
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            return None
+
+    def _write_ckpt(
+        self, name: str, v: int, entry: dict, entry_offset: int,
+        tail_offset: int,
+    ) -> None:
+        """Cut a checkpoint at version ``v`` (just appended at
+        ``entry_offset``; log is ``tail_offset`` bytes long). Offsets
+        are carried forward incrementally — only the tail since the
+        previous checkpoint is rescanned, so the amortized cost per
+        commit is O(1). Atomic tmp+replace: readers see old or new,
+        never a torn file."""
+        prev = self._load_ckpt(name)
+        if prev is not None:
+            offsets = dict(prev.get("offsets") or {})
+            scan_from = prev["tail_offset"]
+        else:
+            offsets = {}
+            scan_from = 0
+        try:
+            scanned = self._scan_log(name, scan_from)
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            offsets, scanned = {}, self._scan_log(name)  # rebuild fully
+        for off, e in scanned:
+            if off < tail_offset:  # exclude anything at/after this entry
+                offsets[str(e["version"])] = off
+        offsets[str(v)] = entry_offset
+        ck = {
+            "version": v,
+            "entry": entry,
+            "tail_offset": tail_offset,
+            "offsets": offsets,
+        }
+        tmp = self._ckpt_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(ck, f)
+        os.replace(tmp, self._ckpt_path(name))
+
+    def checkpoint(self, name: str) -> None:
+        """Force-cut a checkpoint at the current version (the every-N
+        cadence in ``_commit`` calls this logic automatically)."""
+        entries = self._scan_log(name)
+        if not entries:
+            return
+        off, entry = max(entries, key=lambda oe: oe[1]["version"])
+        self._write_ckpt(
+            name, entry["version"], entry, off,
+            os.path.getsize(self._log_path(name)),
+        )
 
     def meta(self, name: str) -> dict:
         with open(self._meta_path(name)) as f:
@@ -398,10 +523,15 @@ class Base:
         baseline). The chosen mode lands in the log entry as
         ``detail["rewrite"]`` ∈ full|append|pruned|filtered|noop.
         """
-        versions = [e["version"] for e in self.history(name)] if os.path.exists(
-            self._log_path(name)
-        ) else []
-        v = (max(versions) + 1) if versions else 0
+        # checkpoint-aware version discovery: O(tail), not O(versions)
+        if os.path.exists(self._log_path(name)):
+            try:
+                v = self._current_version(name) + 1
+            except FileNotFoundError:  # log file exists but is empty
+                v = 0
+        else:
+            v = 0
+        versions = v > 0  # truthiness only: "does a previous version exist"
         tdir = self._tdir(name)
         os.makedirs(tdir, exist_ok=True)
         opdir = os.path.join(tdir, "_oplog")
@@ -601,9 +731,32 @@ class Base:
             "colmap": cm,
         }
         with open(self._log_path(name), "a") as f:
+            entry_offset = f.tell()
             f.write(json.dumps(entry) + "\n")
+            tail_offset = f.tell()
+        if self.checkpoint_every > 0 and v % self.checkpoint_every == 0:
+            self._write_ckpt(name, v, entry, entry_offset, tail_offset)
 
     def _log_entry(self, name: str, version: int) -> dict:
+        ck = self._load_ckpt(name)
+        if ck is not None:
+            if version == ck["version"]:
+                return ck["entry"]
+            if version > ck["version"]:  # tail: ≤ checkpoint_every lines
+                for e in self._tail_entries(name, ck) or ():
+                    if e["version"] == version:
+                        return e
+            else:  # deep time travel: direct seek via the offset index
+                off = (ck.get("offsets") or {}).get(str(version))
+                if off is not None:
+                    try:
+                        with open(self._log_path(name), "rb") as f:
+                            f.seek(off)
+                            e = json.loads(f.readline())
+                        if e.get("version") == version:
+                            return e
+                    except (json.JSONDecodeError, OSError):
+                        pass  # corrupt index → full-scan fallback
         for e in self.history(name):
             if e["version"] == version:
                 return e
@@ -631,6 +784,13 @@ class Base:
         return self._normalized_read(entry, paths)
 
     def _current_version(self, name: str) -> int:
+        ck = self._load_ckpt(name)
+        if ck is not None:
+            tail = self._tail_entries(name, ck)
+            if tail is not None:
+                return max(
+                    [ck["version"]] + [e["version"] for e in tail]
+                )
         hist = self.history(name)
         if not hist:
             raise FileNotFoundError(f"no versions for table {name!r}")
@@ -738,11 +898,23 @@ class Base:
         df = self._read_version(name, self._current_version(name))
         self._commit(name, df, "compact")
 
-    def vacuum(self, name: str, keep_versions: int = 10) -> list[str]:
+    def vacuum(
+        self, name: str, keep_versions: int = 10, trim_log: bool = False
+    ) -> list[str]:
         """Delete data files referenced ONLY by versions older than the
         last ``keep_versions`` (Delta VACUUM semantics: time travel
         beyond the retention window stops working; the log entries stay
-        for audit). Returns the removed paths."""
+        for audit). Returns the removed paths.
+
+        ``trim_log=True`` additionally drops the vacuumed versions'
+        entries from ``_log.jsonl`` (Delta's log-retention analogue —
+        each entry carries a full manifest + cstats, so a long-lived
+        table's log grows O(versions × buckets) without it). Their data
+        files are gone either way, so only the audit trail is lost; the
+        default keeps it. The rewrite is atomic (tmp + replace) and the
+        checkpoint is re-cut afterwards — a crash in between leaves a
+        checkpoint the readers detect as stale (log shrank below its
+        tail offset) and ignore."""
         hist = self.history(name)
         versions = sorted(e["version"] for e in hist)
         keep = set(versions[-max(1, keep_versions):])
@@ -776,6 +948,24 @@ class Base:
                 if os.path.isdir(vdir):
                     shutil.rmtree(vdir)
                     removed.append(os.path.basename(vdir))
+        if trim_log:
+            lp = self._log_path(name)
+            tmp = lp + ".tmp"
+            with open(tmp, "w") as f:
+                for e in hist:
+                    if e["version"] in keep:
+                        f.write(json.dumps(e) + "\n")
+            # drop the checkpoint FIRST: its byte offsets are meaningless
+            # against the rewritten file (and a small-enough stale
+            # tail_offset would otherwise pass the size check and seek
+            # mid-line). Crash anywhere in between → no checkpoint →
+            # readers full-scan, still correct.
+            try:
+                os.remove(self._ckpt_path(name))
+            except FileNotFoundError:
+                pass
+            os.replace(tmp, lp)
+            self.checkpoint(name)
         return removed
 
     # ------------------------------------------------------------------

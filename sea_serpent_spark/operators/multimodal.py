@@ -272,49 +272,35 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def _decode_png(b: bytes) -> tuple[int, int, int, bytes]:
-    """Pure-stdlib PNG decode: chunk walk → IDAT inflate → per-scanline
-    unfilter. 8-bit depth, color types 0/2/4/6, non-interlaced."""
-    i = 8
-    w = h = None
-    ctype = depth = interlace = None
-    idat = bytearray()
-    while i + 8 <= len(b):
-        (ln,) = struct.unpack(">I", b[i:i + 4])
-        typ = b[i + 4:i + 8]
-        payload = b[i + 8:i + 8 + ln]
-        if typ == b"IHDR":
-            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", payload
-            )
-        elif typ == b"IDAT":
-            idat += payload
-        elif typ == b"IEND":
-            break
-        i += 12 + ln
-    if w is None:
-        raise ValueError("PNG without IHDR")
-    _check_dims(w, h)
-    if depth != 8 or interlace != 0:
-        raise NotImplementedError(
-            f"PNG bit depth {depth} / interlace {interlace} unsupported "
-            "(8-bit non-interlaced only)"
-        )
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
-    if channels is None:
-        raise NotImplementedError(f"PNG color type {ctype} unsupported")
-    raw = zlib.decompress(bytes(idat))
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
+#: Adam7 pass geometry (RFC 2083 §2.6): (x0, y0, dx, dy) per pass —
+#: pass p covers pixels (x0 + i·dx, y0 + j·dy).
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(
+    raw: bytes, offset: int, w: int, h: int, channels: int, depth: int
+) -> tuple[bytearray, int]:
+    """Unfilter one (sub)image of ``h`` scanlines starting at byte
+    ``offset`` of the inflated stream. Returns (packed scanline bytes
+    without filter markers, bytes consumed). Filtering operates on the
+    PACKED bytes; at sub-byte depths the filter distance is one byte
+    (RFC 2083 §6.3: bpp rounds up to 1)."""
+    if w == 0 or h == 0:
+        return bytearray(), 0
+    stride = (w * channels * depth + 7) // 8
+    bpp = max(1, channels * depth // 8)
+    need = h * (stride + 1)
+    if offset + need > len(raw):
         raise ValueError("PNG scanline data size mismatch")
     out = bytearray(h * stride)
     prev = bytearray(stride)
-    bpp = channels  # bytes per pixel at 8-bit depth
     for y in range(h):
-        f = raw[y * (stride + 1)]
-        line = bytearray(
-            raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
-        )
+        base = offset + y * (stride + 1)
+        f = raw[base]
+        line = bytearray(raw[base + 1:base + 1 + stride])
         if f == 1:  # sub
             for x in range(bpp, stride):
                 line[x] = (line[x] + line[x - bpp]) & 0xFF
@@ -334,7 +320,121 @@ def _decode_png(b: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"unknown PNG filter {f}")
         out[y * stride:(y + 1) * stride] = line
         prev = line
-    return w, h, channels, bytes(out)
+    return out, need
+
+
+def _png_row_samples(
+    rows: bytearray, w: int, h: int, channels: int, depth: int
+) -> bytearray:
+    """Packed scanline bytes → one sample value per byte (MSB-first bit
+    unpack for depths 1/2/4; pass-through for 8)."""
+    if depth == 8:
+        return rows
+    stride = (w * channels * depth + 7) // 8
+    per_byte = 8 // depth
+    mask = (1 << depth) - 1
+    out = bytearray(w * channels * h)
+    n = w * channels  # samples per row
+    for y in range(h):
+        base = y * stride
+        ob = y * n
+        for i in range(n):
+            byte = rows[base + i // per_byte]
+            shift = 8 - depth * (i % per_byte + 1)
+            out[ob + i] = (byte >> shift) & mask
+    return out
+
+
+def _decode_png(b: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-stdlib PNG decode: chunk walk → IDAT inflate → per-scanline
+    unfilter → sample unpack → palette/alpha mapping. Supports bit
+    depths 1/2/4/8, color types 0/2/3/4/6 (3 = PLTE palette, with tRNS
+    → RGBA), and both non-interlaced and Adam7-interlaced layouts
+    (round 11; each of the 7 passes is an independently filtered
+    sub-image whose pixels scatter to (x0+i·dx, y0+j·dy)). Remaining
+    NotImplementedError: 16-bit depth only."""
+    i = 8
+    w = h = None
+    ctype = depth = interlace = None
+    idat = bytearray()
+    plte = trns = None
+    while i + 8 <= len(b):
+        (ln,) = struct.unpack(">I", b[i:i + 4])
+        typ = b[i + 4:i + 8]
+        payload = b[i + 8:i + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+        elif typ == b"PLTE":
+            if ln % 3 or ln == 0:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = payload
+        elif typ == b"tRNS":
+            trns = payload
+        elif typ == b"IDAT":
+            idat += payload
+        elif typ == b"IEND":
+            break
+        i += 12 + ln
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    _check_dims(w, h)
+    if depth == 16:
+        raise NotImplementedError("PNG bit depth 16 unsupported")
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"invalid PNG bit depth {depth}")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {ctype} unsupported")
+    if depth < 8 and ctype not in (0, 3):
+        raise ValueError(f"PNG depth {depth} invalid for color type {ctype}")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG without PLTE chunk")
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        rows, used = _png_unfilter(raw, 0, w, h, channels, depth)
+        if used != len(raw):
+            raise ValueError("PNG scanline data size mismatch")
+        samp = _png_row_samples(rows, w, h, channels, depth)
+    elif interlace == 1:
+        samp = bytearray(w * h * channels)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            rows, used = _png_unfilter(raw, pos, pw, ph, channels, depth)
+            pos += used
+            if pw and ph:
+                prows = _png_row_samples(rows, pw, ph, channels, depth)
+                for j in range(ph):
+                    src = j * pw * channels
+                    for k in range(pw):
+                        dst = ((y0 + j * dy) * w + x0 + k * dx) * channels
+                        samp[dst:dst + channels] = prows[
+                            src + k * channels:src + (k + 1) * channels
+                        ]
+        if pos != len(raw):
+            raise ValueError("PNG scanline data size mismatch")
+    else:
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    if ctype == 3:
+        # palette indices → RGB (or RGBA when tRNS is present)
+        n_entries = len(plte) // 3
+        och = 4 if trns else 3
+        out = bytearray(w * h * och)
+        for p, idx in enumerate(samp):
+            if idx >= n_entries:
+                raise ValueError(f"PNG palette index {idx} out of range")
+            out[p * och:p * och + 3] = plte[idx * 3:idx * 3 + 3]
+            if och == 4:
+                out[p * och + 3] = trns[idx] if idx < len(trns) else 255
+        return w, h, och, bytes(out)
+    if depth < 8:
+        # grayscale sub-byte samples scale to full 8-bit range
+        mx = (1 << depth) - 1
+        samp = bytearray((v * 255) // mx for v in samp)
+    return w, h, channels, bytes(samp)
 
 
 def _decode_bmp(b: bytes) -> tuple[int, int, int, bytes]:
@@ -1155,11 +1255,20 @@ def _pattern_px(x: int, y: int) -> int:
     return (x + 3 * y) % 251
 
 
-def png_bytes(w: int, h: int, pattern: bool = False) -> bytes:
-    """A COMPLETE valid PNG (8-bit grayscale): signature + IHDR +
-    zlib-compressed IDAT + IEND, each chunk CRC'd per RFC 2083 §3.2 —
-    stdlib ``struct`` + ``zlib`` only. ``pattern`` fills pixels with
-    :func:`_pattern_px` instead of zeros."""
+def png_bytes(
+    w: int, h: int, pattern: bool = False,
+    color_type: int = 0, interlace: int = 0,
+) -> bytes:
+    """A COMPLETE valid PNG: signature + IHDR (+ PLTE) + zlib-compressed
+    IDAT + IEND, each chunk CRC'd per RFC 2083 §3.2 — stdlib ``struct``
+    + ``zlib`` only. ``pattern`` fills pixels with :func:`_pattern_px`
+    instead of zeros. Round-11 variants: ``color_type=3`` stores the
+    same byte values as indices into a 256-entry grayscale palette
+    (palette[i] = (i,i,i) — decoded RGB sum = 3 × Σ pattern, mirroring
+    the GIF generator); ``interlace=1`` stores the Adam7 pass layout
+    (same pixels, pass-ordered storage — decoded sum unchanged)."""
+    if color_type not in (0, 3):
+        raise ValueError("generator supports color types 0 and 3")
 
     def chunk(typ: bytes, payload: bytes) -> bytes:
         return (
@@ -1167,17 +1276,31 @@ def png_bytes(w: int, h: int, pattern: bool = False) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
-    if pattern:
+    def px(x: int, y: int) -> int:
+        return _pattern_px(x, y) if pattern else 0
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, interlace)
+    if interlace == 0:
         raw = b"".join(
-            b"\x00" + bytes(_pattern_px(x, y) for x in range(w))
-            for y in range(h)
+            b"\x00" + bytes(px(x, y) for x in range(w)) for y in range(h)
         )
-    else:
-        raw = b"".join(b"\x00" + bytes(w) for _ in range(h))
+    else:  # Adam7: one independently-filtered sub-image per pass
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            xs = range(x0, w, dx)
+            if not xs:
+                continue  # zero-width pass has no scanlines
+            for y in range(y0, h, dy):
+                parts.append(b"\x00" + bytes(px(x, y) for x in xs))
+        raw = b"".join(parts)
+    body = chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        body += chunk(
+            b"PLTE", bytes(v for i in range(256) for v in (i, i, i))
+        )
     return (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
+        + body
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
@@ -1277,7 +1400,15 @@ def synthesize_test_media(
             w, h = 1 + i % 64, 1 + (i * 7) % 64
             kind = i % 5
             if kind == 0:
-                out.append(png_bytes(w, h, pattern=pat))
+                # PNG sub-variant cycles on the NEXT digit so every
+                # storage layout the decoder supports is hash-checked:
+                # gray / palette / Adam7-gray / Adam7-palette (r11)
+                variant = (i // 5) % 4
+                out.append(png_bytes(
+                    w, h, pattern=pat,
+                    color_type=3 if variant in (1, 3) else 0,
+                    interlace=1 if variant >= 2 else 0,
+                ))
             elif kind == 1:
                 out.append(gif_bytes(w, h, pattern=pat))
             elif kind == 2:

@@ -712,8 +712,13 @@ ORACLES_MUT: dict[str, str] = {
         "CASE WHEN doc_id % 5 IN (0, 1, 2, 4) "
         "THEN CAST(1 + (doc_id * 7) % 64 AS INTEGER) END AS height, "
         "CAST(NULL AS BIGINT) AS duration_ms, "
+        # PNG sub-variants cycle on (doc_id // 5) % 4: palette layouts
+        # (1 and 3) decode through a grayscale PLTE to RGB — sum ×3;
+        # Adam7 layouts (2 and 3) reorder storage, sum unchanged (r11)
         "CASE doc_id % 5 "
-        "WHEN 0 THEN CAST(list_sum(list_transform("
+        "WHEN 0 THEN CAST("
+        "  (CASE WHEN ((doc_id // 5) % 4) IN (1, 3) THEN 3 ELSE 1 END) "
+        "  * list_sum(list_transform("
         "  generate_series(0, (doc_id * 7) % 64), y -> list_sum("
         "    list_transform(generate_series(0, doc_id % 64), "
         "                   x -> (x + 3 * y) % 251)))) AS BIGINT) "

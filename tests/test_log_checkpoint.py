@@ -1,0 +1,173 @@
+"""Version-log checkpoint tests (mutation/store.py `_last_checkpoint`).
+
+The log is append-only JSONL with self-contained entries; the checkpoint
+only accelerates lookups. Invariants pinned here:
+
+- checkpoint + tail reads return exactly what a full scan returns
+  (entry-for-entry, every version, every cadence phase);
+- opens/commits work identically with the checkpoint deleted, corrupt,
+  or stale (log externally rewritten) — it can change speed, never
+  results;
+- deep time travel resolves through the offset index;
+- vacuum(trim_log=True) shrinks the log, keeps retained versions
+  readable, and re-cuts a valid checkpoint;
+- legacy stores (no checkpoint file at all) behave as before.
+"""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from sea_serpent_spark import Base
+
+
+@pytest.fixture()
+def base(spark, tmp_path):
+    # small cadence so tests cross several checkpoint boundaries fast
+    return Base(str(tmp_path / "wh"), spark, user="tester",
+                checkpoint_every=5)
+
+
+def _make_versions(base, name="t", n_commits=12):
+    pdf = pd.DataFrame({"column1": range(1, 11),
+                        "labels": [chr(65 + i) for i in range(10)]})
+    base.from_frame(pdf, name)
+    t = base.table(name)
+    for i in range(n_commits - 1):
+        t["column1"] = list(range(i, i + 10))
+    return base.table(name)
+
+
+def test_checkpoint_written_on_cadence(base):
+    _make_versions(base, n_commits=12)  # versions 0..11
+    ck = base._load_ckpt("t")
+    assert ck is not None
+    assert ck["version"] == 10  # last multiple of 5
+    assert ck["entry"]["version"] == 10
+    # offset index covers every version up to the checkpoint
+    assert set(ck["offsets"]) == {str(v) for v in range(11)}
+
+
+def test_ckpt_lookups_equal_full_scan(base):
+    _make_versions(base, n_commits=13)
+    hist = base.history("t")  # ground truth: full scan
+    assert [e["version"] for e in hist] == list(range(13))
+    for e in hist:
+        got = base._log_entry("t", e["version"])
+        assert got == e, f"checkpoint lookup diverged at v{e['version']}"
+    assert base._current_version("t") == 12
+
+
+def test_results_identical_without_checkpoint(base):
+    t = _make_versions(base, n_commits=9)
+    with_ck = t.to_frame().sort_values("_seq")["column1"].tolist()
+    v_with = base._current_version("t")
+    os.remove(base._ckpt_path("t"))
+    assert base._load_ckpt("t") is None
+    assert base._current_version("t") == v_with
+    t2 = base.table("t")
+    assert t2.to_frame().sort_values("_seq")["column1"].tolist() == with_ck
+
+
+def test_corrupt_checkpoint_falls_back(base):
+    _make_versions(base, n_commits=8)
+    v = base._current_version("t")
+    with open(base._ckpt_path("t"), "w") as f:
+        f.write("{not json")
+    assert base._load_ckpt("t") is None
+    assert base._current_version("t") == v
+    # and the next commit repairs the cadence (writes a fresh one at 10)
+    t = base.table("t")
+    for _ in range(3):
+        t["column1"] = list(range(10))
+    ck = base._load_ckpt("t")
+    assert ck is not None and ck["version"] == 10
+
+
+def test_stale_checkpoint_log_shrunk_is_ignored(base):
+    _make_versions(base, n_commits=7)  # ckpt at v5
+    lp = base._log_path("t")
+    hist = base.history("t")
+    # externally rewrite the log shorter than the ckpt's tail_offset
+    with open(lp, "w") as f:
+        for e in hist[:3]:
+            f.write(json.dumps(e) + "\n")
+    ck_raw = json.load(open(base._ckpt_path("t")))
+    assert ck_raw["tail_offset"] > os.path.getsize(lp)
+    assert base._load_ckpt("t") is None  # size check rejects it
+    assert base._current_version("t") == 2
+
+
+def test_time_travel_via_offset_index(base):
+    base_tbl = _make_versions(base, n_commits=12)  # ckpt at v10
+    assert base._load_ckpt("t")["version"] == 10
+    # deep travel: v3 is far below the checkpoint → offset-index seek
+    t3 = base.table("t", version=3)
+    vals = t3.to_frame().sort_values("_seq")["column1"].tolist()
+    # version 3 = third overwrite: column1 was set to range(2, 12)
+    assert vals == list(range(2, 12))
+    assert base_tbl is not None
+
+
+def test_commit_cost_reads_tail_only(base, monkeypatch):
+    """After a checkpoint exists, neither open nor commit calls
+    history() (the full scan) — the operational guarantee the
+    rehearsal measures in wall time."""
+    _make_versions(base, n_commits=12)
+    calls = {"n": 0}
+    orig = Base.history
+
+    def counting(self, name):
+        calls["n"] += 1
+        return orig(self, name)
+
+    monkeypatch.setattr(Base, "history", counting)
+    t = base.table("t")          # open
+    t["column1"] = list(range(10))  # commit
+    assert calls["n"] == 0
+
+
+def test_vacuum_trim_log(base):
+    _make_versions(base, n_commits=12)
+    lp = base._log_path("t")
+    size_before = os.path.getsize(lp)
+    removed = base.vacuum("t", keep_versions=3, trim_log=True)
+    assert removed  # old files actually went away
+    assert os.path.getsize(lp) < size_before
+    hist = base.history("t")
+    assert [e["version"] for e in hist] == [9, 10, 11]
+    # retained versions still fully readable
+    for v in (9, 10, 11):
+        assert base.table("t", version=v).to_frame().shape[0] == 10
+    # checkpoint was re-cut and is valid against the trimmed log
+    ck = base._load_ckpt("t")
+    assert ck is not None and ck["version"] == 11
+    assert base._current_version("t") == 11
+    # trimmed version is gone — consistent with its files being gone
+    with pytest.raises(FileNotFoundError):
+        base._log_entry("t", 2)
+    # and the table keeps working: next commit lands as v12
+    t = base.table("t")
+    t["column1"] = list(range(10))
+    assert base._current_version("t") == 12
+
+
+def test_checkpoint_disabled_store(spark, tmp_path):
+    b = Base(str(tmp_path / "wh"), spark, user="tester",
+             checkpoint_every=0)
+    pdf = pd.DataFrame({"x": [1, 2, 3]})
+    b.from_frame(pdf, "t")
+    t = b.table("t")
+    t["x"] = [4, 5, 6]
+    assert not os.path.exists(b._ckpt_path("t"))
+    assert b._current_version("t") == 1
+    # legacy store later opened WITH checkpointing: reads fine, and the
+    # next cadence commit starts checkpointing
+    b2 = Base(str(tmp_path / "wh"), spark, user="tester",
+              checkpoint_every=1)
+    assert b2._current_version("t") == 1
+    t2 = b2.table("t")
+    t2["x"] = [7, 8, 9]
+    assert b2._load_ckpt("t")["version"] == 2

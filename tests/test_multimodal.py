@@ -346,9 +346,12 @@ def test_extract_media_content_end_to_end(spark):
         kind = i % 5
         w, h = 1 + i % 64, 1 + (i * 7) % 64
         if kind == 0:
+            # r11: PNG sub-variant cycles by (i//5)%4 — palette layouts
+            # (1, 3) decode through the grayscale PLTE to RGB (×3)
             exp = sum(M._pattern_px(x, y) for x in range(w) for y in range(h))
-            assert (r["width"], r["height"], r["channels"]) == (w, h, 1)
-            assert r["vsum"] == exp and r["n_values"] == w * h
+            ch = 3 if ((i // 5) % 4) in (1, 3) else 1
+            assert (r["width"], r["height"], r["channels"]) == (w, h, ch)
+            assert r["vsum"] == ch * exp and r["n_values"] == ch * w * h
         elif kind == 2:
             exp = sum(M._pattern_px(x, y) for x in range(w) for y in range(h))
             assert r["vsum"] == 3 * exp and r["channels"] == 3
@@ -1051,3 +1054,133 @@ def test_decoders_on_corrupted_valid_prefixes(data):
         M.decode_audio(M.wav_bytes(16, pattern=True)[:30] + data)
     except (ValueError, NotImplementedError):
         pass  # wave.Error et al. are converted to ValueError
+
+
+# ---------------------------------------------------------------------------
+# round 11: palette (PLTE/tRNS), Adam7 interlace, sub-byte depths
+# ---------------------------------------------------------------------------
+
+def _png_chunk(t, p):
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(p)) + t + p
+        + struct.pack(">I", zlib.crc32(t + p) & 0xFFFFFFFF)
+    )
+
+
+def _raw_png(w, h, depth, ctype, raw, extra=b"", interlace=0):
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr) + extra
+        + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_palette():
+    """Type-3 PNG: indices map through PLTE; the grayscale palette
+    makes RGB sum = 3 x pattern (same closed form as GIF/BMP)."""
+    for w, h in [(1, 1), (7, 5), (33, 47)]:
+        exp = sum(M._pattern_px(x, y) for x in range(w) for y in range(h))
+        wp, hp, ch, px = M.decode_image(
+            M.png_bytes(w, h, pattern=True, color_type=3)
+        )
+        assert (wp, hp, ch) == (w, h, 3) and sum(px) == 3 * exp
+    # palette without PLTE chunk is corrupt, not unsupported
+    import pytest
+
+    bad = _raw_png(2, 1, 8, 3, b"\x00\x00\x01")
+    with pytest.raises(ValueError):
+        M.decode_image(bad)
+    # out-of-range palette index is corrupt too
+    bad = _raw_png(
+        1, 1, 8, 3, b"\x00\x05", extra=_png_chunk(b"PLTE", bytes((1, 2, 3)))
+    )
+    with pytest.raises(ValueError):
+        M.decode_image(bad)
+
+
+def test_decode_png_palette_trns_alpha():
+    """tRNS on a palette PNG yields RGBA; entries beyond the tRNS
+    length default to opaque (RFC 2083 4.2.1)."""
+    plte = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90])
+    png = _raw_png(
+        3, 1, 8, 3, b"\x00\x00\x01\x02",
+        extra=_png_chunk(b"PLTE", plte) + _png_chunk(b"tRNS", bytes([0, 128])),
+    )
+    w, h, ch, px = M.decode_image(png)
+    assert (w, h, ch) == (3, 1, 4)
+    assert list(px) == [10, 20, 30, 0, 40, 50, 60, 128, 70, 80, 90, 255]
+
+
+def test_decode_png_adam7_bit_identical():
+    """Adam7 stores the same pixels pass-ordered: decode must be
+    bit-identical to the sequential layout, for gray AND palette, at
+    shapes exercising empty passes (w or h below pass origins)."""
+    for w, h in [(1, 1), (2, 2), (3, 2), (5, 1), (1, 9), (8, 8), (9, 10),
+                 (33, 47)]:
+        seq = M.decode_image(M.png_bytes(w, h, pattern=True))
+        lace = M.decode_image(M.png_bytes(w, h, pattern=True, interlace=1))
+        assert seq == lace
+        seq = M.decode_image(M.png_bytes(w, h, pattern=True, color_type=3))
+        lace = M.decode_image(
+            M.png_bytes(w, h, pattern=True, color_type=3, interlace=1)
+        )
+        assert seq == lace
+
+
+def test_decode_png_subbyte_depths():
+    """Depths 1/2/4 (gray: scaled to 8-bit; palette: direct indices),
+    including strides that end mid-byte."""
+    # 4-bit gray 3x2: samples 0..5 packed two-per-byte MSB-first
+    png = _raw_png(3, 2, 4, 0, b"\x00\x01\x20\x00\x34\x50")
+    w, h, ch, px = M.decode_image(png)
+    assert (w, h, ch) == (3, 2, 1)
+    assert list(px) == [v * 255 // 15 for v in range(6)]
+    # 1-bit gray 9x1: bits cross the byte boundary
+    png = _raw_png(9, 1, 1, 0, bytes([0, 0b10101010, 0b10000000]))
+    assert list(M.decode_image(png)[3]) == [255, 0] * 4 + [255]
+    # 2-bit palette 4x1: indices 0..3 in one byte
+    plte = bytes(v for i in range(4) for v in (i * 3, i * 3 + 1, i * 3 + 2))
+    png = _raw_png(
+        4, 1, 2, 3, bytes([0, 0b00011011]), extra=_png_chunk(b"PLTE", plte)
+    )
+    w, h, ch, px = M.decode_image(png)
+    assert (w, h, ch) == (4, 1, 3)
+    assert list(px) == list(plte)
+
+
+def test_decode_png_16bit_still_unsupported():
+    import pytest
+
+    png = _raw_png(2, 1, 16, 0, bytes(5))
+    with pytest.raises(NotImplementedError, match="16"):
+        M.decode_image(png)
+    # invalid depth is corrupt, not unsupported
+    png = _raw_png(2, 1, 3, 0, bytes(3))
+    with pytest.raises(ValueError):
+        M.decode_image(png)
+
+
+def test_synthesize_png_variants_cycle(spark):
+    """doc_id % 5 == 0 rows cycle gray/palette/Adam7 by (doc_id//5)%4 —
+    all four storage layouts land in q53's hash-checked pix rows."""
+    import pyspark.sql.functions as F
+
+    ids = spark.range(0, 40, 5).select(F.col("id").alias("doc_id"))
+    rows = M.extract_media_content(
+        M.synthesize_test_media(ids, pattern=True)
+    ).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    for i in range(0, 40, 5):
+        w, h = 1 + i % 64, 1 + (i * 7) % 64
+        exp = sum(M._pattern_px(x, y) for x in range(w) for y in range(h))
+        mult = 3 if ((i // 5) % 4) in (1, 3) else 1
+        r = by_id[i]
+        assert r["mime"] == "image/png"
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["vsum"] == mult * exp, (i, r["vsum"], mult * exp)
