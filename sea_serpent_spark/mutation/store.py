@@ -49,6 +49,7 @@ from pyspark.sql import types as T
 from ..core.column import Column, _SemiJoinFilter
 from ..core.filter import Filter
 from ..core.table import Table
+from ..lease import writer_lease
 from ..types import (
     infer_from_spark_type,
     infer_seatable_type,
@@ -294,20 +295,37 @@ class Base:
     # buckets) file on every open and commit. The checkpoint fixes the
     # read cost: ``_last_checkpoint.json`` carries (a) the latest entry
     # verbatim (the overwhelmingly common lookup: open + commit's
-    # prev-manifest read), (b) ``tail_offset`` — the byte length of the
-    # log when the checkpoint was cut, so readers parse ONLY the ≤N
-    # tail commits after it, and (c) a version → byte-offset index so
-    # deep time travel seeks directly instead of scanning. Open/commit
-    # cost is thereby O(checkpoint_every), flat in table age
-    # (tools/rehearse_r11.py measures it across 500 commits). Every
-    # read path verifies the checkpoint against the live log (size,
-    # version echo) and falls back to the full scan on any mismatch —
-    # a deleted/stale/corrupt checkpoint can never change results,
-    # only speed. Log SIZE is handled separately: ``vacuum(...,
-    # trim_log=True)`` drops entries whose data files were vacuumed.
+    # prev-manifest read) and (b) ``tail_offset`` — the byte length of
+    # the log when the checkpoint was cut, so readers parse ONLY the
+    # ≤N tail commits after it. A version → byte-offset index lives in
+    # a SEPARATE ``_checkpoint_offsets.json`` sidecar loaded only by
+    # deep time travel — keeping the O(versions) index out of the open
+    # path, whose cost is thereby O(checkpoint_every), flat in table
+    # age (tools/rehearse_r11.py measures it across 500 commits; with
+    # the index inline the open path re-grew ~1 µs/version — measured,
+    # hence the split). Every read path verifies the checkpoint
+    # against the live log (size, version echo) and falls back to the
+    # full scan on any mismatch — a deleted/stale/corrupt checkpoint
+    # or index can never change results, only speed. Log SIZE is
+    # handled separately: ``vacuum(..., trim_log=True)`` drops entries
+    # whose data files were vacuumed.
 
     def _ckpt_path(self, name: str) -> str:
         return os.path.join(self._tdir(name), "_last_checkpoint.json")
+
+    def _ckpt_idx_path(self, name: str) -> str:
+        return os.path.join(self._tdir(name), "_checkpoint_offsets.json")
+
+    def _load_ckpt_idx(self, name: str) -> dict:
+        """version(str) → byte offset, best-effort ({} on any problem —
+        the offset consumer verifies the version echo and full-scans on
+        mismatch, so a stale index is slow, never wrong)."""
+        try:
+            with open(self._ckpt_idx_path(name)) as f:
+                idx = json.load(f)
+            return idx if isinstance(idx, dict) else {}
+        except (FileNotFoundError, json.JSONDecodeError, OSError):
+            return {}
 
     def _load_ckpt(self, name: str) -> dict | None:
         """Validated checkpoint, or None (missing / corrupt / stale).
@@ -366,7 +384,7 @@ class Base:
         never a torn file."""
         prev = self._load_ckpt(name)
         if prev is not None:
-            offsets = dict(prev.get("offsets") or {})
+            offsets = self._load_ckpt_idx(name)
             scan_from = prev["tail_offset"]
         else:
             offsets = {}
@@ -379,12 +397,15 @@ class Base:
             if off < tail_offset:  # exclude anything at/after this entry
                 offsets[str(e["version"])] = off
         offsets[str(v)] = entry_offset
-        ck = {
-            "version": v,
-            "entry": entry,
-            "tail_offset": tail_offset,
-            "offsets": offsets,
-        }
+        # index FIRST, then the checkpoint (each atomically): a crash
+        # in between leaves an index slightly ahead of the checkpoint,
+        # which is harmless — offsets are facts about an append-only
+        # file, and every seek verifies the version echo anyway
+        tmp = self._ckpt_idx_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(offsets, f)
+        os.replace(tmp, self._ckpt_idx_path(name))
+        ck = {"version": v, "entry": entry, "tail_offset": tail_offset}
         tmp = self._ckpt_path(name) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(ck, f)
@@ -484,6 +505,31 @@ class Base:
         )
 
     def _commit(
+        self,
+        name: str,
+        df: DataFrame,
+        op: str,
+        detail: dict | None = None,
+        oplog: DataFrame | None = None,
+        touched: str | None = None,
+        append_df: DataFrame | None = None,
+        transform=None,
+    ) -> None:
+        """Single-writer gate around :meth:`_commit_impl` (r11): the
+        whole commit — version discovery through log append — runs
+        under the table's writer lease, so a second concurrent writer
+        raises ``LeaseHeldError`` instead of silently interleaving
+        versions (two writers computing the same ``v`` was the r10
+        verdict's silent-corruption scenario). Stale leases (dead local
+        pid / TTL) break automatically — see ``lease.py``."""
+        tdir = self._tdir(name)
+        os.makedirs(tdir, exist_ok=True)
+        with writer_lease(tdir, owner=f"commit:{op}:{self.user}"):
+            return self._commit_impl(
+                name, df, op, detail, oplog, touched, append_df, transform
+            )
+
+    def _commit_impl(
         self,
         name: str,
         df: DataFrame,
@@ -746,8 +792,8 @@ class Base:
                 for e in self._tail_entries(name, ck) or ():
                     if e["version"] == version:
                         return e
-            else:  # deep time travel: direct seek via the offset index
-                off = (ck.get("offsets") or {}).get(str(version))
+            else:  # deep time travel: direct seek via the offset sidecar
+                off = self._load_ckpt_idx(name).get(str(version))
                 if off is not None:
                     try:
                         with open(self._log_path(name), "rb") as f:
@@ -914,7 +960,17 @@ class Base:
         default keeps it. The rewrite is atomic (tmp + replace) and the
         checkpoint is re-cut afterwards — a crash in between leaves a
         checkpoint the readers detect as stale (log shrank below its
-        tail offset) and ignore."""
+        tail offset) and ignore.
+
+        Vacuum is a writer: it holds the same single-writer lease as
+        ``_commit`` so it cannot delete files out from under an
+        in-flight commit's manifest read (r11)."""
+        with writer_lease(self._tdir(name), owner=f"vacuum:{self.user}"):
+            return self._vacuum_impl(name, keep_versions, trim_log)
+
+    def _vacuum_impl(
+        self, name: str, keep_versions: int, trim_log: bool
+    ) -> list[str]:
         hist = self.history(name)
         versions = sorted(e["version"] for e in hist)
         keep = set(versions[-max(1, keep_versions):])
@@ -955,15 +1011,16 @@ class Base:
                 for e in hist:
                     if e["version"] in keep:
                         f.write(json.dumps(e) + "\n")
-            # drop the checkpoint FIRST: its byte offsets are meaningless
-            # against the rewritten file (and a small-enough stale
-            # tail_offset would otherwise pass the size check and seek
-            # mid-line). Crash anywhere in between → no checkpoint →
-            # readers full-scan, still correct.
-            try:
-                os.remove(self._ckpt_path(name))
-            except FileNotFoundError:
-                pass
+            # drop the checkpoint + offset index FIRST: their byte
+            # offsets are meaningless against the rewritten file (and a
+            # small-enough stale tail_offset would otherwise pass the
+            # size check and seek mid-line). Crash anywhere in between
+            # → no checkpoint → readers full-scan, still correct.
+            for p in (self._ckpt_path(name), self._ckpt_idx_path(name)):
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass
             os.replace(tmp, lp)
             self.checkpoint(name)
         return removed

@@ -89,28 +89,31 @@ def build_ivf_index(
         from .similarity import pq_encode
 
         assigned = pq_encode(assigned, codebooks, vec_col=vec_col)
-    legacy = artifact.read_manifest(path) is None and os.path.exists(
-        os.path.join(path, _ANN_META)
-    )
-    gen, staging = artifact.new_generation_dir(path)
-    (
-        assigned.repartition("label")
-        .sortWithinPartitions("label", id_col)
-        .write.mode("overwrite")
-        .partitionBy("label")
-        .parquet(staging)
-    )
-    meta = {"centroids": centroids}
-    if codebooks is not None:
-        meta["codebooks"] = codebooks
-    with open(os.path.join(staging, _ANN_META), "w") as fh:
-        json.dump(meta, fh)
-    artifact.publish_generation(path, gen)
-    if legacy:
-        artifact.clear_legacy_layout(path)
-        legacy_meta = os.path.join(path, _ANN_META)
-        if os.path.exists(legacy_meta):
-            os.remove(legacy_meta)
+    # single-writer lease across stage + publish (r11): two concurrent
+    # builders would otherwise stage into the same generation name
+    with artifact.writer_lease(path, owner="ivf-build"):
+        legacy = artifact.read_manifest(path) is None and os.path.exists(
+            os.path.join(path, _ANN_META)
+        )
+        gen, staging = artifact.new_generation_dir(path)
+        (
+            assigned.repartition("label")
+            .sortWithinPartitions("label", id_col)
+            .write.mode("overwrite")
+            .partitionBy("label")
+            .parquet(staging)
+        )
+        meta = {"centroids": centroids}
+        if codebooks is not None:
+            meta["codebooks"] = codebooks
+        with open(os.path.join(staging, _ANN_META), "w") as fh:
+            json.dump(meta, fh)
+        artifact.publish_generation(path, gen)
+        if legacy:
+            artifact.clear_legacy_layout(path)
+            legacy_meta = os.path.join(path, _ANN_META)
+            if os.path.exists(legacy_meta):
+                os.remove(legacy_meta)
     return centroids
 
 

@@ -40,6 +40,8 @@ import os
 import shutil
 import uuid
 
+from ..lease import LeaseHeldError, writer_lease  # noqa: F401  (re-export)
+
 #: Root-level manifest naming the current generation. Underscore-prefixed
 #: so Spark's parquet directory scans ignore it.
 MANIFEST = "_versions.json"
@@ -86,30 +88,38 @@ def publish_generation(
     before the rename leaves the old manifest intact (the new generation
     directory is unreferenced garbage, removed by the next publish's
     GC); the rename itself is atomic; a crash after it loses only
-    not-yet-GC'd old generations' disk space."""
+    not-yet-GC'd old generations' disk space.
+
+    Publish holds the artifact's single-writer lease (r11): a second
+    concurrent publisher raises ``LeaseHeldError`` instead of silently
+    interleaving generations. Builder flows that stage first should
+    hold the SAME lease across ``new_generation_dir`` → publish (it is
+    re-entrant in-process), so two builders cannot stage into the same
+    generation name either."""
     os.makedirs(root, exist_ok=True)
-    prev = read_manifest(root) or {}
-    gens = [g for g in prev.get("generations", []) if g != generation]
-    gens.append(generation)
-    manifest = {
-        "current": generation,
-        "generations": gens[-max(1, keep):],
-        **(extra or {}),
-    }
-    tmp = os.path.join(root, f".{MANIFEST}.{uuid.uuid4().hex}")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.rename(tmp, os.path.join(root, MANIFEST))  # atomic publish
-    keep_set = set(manifest["generations"])
-    for d in os.listdir(root):
-        full = os.path.join(root, d)
-        if (
-            os.path.isdir(full)
-            and d.startswith("g")
-            and d[1:].isdigit()
-            and d not in keep_set
-        ):
-            shutil.rmtree(full, ignore_errors=True)
+    with writer_lease(root, owner="artifact-publish"):
+        prev = read_manifest(root) or {}
+        gens = [g for g in prev.get("generations", []) if g != generation]
+        gens.append(generation)
+        manifest = {
+            "current": generation,
+            "generations": gens[-max(1, keep):],
+            **(extra or {}),
+        }
+        tmp = os.path.join(root, f".{MANIFEST}.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.rename(tmp, os.path.join(root, MANIFEST))  # atomic publish
+        keep_set = set(manifest["generations"])
+        for d in os.listdir(root):
+            full = os.path.join(root, d)
+            if (
+                os.path.isdir(full)
+                and d.startswith("g")
+                and d[1:].isdigit()
+                and d not in keep_set
+            ):
+                shutil.rmtree(full, ignore_errors=True)
 
 
 def clear_legacy_layout(root: str) -> None:

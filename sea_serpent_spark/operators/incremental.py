@@ -290,6 +290,14 @@ def write_band_index(
     idx = index
     if key_buckets and "kb" not in idx.columns:
         idx = idx.withColumn("kb", _kb_expr(key_buckets))
+    # writer lease across the whole write (append AND stage+publish):
+    # a second concurrent writer errors instead of interleaving tail
+    # files / staging into the same generation name (r11)
+    with artifact.writer_lease(path, owner="band-index-write"):
+        return _write_band_index_locked(idx, path, mode, key_buckets)
+
+
+def _write_band_index_locked(idx, path, mode, key_buckets):
     cur = artifact.current_dir(path)
     if mode == "append" and os.path.exists(
         os.path.join(cur, _INDEX_META)
@@ -448,12 +456,13 @@ def compact_band_index(
         )
     if key_buckets and "kb" not in main.columns:
         main = main.withColumn("kb", _kb_expr(key_buckets))
-    legacy = artifact.read_manifest(path) is None
-    gen, staging = artifact.new_generation_dir(path)
-    _write_layout(main, staging, key_buckets)
-    artifact.publish_generation(path, gen, {"key_buckets": key_buckets})
-    if legacy:
-        artifact.clear_legacy_layout(path)
+    with artifact.writer_lease(path, owner="band-index-compact"):
+        legacy = artifact.read_manifest(path) is None
+        gen, staging = artifact.new_generation_dir(path)
+        _write_layout(main, staging, key_buckets)
+        artifact.publish_generation(path, gen, {"key_buckets": key_buckets})
+        if legacy:
+            artifact.clear_legacy_layout(path)
     return {
         "files_before": before,
         "files_after": _nfiles(artifact.current_dir(path)),

@@ -140,15 +140,10 @@ def corpus_profile(
        size, not corpus size; top-k is TakeOrdered, never a full sort.
 
     The result is a plain dict (collected): this is a REPORT, not a
-    relation — the inputs to every number stay distributed."""
-    from .text import token_count, words
-
-    c = F.col(text_col)
-    base = df.select(
-        token_count(c).alias("__nt"),
-        F.length(c).alias("__nc"),
-        *( [F.col(lang_col).alias("__lang")] if lang_col else [] ),
-    )
+    relation — the inputs to every number stay distributed. For the
+    hash-checkable relation shape see :func:`corpus_profile_rows` (same
+    plans, shared via the private helpers below)."""
+    base = _corpus_base(df, text_col, lang_col)
     aggs = [
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("__nt").alias("total_tokens"),
@@ -157,12 +152,7 @@ def corpus_profile(
         F.percentile_approx("__nt", 0.5).alias("p50_doc_tokens"),
     ]
     row = base.agg(*aggs).collect()[0].asDict()
-    toks = (
-        df.select(F.explode(words(c)).alias("tok"))
-        .where(F.col("tok") != "")
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    toks = _corpus_tokens(df, text_col)
     vocab = toks.agg(
         F.count(F.lit(1)).alias("v")
     ).collect()[0]["v"]
@@ -186,6 +176,103 @@ def corpus_profile(
             for r in base.groupBy("__lang")
             .agg(F.count(F.lit(1)).alias("n")).collect()
         }
+    return out
+
+
+def _corpus_base(df: DataFrame, text_col: str, lang_col: str | None):
+    """Per-doc scalars (token count, char count, language) — pass 1's
+    input, shared by the dict and relation profile shapes."""
+    from .text import token_count
+
+    c = F.col(text_col)
+    return df.select(
+        token_count(c).alias("__nt"),
+        F.length(c).alias("__nc"),
+        *([F.col(lang_col).alias("__lang")] if lang_col else []),
+    )
+
+
+def _corpus_tokens(df: DataFrame, text_col: str) -> DataFrame:
+    """(token, count) — pass 2's groupBy, map-side partially aggregated
+    so the shuffle carries ~|vocab|, not |corpus|."""
+    from .text import words
+
+    return (
+        df.select(F.explode(words(F.col(text_col))).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def corpus_profile_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str | None = None,
+    top_k_tokens: int = 20,
+) -> DataFrame:
+    """:func:`corpus_profile` as a RELATION → [k, s1, n1, n2] — the
+    hash-checkable shape (q70 ``op='corpus'`` rows, r11). Same two
+    distributed passes; three row kinds tagged by ``s1``:
+
+    - ``scalar``: k ∈ n_docs / total_tokens / total_chars /
+      p50_doc_tokens / vocab, value in n1 (avg_doc_tokens is omitted —
+      it is exactly total_tokens/n_docs, and an independent float
+      division is oracle noise, not information);
+    - ``top``: the top-k heavy-hitter tokens, count in n1, 1-based
+      rank in n2 (row_number AFTER the TakeOrdered limit — the window
+      sorts ``top_k_tokens`` rows, never the vocabulary);
+    - ``lang``: per-language doc counts in n1 (when ``lang_col``).
+    """
+    from pyspark.sql import Window
+
+    base = _corpus_base(df, text_col, lang_col)
+    toks = _corpus_tokens(df, text_col)
+    lnull = F.lit(None).cast("long")
+    scalars = (
+        base.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").alias("total_tokens"),
+            F.sum("__nc").alias("total_chars"),
+            F.percentile_approx("__nt", 0.5).alias("p50_doc_tokens"),
+        )
+        .crossJoin(toks.agg(F.count(F.lit(1)).alias("vocab")))
+        .selectExpr(
+            "stack(5, "
+            "'n_docs', CAST(n_docs AS BIGINT), "
+            "'total_tokens', CAST(total_tokens AS BIGINT), "
+            "'total_chars', CAST(total_chars AS BIGINT), "
+            "'p50_doc_tokens', CAST(p50_doc_tokens AS BIGINT), "
+            "'vocab', CAST(vocab AS BIGINT)) AS (k, n1)"
+        )
+        .select("k", F.lit("scalar").alias("s1"), "n1", lnull.alias("n2"))
+    )
+    top = (
+        toks.orderBy(F.desc("n"), F.asc("tok"))
+        .limit(top_k_tokens)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("n"), F.asc("tok"))),
+        )
+        .select(
+            F.col("tok").alias("k"),
+            F.lit("top").alias("s1"),
+            F.col("n").cast("long").alias("n1"),
+            F.col("rank").cast("long").alias("n2"),
+        )
+    )
+    out = scalars.unionByName(top)
+    if lang_col:
+        out = out.unionByName(
+            base.groupBy("__lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("__lang").alias("k"),
+                F.lit("lang").alias("s1"),
+                F.col("n").cast("long").alias("n1"),
+                lnull.alias("n2"),
+            )
+        )
     return out
 
 

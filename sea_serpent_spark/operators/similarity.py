@@ -782,6 +782,13 @@ def semantic_dedup(
     assigned = ivf_assign(
         df, centroids, vec_col, cluster_col="__sem_c", sim_col="__sem_s"
     )
+    # materialize the assignment once (r11): the pair graph's rep and
+    # star halves AND the keep-policy sims join all sit under the one
+    # losers execution, so without this the broadcast-argmax assignment
+    # recomputes ≥3× per run — the q43 first-execution debt measured in
+    # BENCH_NOTES. One corpus-sized localCheckpoint trades that for a
+    # single write + three narrow reads.
+    assigned, _ = tracked_checkpoint(assigned)
     pairs = embedding_near_dup_pairs(
         assigned,
         threshold,

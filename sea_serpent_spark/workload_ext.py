@@ -225,9 +225,13 @@ def q70_profile_qa(spark, sf_dir):
       (status-P rows dropped → 'removed'; status-F prices zeroed →
       'changed' with the changed column named; two synthetic keys →
       'added'). Full-outer join on the key, NULL-safe compare.
+    - ``corpus`` rows (round 11): corpus_profile over documents as a
+      relation (corpus_profile_rows) — scalar totals + GK p50 + vocab,
+      top-20 heavy-hitter tokens with rank, per-language doc counts.
 
     Union schema: (op, k, s1, s2, n1, n2, d1, d2)."""
-    from .operators.profile import dataset_diff, expect, skew_report
+    from .operators.profile import (corpus_profile_rows, dataset_diff,
+                                    expect, skew_report)
 
     o = df(spark, sf_dir, "orders")
     snull = F.lit(None).cast("string")
@@ -298,7 +302,20 @@ def q70_profile_qa(spark, sf_dir):
         dnull.alias("d1"),
         dnull.alias("d2"),
     )
-    return ex.unionByName(sk).unionByName(dd)
+
+    cp = corpus_profile_rows(
+        df(spark, sf_dir, "documents"), lang_col="lang"
+    ).select(
+        F.lit("corpus").alias("op"),
+        "k",
+        "s1",
+        snull.alias("s2"),
+        "n1",
+        "n2",
+        dnull.alias("d1"),
+        dnull.alias("d2"),
+    )
+    return ex.unionByName(sk).unionByName(dd).unionByName(cp)
 
 
 # ---------------------------------------------------------------------------
@@ -734,18 +751,42 @@ def q59_range_join(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q61_connected_components(spark, sf_dir):
-    """Transitive closure of the embedding near-dup graph → (id,
-    component=min reachable id). The oracle is a recursive CTE over the
-    SAME pair SQL — proving cross-engine agreement on the closure, not
-    just on pairs (A~B, B~C must collapse A,B,C). The LSH-scale pair
-    graphs are covered by the union-find pytest; this row uses the exact
-    cosine graph (sparse) so the DuckDB recursion stays cheap."""
-    from .operators.dedup import connected_components
+    """Tagged union (round 11 adds ``op='best'``):
+
+    - ``cc`` rows: transitive closure of the embedding near-dup graph →
+      (id, component=min reachable id). The oracle is a recursive CTE
+      over the SAME pair SQL — proving cross-engine agreement on the
+      closure, not just on pairs (A~B, B~C must collapse A,B,C). The
+      LSH-scale pair graphs are covered by the union-find pytest; this
+      row uses the exact cosine graph (sparse) so the DuckDB recursion
+      stays cheap.
+    - ``best`` rows: the PRODUCTION keep-best survivor policy
+      (dedup.dedup_corpus keep='max', keep_col='n_chars' — keep the
+      longest copy of each near-dup cluster) end-to-end over documents:
+      minhash spanning edges → connected components → per-component
+      (score desc, id asc) winner → anti-join. The oracle replays the
+      q68 spanning edge set, its recursive-CTE closure, and the same
+      window; every surviving doc_id is hash-matched."""
+    from .operators.dedup import connected_components, dedup_corpus
 
     pairs = S.embedding_near_dup_pairs(
         df(spark, sf_dir, "embeddings"), threshold=0.45, nbits=0
     )
-    return connected_components(pairs)
+    cc = connected_components(pairs).select(
+        F.lit("cc").alias("op"), "id", "component"
+    )
+    best = dedup_corpus(
+        df(spark, sf_dir, "documents"),
+        method="minhash",
+        threshold=0.5,
+        keep="max",
+        keep_col="n_chars",
+    ).select(
+        F.lit("best").alias("op"),
+        F.col("doc_id").alias("id"),
+        F.lit(None).cast("long").alias("component"),
+    )
+    return cc.unionByName(best)
 
 
 def q60_deterministic_split(spark, sf_dir):
@@ -998,6 +1039,31 @@ _SIG_MATCHES_SQL = " + ".join(
     f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END" for i in range(16)
 )
 
+#: The production spanning-edge pair set (minhash LSH, emit='spanning',
+#: threshold 0.5) as a parenthesized subquery: min-id representatives
+#: per distinct signature, band self-join over reps, group star edges.
+#: The q68 oracle body — shared by q61's keep-best replay (r11), which
+#: needs the same graph's connectivity.
+_SPANNING_SUBQ = f"""(
+WITH base AS (SELECT doc_id AS id, {DWORDS_SQL} AS ws FROM documents),
+allsig AS (SELECT id, {_MINHASH_SIG_COLS} FROM base),
+keyed AS (SELECT *, concat_ws('-', {", ".join(f"s{i}" for i in range(16))})
+  AS sk FROM allsig),
+grp AS (SELECT sk, MIN(id) AS gid FROM keyed GROUP BY sk),
+sig AS (SELECT k.* FROM keyed k JOIN grp g ON k.id = g.gid),
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT x.id AS ia, y.id AS ib
+  FROM bands x JOIN bands y USING (band, key) WHERE x.id < y.id)
+SELECT ia AS id_a, ib AS id_b,
+  ROUND(({_SIG_MATCHES_SQL}) / CAST(16.0 AS DOUBLE), 4) AS jaccard
+FROM cand JOIN sig a ON a.id = ia JOIN sig b ON b.id = ib
+WHERE ({_SIG_MATCHES_SQL}) / CAST(16.0 AS DOUBLE) >= 0.5
+UNION ALL
+SELECT g.gid AS id_a, k.id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+FROM keyed k JOIN grp g USING (sk) WHERE k.id != g.gid
+)"""
+
 ORACLES_EXT: dict[str, str] = {
     "q30_text_analysis": None,  # filled below (needs the generated lang CASE)
     # Dataset-QA trio: expect = conditional counts over one scan; skew =
@@ -1053,6 +1119,40 @@ UNION ALL
 SELECT 'diff', '-1', 'added', '', NULL, NULL, NULL, NULL
 UNION ALL
 SELECT 'diff', '-2', 'added', '', NULL, NULL, NULL, NULL
+UNION ALL
+-- corpus rows (r11): corpus_profile_rows over documents. Token
+-- semantics mirror operators/text.py: count = len of \\s+ split of
+-- lower(trim()) with empty/whitespace-only text counting 0; vocab and
+-- heavy hitters exclude the '' token; p50 is the exact discrete
+-- median (percentile_approx is exact below its accuracy bound).
+SELECT 'corpus', k, 'scalar', NULL, n1, NULL, NULL, NULL FROM (
+  SELECT 'n_docs' AS k, COUNT(*) AS n1 FROM documents
+  UNION ALL
+  SELECT 'total_tokens', SUM(
+    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END)
+  FROM documents
+  UNION ALL
+  SELECT 'total_chars', SUM(LENGTH(text)) FROM documents
+  UNION ALL
+  SELECT 'p50_doc_tokens', quantile_disc(
+    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END,
+    0.5) FROM documents
+  UNION ALL
+  SELECT 'vocab', COUNT(DISTINCT t) FROM (
+    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+    FROM documents) WHERE t != '')
+UNION ALL
+SELECT 'corpus', t, 'top', NULL, n, rank, NULL, NULL FROM (
+  SELECT t, n, ROW_NUMBER() OVER (ORDER BY n DESC, t ASC) AS rank FROM (
+    SELECT t, COUNT(*) AS n FROM (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+      FROM documents) WHERE t != '' GROUP BY t))
+WHERE rank <= 20
+UNION ALL
+SELECT 'corpus', lang, 'lang', NULL, COUNT(*), NULL, NULL, NULL
+FROM documents GROUP BY lang
 """,
     # Tagged union: minhash signatures + exact-dedup groups (one row
     # per document each over the same corpus).
@@ -1167,23 +1267,7 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
     # signature; cross edges = the q36 band join restricted to reps;
     # star edges = every non-rep member pointing at its group id.
     "q68_spanning_edges": f"""
-WITH base AS (SELECT doc_id AS id, {DWORDS_SQL} AS ws FROM documents),
-allsig AS (SELECT id, {_MINHASH_SIG_COLS} FROM base),
-keyed AS (SELECT *, concat_ws('-', {", ".join(f"s{i}" for i in range(16))})
-  AS sk FROM allsig),
-grp AS (SELECT sk, MIN(id) AS gid FROM keyed GROUP BY sk),
-sig AS (SELECT k.* FROM keyed k JOIN grp g ON k.id = g.gid),
-bands AS ({_BANDS_SQL}),
-cand AS (
-  SELECT DISTINCT x.id AS ia, y.id AS ib
-  FROM bands x JOIN bands y USING (band, key) WHERE x.id < y.id)
-SELECT ia AS id_a, ib AS id_b,
-  ROUND(({_SIG_MATCHES_SQL}) / CAST(16.0 AS DOUBLE), 4) AS jaccard
-FROM cand JOIN sig a ON a.id = ia JOIN sig b ON b.id = ib
-WHERE ({_SIG_MATCHES_SQL}) / CAST(16.0 AS DOUBLE) >= 0.5
-UNION ALL
-SELECT g.gid AS id_a, k.id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
-FROM keyed k JOIN grp g USING (sk) WHERE k.id != g.gid
+SELECT id_a, id_b, jaccard FROM {_SPANNING_SUBQ}
 """,
     # Independent Morton formulation: uniform cells by integer-exact
     # division (ranges pinned to powers of two), explicit bit interleave.
@@ -1614,8 +1698,28 @@ walk(id, lbl) AS (
   SELECT id, id FROM nodes
   UNION
   SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.id
-)
-SELECT id, MIN(lbl) AS component FROM walk GROUP BY id
+),
+-- keep-best survivors (r11): closure of the minhash SPANNING graph
+-- (the q68 edge set), then per-component winner = max n_chars, ties
+-- to min id, NULL scores lose; clustered non-winners are the losers.
+sprs AS (SELECT id_a, id_b FROM {_SPANNING_SUBQ}),
+sedges AS (SELECT id_a AS u, id_b AS v FROM sprs
+           UNION SELECT id_b, id_a FROM sprs),
+snodes AS (SELECT DISTINCT u AS id FROM sedges),
+swalk(id, lbl) AS (
+  SELECT id, id FROM snodes
+  UNION
+  SELECT e.v, w.lbl FROM swalk w JOIN sedges e ON e.u = w.id
+),
+scomp AS (SELECT id, MIN(lbl) AS c FROM swalk GROUP BY id),
+slosers AS (SELECT id FROM (
+  SELECT s.id, ROW_NUMBER() OVER (
+    PARTITION BY s.c ORDER BY d.n_chars DESC NULLS LAST, s.id) AS rn
+  FROM scomp s JOIN documents d ON d.doc_id = s.id) WHERE rn > 1)
+SELECT 'cc' AS op, id, MIN(lbl) AS component FROM walk GROUP BY id
+UNION ALL
+SELECT 'best' AS op, doc_id AS id, CAST(NULL AS BIGINT) AS component
+FROM documents WHERE doc_id NOT IN (SELECT id FROM slosers)
 """,
     "q44_sessionize": """
 WITH g AS (

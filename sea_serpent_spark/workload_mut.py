@@ -367,11 +367,28 @@ def q69_stream_dedup(spark, sf_dir):
     WHICH doc survives per fingerprint is micro-batch-order dependent
     (parallel file reads within a trigger), so the slot projects the
     deterministic part — the surviving fingerprint SET per variant —
-    and the oracle is plain batch SQL over the same corpus."""
+    and the oracle is plain batch SQL over the same corpus.
+
+    ``sink`` rows (round 11): the full streaming NEAR-dup ingest loop
+    — ``incremental_dedup_sink`` as a real foreachBatch query: LSH
+    band index seeded with doc_id < 250 history, readStream drained
+    with availableNow, each batch deduped against the persisted index
+    (reingest id check → spanning pairs → components → history-wins /
+    min-id-survives), survivors appended to parquet AND back into the
+    index. The corpus is one parquet file, so the drain is a single
+    deterministic micro-batch and the survivor set equals batch
+    ``incremental_dedup`` over the same delta — which the oracle
+    replays (delta-touching banded pairs, recursive-CTE closure,
+    witness components drop, pure-new keep-min-id). Multi-batch
+    behavior stays pinned by test_streaming's serial-drain tests."""
+    import os
+    import shutil
     import uuid
 
-    from .operators.dedup import exact_dedup_groups
+    from .operators.dedup import exact_dedup_groups, fingerprint
+    from .operators.incremental import minhash_band_index, write_band_index
     from .streaming import events as sev
+    from .streaming.dedup import incremental_dedup_sink
 
     sev.drop_stale_sinks(spark, "q69")
     docs = sev.read_documents_stream(spark, sf_dir)
@@ -390,7 +407,33 @@ def q69_stream_dedup(spark, sf_dir):
         kept_fresh.select("fp"),
         f"q69f_{uuid.uuid4().hex[:8]}", spark, mode="append",
     ).withColumn("op", F.lit("fresh"))
-    return out_all.unionByName(out_fresh)
+
+    # sink member: deterministic per-sf scratch (the q41 pattern —
+    # OVERWRITTEN each run, never accumulated), fresh seed + drain
+    sf_tag = "".join(
+        ch if ch.isalnum() else "_" for ch in sf_dir.rstrip("/")
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), "sea_serpent_scratch", f"q69sink{sf_tag}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    idx_path = os.path.join(root, "idx")
+    out_path = os.path.join(root, "out")
+    write_band_index(minhash_band_index(hist), idx_path)
+    (
+        sev.read_documents_stream(spark, sf_dir)
+        .writeStream.foreachBatch(incremental_dedup_sink(idx_path, out_path))
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    out_sink = (
+        spark.read.parquet(out_path)
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .withColumn("op", F.lit("sink"))
+    )
+    return out_all.unionByName(out_fresh).unionByName(out_sink)
 
 
 def q53_media_features(spark, sf_dir):
@@ -539,6 +582,12 @@ QUERIES_MUT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 from .workload_ext import FP_SQL as _FP_SQL  # noqa: E402
+from .workload_ext import (  # noqa: E402  (minhash replay, q69 sink rows)
+    DWORDS_SQL as _DWORDS_SQL,
+    _BANDS_SQL,
+    _MINHASH_SIG_COLS,
+    _SIG_MATCHES_SQL,
+)
 
 ORACLES_MUT: dict[str, str] = {
     # The stream-drained fingerprint sets equal the batch formulations.
@@ -547,6 +596,12 @@ ORACLES_MUT: dict[str, str] = {
     # the whole branch, while the engine's stream-static LEFT ANTI join
     # treats a NULL key as non-matching (row kept). NOT EXISTS with an
     # equality correlate has exactly the anti-join's NULL semantics.
+    # sink rows replay incremental_dedup exactly: ids < 250 are the
+    # seeded index (dropped from the delta by the reingest id check);
+    # pairs are delta-touching only (old–old edges are invisible to the
+    # incremental probe); closure over them; a component containing any
+    # indexed witness keeps no new rows; a pure-new component keeps its
+    # min id; unclustered new docs survive.
     "q69_stream_dedup": (
         f"SELECT DISTINCT {_FP_SQL} AS fp, 'all' AS op FROM documents "
         "UNION ALL "
@@ -554,7 +609,34 @@ ORACLES_MUT: dict[str, str] = {
         f"(SELECT {_FP_SQL} AS fp FROM documents) a "
         "WHERE NOT EXISTS (SELECT 1 FROM "
         f"(SELECT {_FP_SQL} AS fp FROM documents WHERE doc_id < 250) h "
-        "WHERE h.fp = a.fp)"
+        "WHERE h.fp = a.fp) "
+        "UNION ALL "
+        "SELECT fp, 'sink' AS op FROM ("
+        f"WITH RECURSIVE base AS (SELECT doc_id AS id, {_DWORDS_SQL} AS ws "
+        "FROM documents), "
+        f"sig AS (SELECT id, {_MINHASH_SIG_COLS} FROM base), "
+        f"bands AS ({_BANDS_SQL}), "
+        "cand AS (SELECT DISTINCT x.id AS ia, y.id AS ib "
+        "FROM bands x JOIN bands y USING (band, key) "
+        "WHERE x.id < y.id AND NOT (x.id < 250 AND y.id < 250)), "
+        "prs AS (SELECT ia, ib FROM cand "
+        "JOIN sig a ON a.id = ia JOIN sig b ON b.id = ib "
+        f"WHERE ({_SIG_MATCHES_SQL}) / CAST(16.0 AS DOUBLE) >= 0.5), "
+        "edges AS (SELECT ia AS u, ib AS v FROM prs "
+        "UNION SELECT ib, ia FROM prs), "
+        "nodes AS (SELECT DISTINCT u AS id FROM edges), "
+        "walk(id, lbl) AS (SELECT id, id FROM nodes UNION "
+        "SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.id), "
+        "comp AS (SELECT id, MIN(lbl) AS c FROM walk GROUP BY id), "
+        "badc AS (SELECT DISTINCT c FROM comp WHERE id < 250), "
+        "survivors AS ("
+        "SELECT MIN(id) AS id FROM comp WHERE id >= 250 "
+        "AND c NOT IN (SELECT c FROM badc) GROUP BY c "
+        "UNION ALL "
+        "SELECT doc_id FROM documents WHERE doc_id >= 250 "
+        "AND doc_id NOT IN (SELECT id FROM comp)) "
+        f"SELECT {_FP_SQL} AS fp FROM documents "
+        "JOIN survivors ON documents.doc_id = survivors.id)"
     ),
     "q05_empty_str_null": (
         "WITH fixture(k, txt, num) AS (VALUES "

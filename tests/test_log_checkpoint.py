@@ -46,8 +46,10 @@ def test_checkpoint_written_on_cadence(base):
     assert ck is not None
     assert ck["version"] == 10  # last multiple of 5
     assert ck["entry"]["version"] == 10
-    # offset index covers every version up to the checkpoint
-    assert set(ck["offsets"]) == {str(v) for v in range(11)}
+    # offset SIDECAR covers every version up to the checkpoint (kept
+    # out of _last_checkpoint.json so the open path stays O(1))
+    assert "offsets" not in ck
+    assert set(base._load_ckpt_idx("t")) == {str(v) for v in range(11)}
 
 
 def test_ckpt_lookups_equal_full_scan(base):

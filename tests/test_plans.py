@@ -346,9 +346,12 @@ def test_workload_plan_audit(spark, sf_dir):
     # q37: dense-regime all-pairs — reps broadcast under allpairs_rep_cap
     # q41: carries the brute-force ANN baseline tag — broadcast-bounded
     # q43: the oracle-pinned exact (nbits=0) all-pairs variant
+    # q70: corpus_profile_rows' 1×1 cross join of the scalar aggregate
+    #      row with the vocab aggregate row (r11 — the q08 shape)
     CARTESIAN_OK = {
         "q08_value_counts", "q37_ngram_jaccard",
         "q41_ann_topk", "q43_embedding_near_dup",
+        "q70_profile_qa",
     }
     # q53: mapInPandas multimodal decode; q41: pq_encode + the ADC LUT
     # are DESIGNED Arrow-batched pandas UDFs — per-row vector math heavy
