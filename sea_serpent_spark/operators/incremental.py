@@ -608,12 +608,14 @@ def incremental_minhash_pairs(
     off (tested)."""
     if emit not in ("pairs", "spanning"):
         raise ValueError(f"emit must be 'pairs' or 'spanning', got {emit!r}")
-    _check_index_width(index, num_hashes)
     if _sigs is not None:
         # internal hand-off from incremental_dedup: signatures already
-        # cached and the index already pruned by the caller
+        # cached, the index already pruned AND width-validated by the
+        # caller — re-checking here was one redundant LIMIT-1 job per
+        # batch (r11 probe-floor audit)
         new_sigs = _sigs
     else:
+        _check_index_width(index, num_hashes)
         # retire the previous call's persisted frames first (the
         # dedup-module cache contract) — without this, a foreachBatch
         # ingest loop pins one persisted band frame per micro-batch

@@ -327,9 +327,13 @@ def _png_row_samples(
     rows: bytearray, w: int, h: int, channels: int, depth: int
 ) -> bytearray:
     """Packed scanline bytes → one sample value per byte (MSB-first bit
-    unpack for depths 1/2/4; pass-through for 8)."""
+    unpack for depths 1/2/4; pass-through for 8; big-endian HIGH byte
+    for 16 — the standard 16→8 reduction, exact on the v·257 values a
+    widened 8-bit source produces)."""
     if depth == 8:
         return rows
+    if depth == 16:
+        return rows[0::2]  # scanlines are contiguous; stride is even
     stride = (w * channels * depth + 7) // 8
     per_byte = 8 // depth
     mask = (1 << depth) - 1
@@ -347,12 +351,14 @@ def _png_row_samples(
 
 def _decode_png(b: bytes) -> tuple[int, int, int, bytes]:
     """Pure-stdlib PNG decode: chunk walk → IDAT inflate → per-scanline
-    unfilter → sample unpack → palette/alpha mapping. Supports bit
-    depths 1/2/4/8, color types 0/2/3/4/6 (3 = PLTE palette, with tRNS
-    → RGBA), and both non-interlaced and Adam7-interlaced layouts
-    (round 11; each of the 7 passes is an independently filtered
-    sub-image whose pixels scatter to (x0+i·dx, y0+j·dy)). Remaining
-    NotImplementedError: 16-bit depth only."""
+    unfilter → sample unpack → palette/alpha mapping. Covers every
+    valid IHDR combination (round 11): bit depths 1/2/4/8/16 (16-bit
+    samples reduce to their high byte), color types 0/2/3/4/6 (3 =
+    PLTE palette, with tRNS → RGBA), and both non-interlaced and Adam7
+    layouts (each of the 7 passes is an independently filtered
+    sub-image whose pixels scatter to (x0+i·dx, y0+j·dy)). Spec-invalid
+    depth/type combinations raise ValueError — corrupt, not
+    unsupported; no NotImplementedError remains in the PNG path."""
     i = 8
     w = h = None
     ctype = depth = interlace = None
@@ -380,15 +386,15 @@ def _decode_png(b: bytes) -> tuple[int, int, int, bytes]:
     if w is None:
         raise ValueError("PNG without IHDR")
     _check_dims(w, h)
-    if depth == 16:
-        raise NotImplementedError("PNG bit depth 16 unsupported")
-    if depth not in (1, 2, 4, 8):
+    if depth not in (1, 2, 4, 8, 16):
         raise ValueError(f"invalid PNG bit depth {depth}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
-        raise NotImplementedError(f"PNG color type {ctype} unsupported")
+        raise ValueError(f"invalid PNG color type {ctype}")
     if depth < 8 and ctype not in (0, 3):
         raise ValueError(f"PNG depth {depth} invalid for color type {ctype}")
+    if depth == 16 and ctype == 3:
+        raise ValueError("PNG depth 16 invalid for palette color type")
     if ctype == 3 and plte is None:
         raise ValueError("palette PNG without PLTE chunk")
     raw = zlib.decompress(bytes(idat))

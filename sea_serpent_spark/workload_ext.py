@@ -762,11 +762,14 @@ def q61_connected_components(spark, sf_dir):
       stays cheap.
     - ``best`` rows: the PRODUCTION keep-best survivor policy
       (dedup.dedup_corpus keep='max', keep_col='n_chars' — keep the
-      longest copy of each near-dup cluster) end-to-end over documents:
-      minhash spanning edges → connected components → per-component
-      (score desc, id asc) winner → anti-join. The oracle replays the
-      q68 spanning edge set, its recursive-CTE closure, and the same
-      window; every surviving doc_id is hash-matched."""
+      longest copy of each near-dup cluster) end-to-end over the
+      doc_id < 600 sub-corpus: minhash spanning edges → connected
+      components → per-component (score desc, id asc) winner →
+      anti-join. The oracle replays the spanning edge set, its
+      recursive-CTE closure, and the same window; every surviving
+      doc_id is hash-matched. Scoped because the full-corpus edge set
+      is already q68's slot — this member pays for the DECISION
+      procedure, not a second full LSH pass (28 s → ~4 s at sf0.1)."""
     from .operators.dedup import connected_components, dedup_corpus
 
     pairs = S.embedding_near_dup_pairs(
@@ -776,7 +779,7 @@ def q61_connected_components(spark, sf_dir):
         F.lit("cc").alias("op"), "id", "component"
     )
     best = dedup_corpus(
-        df(spark, sf_dir, "documents"),
+        df(spark, sf_dir, "documents").where(F.col("doc_id") < 600),
         method="minhash",
         threshold=0.5,
         keep="max",
@@ -1043,7 +1046,15 @@ _SIG_MATCHES_SQL = " + ".join(
 #: threshold 0.5) as a parenthesized subquery: min-id representatives
 #: per distinct signature, band self-join over reps, group star edges.
 #: The q68 oracle body — shared by q61's keep-best replay (r11), which
-#: needs the same graph's connectivity.
+#: needs the same graph's connectivity over a scoped sub-corpus
+#: (``where``), keeping the slot's DuckDB recursion and the Spark
+#: side's in-slot cost bounded.
+def _spanning_subq(where: str = "") -> str:
+    return _SPANNING_SUBQ.replace(
+        "FROM documents)", f"FROM documents {where})", 1
+    )
+
+
 _SPANNING_SUBQ = f"""(
 WITH base AS (SELECT doc_id AS id, {DWORDS_SQL} AS ws FROM documents),
 allsig AS (SELECT id, {_MINHASH_SIG_COLS} FROM base),
@@ -1700,9 +1711,12 @@ walk(id, lbl) AS (
   SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.id
 ),
 -- keep-best survivors (r11): closure of the minhash SPANNING graph
--- (the q68 edge set), then per-component winner = max n_chars, ties
--- to min id, NULL scores lose; clustered non-winners are the losers.
-sprs AS (SELECT id_a, id_b FROM {_SPANNING_SUBQ}),
+-- (the q68 edge shape, scoped to doc_id < 600 — the full-corpus edge
+-- set is q68's own slot; the scope keeps this member's in-slot cost
+-- bounded while pinning the identical decision procedure), then
+-- per-component winner = max n_chars, ties to min id, NULL scores
+-- lose; clustered non-winners are the losers.
+sprs AS (SELECT id_a, id_b FROM {_spanning_subq("WHERE doc_id < 600")}),
 sedges AS (SELECT id_a AS u, id_b AS v FROM sprs
            UNION SELECT id_b, id_a FROM sprs),
 snodes AS (SELECT DISTINCT u AS id FROM sedges),
@@ -1719,7 +1733,8 @@ slosers AS (SELECT id FROM (
 SELECT 'cc' AS op, id, MIN(lbl) AS component FROM walk GROUP BY id
 UNION ALL
 SELECT 'best' AS op, doc_id AS id, CAST(NULL AS BIGINT) AS component
-FROM documents WHERE doc_id NOT IN (SELECT id FROM slosers)
+FROM documents WHERE doc_id < 600
+AND doc_id NOT IN (SELECT id FROM slosers)
 """,
     "q44_sessionize": """
 WITH g AS (

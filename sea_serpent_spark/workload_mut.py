@@ -375,12 +375,15 @@ def q69_stream_dedup(spark, sf_dir):
     with availableNow, each batch deduped against the persisted index
     (reingest id check → spanning pairs → components → history-wins /
     min-id-survives), survivors appended to parquet AND back into the
-    index. The corpus is one parquet file, so the drain is a single
-    deterministic micro-batch and the survivor set equals batch
-    ``incremental_dedup`` over the same delta — which the oracle
-    replays (delta-touching banded pairs, recursive-CTE closure,
-    witness components drop, pure-new keep-min-id). Multi-batch
-    behavior stays pinned by test_streaming's serial-drain tests."""
+    index. The delta is scoped to doc_id < 600 (the full-corpus
+    incremental pair cost is q64's slot; this member pays for the
+    streaming loop itself). The corpus is one parquet file, so the
+    drain is a single deterministic micro-batch and the survivor set
+    equals batch ``incremental_dedup`` over the same delta — which the
+    oracle replays (delta-touching banded pairs, recursive-CTE
+    closure, witness components drop, pure-new keep-min-id).
+    Multi-batch behavior stays pinned by test_streaming's
+    serial-drain tests."""
     import os
     import shutil
     import uuid
@@ -419,9 +422,16 @@ def q69_stream_dedup(spark, sf_dir):
     shutil.rmtree(root, ignore_errors=True)
     idx_path = os.path.join(root, "idx")
     out_path = os.path.join(root, "out")
-    write_band_index(minhash_band_index(hist), idx_path)
+    # key_buckets sized to the seed (the default 64 is the 100 TB
+    # shape; at 250 history docs it only multiplies directory churn)
+    write_band_index(minhash_band_index(hist), idx_path, key_buckets=8)
+    # delta scoped to doc_id < 600: the full-corpus incremental pair
+    # cost is q64's slot — this member pays for the streaming LOOP
+    # (drain → probe → output append → index append), not a second
+    # full LSH pass
     (
         sev.read_documents_stream(spark, sf_dir)
+        .where(F.col("doc_id") < 600)
         .writeStream.foreachBatch(incremental_dedup_sink(idx_path, out_path))
         .option("checkpointLocation", os.path.join(root, "ckpt"))
         .trigger(availableNow=True)
@@ -613,7 +623,7 @@ ORACLES_MUT: dict[str, str] = {
         "UNION ALL "
         "SELECT fp, 'sink' AS op FROM ("
         f"WITH RECURSIVE base AS (SELECT doc_id AS id, {_DWORDS_SQL} AS ws "
-        "FROM documents), "
+        "FROM documents WHERE doc_id < 600), "
         f"sig AS (SELECT id, {_MINHASH_SIG_COLS} FROM base), "
         f"bands AS ({_BANDS_SQL}), "
         "cand AS (SELECT DISTINCT x.id AS ia, y.id AS ib "
@@ -634,7 +644,7 @@ ORACLES_MUT: dict[str, str] = {
         "AND c NOT IN (SELECT c FROM badc) GROUP BY c "
         "UNION ALL "
         "SELECT doc_id FROM documents WHERE doc_id >= 250 "
-        "AND doc_id NOT IN (SELECT id FROM comp)) "
+        "AND doc_id < 600 AND doc_id NOT IN (SELECT id FROM comp)) "
         f"SELECT {_FP_SQL} AS fp FROM documents "
         "JOIN survivors ON documents.doc_id = survivors.id)"
     ),

@@ -1154,16 +1154,37 @@ def test_decode_png_subbyte_depths():
     assert list(px) == list(plte)
 
 
-def test_decode_png_16bit_still_unsupported():
+def test_decode_png_16bit_high_byte():
+    """16-bit samples reduce to their big-endian high byte — exact on
+    widened 8-bit values (v·257), covering gray, RGB, and the filtered
+    2-bytes-per-sample stride."""
+    import struct
+
+    # gray 3x1: samples 0x0000, 0x1234, 0xFFFF → 0x00, 0x12, 0xFF
+    raw = b"\x00" + struct.pack(">HHH", 0x0000, 0x1234, 0xFFFF)
+    w, h, ch, px = M.decode_image(_raw_png(3, 1, 16, 0, raw))
+    assert (w, h, ch) == (3, 1, 1) and list(px) == [0x00, 0x12, 0xFF]
+    # RGB 2x2 with a SUB-filtered second row (bpp = 6 at 16-bit RGB)
+    row0 = [v * 257 for v in (10, 20, 30, 40, 50, 60)]
+    row1 = [v * 257 for v in (15, 25, 35, 45, 55, 65)]
+    enc1 = struct.pack(">6H", *row1)
+    sub = bytearray(enc1)
+    for x in range(6, 12):  # subtract the left pixel's bytes
+        sub[x] = (sub[x] - enc1[x - 6]) & 0xFF
+    raw = b"\x00" + struct.pack(">6H", *row0) + b"\x01" + bytes(sub)
+    w, h, ch, px = M.decode_image(_raw_png(2, 2, 16, 2, raw))
+    assert (w, h, ch) == (2, 2, 3)
+    assert list(px) == [10, 20, 30, 40, 50, 60, 15, 25, 35, 45, 55, 65]
+    # spec-invalid combos are corrupt, not unsupported
     import pytest
 
-    png = _raw_png(2, 1, 16, 0, bytes(5))
-    with pytest.raises(NotImplementedError, match="16"):
-        M.decode_image(png)
-    # invalid depth is corrupt, not unsupported
-    png = _raw_png(2, 1, 3, 0, bytes(3))
     with pytest.raises(ValueError):
-        M.decode_image(png)
+        M.decode_image(_raw_png(2, 1, 3, 0, bytes(3)))  # depth 3
+    with pytest.raises(ValueError):  # 16-bit palette
+        M.decode_image(
+            _raw_png(1, 1, 16, 3, bytes(3),
+                     extra=_png_chunk(b"PLTE", bytes((1, 2, 3))))
+        )
 
 
 def test_synthesize_png_variants_cycle(spark):
