@@ -228,8 +228,17 @@ def q70_profile_qa(spark, sf_dir):
     - ``corpus`` rows (round 11): corpus_profile over documents as a
       relation (corpus_profile_rows) — scalar totals + GK p50 + vocab,
       top-20 heavy-hitter tokens with rank, per-language doc counts.
+    - ``funnel`` rows (round 11): curation_funnel over a three-stage
+      documents pipeline (non-empty text → lang='en' → ≥10 tokens):
+      per-stage (rows_in, rows_out) — the "where did my corpus go"
+      report, counted at every boundary off checkpointed
+      intermediates. The oracle recomputes each boundary as a
+      cumulative-conjunction COUNT. (drop_frac is derived from the
+      two counts and pytest-pinned; re-hashing a Python-rounded float
+      would pin banker's-rounding trivia, not the operator.)
 
     Union schema: (op, k, s1, s2, n1, n2, d1, d2)."""
+    from .operators.curation import curation_funnel
     from .operators.profile import (corpus_profile_rows, dataset_diff,
                                     expect, skew_report)
 
@@ -315,7 +324,36 @@ def q70_profile_qa(spark, sf_dir):
         dnull.alias("d1"),
         dnull.alias("d2"),
     )
-    return ex.unionByName(sk).unionByName(dd).unionByName(cp)
+
+    from .operators import text as X
+
+    _, rep = curation_funnel(
+        df(spark, sf_dir, "documents"),
+        [
+            ("nonempty",
+             lambda d: d.where(F.length(F.trim(F.col("text"))) > 0)),
+            ("lang_en", lambda d: d.where(F.col("lang") == "en")),
+            ("min10tok",
+             lambda d: d.where(X.token_count(F.col("text")) >= 10)),
+        ],
+    )
+    fun = spark.createDataFrame(
+        [(r["stage"], int(r["rows_in"]), int(r["rows_out"])) for r in rep],
+        "k string, n1 long, n2 long",
+    ).select(
+        F.lit("funnel").alias("op"),
+        "k",
+        F.lit("stage").alias("s1"),
+        snull.alias("s2"),
+        "n1",
+        "n2",
+        dnull.alias("d1"),
+        dnull.alias("d2"),
+    )
+    return (
+        ex.unionByName(sk).unionByName(dd)
+        .unionByName(cp).unionByName(fun)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -925,10 +963,37 @@ def q60_deterministic_split(spark, sf_dir):
         F.lit(None).cast("double").alias("v"),
         F.lit("wsamp").alias("op"),
     )
+    # round 11 — op='mix': mix_corpora survivors (training-mix recipe:
+    # keep 100% of src0, 30% of src1, 65% of src2, drop the rest).
+    # Pure row-local hash predicate — the oracle replays
+    # hash_bucket(id) < round(rate·10⁶) per source verbatim.
+    from .operators.sampling import cap_per_group, mix_corpora
+
+    mix = mix_corpora(
+        docs, "source", {"src0": 1.0, "src1": 0.3, "src2": 0.65},
+        "doc_id",
+    ).select(
+        "doc_id",
+        F.lit(None).cast("string").alias("split"),
+        F.lit(None).cast("long").alias("shard"),
+        null_v,
+        F.lit("mix").alias("op"),
+    )
+    # round 11 — op='cap': cap_per_group survivors (domain quota: at
+    # most 40 docs per language, deterministic (hash, id) rank order —
+    # the stratified_sample replay shape with a constant cap).
+    cap = cap_per_group(docs, "lang", 40, "doc_id").select(
+        "doc_id",
+        F.lit(None).cast("string").alias("split"),
+        F.lit(None).cast("long").alias("shard"),
+        null_v,
+        F.lit("cap").alias("op"),
+    )
     return (
         packed.unionByName(strat).unionByName(seqs)
         .unionByName(temp).unionByName(dsir)
         .unionByName(xent).unionByName(wsamp)
+        .unionByName(mix).unionByName(cap)
     )
 
 
@@ -1164,6 +1229,27 @@ WHERE rank <= 20
 UNION ALL
 SELECT 'corpus', lang, 'lang', NULL, COUNT(*), NULL, NULL, NULL
 FROM documents GROUP BY lang
+-- funnel rows (r11): each stage boundary = cumulative conjunction of
+-- the stage predicates; NULL text fails stage 1 on both engines
+UNION ALL
+SELECT 'funnel', 'nonempty', 'stage', NULL,
+  (SELECT COUNT(*) FROM documents),
+  (SELECT COUNT(*) FROM documents WHERE LENGTH(TRIM(text)) > 0),
+  NULL, NULL
+UNION ALL
+SELECT 'funnel', 'lang_en', 'stage', NULL,
+  (SELECT COUNT(*) FROM documents WHERE LENGTH(TRIM(text)) > 0),
+  (SELECT COUNT(*) FROM documents
+   WHERE LENGTH(TRIM(text)) > 0 AND lang = 'en'),
+  NULL, NULL
+UNION ALL
+SELECT 'funnel', 'min10tok', 'stage', NULL,
+  (SELECT COUNT(*) FROM documents
+   WHERE LENGTH(TRIM(text)) > 0 AND lang = 'en'),
+  (SELECT COUNT(*) FROM documents
+   WHERE LENGTH(TRIM(text)) > 0 AND lang = 'en'
+     AND len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 10),
+  NULL, NULL
 """,
     # Tagged union: minhash signatures + exact-dedup groups (one row
     # per document each over the same corpus).
@@ -1614,6 +1700,26 @@ WHERE {h48_sql('CAST(doc_id AS VARCHAR)')} % 1000000
       < CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE),
                          w * 800 / (SELECT tot FROM s)) * 1000000)
              AS BIGINT))
+"""
+        # mix_corpora (r11): keep iff hash_bucket(id) < round(rate·10⁶)
+        # per source, unknown sources drop (default_rate 0)
+        f"""
+UNION ALL
+SELECT doc_id, CAST(NULL AS VARCHAR) AS split, CAST(NULL AS BIGINT) AS shard,
+       CAST(NULL AS DOUBLE) AS v, 'mix' AS op FROM documents
+WHERE {h48_sql('CAST(doc_id AS VARCHAR)')} % 1000000 < CASE source
+  WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 300000
+  WHEN 'src2' THEN 650000 ELSE 0 END
+"""
+        # cap_per_group (r11): ≤40 docs per lang, (hash, id) rank order
+        f"""
+UNION ALL
+SELECT doc_id, CAST(NULL AS VARCHAR) AS split, CAST(NULL AS BIGINT) AS shard,
+       CAST(NULL AS DOUBLE) AS v, 'cap' AS op FROM (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+    {h48_sql('CAST(doc_id AS VARCHAR)')} % 1000000, doc_id) AS rk
+  FROM documents)
+WHERE rk <= 40
 """
     ),
     # the semantic spec of token_budget_mix: per-source running sum over
