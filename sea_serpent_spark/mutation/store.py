@@ -386,16 +386,33 @@ class Base:
         if prev is not None:
             offsets = self._load_ckpt_idx(name)
             scan_from = prev["tail_offset"]
+            monotone = bool(prev.get("ts_monotone", False))
+            last_ts = prev.get("last_ts")
         else:
             offsets = {}
             scan_from = 0
+            monotone, last_ts = True, None
         try:
             scanned = self._scan_log(name, scan_from)
         except (json.JSONDecodeError, UnicodeDecodeError):
-            offsets, scanned = {}, self._scan_log(name)  # rebuild fully
+            # rebuild fully — including the monotonicity chain
+            offsets, scanned = {}, self._scan_log(name)
+            monotone, last_ts = True, None
         for off, e in scanned:
             if off < tail_offset:  # exclude anything at/after this entry
                 offsets[str(e["version"])] = off
+                # track commit-timestamp monotonicity incrementally —
+                # a system clock stepping backward between commits is
+                # recorded here, and the timestamp-time-travel binary
+                # search (_version_at_ckpt) declines on the flag (a
+                # non-monotone region can hide from its local checks)
+                ts = e.get("ts")
+                if isinstance(ts, str):
+                    if last_ts is not None and ts < last_ts:
+                        monotone = False
+                    last_ts = ts
+                else:
+                    monotone = False
         offsets[str(v)] = entry_offset
         # index FIRST, then the checkpoint (each atomically): a crash
         # in between leaves an index slightly ahead of the checkpoint,
@@ -405,7 +422,13 @@ class Base:
         with open(tmp, "w") as f:
             json.dump(offsets, f)
         os.replace(tmp, self._ckpt_idx_path(name))
-        ck = {"version": v, "entry": entry, "tail_offset": tail_offset}
+        ck = {
+            "version": v,
+            "entry": entry,
+            "tail_offset": tail_offset,
+            "ts_monotone": monotone,
+            "last_ts": last_ts,
+        }
         tmp = self._ckpt_path(name) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(ck, f)
@@ -1061,6 +1084,9 @@ class Base:
             at_dt = at
         if at_dt.tzinfo is None:
             at_dt = at_dt.replace(tzinfo=timezone.utc)
+        fast = self._version_at_ckpt(name, at_dt)
+        if fast is not None:
+            return fast
         best = None
         for e in self.history(name):
             ts = datetime.fromisoformat(e["ts"])
@@ -1069,6 +1095,85 @@ class Base:
         if best is None:
             raise ValueError(f"no version of {name!r} at or before {at}")
         return best
+
+    def _version_at_ckpt(self, name: str, at_dt) -> int | None:
+        """Checkpoint-accelerated timestamp→version: commit timestamps
+        are monotone in version (sequential single-writer commits), so
+        the answer is findable with the tail + an O(log versions)
+        binary search over the offset sidecar instead of parsing the
+        whole log. Returns None to fall back to the full scan whenever
+        the fast path can't answer soundly (no checkpoint, sparse
+        index, or a non-monotonic timestamp observed — e.g. a clock
+        step between commits); the verification reads cost one
+        entry-seek each."""
+
+        def ets(e) -> "datetime":
+            return datetime.fromisoformat(e["ts"])
+
+        ck = self._load_ckpt(name)
+        if ck is None:
+            return None
+        if not ck.get("ts_monotone", False):
+            # the checkpoint recorded a clock step somewhere in the
+            # indexed history (or predates the flag) — the binary
+            # search cannot be trusted there; scan instead
+            return None
+        tail = self._tail_entries(name, ck)
+        if tail is None:
+            return None
+        entries_after = [ck["entry"]] + tail  # versions ≥ ckpt, in order
+        if any(
+            ets(a) > ets(b)
+            for a, b in zip(entries_after, entries_after[1:])
+        ):
+            return None  # non-monotone recent history — scan instead
+        if ets(entries_after[0]) <= at_dt:
+            # answer is at/after the checkpoint: last tail entry ≤ at
+            best = None
+            for e in entries_after:
+                if ets(e) <= at_dt:
+                    best = e["version"]
+            return best
+        # answer is strictly before the checkpoint: binary-search the
+        # offset sidecar (keys = every version up to the checkpoint)
+        idx = self._load_ckpt_idx(name)
+        try:
+            versions = sorted(int(v) for v in idx)
+        except (TypeError, ValueError):
+            return None
+        versions = [v for v in versions if v < ck["version"]]
+        if not versions:
+            return None
+
+        def entry(v: int) -> dict | None:
+            try:
+                e = self._log_entry(name, v)
+            except FileNotFoundError:
+                return None
+            return e if e.get("version") == v else None
+
+        lo, hi, best = 0, len(versions) - 1, None
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            e = entry(versions[mid])
+            if e is None:
+                return None  # index hole — full scan decides
+            if ets(e) <= at_dt:
+                best = e
+                lo = mid + 1
+            else:
+                hi = mid - 1
+        if best is None:
+            return None  # nothing at-or-before `at` — let the scan
+            # produce the canonical "no version" error (or find a
+            # non-indexed legacy entry)
+        # soundness check against clock steps: the NEXT version (if
+        # indexed) must be after `at`, else monotonicity is violated
+        # for the binary-searched region — fall back
+        nxt = entry(best["version"] + 1)
+        if nxt is not None and ets(nxt) <= at_dt:
+            return None
+        return best["version"]
 
     def time_machine(
         self, name: str, date: str | datetime,
