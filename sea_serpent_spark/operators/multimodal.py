@@ -444,16 +444,58 @@ def _decode_png(b: bytes) -> tuple[int, int, int, bytes]:
 
 
 def _decode_bmp(b: bytes) -> tuple[int, int, int, bytes]:
-    """24-bit BITMAPINFOHEADER BMP: bottom-up padded BGR rows →
-    top-down pixel bytes."""
+    """BITMAPINFOHEADER BMP: bottom-up 4-byte-padded rows → top-down
+    pixel bytes. 24-bit direct BGR, plus palettized 1/4/8-bit (r11 —
+    the legacy web-scrape formats): MSB-first index unpack, mapped
+    through the BGRA color table after the header (entry count =
+    biClrUsed, or 2^bpp when 0). Channel order follows the container
+    (BGR) in both paths. RLE-compressed files stay
+    NotImplementedError."""
     (off,) = struct.unpack("<I", b[10:14])
     w, h = struct.unpack("<ii", b[18:26])
     (bpp,) = struct.unpack("<H", b[28:30])
-    if bpp != 24:
-        raise NotImplementedError(f"BMP bpp {bpp} unsupported (24 only)")
+    (compression,) = struct.unpack("<I", b[30:34])
+    if compression != 0:
+        raise NotImplementedError(
+            f"BMP compression {compression} unsupported (BI_RGB only)"
+        )
     topdown = h < 0
     h = abs(h)
     _check_dims(w, h)
+    if bpp in (1, 4, 8):
+        (bi_size,) = struct.unpack("<I", b[14:18])
+        (clr_used,) = struct.unpack("<I", b[46:50])
+        n_colors = clr_used if clr_used else (1 << bpp)
+        pal_off = 14 + bi_size
+        pal = b[pal_off:pal_off + 4 * n_colors]
+        if len(pal) < 4 * n_colors:
+            raise ValueError("truncated BMP color table")
+        row = (w * bpp + 31) // 32 * 4
+        if off + row * h > len(b) or off < 0:
+            raise ValueError("truncated BMP pixel data")
+        per_byte = 8 // bpp
+        mask = (1 << bpp) - 1
+        out = bytearray(w * 3 * h)
+        for y in range(h):
+            src = y if topdown else h - 1 - y
+            base = off + src * row
+            orow = y * w * 3
+            for x in range(w):
+                v = (
+                    b[base + x // per_byte]
+                    >> (8 - bpp * (x % per_byte + 1))
+                ) & mask
+                if v >= n_colors:
+                    raise ValueError(
+                        "BMP pixel index outside the color table"
+                    )
+                q = 4 * v
+                out[orow + 3 * x:orow + 3 * x + 3] = pal[q:q + 3]
+        return w, h, 3, bytes(out)
+    if bpp != 24:
+        raise NotImplementedError(
+            f"BMP bpp {bpp} unsupported (1/4/8 palette or 24)"
+        )
     row = (w * 3 + 3) // 4 * 4
     if off + row * h > len(b) or off < 0:
         # must be checked up front: a short source slice assigned into

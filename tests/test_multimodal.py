@@ -1205,3 +1205,59 @@ def test_synthesize_png_variants_cycle(spark):
         assert r["mime"] == "image/png"
         assert (r["width"], r["height"]) == (w, h)
         assert r["vsum"] == mult * exp, (i, r["vsum"], mult * exp)
+
+
+def test_decode_bmp_palettized():
+    """1/4/8-bit palettized BMPs (r11): MSB-first index unpack through
+    the BGRA color table, bottom-up rows, 4-byte row padding."""
+    import struct
+
+    def bmp(w, h, bpp, palette, rows_of_indices, clr_used=0):
+        n = clr_used or (1 << bpp)
+        pal = b"".join(
+            bytes((c[0], c[1], c[2], 0)) for c in palette
+        ) + bytes(4 * (n - len(palette)))
+        row_bytes = (w * bpp + 31) // 32 * 4
+        body = bytearray()
+        for r in reversed(rows_of_indices):  # bottom-up storage
+            packed = bytearray(row_bytes)
+            for x, v in enumerate(r):
+                shift = 8 - bpp * (x % (8 // bpp) + 1)
+                packed[x // (8 // bpp)] |= v << shift
+            body += packed
+        off = 54 + 4 * n
+        header = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0,
+                          len(body), 2835, 2835, clr_used, 0)
+        return header + dib + pal + bytes(body)
+
+    # 8-bit 3x2, four colors (stored BGR like the 24-bit path)
+    palette = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (1, 2, 3)]
+    img = bmp(3, 2, 8, palette, [[0, 1, 2], [3, 0, 1]])
+    w, h, ch, px = M.decode_image(img)
+    assert (w, h, ch) == (3, 2, 3)
+    assert list(px) == [10, 20, 30, 40, 50, 60, 70, 80, 90,
+                        1, 2, 3, 10, 20, 30, 40, 50, 60]
+    # 4-bit 5x1 (stride ends mid-byte)
+    img = bmp(5, 1, 4, palette, [[3, 2, 1, 0, 2]])
+    w, h, ch, px = M.decode_image(img)
+    assert (w, h, ch) == (5, 1, 3)
+    assert list(px) == [1, 2, 3, 70, 80, 90, 40, 50, 60,
+                        10, 20, 30, 70, 80, 90]
+    # 1-bit 9x1 (crosses a byte), two colors, biClrUsed=2
+    img = bmp(9, 1, 1, palette[:2], [[1, 0, 1, 0, 1, 0, 1, 0, 1]],
+              clr_used=2)
+    w, h, ch, px = M.decode_image(img)
+    assert (w, h, ch) == (9, 1, 3)
+    assert list(px[:6]) == [40, 50, 60, 10, 20, 30]
+    # out-of-table index is corrupt, not unsupported
+    import pytest
+
+    img = bmp(1, 1, 8, palette[:2], [[5]], clr_used=2)
+    with pytest.raises(ValueError):
+        M.decode_image(img)
+    # RLE compression stays NotImplementedError
+    img = bytearray(bmp(3, 2, 8, palette, [[0, 1, 2], [3, 0, 1]]))
+    img[30] = 1  # BI_RLE8
+    with pytest.raises(NotImplementedError, match="compression"):
+        M.decode_image(bytes(img))
