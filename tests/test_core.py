@@ -650,3 +650,24 @@ def test_map_batches_batch_size_rechunks(spark):
         "spark.sql.execution.arrow.maxRecordsPerBatch", None
     )
     assert before == after
+
+
+def test_ambiguous_filter_raises_actionable_error(spark, sf_dir):
+    """A Filter applied in a frame with duplicate column names (raw-df
+    mixing) fails with the documented contract + fix, not Spark's bare
+    AMBIGUOUS_REFERENCE dump. (The restriction is the deliberate trade
+    for version-pinned stats pruning — core/column.py expr.)"""
+    import pytest
+
+    from sea_serpent_spark import Table
+
+    n = Table.from_parquet(f"{sf_dir}/nation.parquet", "nation")
+    joined = n.df.alias("a").join(
+        n.df.alias("b"),
+        F.col("a.n_regionkey") == F.col("b.n_regionkey"),
+    )
+    t = Table(joined, name="selfjoin", spark=spark)
+    with pytest.raises(ValueError, match="duplicate names"):
+        t.filter(n.n_nationkey > 3).df.collect()
+    # the same predicate through its OWN table's verbs keeps working
+    assert n.filter(n.n_nationkey > 3).df.count() > 0
