@@ -1104,12 +1104,14 @@ def simhash_pairs(
 # near-dup clusters → corpus-level dedup
 # ---------------------------------------------------------------------------
 
-def _union_find_local(edges: DataFrame, id_type) -> DataFrame:
+def _union_find_local(edges: DataFrame, id_type, rows=None) -> DataFrame:
     """[id, component] by driver-side min-root union-find over a
     metadata-sized (u, v) edge frame — the small-graph fast path of
-    ``connected_components`` (callers gate on the edge COUNT first).
-    Min-root union: the smaller root adopts the larger, so every root
-    stays the MIN of its merged set and the final label equals the
+    ``connected_components`` (callers gate on the edge count first;
+    they pass the rows their ``take``-based gate already pulled so the
+    fast path costs ONE job, not a count + a collect — r12 probe-floor
+    fold). Min-root union: the smaller root adopts the larger, so every
+    root stays the MIN of its merged set and the final label equals the
     distributed loop's min-reachable-id exactly."""
     from pyspark.sql import types as T
 
@@ -1121,7 +1123,8 @@ def _union_find_local(edges: DataFrame, id_type) -> DataFrame:
             x = parent[x]
         return x
 
-    rows = edges.collect()
+    if rows is None:
+        rows = edges.collect()
     for r in rows:
         u, v = r["u"], r["v"]
         if u not in parent:
@@ -1219,14 +1222,23 @@ def connected_components(
         .distinct(),
         storage_level=StorageLevel.DISK_ONLY,
     )
-    if small_graph_threshold and edges.count() <= small_graph_threshold:
-        out = _union_find_local(edges, pairs.schema[id_a].dataType)
-        if stats is not None:
-            stats["rounds"] = 0
-            stats["round_wall_s"] = []
-            stats["small_graph"] = True
-        release_all([edges_h])
-        return out
+    if small_graph_threshold:
+        # ONE incremental-scan job decides the gate AND (when small)
+        # delivers the edge rows: take(threshold+1) over the
+        # checkpointed edges stops after the first partitions on a big
+        # graph and replaces the previous count job + full collect job
+        # on a small one (r12 probe-floor fold).
+        head = edges.take(small_graph_threshold + 1)
+        if len(head) <= small_graph_threshold:
+            out = _union_find_local(
+                edges, pairs.schema[id_a].dataType, rows=head
+            )
+            if stats is not None:
+                stats["rounds"] = 0
+                stats["round_wall_s"] = []
+                stats["small_graph"] = True
+            release_all([edges_h])
+            return out
     # undirected: propagate both ways (narrow union over the checkpoint —
     # cheap to recompute per round, no second materialization needed)
     sym = edges.unionByName(

@@ -363,7 +363,14 @@ def _write_layout(
         .parquet(target)
     )
     with open(os.path.join(target, _INDEX_META), "w") as fh:
-        json.dump({"key_buckets": key_buckets}, fh)
+        # the full schema (incl. partition columns) rides in the
+        # sidecar so every open skips the footer-read schema-inference
+        # job — one job per probe call, which a streaming ingest loop
+        # pays per micro-batch (r12 probe-floor fold)
+        json.dump(
+            {"key_buckets": key_buckets, "schema": idx.schema.json()},
+            fh,
+        )
     written = idx.sparkSession.read.parquet(target)
     blob = build_id_bloom(
         written.where(F.col("band") == 0).select("id")
@@ -388,7 +395,29 @@ def read_band_index(spark: SparkSession, path: str) -> DataFrame:
     frame, and the previous generation is retained through one publish
     for exactly that reader."""
     src = artifact.current_dir(path)
-    df = spark.read.parquet(src)
+    meta_path = os.path.join(src, _INDEX_META)
+    meta: dict = {}
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+        except (OSError, ValueError):
+            meta = {}  # unreadable sidecar never blocks the open
+    reader = spark.read
+    if meta.get("schema"):
+        # sidecar-pinned schema (r12): skips the per-open footer-read
+        # inference job — a per-micro-batch cost in the streaming
+        # ingest loop. A corrupt/missing schema entry falls back to
+        # inference; layouts written before r12 carry none.
+        try:
+            from pyspark.sql.types import StructType
+
+            reader = spark.read.schema(
+                StructType.fromJson(json.loads(meta["schema"]))
+            )
+        except Exception:
+            reader = spark.read
+    df = reader.parquet(src)
     tail_dir = os.path.join(src, _TAIL_DIR)
     if os.path.isdir(tail_dir):
         # the main schema is GIVEN to the tail read: an all-duplicate
@@ -398,14 +427,10 @@ def read_band_index(spark: SparkSession, path: str) -> DataFrame:
             spark.read.schema(df.schema).parquet(tail_dir)
             .select(*df.columns)
         )
-    meta_path = os.path.join(src, _INDEX_META)
-    if "kb" in df.columns and os.path.exists(meta_path):
-        with open(meta_path) as fh:
-            meta = json.load(fh)
-        if meta.get("key_buckets"):
-            df = df.withMetadata(
-                "kb", {"key_buckets": int(meta["key_buckets"])}
-            )
+    if "kb" in df.columns and meta.get("key_buckets"):
+        df = df.withMetadata(
+            "kb", {"key_buckets": int(meta["key_buckets"])}
+        )
     if "id" in df.columns and os.path.exists(
         os.path.join(src, _BLOOM_FILE)
     ):
@@ -474,7 +499,12 @@ def _check_index_width(index: DataFrame, num_hashes: int) -> None:
     ``num_hashes`` — under Spark's default non-ANSI mode an out-of-range
     ``element_at`` returns NULL, so without the check a too-wide probe
     would silently deflate the jaccard estimate instead of failing.
-    Run on the RAW index (one-row LIMIT scan), never a pruned plan."""
+    Run on the RAW index (one-row LIMIT scan), never a pruned plan —
+    except where a NON-EMPTY pruned frame is already in hand, in which
+    case its rows are index rows and width can be read off them for
+    free (:func:`_prune_index_for_delta` does exactly that, falling
+    back here only when pruning emptied the scan — which is precisely
+    the silent symptom of probing with the wrong parameters)."""
     probe = index.select(F.size("sig").alias("w")).first()
     if probe is not None and int(probe["w"]) != int(num_hashes):
         raise ValueError(
@@ -490,14 +520,16 @@ def _prune_index_for_delta(
     num_hashes: int,
     bands: int,
     key_buckets: int | None = None,
-) -> DataFrame:
+) -> tuple[DataFrame, int]:
     """Restrict the index to rows whose (band, key) bucket the delta
-    touches. EXACT for every delta-touching output: a candidate pair
-    must share ≥1 band bucket, and identical signatures share ALL band
-    buckets — so any old doc that can (a) pair with a new doc or
-    (b) share a canonicalization group with a bucket-matching old doc
-    survives the restriction. Old-only groups outside the delta's
-    buckets can never reach the output (tested pruned == unpruned).
+    touches → ``(pruned, n_delta)`` where ``n_delta`` is the delta's
+    distinct-id count (one signature row per id). EXACT for every
+    delta-touching output: a candidate pair must share ≥1 band bucket,
+    and identical signatures share ALL band buckets — so any old doc
+    that can (a) pair with a new doc or (b) share a canonicalization
+    group with a bucket-matching old doc survives the restriction.
+    Old-only groups outside the delta's buckets can never reach the
+    output (tested pruned == unpruned).
 
     Two levels:
     - **partition pruning** (index layouts written by
@@ -509,39 +541,57 @@ def _prune_index_for_delta(
     - **row pruning** (always): a (band, key) semi-join against the
       delta's distinct band keys — delta-bounded; join strategy left to
       AQE (broadcasts the key set while it is small, shuffles when a
-      huge delta makes that wrong)."""
-    delta_keys = banded_signatures(new_sigs, num_hashes, bands).select(
+      huge delta makes that wrong).
+
+    Driver-action shape (r12, closing the r11 verdict's probe-floor
+    item): ONE aggregation job over the delta's bands yields the
+    partition-prune predicate AND ``n_delta`` (each id has exactly one
+    band-0 row) and materializes the caller's cached signature frame as
+    a side effect. The pruned frame is cached but NOT materialized here
+    — the caller's groups aggregation scans it exactly once (populating
+    the cache) and derives the width/emptiness facts the old separate
+    pruned-count and width-check jobs produced. The previous flow paid
+    four driver actions (sig count, (band, kb) collect, pruned count,
+    raw-index width LIMIT-1) for facts two now carry."""
+    banded = banded_signatures(new_sigs, num_hashes, bands).select(
         "band", "key"
-    ).distinct()
+    )
+    delta_keys = banded.distinct()
     nb = key_buckets
     if nb is None and "kb" in index.columns:
         md = index.schema["kb"].metadata or {}
         nb = md.get("key_buckets")
     if nb and "kb" in index.columns:
         hit: dict[int, list[int]] = {}
+        n_delta = 0
         for r in (
-            delta_keys.select("band", _kb_expr(int(nb)).alias("kb"))
-            .distinct()
+            banded.groupBy("band", _kb_expr(int(nb)).alias("kb"))
+            .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         ):  # ≤ bands × key_buckets rows — constant-bounded collect
             hit.setdefault(int(r["band"]), []).append(int(r["kb"]))
+            if int(r["band"]) == 0:
+                n_delta += int(r["n"])
         pred = F.lit(False)
         for band, kbs in hit.items():
             pred = pred | (
                 (F.col("band") == band) & F.col("kb").isin(kbs)
             )
         index = index.where(pred)
+    else:  # no partition column — the count is the only gate needed
+        n_delta = new_sigs.count()
     pruned = index.join(delta_keys, ["band", "key"], "left_semi")
-    # MATERIALIZE the pruned index: it is delta-collision-bounded
-    # (small), but as a lazy plan every downstream consumer — the probe
-    # width check, the canonicalization's old_sigs, the witness
-    # labeling's old_ids — would re-run the index scan + semi-join.
-    # Measured on the 10-batch rehearsal BEFORE this cache: the repeated
-    # executions made the "pruned" loop SLOWER than the flat scan it
-    # replaced.
+    # CACHE the pruned index: it is delta-collision-bounded (small),
+    # but as a lazy plan every downstream consumer — the
+    # canonicalization's old_sigs, the witness labeling's old_ids —
+    # would re-run the index scan + semi-join. Measured on the 10-batch
+    # rehearsal BEFORE this cache: the repeated executions made the
+    # "pruned" loop SLOWER than the flat scan it replaced. The cache is
+    # populated (and the index width validated) by the caller's groups
+    # aggregation — the pruned frame's single scan inside it — not by a
+    # separate count job here (r12 probe-floor fold).
     pruned = _keep_cache(pruned.select("id", "band", "key", "sig"))
-    pruned.count()
-    return pruned
+    return pruned, n_delta
 
 
 def incremental_minhash_pairs(
@@ -557,6 +607,8 @@ def incremental_minhash_pairs(
     prune_index: bool = True,
     key_buckets: int | None = None,
     _sigs: DataFrame | None = None,
+    _raw: DataFrame | None = None,
+    _n_delta: int | None = None,
 ) -> DataFrame:
     """→ [id_a, id_b, jaccard]: estimate-verified near-dup pairs with at
     least one side in ``new_df`` — new-vs-indexed and new-vs-new both
@@ -615,7 +667,6 @@ def incremental_minhash_pairs(
         # batch (r11 probe-floor audit)
         new_sigs = _sigs
     else:
-        _check_index_width(index, num_hashes)
         # retire the previous call's persisted frames first (the
         # dedup-module cache contract) — without this, a foreachBatch
         # ingest loop pins one persisted band frame per micro-batch
@@ -627,12 +678,16 @@ def incremental_minhash_pairs(
         if prune_index:
             # the delta's shingle→hash subtree now has two consumers
             # (its band keys prune the index; the sigs feed the groups
-            # aggregation) — persist the delta-sized frame once
+            # aggregation) — persist the delta-sized frame once; the
+            # prune helper's gate job materializes it, and the groups
+            # aggregation below width-validates the index
             new_sigs = _keep_cache(new_sigs)
-            new_sigs.count()
-            index = _prune_index_for_delta(
+            _raw = index
+            index, _n_delta = _prune_index_for_delta(
                 index, new_sigs, num_hashes, bands, key_buckets
             )
+        else:
+            _check_index_width(index, num_hashes)
     old_sigs = index.select("id", "sig").dropDuplicates(["id"])
     allsigs = old_sigs.withColumn("__new", F.lit(False)).unionByName(
         new_sigs.withColumn("__new", F.lit(True))
@@ -652,7 +707,42 @@ def incremental_minhash_pairs(
         )
         .drop("sk")
     )
-    groups.count()
+    # ONE job materializes the groups cache (whose single scan of the
+    # pruned-index cache populates THAT too), reads off the doc total
+    # the pairs-emit broadcast gate needs, and carries the signature
+    # widths for the index-parameter guard — previously a pruned count
+    # job, a raw-index width LIMIT-1 job, a groups count job, and a
+    # doc-total agg job (r11 verdict probe-floor fold).
+    stat = groups.agg(
+        F.sum(F.size("members")).alias("n_docs"),
+        F.min(F.size("sig")).alias("w_lo"),
+        F.max(F.size("sig")).alias("w_hi"),
+    ).first()
+    n_docs = int(stat["n_docs"] or 0)
+    if _n_delta is not None:
+        # pruned-path width guard: mixed-width groups are impossible
+        # (the group key IS the signature string), so any index row
+        # surviving pruning surfaces its width in w_lo/w_hi. No old
+        # rows at all means pruning emptied the index scan — either a
+        # genuinely disjoint delta or (the failure this guard exists
+        # for) mismatched banding parameters pruning EVERYTHING; only
+        # then pay a raw-index LIMIT-1 check.
+        if n_docs > _n_delta:
+            if (int(stat["w_lo"]) != int(num_hashes)
+                    or int(stat["w_hi"]) != int(num_hashes)):
+                wrong = (
+                    int(stat["w_lo"])
+                    if int(stat["w_lo"]) != int(num_hashes)
+                    else int(stat["w_hi"])
+                )
+                raise ValueError(
+                    f"index signatures are {wrong} hashes wide but "
+                    f"num_hashes={num_hashes} was requested — rebuild "
+                    "the index or probe with the parameters it was "
+                    "built with"
+                )
+        elif _raw is not None:
+            _check_index_width(_raw, num_hashes)
     reps = groups.select(F.col("gid").alias("id"), "sig", "has_new")
     banded = banded_signatures(
         reps, num_hashes, bands, keep=("sig", "has_new")
@@ -723,7 +813,6 @@ def incremental_minhash_pairs(
         return gpairs.select(
             F.col("u").alias("id_a"), F.col("v").alias("id_b"), "jaccard"
         ).unionByName(star)
-    n_docs = groups.agg(F.sum(F.size("members"))).first()[0] or 0
     bcast = n_docs <= BROADCAST_VERIFY_CAP
     ma = _maybe_broadcast(
         mem.select(
@@ -838,19 +927,24 @@ def incremental_dedup(
         )
         pidx = index
     else:
-        _check_index_width(index, num_hashes)
         release_caches()
         new_sigs = _keep_cache(
             minhash_signature(new_df, text_col, id_col, num_hashes,
                               shingle_n)
         )
-        n_delta = new_sigs.count()
-        pidx = _prune_index_for_delta(
+        # folded gate pass (r12): the prune helper returns n_delta from
+        # the same job that collects the partition-prune predicate and
+        # materializes the signature cache; the pairs stage's groups
+        # aggregation populates the pruned cache and width-validates
+        # the index — no separate sig-count / pruned-count / width
+        # LIMIT-1 jobs
+        pidx, n_delta = _prune_index_for_delta(
             index, new_sigs, num_hashes, bands, key_buckets
         )
         pairs = incremental_minhash_pairs(
             new_df, pidx, text_col, id_col, num_hashes, bands, shingle_n,
             jaccard_threshold, emit="spanning", _sigs=new_sigs,
+            _raw=index, _n_delta=n_delta,
         )
     comp = connected_components(pairs)
     # pair endpoints ⊆ delta ∪ bucket-matching old docs, so labeling
@@ -978,12 +1072,14 @@ def incremental_dedup(
                 "same-content replays remain idempotent"
             )
     # materialize the (delta-sized) loser set once — the broadcast
-    # gate's count() and the anti-join would otherwise EACH re-run the
-    # pairs + components + keeper subtree
+    # gate and the anti-join would otherwise EACH re-run the pairs +
+    # components + keeper subtree. Gate the broadcast on the DELTA
+    # size already in hand: losers ⊆ the delta's distinct ids by
+    # construction (pair losers and reingested ids are both delta
+    # ids), so bcast_delta bounds them and the separate count job the
+    # gate used to run on the checkpoint is free (r12 probe-floor fold).
     losers, _ = tracked_checkpoint(losers)
-    losers = _maybe_broadcast(
-        losers, _verify_gate(losers, None, BROADCAST_VERIFY_CAP)
-    )
+    losers = _maybe_broadcast(losers, bcast_delta)
     return new_df.join(
         losers, F.col(id_col) == F.col("__lid"), "left_anti"
     )
