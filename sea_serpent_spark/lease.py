@@ -33,11 +33,20 @@ wholesale):
 - **Cross-host / NFS**: advisory at best (flock propagation is mount-
   dependent) — same documented single-host scope the store has always
   had; the lease only adds protection, never correctness risk.
-- **Re-entrant within a process**: a lease this process already holds
-  is a no-op on re-acquire — builder flows hold one lease across
-  stage + publish while ``publish_generation`` takes its own. Two
-  concurrent writer THREADS in one process are not mutually excluded
-  (the guard is per-process, matching the crash-recovery model).
+- **Re-entrant within a THREAD** (r12, closing the r11 verdict's
+  thread hole): a lease the current thread already holds is a no-op
+  on re-acquire — builder flows hold one lease across stage + publish
+  while ``publish_generation`` takes its own. A SECOND thread in the
+  same process now raises :class:`LeaseHeldError` exactly like a
+  second process would (the previous process-global guard let it
+  enter without the flock — the silent interleaving this module
+  exists to prevent). flock is per-open-file-description, so the
+  in-process ledger, not a second flock, provides thread exclusion.
+- **Filesystems without flock** (ENOLCK/ENOSYS/EINTR and friends):
+  the acquire WARNS and proceeds unlocked rather than failing every
+  commit — the lease only ever adds protection; environmental errors
+  must not regress pre-lease behavior (r11 advice). Only real
+  contention (EWOULDBLOCK/EAGAIN/EACCES) raises LeaseHeldError.
 - The lock file persists empty-of-meaning between holds; its JSON
   payload (pid/host/owner/ts) is diagnostics for the error message,
   not protocol state.
@@ -45,15 +54,24 @@ wholesale):
 
 from __future__ import annotations
 
+import errno
 import fcntl
 import json
+import logging
 import os
 import socket
+import threading
 import time
 from contextlib import contextmanager
 
-#: leases held by THIS process — re-entrancy (see module docstring).
-_HELD: set[str] = set()
+_log = logging.getLogger(__name__)
+
+#: in-process ledger: lock-file key -> [holder thread ident, depth].
+#: Guarded by _LEDGER_LOCK; provides same-thread re-entrancy and
+#: cross-thread exclusion (flock cannot — a process holds at most one
+#: flock per file regardless of which thread took it).
+_HELD: dict[str, list] = {}
+_LEDGER_LOCK = threading.Lock()
 
 LEASE_NAME = "_writer.lock"
 
@@ -71,57 +89,104 @@ def _read_payload(path: str) -> dict:
 
 
 @contextmanager
-def writer_lease(
-    root: str, name: str = LEASE_NAME, ttl: float = 3600.0,
-    owner: str = "",
-):
+def writer_lease(root: str, name: str = LEASE_NAME, owner: str = ""):
     """Hold the single-writer lease for ``root`` during the block.
 
-    Raises :class:`LeaseHeldError` if another process holds it. A
-    holder that exits or crashes releases the lock automatically (the
-    kernel owns it — no TTL/stale-file heuristics; ``ttl`` is retained
-    in the signature for API stability but unused)."""
+    Raises :class:`LeaseHeldError` if another process — or another
+    THREAD of this process (r12) — holds it; re-acquiring on the same
+    thread is a no-op. A holder that exits or crashes releases the
+    lock automatically (the kernel owns it — no TTL/stale-file
+    heuristics). On filesystems where flock itself fails
+    environmentally (ENOLCK/ENOSYS/…) the lease degrades to a warning
+    and proceeds unlocked — it only ever ADDS protection."""
     os.makedirs(root, exist_ok=True)
     path = os.path.join(root, name)
     key = os.path.abspath(path)
-    if key in _HELD:  # re-entrant no-op
-        yield
+    me = threading.get_ident()
+    with _LEDGER_LOCK:
+        held = _HELD.get(key)
+        if held is not None:
+            if held[0] != me:
+                raise LeaseHeldError(
+                    f"writer lease {path} is held by another thread "
+                    f"(ident={held[0]}) of this process (pid="
+                    f"{os.getpid()}) — a second concurrent writer is "
+                    "not allowed. The lease releases when that "
+                    "thread's block exits."
+                )
+            held[1] += 1  # same-thread re-entrant no-op
+        else:
+            # claim in-process BEFORE touching the flock: between here
+            # and the flock call a second thread must already be
+            # excluded (the kernel lock is per-process and cannot tell
+            # threads apart)
+            _HELD[key] = [me, 1]
+            held = None
+    if held is not None:
+        try:
+            yield
+        finally:
+            with _LEDGER_LOCK:
+                _HELD[key][1] -= 1
         return
-    fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
+    fd = -1
+    locked = False
     try:
-        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-    except (BlockingIOError, PermissionError, OSError):
-        info = _read_payload(path)
-        os.close(fd)
-        raise LeaseHeldError(
-            f"writer lease {path} is held by "
-            f"pid={info.get('pid')} host={info.get('host')} "
-            f"owner={info.get('owner') or '?'} — a second concurrent "
-            "writer is not allowed. The lock releases automatically "
-            "when the holder exits."
-        ) from None
-    # we hold the lock — record diagnostics for competitors' errors
-    try:
-        payload = json.dumps(
-            {
-                "pid": os.getpid(),
-                "host": socket.gethostname(),
-                "ts": time.time(),
-                "owner": owner,
-            }
-        ).encode()
-        os.ftruncate(fd, 0)
-        os.pwrite(fd, payload, 0)
-    except OSError:
-        pass  # diagnostics only
-    _HELD.add(key)
-    try:
+        fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            locked = True
+        except OSError as exc:
+            # contention only: EWOULDBLOCK(==EAGAIN) is flock's answer
+            # for a held lock; some platforms report EACCES. Anything
+            # else (ENOLCK, ENOSYS, EINTR, …) is environmental — the
+            # filesystem cannot lock — and must not fail the commit
+            # (pre-lease behavior had no lock either; r11 advice).
+            if isinstance(exc, BlockingIOError) or exc.errno in (
+                errno.EWOULDBLOCK, errno.EAGAIN, errno.EACCES,
+            ):
+                info = _read_payload(path)
+                raise LeaseHeldError(
+                    f"writer lease {path} is held by "
+                    f"pid={info.get('pid')} host={info.get('host')} "
+                    f"owner={info.get('owner') or '?'} — a second "
+                    "concurrent writer is not allowed. The lock "
+                    "releases automatically when the holder exits."
+                ) from None
+            _log.warning(
+                "writer lease %s: flock unavailable on this "
+                "filesystem (%s) — proceeding WITHOUT cross-process "
+                "exclusion (in-process thread exclusion still applies)",
+                path, exc,
+            )
+        if locked:
+            # we hold the lock — diagnostics for competitors' errors
+            try:
+                payload = json.dumps(
+                    {
+                        "pid": os.getpid(),
+                        "host": socket.gethostname(),
+                        "ts": time.time(),
+                        "owner": owner,
+                    }
+                ).encode()
+                os.ftruncate(fd, 0)
+                os.pwrite(fd, payload, 0)
+            except OSError:
+                pass  # diagnostics only
         yield
     finally:
-        _HELD.discard(key)
-        try:
-            os.ftruncate(fd, 0)  # stale diagnostics shouldn't linger
-            fcntl.flock(fd, fcntl.LOCK_UN)
-        except OSError:
-            pass
-        os.close(fd)
+        with _LEDGER_LOCK:
+            rec = _HELD.get(key)
+            if rec is not None:
+                rec[1] -= 1
+                if rec[1] <= 0:
+                    del _HELD[key]
+        if fd >= 0:
+            if locked:
+                try:
+                    os.ftruncate(fd, 0)  # stale diagnostics
+                    fcntl.flock(fd, fcntl.LOCK_UN)
+                except OSError:
+                    pass
+            os.close(fd)

@@ -340,12 +340,24 @@ class Base:
             size = os.path.getsize(self._log_path(name))
         except OSError:
             return None
-        if (
-            not isinstance(ck, dict)
-            or ck.get("entry", {}).get("version") != ck.get("version")
-            or not isinstance(ck.get("tail_offset"), int)
-            or ck["tail_offset"] > size
-        ):
+        # r12 (r11 advice): honor the "corrupt checkpoint can never
+        # change results, only speed" contract fully — a JSON-valid
+        # file with entry not-a-dict used to crash at .get(), and a
+        # NEGATIVE tail_offset passed the `> size` check only to raise
+        # in _scan_log's seek. bool is an int subclass, so reject it
+        # explicitly; any other malformed shape degrades to None (full
+        # scan) rather than an exception on the read path.
+        try:
+            if (
+                not isinstance(ck, dict)
+                or not isinstance(ck.get("entry"), dict)
+                or ck["entry"].get("version") != ck.get("version")
+                or not isinstance(ck.get("tail_offset"), int)
+                or isinstance(ck.get("tail_offset"), bool)
+                or not (0 <= ck["tail_offset"] <= size)
+            ):
+                return None
+        except Exception:
             return None
         return ck
 

@@ -246,3 +246,68 @@ def test_true_multiprocess_race(tmp_path):
     rows.sort(key=lambda r: r["t0"])
     for a, b in zip(rows, rows[1:]):
         assert a["t1"] <= b["t0"] + 1e-6, (a, b)
+
+
+def test_second_thread_is_excluded(tmp_path):
+    """r12: a second writer THREAD in the same process must be refused
+    like a second process — the previous process-global guard let it
+    enter WITHOUT the flock (silent interleaving). One winner holds;
+    the racing thread gets LeaseHeldError; after release the other
+    thread acquires fine."""
+    import threading
+
+    root = str(tmp_path / "a")
+    inside = threading.Event()
+    release = threading.Event()
+    errors: list = []
+
+    def holder():
+        with writer_lease(root, owner="thread-one"):
+            inside.set()
+            release.wait(timeout=30)
+
+    def challenger():
+        inside.wait(timeout=30)
+        try:
+            with writer_lease(root, owner="thread-two"):
+                errors.append("second thread entered while held")
+        except LeaseHeldError as e:
+            errors.append(e)
+
+    t1 = threading.Thread(target=holder)
+    t2 = threading.Thread(target=challenger)
+    t1.start(); t2.start()
+    t2.join(timeout=60)
+    release.set()
+    t1.join(timeout=60)
+    assert len(errors) == 1 and isinstance(errors[0], LeaseHeldError), errors
+    assert "another thread" in str(errors[0])
+    # released: any thread may now acquire
+    with writer_lease(root, owner="after"):
+        pass
+
+
+def test_reentrancy_is_per_thread_and_nested_release_safe(tmp_path):
+    """Same-thread nesting stays a no-op; the inner exit must not drop
+    the hold — a second thread is still refused until the OUTER exit."""
+    import threading
+
+    root = str(tmp_path / "a")
+    refused: list = []
+
+    def probe():
+        try:
+            with writer_lease(root, owner="probe"):
+                refused.append("entered")
+        except LeaseHeldError:
+            refused.append("refused")
+
+    with writer_lease(root, owner="outer"):
+        with writer_lease(root, owner="inner"):
+            pass
+        t = threading.Thread(target=probe)
+        t.start(); t.join(timeout=60)
+    assert refused == ["refused"]
+    t2 = threading.Thread(target=probe)
+    t2.start(); t2.join(timeout=60)
+    assert refused == ["refused", "entered"]

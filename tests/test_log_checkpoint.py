@@ -286,3 +286,32 @@ def test_version_at_clock_step_detected_incrementally(base):
         if datetime.fromisoformat(e["ts"]) <= at:
             expect = e["version"]
     assert base._version_at("t", at) == expect
+
+
+def test_json_valid_but_malformed_checkpoint_falls_back(base):
+    """r12 (r11 advice): JSON-valid checkpoints with a non-dict entry,
+    a negative tail_offset, or a bool tail_offset must degrade to the
+    full scan — never crash the read path."""
+    import json as _json
+
+    _make_versions(base, n_commits=8)
+    v = base._current_version("t")
+    good = _json.load(open(base._ckpt_path("t")))
+    for mutate in (
+        {"entry": "not-a-dict"},
+        {"entry": None},
+        {"tail_offset": -5},
+        {"tail_offset": True},
+        {"tail_offset": "12"},
+    ):
+        bad = dict(good)
+        bad.update(mutate)
+        with open(base._ckpt_path("t"), "w") as f:
+            _json.dump(bad, f)
+        assert base._load_ckpt("t") is None, mutate
+        # reads still work via the full scan
+        assert base._current_version("t") == v, mutate
+    # restore the good checkpoint: accepted again
+    with open(base._ckpt_path("t"), "w") as f:
+        _json.dump(good, f)
+    assert base._load_ckpt("t") is not None
