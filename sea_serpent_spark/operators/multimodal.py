@@ -443,33 +443,134 @@ def _decode_png(b: bytes) -> tuple[int, int, int, bytes]:
     return w, h, channels, bytes(samp)
 
 
+def _bmp_palette(b: bytes, bpp: int) -> tuple[bytes, int]:
+    """(BGRA color table bytes, entry count) after the info header —
+    entry count = biClrUsed, or 2^bpp when 0."""
+    (bi_size,) = struct.unpack("<I", b[14:18])
+    (clr_used,) = struct.unpack("<I", b[46:50])
+    n_colors = clr_used if clr_used else (1 << bpp)
+    pal_off = 14 + bi_size
+    pal = b[pal_off:pal_off + 4 * n_colors]
+    if len(pal) < 4 * n_colors:
+        raise ValueError("truncated BMP color table")
+    return pal, n_colors
+
+
+def _decode_bmp_rle(
+    b: bytes, off: int, w: int, h: int, bpp: int
+) -> tuple[int, int, int, bytes]:
+    """BI_RLE8 / BI_RLE4 run decode (r12 — the last common legacy BMP
+    gap). Encoded runs (count, value) repeat a byte (RLE8) or two
+    alternating nibbles (RLE4); escape 00 introduces end-of-line /
+    end-of-bitmap / delta (cursor jump; skipped pixels stay index 0
+    per the de-facto decoder convention) / absolute literal runs
+    (word-aligned). RLE bitmaps are bottom-up by spec (a negative
+    height is rejected). Corrupt streams raise ValueError — runs that
+    cross a row boundary, cursor escapes past the bitmap, indices
+    outside the color table, or data ending before end-of-bitmap."""
+    pal, n_colors = _bmp_palette(b, bpp)
+    idx = bytearray(w * h)  # top-down index grid; unwritten = 0
+    x = 0
+    y = 0  # row counted from the BOTTOM (storage order)
+    i = off
+    n = len(b)
+    done = False
+    while not done:
+        if i + 2 > n:
+            raise ValueError("truncated BMP RLE data")
+        cnt, val = b[i], b[i + 1]
+        i += 2
+        if cnt:  # encoded run of `cnt` pixels
+            if y >= h or x + cnt > w:
+                raise ValueError("BMP RLE run outside the bitmap")
+            row = (h - 1 - y) * w
+            if bpp == 8:
+                idx[row + x:row + x + cnt] = bytes([val]) * cnt
+            else:
+                for k in range(cnt):
+                    idx[row + x + k] = (
+                        (val >> 4) if k % 2 == 0 else (val & 0x0F)
+                    )
+            x += cnt
+        elif val == 0:  # end of line
+            x = 0
+            y += 1
+        elif val == 1:  # end of bitmap
+            done = True
+        elif val == 2:  # delta: skip (dx, dy) pixels
+            if i + 2 > n:
+                raise ValueError("truncated BMP RLE delta")
+            x += b[i]
+            y += b[i + 1]
+            i += 2
+            if x > w or y > h:
+                raise ValueError("BMP RLE delta outside the bitmap")
+        else:  # absolute mode: `val` literal pixels, word-aligned
+            if y >= h or x + val > w:
+                raise ValueError("BMP RLE run outside the bitmap")
+            nbytes = val if bpp == 8 else (val + 1) // 2
+            need = (nbytes + 1) // 2 * 2
+            if i + need > n:
+                raise ValueError("truncated BMP RLE absolute run")
+            row = (h - 1 - y) * w
+            if bpp == 8:
+                idx[row + x:row + x + val] = b[i:i + val]
+            else:
+                for k in range(val):
+                    byte = b[i + k // 2]
+                    idx[row + x + k] = (
+                        (byte >> 4) if k % 2 == 0 else (byte & 0x0F)
+                    )
+            x += val
+            i += need
+    out = bytearray(w * h * 3)
+    for p in range(w * h):
+        v = idx[p]
+        if v >= n_colors:
+            raise ValueError("BMP pixel index outside the color table")
+        q = 4 * v
+        out[3 * p:3 * p + 3] = pal[q:q + 3]
+    return w, h, 3, bytes(out)
+
+
 def _decode_bmp(b: bytes) -> tuple[int, int, int, bytes]:
     """BITMAPINFOHEADER BMP: bottom-up 4-byte-padded rows → top-down
-    pixel bytes. 24-bit direct BGR, plus palettized 1/4/8-bit (r11 —
-    the legacy web-scrape formats): MSB-first index unpack, mapped
-    through the BGRA color table after the header (entry count =
-    biClrUsed, or 2^bpp when 0). Channel order follows the container
-    (BGR) in both paths. RLE-compressed files stay
-    NotImplementedError."""
+    pixel bytes. 24-bit direct BGR, palettized 1/4/8-bit (r11 — the
+    legacy web-scrape formats): MSB-first index unpack, mapped through
+    the BGRA color table after the header (entry count = biClrUsed, or
+    2^bpp when 0), and RLE8/RLE4 run compression (r12,
+    :func:`_decode_bmp_rle`). Channel order follows the container
+    (BGR) in all paths. Only BITFIELDS & friends remain out of scope."""
     (off,) = struct.unpack("<I", b[10:14])
     w, h = struct.unpack("<ii", b[18:26])
     (bpp,) = struct.unpack("<H", b[28:30])
     (compression,) = struct.unpack("<I", b[30:34])
+    if compression in (1, 2):
+        if (compression == 1) != (bpp == 8) or (
+            compression == 2
+        ) != (bpp == 4):
+            raise ValueError(
+                f"BMP RLE{8 if compression == 1 else 4} requires "
+                f"bpp {8 if compression == 1 else 4}, got {bpp}"
+            )
+        if h < 0:
+            raise ValueError(
+                "top-down BMPs cannot be RLE-compressed"
+            )
+        _check_dims(w, h)
+        if off < 0 or off > len(b):
+            raise ValueError("truncated BMP pixel data")
+        return _decode_bmp_rle(b, off, w, h, bpp)
     if compression != 0:
         raise NotImplementedError(
-            f"BMP compression {compression} unsupported (BI_RGB only)"
+            f"BMP compression {compression} unsupported "
+            "(BI_RGB / BI_RLE8 / BI_RLE4 only)"
         )
     topdown = h < 0
     h = abs(h)
     _check_dims(w, h)
     if bpp in (1, 4, 8):
-        (bi_size,) = struct.unpack("<I", b[14:18])
-        (clr_used,) = struct.unpack("<I", b[46:50])
-        n_colors = clr_used if clr_used else (1 << bpp)
-        pal_off = 14 + bi_size
-        pal = b[pal_off:pal_off + 4 * n_colors]
-        if len(pal) < 4 * n_colors:
-            raise ValueError("truncated BMP color table")
+        pal, n_colors = _bmp_palette(b, bpp)
         row = (w * bpp + 31) // 32 * 4
         if off + row * h > len(b) or off < 0:
             raise ValueError("truncated BMP pixel data")
@@ -1381,26 +1482,121 @@ def gif_bytes(w: int, h: int, pattern: bool = False) -> bytes:
     return head + gct + desc + bytes(blocks) + b"\x3b"
 
 
-def bmp_bytes(w: int, h: int, pattern: bool = False) -> bytes:
-    """A complete valid 24-bit BMP (4-byte row padding, bottom-up rows
-    per the BITMAPINFOHEADER spec). ``pattern`` sets all three channels
-    of pixel (x, y) to :func:`_pattern_px` — pixel sum = 3 × Σ pattern."""
-    row = (w * 3 + 3) // 4 * 4
-    pix = row * h
-    header = b"BM" + struct.pack("<IHHI", 54 + pix, 0, 0, 54)
+def _rle_encode_row(vals: list[int], bpp: int) -> bytearray:
+    """One row of palette indices → BMP RLE8/RLE4 encoded bytes
+    (without the end-of-line escape): runs of ≥2 equal values become
+    encoded runs, literal stretches of ≥3 become word-aligned absolute
+    runs, leftovers become single-pixel encoded runs — exercising every
+    mode the decoder implements."""
+    out = bytearray()
+
+    def _emit_abs(lit: list[int]) -> None:
+        while lit:
+            chunk, rest = lit[:255], lit[255:]
+            if len(chunk) >= 3:
+                out.append(0)
+                out.append(len(chunk))
+                if bpp == 8:
+                    out.extend(chunk)
+                    if len(chunk) % 2:
+                        out.append(0)  # word alignment
+                else:
+                    nb = bytearray()
+                    for k, v in enumerate(chunk):
+                        if k % 2 == 0:
+                            nb.append(v << 4)
+                        else:
+                            nb[-1] |= v
+                    if len(nb) % 2:
+                        nb.append(0)
+                    out.extend(nb)
+            else:
+                for v in chunk:
+                    out.append(1)
+                    out.append((v << 4) if bpp == 4 else v)
+            lit = rest
+
+    i = 0
+    lit: list[int] = []
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        run = min(j - i, 255)
+        if run >= 2:
+            _emit_abs(lit)
+            lit = []
+            out.append(run)
+            v = vals[i]
+            out.append(((v << 4) | v) if bpp == 4 else v)
+            i += run
+        else:
+            lit.append(vals[i])
+            i += 1
+    _emit_abs(lit)
+    return out
+
+
+def bmp_bytes(
+    w: int, h: int, pattern: bool = False, variant: int = 0
+) -> bytes:
+    """A complete valid BITMAPINFOHEADER BMP. ``variant`` selects the
+    storage layout so every path of :func:`_decode_bmp` is
+    hash-checkable: 0 = 24-bit BI_RGB (4-byte row padding, bottom-up),
+    1 = 8-bit palettized BI_RGB, 2 = 8-bit BI_RLE8, 3 = 4-bit BI_RLE4.
+    ``pattern`` sets pixel (x, y) to :func:`_pattern_px` on all three
+    channels — variants 0–2 use a 256-entry grayscale palette (or
+    direct gray), so pixel sum = 3 × Σ pattern; variant 3 is limited
+    to 16 colors, palette[i] = (i, i, i), index = pattern % 16 → sum =
+    3 × Σ (pattern % 16) (the q53 oracle mirrors the cycle)."""
+    if variant == 0:
+        row = (w * 3 + 3) // 4 * 4
+        pix = row * h
+        header = b"BM" + struct.pack("<IHHI", 54 + pix, 0, 0, 54)
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, pix, 2835, 2835, 0, 0
+        )
+        if not pattern:
+            return header + dib + bytes(pix)
+        body = bytearray(pix)
+        for yy in range(h):  # bottom-up storage order
+            y = h - 1 - yy
+            base = yy * row
+            for x in range(w):
+                v = _pattern_px(x, y)
+                body[base + 3 * x:base + 3 * x + 3] = bytes((v, v, v))
+        return header + dib + bytes(body)
+    bpp = 4 if variant == 3 else 8
+    ncol = 16 if variant == 3 else 256
+    pal = bytes(v for i in range(ncol) for v in (i, i, i, 0))  # BGRA
+
+    def px(x: int, y: int) -> int:
+        v = _pattern_px(x, y) if pattern else 0
+        return v % 16 if variant == 3 else v
+
+    if variant == 1:  # palettized, uncompressed
+        row = (w * bpp + 31) // 32 * 4
+        body = bytearray(row * h)
+        for yy in range(h):
+            y = h - 1 - yy
+            for x in range(w):
+                body[yy * row + x] = px(x, y)
+        compression = 0
+    else:  # RLE8 / RLE4
+        body = bytearray()
+        for yy in range(h):
+            y = h - 1 - yy
+            body += _rle_encode_row([px(x, y) for x in range(w)], bpp)
+            body += b"\x00\x00"  # end of line
+        body = body[:-2] + b"\x00\x01"  # last EOL → end of bitmap
+        compression = 1 if variant == 2 else 2
+    off = 14 + 40 + len(pal)
+    header = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
     dib = struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, pix, 2835, 2835, 0, 0
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, compression, len(body),
+        2835, 2835, ncol, 0,
     )
-    if not pattern:
-        return header + dib + bytes(pix)
-    body = bytearray(pix)
-    for yy in range(h):  # bottom-up storage order
-        y = h - 1 - yy
-        base = yy * row
-        for x in range(w):
-            v = _pattern_px(x, y)
-            body[base + 3 * x:base + 3 * x + 3] = bytes((v, v, v))
-    return header + dib + bytes(body)
+    return header + dib + pal + bytes(body)
 
 
 def wav_bytes(
@@ -1460,7 +1656,14 @@ def synthesize_test_media(
             elif kind == 1:
                 out.append(gif_bytes(w, h, pattern=pat))
             elif kind == 2:
-                out.append(bmp_bytes(w, h, pattern=pat))
+                # BMP sub-variant cycles on the NEXT digit (the PNG
+                # pattern): 24-bit / 8-bit palette / RLE8 / RLE4 — every
+                # storage layout _decode_bmp supports is hash-checked
+                # (r12; RLE4's 16-color limit folds the pattern mod 16,
+                # mirrored by the oracle)
+                out.append(bmp_bytes(
+                    w, h, pattern=pat, variant=(i // 5) % 4
+                ))
             elif kind == 3:
                 out.append(wav_bytes(8 * (1 + i % 100), pattern=pat))
             else:

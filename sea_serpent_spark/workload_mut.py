@@ -925,10 +925,16 @@ ORACLES_MUT: dict[str, str] = {
         "  generate_series(0, (doc_id * 7) % 64), y -> list_sum("
         "    list_transform(generate_series(0, doc_id % 64), "
         "                   x -> (x + 3 * y) % 251)))) AS BIGINT) "
+        # BMP sub-variants cycle on (doc_id // 5) % 4 (r12): 24-bit /
+        # 8-bit palette / RLE8 all carry the full grayscale pattern
+        # (sum x3); RLE4's 16-color palette folds it mod 16
         "WHEN 2 THEN CAST(3 * list_sum(list_transform("
         "  generate_series(0, (doc_id * 7) % 64), y -> list_sum("
         "    list_transform(generate_series(0, doc_id % 64), "
-        "                   x -> (x + 3 * y) % 251)))) AS BIGINT) "
+        "                   x -> CASE WHEN (doc_id // 5) % 4 = 3 "
+        "                        THEN ((x + 3 * y) % 251) % 16 "
+        "                        ELSE (x + 3 * y) % 251 END)))) "
+        "AS BIGINT) "
         "WHEN 3 THEN CAST(list_sum(list_transform("
         "  generate_series(0, 8 * (1 + doc_id % 100) - 1), "
         "  i -> i % 201 - 100)) AS BIGINT) "

@@ -353,7 +353,16 @@ def test_extract_media_content_end_to_end(spark):
             assert (r["width"], r["height"], r["channels"]) == (w, h, ch)
             assert r["vsum"] == ch * exp and r["n_values"] == ch * w * h
         elif kind == 2:
-            exp = sum(M._pattern_px(x, y) for x in range(w) for y in range(h))
+            # r12: BMP sub-variant cycles by (i//5)%4 — 24-bit /
+            # 8-bit palette / RLE8 carry the full pattern; RLE4's
+            # 16-color palette folds it mod 16
+            fold = (
+                (lambda v: v % 16) if (i // 5) % 4 == 3 else (lambda v: v)
+            )
+            exp = sum(
+                fold(M._pattern_px(x, y))
+                for x in range(w) for y in range(h)
+            )
             assert r["vsum"] == 3 * exp and r["channels"] == 3
         elif kind == 3:
             n = 8 * (1 + i % 100)
@@ -1256,8 +1265,71 @@ def test_decode_bmp_palettized():
     img = bmp(1, 1, 8, palette[:2], [[5]], clr_used=2)
     with pytest.raises(ValueError):
         M.decode_image(img)
-    # RLE compression stays NotImplementedError
+    # BITFIELDS compression stays NotImplementedError (RLE8/RLE4 are
+    # supported as of r12 — see test_decode_bmp_rle)
     img = bytearray(bmp(3, 2, 8, palette, [[0, 1, 2], [3, 0, 1]]))
-    img[30] = 1  # BI_RLE8
+    img[30] = 3  # BI_BITFIELDS
     with pytest.raises(NotImplementedError, match="compression"):
         M.decode_image(bytes(img))
+
+
+def test_decode_bmp_rle():
+    """RLE8/RLE4 run decode (r12): encoded runs, absolute literal runs
+    (word-aligned), end-of-line, delta cursor jumps (skipped pixels =
+    palette entry 0), end-of-bitmap; generator round-trip for every
+    variant; corrupt streams raise ValueError, never hang."""
+    import struct
+
+    import pytest
+
+    # generator round-trip: RLE8 (variant 2) and RLE4 (variant 3)
+    # reproduce the exact pattern sums of the uncompressed layouts
+    for variant in (2, 3):
+        for w, h in [(1, 1), (7, 5), (64, 33), (255, 2)]:
+            img = M.bmp_bytes(w, h, pattern=True, variant=variant)
+            W, H, ch, px = M.decode_image(img)
+            assert (W, H, ch) == (w, h, 3)
+            fold = (lambda v: v % 16) if variant == 3 else (lambda v: v)
+            assert sum(px) == 3 * sum(
+                fold(M._pattern_px(x, y))
+                for y in range(h) for x in range(w)
+            )
+
+    # hand-built RLE8 with delta + absolute + alternating-nibble RLE4
+    pal = bytes(v for i in range(256) for v in (i, i, i, 0))
+    off = 14 + 40 + len(pal)
+
+    def rle_bmp(w, h, bpp, compression, body):
+        hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, bpp, compression,
+            len(body), 2835, 2835, 256, 0,
+        )
+        return hdr + dib + pal + bytes(body)
+
+    # 4x2 RLE8: bottom row = [5,5,<skip>,<skip>] via delta, top = 4x7;
+    # absolute run [9,8,6] exercises the word-aligned literal path
+    body = bytes([2, 5, 0, 2, 2, 0, 0, 0, 1, 7, 0, 3, 9, 8, 6, 0, 0, 1])
+    W, H, ch, px = M.decode_image(rle_bmp(4, 2, 8, 1, body))
+    assert [px[i] for i in range(0, 24, 3)] == [7, 9, 8, 6, 5, 5, 0, 0]
+    # RLE4 encoded run alternates hi/lo nibbles: 5 pixels of 0xA3
+    body4 = bytes([5, 0xA3, 0, 1])
+    W, H, ch, px = M.decode_image(rle_bmp(5, 1, 4, 2, body4))
+    assert [px[i] for i in range(0, 15, 3)] == [10, 3, 10, 3, 10]
+
+    # corrupt: truncated stream, run past row end, delta off-bitmap,
+    # index past the table, RLE with a top-down height — all ValueError
+    for w, h, bpp, comp, bad in [
+        (4, 2, 8, 1, bytes([2, 5])),
+        (4, 2, 8, 1, bytes([200, 1])),
+        (4, 2, 8, 1, bytes([0, 2, 200, 200, 0, 1])),
+        (4, 2, 4, 2, bytes([0, 0])),
+    ]:
+        with pytest.raises(ValueError):
+            M.decode_image(rle_bmp(w, h, bpp, comp, bad))
+    with pytest.raises(ValueError):  # RLE8 must be bpp 8
+        M.decode_image(rle_bmp(4, 2, 4, 1, bytes([0, 1])))
+    neg = bytearray(rle_bmp(4, 2, 8, 1, bytes([0, 1])))
+    neg[22:26] = struct.pack("<i", -2)  # top-down + RLE is invalid
+    with pytest.raises(ValueError):
+        M.decode_image(bytes(neg))
