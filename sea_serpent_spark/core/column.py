@@ -62,6 +62,29 @@ class Column:
             raise KeyError(self.name)
         return F.col("`" + self.name.replace("`", "``") + "`")
 
+    @property
+    def _bound(self) -> SparkColumn | None:
+        """BOUND twin of :attr:`expr` — ``df[name]`` captures the source
+        plan's attribute, which resolves uniquely where the name-based
+        expr is ambiguous (raw-df mixing). None when the source frame
+        itself holds duplicate names. Predicate builders carry it on
+        the Filter (r12, ``Filter.bound``); ``Table._where_named``
+        falls back to it on AMBIGUOUS_REFERENCE."""
+        try:
+            return self.table.df[self.name]
+        except Exception:
+            return None
+
+    def _both(self, build, terms: tuple = ()) -> Filter:
+        """Filter with the predicate built in BOTH resolution modes:
+        ``build(expr)`` as the primary name-based form, ``build(bound)``
+        as the bound fallback (skipped when no bound twin exists)."""
+        b = self._bound
+        return Filter(
+            build(self.expr), terms,
+            bound=None if b is None else build(b),
+        )
+
     def _term(self, op: str, value) -> tuple:
         """One prunable conjunct, or () when the comparison is not a
         plain literal (col-to-col, NULL, bool checkbox values).
@@ -115,46 +138,52 @@ class Column:
 
     # -- comparisons → Filter (base.py:1724-1752) --------------------------
     def __eq__(self, other) -> Filter:  # type: ignore[override]
-        return Filter(self.expr == _rhs(other), self._term("=", other))
+        return self._both(lambda c: c == _rhs(other), self._term("=", other))
 
     def __ne__(self, other) -> Filter:  # type: ignore[override]
-        return Filter(self.expr != _rhs(other))
+        return self._both(lambda c: c != _rhs(other))
 
     def __lt__(self, other) -> Filter:
-        return Filter(self.expr < _rhs(other), self._term("<", other))
+        return self._both(lambda c: c < _rhs(other), self._term("<", other))
 
     def __le__(self, other) -> Filter:
-        return Filter(self.expr <= _rhs(other), self._term("<=", other))
+        return self._both(lambda c: c <= _rhs(other), self._term("<=", other))
 
     def __gt__(self, other) -> Filter:
-        return Filter(self.expr > _rhs(other), self._term(">", other))
+        return self._both(lambda c: c > _rhs(other), self._term(">", other))
 
     def __ge__(self, other) -> Filter:
-        return Filter(self.expr >= _rhs(other), self._term(">=", other))
+        return self._both(lambda c: c >= _rhs(other), self._term(">=", other))
 
     # -- boolean algebra on checkbox columns (base.py:1754-1780) -----------
     def __and__(self, other) -> Filter:
-        return Filter(self.expr & _pred(other))
+        from .filter import _bound_of, _combine
+
+        b = _combine(self._bound, _bound_of(other), lambda a, c: a & c)
+        return Filter(self.expr & _pred(other), bound=b)
 
     def __or__(self, other) -> Filter:
-        return Filter(self.expr | _pred(other))
+        from .filter import _bound_of, _combine
+
+        b = _combine(self._bound, _bound_of(other), lambda a, c: a | c)
+        return Filter(self.expr | _pred(other), bound=b)
 
     def __invert__(self) -> Filter:
-        return Filter(~self.expr)
+        return self._both(lambda c: ~c)
 
     # -- string predicates (base.py:1938-1972) -----------------------------
     def contains(self, pat: str) -> Filter:
-        return Filter(self.expr.contains(pat))
+        return self._both(lambda c: c.contains(pat))
 
     def startswith(self, pat: str) -> Filter:
-        return Filter(self.expr.startswith(pat))
+        return self._both(lambda c: c.startswith(pat))
 
     def endswith(self, pat: str) -> Filter:
-        return Filter(self.expr.endswith(pat))
+        return self._both(lambda c: c.endswith(pat))
 
     def rlike(self, pattern: str) -> Filter:
         """Regex predicate — beyond-reference (the remote dialect had none)."""
-        return Filter(self.expr.rlike(pattern))
+        return self._both(lambda c: c.rlike(pattern))
 
     # -- membership (base.py:1974-2012) ------------------------------------
     def isin(self, other: Iterable | Any, online: bool = True) -> Filter:
@@ -176,28 +205,28 @@ class Column:
                 for v in vals
             ):
                 terms = ((self.name, "in", tuple(vals)),)
-            return Filter(self.expr.isin(vals), terms)
+            return self._both(lambda c: c.isin(vals), terms)
         spark = self.table.spark
         lit_df = spark.createDataFrame([(v,) for v in vals], [self.name])
         # Consumed by Table.filter as a semi-join marker.
         return _SemiJoinFilter(self.name, lit_df)
 
     def between(self, low, high) -> Filter:
-        return Filter(
-            self.expr.between(_rhs(low), _rhs(high)),
+        return self._both(
+            lambda c: c.between(_rhs(low), _rhs(high)),
             self._term(">=", low) + self._term("<=", high),
         )
 
     # -- null tests with ''≡NULL duality (base.py:2014-2050) ---------------
     def isnull(self, empty_str: bool = True) -> Filter:
         if empty_str and self._is_string():
-            return Filter(self.expr.isNull() | (self.expr == F.lit("")))
-        return Filter(self.expr.isNull())
+            return self._both(lambda c: c.isNull() | (c == F.lit("")))
+        return self._both(lambda c: c.isNull())
 
     def notnull(self, empty_str: bool = True) -> Filter:
         if empty_str and self._is_string():
-            return Filter(self.expr.isNotNull() & (self.expr != F.lit("")))
-        return Filter(self.expr.isNotNull())
+            return self._both(lambda c: c.isNotNull() & (c != F.lit("")))
+        return self._both(lambda c: c.isNotNull())
 
     # -- existence probe (base.py:1782-1792) -------------------------------
     def __contains__(self, value) -> bool:

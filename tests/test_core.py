@@ -671,3 +671,35 @@ def test_ambiguous_filter_raises_actionable_error(spark, sf_dir):
         t.filter(n.n_nationkey > 3).df.collect()
     # the same predicate through its OWN table's verbs keeps working
     assert n.filter(n.n_nationkey > 3).df.count() > 0
+
+
+def test_ambiguous_filter_resolves_via_bound_source(spark, sf_dir):
+    """r12 (r10 verdict item): mixing a table's frame with a RAW df that
+    happens to share a column name no longer errors — the Filter's
+    bound twin (captured off its source table's plan) resolves the
+    name to the right side. A true self-join stays ambiguous in both
+    modes and keeps the actionable error (previous test)."""
+    from sea_serpent_spark import Table
+
+    n = Table.from_parquet(f"{sf_dir}/nation.parquet", "nation")
+    other = spark.range(5).select(
+        F.col("id").alias("n_regionkey"),
+        F.col("id").alias("n_nationkey"),  # same-named foreign column
+    )
+    mixed = Table(
+        n.df.join(other, n.df["n_regionkey"] == other["n_regionkey"]),
+        name="mixed", spark=spark,
+    )
+    flt = n.n_nationkey > 3
+    got = mixed.filter(flt).df
+    # resolved against the NATION side: every surviving left key > 3
+    keys = [r[0] for r in got.select(n.df["n_nationkey"]).collect()]
+    assert keys and all(k > 3 for k in keys)
+    # compound predicates carry the bound twin through composition
+    both = (n.n_nationkey > 3) & (n.n_name != "nope")
+    assert mixed.filter(both).df.count() == len(keys)
+    # negation too
+    neg = ~(n.n_nationkey > 3)
+    assert (
+        mixed.filter(neg).df.count() + len(keys) == mixed.df.count()
+    )
