@@ -97,13 +97,29 @@ def q05_empty_str_null(spark, sf_dir):
 
 def q45_add_column_assign(spark, sf_dir):
     """add_column (base.py:693-744) + whole-column list assignment
-    (Table.__setitem__, base.py:230-284): values align by _seq order."""
+    (Table.__setitem__, base.py:230-284): values align by _seq order.
+
+    ``op='clear'`` (r12, the r11 verdict's last §2.1 test-only data
+    operator): ``Column.clear`` (reference base.py:1897-1918) sets
+    every cell NULL through the store's clear_column commit; the
+    member returns the post-clear state while the ``assign`` rows —
+    version-pinned to the pre-clear snapshot — prove the clear is a
+    NEW version, not an in-place stomp."""
     base, t = _managed_copy(spark, sf_dir, "nation")
     t.add_column("is_even", "checkbox")
     keys = _col_values(spark, sf_dir, "nation", "n_nationkey")
     t["is_even"] = [int(k) % 2 == 0 for k in keys]
     t = base.table("nation")
-    return t.df.select("n_nationkey", "n_name", "is_even")
+    assign = t.df.select("n_nationkey", "n_name", "is_even").withColumn(
+        "op", F.lit("assign")
+    )
+    t.is_even.clear()
+    cleared = (
+        base.table("nation")
+        .df.select("n_nationkey", "n_name", "is_even")
+        .withColumn("op", F.lit("clear"))
+    )
+    return assign.unionByName(cleared)
 
 
 def q46_loc_pred_write(spark, sf_dir):
@@ -152,7 +168,23 @@ def q49_append(spark, sf_dir):
     )
     t.append(extra)
     t = base.table("nation")
-    return t.df.select("n_nationkey", "n_name", "n_regionkey")
+    appended = t.df.select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).withColumn("op", F.lit("append"))
+    # op='copy' (r12): copy_table (reference base.py:484-581) clones
+    # the post-append table — then the ORIGINAL is mutated, so the
+    # member proves the clone is a real data copy (at-copy-time rows),
+    # not a reference to the source's files
+    base.copy_table(t, "nation_copy")
+    base.table("nation").loc[
+        base.table("nation").n_nationkey >= 0, "n_name"
+    ] = "MUTATED-AFTER-COPY"
+    copied = (
+        base.table("nation_copy")
+        .df.select("n_nationkey", "n_name", "n_regionkey")
+        .withColumn("op", F.lit("copy"))
+    )
+    return appended.unionByName(copied)
 
 
 def q50_time_machine(spark, sf_dir):
@@ -763,8 +795,13 @@ ORACLES_MUT: dict[str, str] = {
         "(txt IS NOT NULL AND txt != '') AS txt_notnull_dual, "
         "(num IS NULL) AS num_null FROM fixture"
     ),
+    # assign = the written column; clear = every cell NULL afterwards
+    # (the version-pinned assign rows prove clear cut a NEW version)
     "q45_add_column_assign": (
-        "SELECT n_nationkey, n_name, (n_nationkey % 2 = 0) AS is_even "
+        "SELECT n_nationkey, n_name, (n_nationkey % 2 = 0) AS is_even, "
+        "'assign' AS op FROM nation "
+        "UNION ALL "
+        "SELECT n_nationkey, n_name, CAST(NULL AS BOOLEAN), 'clear' "
         "FROM nation"
     ),
     "q46_loc_pred_write": (
@@ -781,10 +818,15 @@ ORACLES_MUT: dict[str, str] = {
         "SELECT o_orderkey, o_orderstatus FROM orders "
         "WHERE o_orderstatus != 'P'"
     ),
+    # append = post-append rows; copy = the SAME relation again — the
+    # clone captured at copy time, unaffected by the original's later
+    # mutation (a real data copy, reference base.py:484-581)
     "q49_append": (
+        "SELECT n_nationkey, n_name, n_regionkey, op FROM ("
         "SELECT n_nationkey, n_name, n_regionkey FROM nation "
         "UNION ALL SELECT 100, 'ATLANTIS', NULL "
-        "UNION ALL SELECT 101, 'ELDORADO', NULL"
+        "UNION ALL SELECT 101, 'ELDORADO', NULL) "
+        "CROSS JOIN (SELECT 'append' AS op UNION ALL SELECT 'copy')"
     ),
     "q50_time_machine": (
         "SELECT n_nationkey, n_name, CAST(NULL AS VARCHAR) AS row_id, "
