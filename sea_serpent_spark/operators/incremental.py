@@ -147,17 +147,42 @@ def _bloom_positions(id_str: str, m: int, k: int) -> list[int]:
     return [(h1 + i * h2) % m for i in range(k)]
 
 
+#: Batches at or under this many ids build their bloom ON THE DRIVER
+#: from one JVM-only take() — the RDD path spins Python workers per
+#: partition, a fixed ~0.5 s floor a streaming ingest loop pays per
+#: micro-batch append (r12 q69 decomposition). 100k blake2b hashes is
+#: ~0.2 s of driver CPU; above the cap the distributed fold remains.
+_BLOOM_DRIVER_CAP = 100_000
+
+
 def build_id_bloom(ids: DataFrame, id_col: str = "id",
                    fp: float = 0.01,
                    params: tuple[int, int] | None = None) -> bytes:
-    """Distributed bloom build over an id column → header (m, k as
-    little-endian uint64) + bitmap bytes. Per-partition numpy bitmaps
-    are OR-reduced — only bitmap bytes ever reach the driver, never
-    ids. ``params`` pins (m, k) — append deltas MUST reuse the main
-    bloom's parameters so the blobs OR together."""
+    """Bloom build over an id column → header (m, k as little-endian
+    uint64) + bitmap bytes. Small id sets (≤ ``_BLOOM_DRIVER_CAP``,
+    decided by one incremental take) hash on the driver; larger ones
+    build per-partition numpy bitmaps that are OR-reduced — only bitmap
+    bytes ever reach the driver, never ids. ``params`` pins (m, k) —
+    append deltas MUST reuse the main bloom's parameters so the blobs
+    OR together."""
     import numpy as np
     import struct as _struct
 
+    head = ids.select(id_col).take(_BLOOM_DRIVER_CAP + 1)
+    if len(head) <= _BLOOM_DRIVER_CAP:
+        if params is not None:
+            m, k = params
+        else:
+            m, k = _bloom_params(len(head), fp)
+        nb = (m + 7) // 8
+        bm = bytearray(nb)
+        for r in head:
+            v = r[0]
+            if v is None:
+                continue
+            for p in _bloom_positions(str(v), m, k):
+                bm[p >> 3] |= 1 << (p & 7)
+        return _struct.pack("<QQ", m, k) + bytes(bm)
     if params is not None:
         m, k = params
     else:

@@ -16,27 +16,50 @@ from pyspark.sql import DataFrame
 _log = logging.getLogger(__name__)
 
 
+#: Session conf key overriding the operators' fan-out width. Default
+#: (unset) is ``defaultParallelism`` — right for corpus-sized inputs.
+#: A streaming micro-batch of a few hundred rows gains nothing from a
+#: 32-way spread but pays 32 task launches PER STAGE of fixed
+#: scheduler latency, which multiplied by a probe's ~30 jobs IS the
+#: per-batch floor (r12 q69 decomposition) — so the ingest sink sets
+#: this for the duration of each batch (``incremental_dedup_sink``'s
+#: ``batch_parallelism``), exactly the per-trigger parallelism tuning
+#: a real cluster deployment does.
+FANOUT_CONF = "spark.sea_serpent.fanout.parallelism"
+
+
+def _fanout_target(df: DataFrame) -> int:
+    spark = df.sparkSession
+    v = spark.conf.get(FANOUT_CONF, None)
+    if v:
+        try:
+            return max(1, int(v))
+        except ValueError:
+            pass
+    return spark.sparkContext.defaultParallelism
+
+
 def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Repartition iff the input has fewer partitions than the target.
 
     CPU-heavy per-row operators (hashing, shingling, vector math) are
     otherwise bound by scan parallelism — a single small parquet file is
     one split, so on local[32] the whole operator would run on one core."""
-    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    target = min_parts or _fanout_target(df)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
 
 
 def spread(df: DataFrame) -> DataFrame:
-    """Unconditional round-robin repartition to the default parallelism.
+    """Unconditional round-robin repartition to the fan-out target.
 
     For candidate-pair sets before a verify join: candidate generation is
     *expansive*, and AQE sizes the enumerate stage by its (tiny) input,
     so the expensive verification would otherwise run in one or two
     tasks. An explicit repartition (which AQE honors) moves only narrow
     id-pairs and parallelizes the verify."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return df.repartition(_fanout_target(df))
 
 
 # ---------------------------------------------------------------------------

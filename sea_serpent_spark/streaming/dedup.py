@@ -164,6 +164,7 @@ def incremental_dedup_sink(
     jaccard_threshold: float = 0.5,
     key_buckets: int | None = None,
     compact_every: int | None = None,
+    batch_parallelism: int | None = None,
 ):
     """→ a ``foreachBatch`` function closing the full streaming ingest
     loop: each micro-batch is deduped against the persisted LSH index
@@ -205,6 +206,16 @@ def incremental_dedup_sink(
     file after every N batches (serial batches make the rewrite+swap
     race-free).
 
+    ``batch_parallelism`` (r12) sizes the probe's shuffle width and
+    operator fan-out to the TRIGGER volume instead of the cluster
+    default for the duration of each batch: a few-hundred-row
+    micro-batch spread 32 ways pays 32 task launches per stage of pure
+    scheduler latency across the probe's ~30 jobs — the dominant term
+    of the per-batch floor at high trigger cadence. Set it to roughly
+    ``batch_rows / 50k`` (min 1); leave None for big-batch backfills.
+    The conf flips are scoped to the foreachBatch body and restored
+    after — safe because Structured Streaming runs batches serially.
+
     Replay semantics (at-least-once foreachBatch): a batch replayed
     AFTER its index append completed is dropped wholesale —
     ``incremental_dedup`` treats already-indexed ids as duplicates of
@@ -229,6 +240,27 @@ def incremental_dedup_sink(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if batch_parallelism:
+            from ..operators.util import FANOUT_CONF
+
+            prev_fan = spark.conf.get(FANOUT_CONF, None)
+            prev_shuf = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set(FANOUT_CONF, str(int(batch_parallelism)))
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(int(batch_parallelism))
+            )
+            try:
+                _sink_body(spark, batch_df)
+            finally:
+                if prev_fan is None:
+                    spark.conf.unset(FANOUT_CONF)
+                else:
+                    spark.conf.set(FANOUT_CONF, prev_fan)
+                spark.conf.set("spark.sql.shuffle.partitions", prev_shuf)
+            return
+        _sink_body(spark, batch_df)
+
+    def _sink_body(spark, batch_df: DataFrame) -> None:
         idx = read_band_index(spark, index_path)
         nb = key_buckets
         if nb is None and "kb" in idx.columns:

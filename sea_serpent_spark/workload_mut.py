@@ -501,7 +501,13 @@ def q69_stream_dedup(spark, sf_dir):
         spark.readStream.schema(d600.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(delta_dir)
-        .writeStream.foreachBatch(incremental_dedup_sink(idx_path, out_path))
+        .writeStream.foreachBatch(incremental_dedup_sink(
+            idx_path, out_path,
+            # size probe shuffles/fan-out to the ~200-400-row trigger
+            # volume, not the 32-way session default — the per-batch
+            # floor is task-launch latency × the probe's job count (r12)
+            batch_parallelism=8,
+        ))
         .option("checkpointLocation", os.path.join(root, "ckpt"))
         .trigger(availableNow=True)
         .start()
