@@ -21,8 +21,9 @@ Media decoding is REAL, pure stdlib (r9):
   IDCT + YCbCr→RGB; progressive scans with spectral selection,
   successive approximation, and EOB runs accumulate into a
   coefficient store, :func:`_decode_jpeg` — r10);
-  :func:`decode_audio` reads PCM16 WAV samples via the ``wave``
-  module. :func:`extract_media_content` streams them through
+  :func:`decode_audio` reads PCM 8/16/24/32-bit and 32-bit IEEE-float
+  WAV samples (r12), mono or multi-channel, via the ``wave`` module
+  plus a direct RIFF walk for the float format it rejects. :func:`extract_media_content` streams them through
   ``mapInPandas``.
 
 Lossless/hierarchical/arithmetic-coded JPEG stay out of scope
@@ -133,7 +134,9 @@ def _sniff_wav(b: bytes):
             fmt_tag, _ch, _rate, byte_rate = struct.unpack(
                 "<HHII", b[i + 8:i + 20]
             )
-            codec = "pcm" if fmt_tag == 1 else f"wav_fmt_{fmt_tag}"
+            codec = {1: "pcm", 3: "pcm_float"}.get(
+                fmt_tag, f"wav_fmt_{fmt_tag}"
+            )
         elif cid == b"data":
             data_size = size
         i += 8 + size + (size & 1)  # chunks are word-aligned
@@ -1371,30 +1374,90 @@ def jpeg_bytes(w: int, h: int, pattern: bool = False) -> bytes:
     )
 
 
+def _decode_wav_float(b: bytes) -> tuple[int, list[int]] | None:
+    """IEEE-float RIFF/WAVE (fmt tag 3) — the stdlib ``wave`` module
+    only accepts PCM, so walk the chunks directly. Samples are
+    normalized [-1, 1] floats; returned as ints via the standard
+    float↔PCM16 convention round(f · 32768) so all WAV variants share
+    one output type. Returns None when the payload is not float WAV."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    rate = None
+    bits = None
+    tag = None
+    data = None
+    i = 12
+    n = len(b)
+    while i + 8 <= n:
+        cid = b[i:i + 4]
+        (size,) = struct.unpack("<I", b[i + 4:i + 8])
+        if cid == b"fmt " and i + 24 <= n:
+            tag, _ch, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", b[i + 8:i + 24]
+            )
+        elif cid == b"data":
+            data = b[i + 8:i + 8 + size]
+        i += 8 + size + (size & 1)
+    if tag != 3 or rate is None or data is None:
+        return None
+    if bits != 32:
+        raise ValueError(f"float WAV bits {bits} unsupported (32 only)")
+    cnt = len(data) // 4
+    return rate, [
+        int(round(f * 32768.0))
+        for f in struct.unpack(f"<{cnt}f", data[:4 * cnt])
+    ]
+
+
 def decode_audio(data: bytes) -> tuple[int, list[int]]:
-    """REAL audio decode for PCM16 RIFF/WAVE via the stdlib ``wave``
-    module — → (sample_rate, samples as ints, channel-interleaved).
-    Truncated/corrupt input raises ValueError (one clean error type)."""
+    """REAL audio decode for RIFF/WAVE — → (sample_rate, samples as
+    ints, channel-interleaved). PCM 8-bit (unsigned, re-centered to
+    signed), 16-bit, 24-bit, and 32-bit via the stdlib ``wave``
+    module, plus 32-bit IEEE float (r12, the other common scrape
+    format — decoded through the standard float↔PCM16 convention,
+    :func:`_decode_wav_float`). Truncated/corrupt input raises
+    ValueError (one clean error type)."""
     import io
     import wave
 
     try:
         wf = wave.open(io.BytesIO(bytes(data)))
-        if wf.getsampwidth() != 2:
-            raise NotImplementedError("PCM16 only")
+        width = wf.getsampwidth()
         frames = wf.readframes(wf.getnframes())
     except (wave.Error, EOFError, struct.error,
             RuntimeError, OSError) as e:
+        try:
+            fl = _decode_wav_float(bytes(data))
+        except ValueError:
+            raise  # informative (float WAV, unsupported bit depth)
+        except Exception:
+            fl = None  # corrupt even as float WAV — fall through
+        if fl is not None:
+            return fl
         # the stdlib wave module leaks bare RuntimeError/OSError on some
         # corrupted chunk layouts (found by fuzzing) — normalize them
         raise ValueError(f"corrupt or truncated WAV: {e}") from e
-    n = len(frames) // 2
-    # slice to the even prefix: a corrupt chunk size can hand back an
-    # odd byte count, and an exact-size unpack would leak struct.error
-    # (r10 corruption fuzz)
-    return wf.getframerate(), list(
-        struct.unpack(f"<{n}h", frames[:2 * n])
-    )
+    # slice to the sample-aligned prefix: a corrupt chunk size can hand
+    # back a ragged byte count, and an exact-size unpack would leak
+    # struct.error (r10 corruption fuzz)
+    cnt = len(frames) // width
+    if width == 1:  # 8-bit WAV is unsigned — center to signed
+        return wf.getframerate(), [v - 128 for v in frames[:cnt]]
+    if width == 2:
+        return wf.getframerate(), list(
+            struct.unpack(f"<{cnt}h", frames[:2 * cnt])
+        )
+    if width == 3:  # 24-bit signed little-endian
+        out = []
+        for j in range(cnt):
+            v = int.from_bytes(frames[3 * j:3 * j + 3], "little")
+            out.append(v - (1 << 24) if v & 0x800000 else v)
+        return wf.getframerate(), out
+    if width == 4:
+        return wf.getframerate(), list(
+            struct.unpack(f"<{cnt}i", frames[:4 * cnt])
+        )
+    raise ValueError(f"WAV sample width {width} unsupported")
 
 
 def _pattern_px(x: int, y: int) -> int:
@@ -1600,17 +1663,42 @@ def bmp_bytes(
 
 
 def wav_bytes(
-    n_samples: int, rate: int = 8000, pattern: bool = False
+    n_samples: int, rate: int = 8000, pattern: bool = False,
+    variant: int = 0,
 ) -> bytes:
-    """A complete valid 16-bit mono PCM RIFF/WAVE. ``pattern`` writes
-    sample i = (i % 201) − 100 instead of silence."""
-    if pattern:
+    """A complete valid RIFF/WAVE of ``n_samples`` FRAMES. ``variant``
+    selects the storage format so every :func:`decode_audio` path is
+    hash-checkable: 0 = 16-bit PCM mono, 1 = 8-bit PCM mono (unsigned,
+    128-centered), 2 = 32-bit IEEE float mono (values v/32768 — the
+    float↔PCM16 convention, lossless for the pattern's ±100 range),
+    3 = 16-bit PCM STEREO (both channels carry the frame value →
+    decoded sum doubles; duration is unchanged, byte rate scales with
+    block align). ``pattern`` writes frame i = (i % 201) − 100 instead
+    of silence."""
+    vals = [
+        ((i % 201) - 100) if pattern else 0 for i in range(n_samples)
+    ]
+    if variant == 1:
+        data = bytes(v + 128 for v in vals)
+        width, channels, tag = 1, 1, 1
+    elif variant == 2:
         data = struct.pack(
-            f"<{n_samples}h", *((i % 201) - 100 for i in range(n_samples))
+            f"<{n_samples}f", *(v / 32768.0 for v in vals)
         )
+        width, channels, tag = 4, 1, 3
+    elif variant == 3:
+        data = struct.pack(
+            f"<{2 * n_samples}h",
+            *(v for v in vals for _ in (0, 1)),
+        )
+        width, channels, tag = 2, 2, 1
     else:
-        data = bytes(2 * n_samples)
-    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        data = struct.pack(f"<{n_samples}h", *vals)
+        width, channels, tag = 2, 1, 1
+    block = width * channels
+    fmt = struct.pack(
+        "<HHIIHH", tag, channels, rate, rate * block, block, 8 * width
+    )
     return (
         b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
         + b"fmt " + struct.pack("<I", 16) + fmt
@@ -1665,7 +1753,14 @@ def synthesize_test_media(
                     w, h, pattern=pat, variant=(i // 5) % 4
                 ))
             elif kind == 3:
-                out.append(wav_bytes(8 * (1 + i % 100), pattern=pat))
+                # WAV sub-variant cycles on the NEXT digit (r12):
+                # PCM16 / PCM8 / float32 / stereo16 — every
+                # decode_audio path hash-checked; stereo doubles the
+                # decoded sum, duration is variant-invariant
+                out.append(wav_bytes(
+                    8 * (1 + i % 100), pattern=pat,
+                    variant=(i // 5) % 4,
+                ))
             else:
                 out.append(jpeg_bytes(w, h, pattern=pat))
         return pd.Series(out)

@@ -983,7 +983,12 @@ ORACLES_MUT: dict[str, str] = {
         "                        THEN ((x + 3 * y) % 251) % 16 "
         "                        ELSE (x + 3 * y) % 251 END)))) "
         "AS BIGINT) "
-        "WHEN 3 THEN CAST(list_sum(list_transform("
+        # WAV sub-variants cycle on (doc_id // 5) % 4 (r12): PCM16 /
+        # PCM8 / float32 decode to the same sample values; stereo
+        # carries the frame value on both channels — sum ×2
+        "WHEN 3 THEN CAST("
+        "  (CASE WHEN (doc_id // 5) % 4 = 3 THEN 2 ELSE 1 END) "
+        "  * list_sum(list_transform("
         "  generate_series(0, 8 * (1 + doc_id % 100) - 1), "
         "  i -> i % 201 - 100)) AS BIGINT) "
         # JPEG: pixel(x,y) = pattern(x//8, y//8) — the flat-block

@@ -127,7 +127,9 @@ def test_attach_media_meta_end_to_end(spark):
         i = r["doc_id"]
         kind = i % 5
         if kind == 3:
-            assert r["mime"] == "audio/wav" and r["codec"] == "pcm"
+            # r12 variant cycle: float32 (variant 2) sniffs pcm_float
+            want = "pcm_float" if (i // 5) % 4 == 2 else "pcm"
+            assert r["mime"] == "audio/wav" and r["codec"] == want
             assert r["duration_ms"] == 1 + i % 100
             assert r["width"] is None and r["height"] is None
         else:
@@ -365,9 +367,12 @@ def test_extract_media_content_end_to_end(spark):
             )
             assert r["vsum"] == 3 * exp and r["channels"] == 3
         elif kind == 3:
+            # r12: WAV sub-variant cycles by (i//5)%4 — PCM16/PCM8/
+            # float32 decode identically; stereo doubles sum and count
             n = 8 * (1 + i % 100)
-            assert r["vsum"] == sum((j % 201) - 100 for j in range(n))
-            assert r["n_values"] == n
+            ch = 2 if (i // 5) % 4 == 3 else 1
+            assert r["vsum"] == ch * sum((j % 201) - 100 for j in range(n))
+            assert r["n_values"] == ch * n
         elif kind == 4:  # jpeg: baseline huffman+IDCT, flat DC blocks
             exp = sum(
                 M._pattern_px(x // 8, y // 8)
@@ -1333,3 +1338,40 @@ def test_decode_bmp_rle():
     neg[22:26] = struct.pack("<i", -2)  # top-down + RLE is invalid
     with pytest.raises(ValueError):
         M.decode_image(bytes(neg))
+
+
+def test_decode_wav_variants():
+    """r12: 8-bit (unsigned→centered), float32 (float↔PCM16
+    convention), and stereo PCM16 decode — plus 24-bit via a
+    hand-built file; bad float bit depth raises ValueError."""
+    import pytest
+    import struct as _s
+
+    vals = [(i % 201) - 100 for i in range(40)]
+    for variant in range(4):
+        rate, samples = M.decode_audio(
+            M.wav_bytes(40, pattern=True, variant=variant)
+        )
+        assert rate == 8000
+        if variant == 3:  # stereo: L=R=frame value, interleaved
+            assert samples == [v for v in vals for _ in (0, 1)]
+        else:
+            assert samples == vals
+    # 24-bit PCM (wave module path)
+    data = b"".join(
+        (v & 0xFFFFFF).to_bytes(3, "little") for v in vals
+    )
+    fmt = _s.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    wav24 = (b"RIFF" + _s.pack("<I", 36 + len(data)) + b"WAVE"
+             + b"fmt " + _s.pack("<I", 16) + fmt
+             + b"data" + _s.pack("<I", len(data)) + data)
+    rate, samples = M.decode_audio(wav24)
+    assert samples == vals
+    # float WAV with unsupported 64-bit depth → ValueError
+    f64 = _s.pack("<40d", *(v / 32768.0 for v in vals))
+    fmt = _s.pack("<HHIIHH", 3, 1, 8000, 8000 * 8, 8, 64)
+    wavf64 = (b"RIFF" + _s.pack("<I", 36 + len(f64)) + b"WAVE"
+              + b"fmt " + _s.pack("<I", 16) + fmt
+              + b"data" + _s.pack("<I", len(f64)) + f64)
+    with pytest.raises(ValueError, match="32 only"):
+        M.decode_audio(wavf64)
