@@ -47,6 +47,13 @@ from .util import fan_out, tracked_checkpoint
 
 _ANN_META = "_ivf_index_meta.json"
 
+#: Unsorted append tail (LSM L0) under a generation — the same shape
+#: as the band index's ``_tail`` (operators/incremental.py): per-batch
+#: appends land here as a few flat files (label as a DATA column)
+#: instead of fanning tiny files across every list directory;
+#: underscore-prefixed so the main partitioned scan ignores it.
+_ANN_TAIL = "_tail"
+
 #: Query batches at or under this many (query, probe) rows broadcast in
 #: the candidate join; ~512 B/row at dim=64 → ≈250 MB worst case.
 _QUERY_BROADCAST_CAP = 500_000
@@ -129,13 +136,107 @@ def _resolve(path: str) -> tuple[str, dict]:
         return src, json.load(fh)
 
 
+def _index_frame(spark: SparkSession, src: str) -> DataFrame:
+    """The generation's corpus frame: sorted list-partitioned layout
+    UNION any append tail (:func:`append_to_ivf_index`). The main
+    schema is GIVEN to the tail read — an all-filtered append writes
+    zero data files and a schema-less read of that fails inference
+    (the band-index lesson, incremental.py r9)."""
+    df = spark.read.parquet(src)
+    tdir = os.path.join(src, _ANN_TAIL)
+    if os.path.isdir(tdir):
+        df = df.unionByName(
+            spark.read.schema(df.schema).parquet(tdir)
+            .select(*df.columns)
+        )
+    return df
+
+
 def read_ivf_index(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, list[list[float]]]:
-    """→ (list-partitioned corpus frame, quantizer centroids), pinned
-    to the manifest's current generation."""
+    """→ (list-partitioned corpus frame incl. any append tail,
+    quantizer centroids), pinned to the manifest's current
+    generation."""
     src, meta = _resolve(path)
-    return spark.read.parquet(src), meta["centroids"]
+    return _index_frame(spark, src), meta["centroids"]
+
+
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append vectors to a live IVF(-PQ) index WITHOUT a rebuild —
+    the ANN twin of the band index's per-batch ingest
+    (``write_band_index(mode='append')``): daily embedding batches
+    join the index as they arrive, full rebuilds become a compaction
+    cadence instead of a per-batch cost.
+
+    New vectors are assigned with the index's PINNED quantizer (and
+    encoded against its codebooks when the index is IVF-PQ), so
+    build-then-append equals a fresh full build over the union — the
+    exactness contract probes rely on (tested). Rows land in the
+    current generation's flat L0 tail (≤ a few files per batch, label
+    as a data column); probes union the tail in and filter it by the
+    probed labels (small by the compaction contract, like the band
+    index's). :func:`compact_ivf_index` folds the tail back into one
+    sorted file per list directory. Lease-guarded: appends serialize
+    against builds, compactions, and each other."""
+    spark = new_vectors.sparkSession
+    with artifact.writer_lease(path, owner="ivf-append"):
+        src, meta = _resolve(path)
+        assigned = ivf_assign(
+            new_vectors.select(id_col, vec_col),
+            meta["centroids"], vec_col,
+        )
+        if meta.get("codebooks"):
+            from .similarity import pq_encode
+
+            assigned = pq_encode(
+                assigned, meta["codebooks"], vec_col=vec_col
+            )
+        (
+            assigned.repartition("label")
+            .sortWithinPartitions("label", id_col)
+            .write.mode("append")
+            .parquet(os.path.join(src, _ANN_TAIL))
+        )
+
+
+def compact_ivf_index(spark: SparkSession, path: str) -> dict:
+    """Fold the append tail back into the sorted list-partitioned
+    layout → ``{"files_before": n, "files_after": m}``. The compacted
+    layout lands in a fresh generation published by the atomic
+    manifest swap (a concurrent probe keeps the generation it pinned)
+    — the same commit discipline as ``compact_band_index``."""
+    def _nfiles(p: str) -> int:
+        return sum(
+            1 for root, _, files in os.walk(p)
+            for f in files if f.endswith(".parquet")
+        )
+
+    with artifact.writer_lease(path, owner="ivf-compact"):
+        src, meta = _resolve(path)
+        before = _nfiles(src)
+        full = _index_frame(spark, src)
+        id_sort = [c for c in full.columns if c not in ("label",)][0]
+        gen, staging = artifact.new_generation_dir(path)
+        (
+            full.repartition("label")
+            .sortWithinPartitions("label", id_sort)
+            .write.mode("overwrite")
+            .partitionBy("label")
+            .parquet(staging)
+        )
+        with open(os.path.join(staging, _ANN_META), "w") as fh:
+            json.dump(meta, fh)
+        artifact.publish_generation(path, gen)
+    return {
+        "files_before": before,
+        "files_after": _nfiles(artifact.current_dir(path)),
+    }
 
 
 #: Above this many centroid×dim literal terms, probe selection switches
@@ -267,7 +368,7 @@ def ivf_index_topk(
         {int(r["label"]) for r in q.select("label").distinct().collect()}
     )  # ≤ len(centroids) rows — constant-bounded collect
     idx = fan_out(
-        spark.read.parquet(src).where(F.col("label").isin(probed))
+        _index_frame(spark, src).where(F.col("label").isin(probed))
     ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
@@ -348,7 +449,7 @@ def ivf_index_pq_topk(
     probed = sorted(
         {int(r["label"]) for r in q.select("label").distinct().collect()}
     )  # ≤ len(centroids) rows — constant-bounded collect
-    idx = spark.read.parquet(src).where(
+    idx = _index_frame(spark, src).where(
         F.col("label").isin(probed)
     ).select(id_col, "pq_code", "label")
     # assignment partitions the corpus, so a neighbor sits in exactly

@@ -667,10 +667,33 @@ def q41_ann_topk(spark, sf_dir):
     ivfpq = ivf_index_pq_topk(
         spark, idx_path, ed.where(F.col("vec_id") < 20), k=3, nprobe=2
     ).withColumn("method", F.lit("ivfpq"))
+    # ivfa (round 12): the APPEND path — index built on half the
+    # corpus, the other half appended with the PINNED quantizer into
+    # the generation's L0 tail (append_to_ivf_index), probed without
+    # compaction. The exactness contract (build-then-append == full
+    # build, same centroids) makes the oracle the SAME replay as ivfp
+    # under a different tag — so the hash check proves the tail union
+    # + tail-label filtering reproduce the monolithic layout exactly.
+    from .operators.ann_index import append_to_ivf_index
+
+    inc_path = os.path.join(
+        tempfile.gettempdir(), "sea_serpent_scratch", f"ivf{sf_tag}", "inc"
+    )
+    import shutil as _sh
+
+    _sh.rmtree(inc_path, ignore_errors=True)
+    build_ivf_index(
+        ed.where(F.col("vec_id") % 2 == 0), inc_path,
+        centroids=SEMDEDUP_CENTROIDS, codebooks=PQ_CODEBOOKS,
+    )
+    append_to_ivf_index(ed.where(F.col("vec_id") % 2 == 1), inc_path)
+    ivfa = ivf_index_topk(
+        spark, inc_path, ed.where(F.col("vec_id") < 20), k=3, nprobe=2
+    ).withColumn("method", F.lit("ivfa"))
     return (
         brute.unionByName(lsh).unionByName(mp)
         .unionByName(ivf).unionByName(pq).unionByName(ivfp)
-        .unionByName(ivfpq)
+        .unionByName(ivfpq).unionByName(ivfa)
     )
 
 
@@ -1529,6 +1552,7 @@ UNION ALL SELECT 'ivf' AS method, * FROM ivf
 UNION ALL SELECT 'pq' AS method, * FROM pq
 UNION ALL SELECT 'ivfp' AS method, * FROM ivfp
 UNION ALL SELECT 'ivfpq' AS method, * FROM ivfpq
+UNION ALL SELECT 'ivfa' AS method, * FROM ivfp
 """,
     "q58_asof_join": """
 WITH snap AS (

@@ -249,3 +249,88 @@ def test_probes_staging_collision_guard(spark, vectors):
     bad = vectors.withColumn("__an", F.lit(1))
     with pytest.raises(ValueError):
         A.ivf_probes(bad, SEMDEDUP_CENTROIDS)
+
+
+def test_append_equals_full_build(spark, vectors, tmp_path):
+    """r12: build on half the corpus, append the rest with the PINNED
+    quantizer — probes (plain and ADC) equal a fresh full build, for
+    every nprobe; compaction folds the tail into one sorted file per
+    list and changes nothing."""
+    import os
+
+    from sea_serpent_spark.operators.pinned import PQ_CODEBOOKS
+
+    ed = vectors.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    half_a = ed.where(F.col("vec_id") % 2 == 0)
+    half_b = ed.where(F.col("vec_id") % 2 == 1)
+    q = ed.where(F.col("vec_id") < 20)
+
+    full_p = str(tmp_path / "full")
+    inc_p = str(tmp_path / "inc")
+    A.build_ivf_index(
+        ed, full_p, centroids=SEMDEDUP_CENTROIDS, codebooks=PQ_CODEBOOKS
+    )
+    A.build_ivf_index(
+        half_a, inc_p, centroids=SEMDEDUP_CENTROIDS, codebooks=PQ_CODEBOOKS
+    )
+    A.append_to_ivf_index(half_b, inc_p)
+
+    for nprobe in (1, 2):
+        assert _ranks(
+            A.ivf_index_topk(spark, inc_p, q, k=3, nprobe=nprobe)
+        ) == _ranks(
+            A.ivf_index_topk(spark, full_p, q, k=3, nprobe=nprobe)
+        )
+    assert _ranks(
+        A.ivf_index_pq_topk(spark, inc_p, q, k=3, nprobe=2)
+    ) == _ranks(A.ivf_index_pq_topk(spark, full_p, q, k=3, nprobe=2))
+
+    # tail exists pre-compaction, is folded afterwards
+    src, _ = A._resolve(inc_p)
+    assert os.path.isdir(os.path.join(src, A._ANN_TAIL))
+    stats = A.compact_ivf_index(spark, inc_p)
+    assert stats["files_after"] <= stats["files_before"]
+    src2, meta2 = A._resolve(inc_p)
+    assert src2 != src  # fresh generation
+    assert not os.path.isdir(os.path.join(src2, A._ANN_TAIL))
+    assert meta2.get("codebooks")  # sidecar carried over
+    assert _ranks(
+        A.ivf_index_topk(spark, inc_p, q, k=3, nprobe=2)
+    ) == _ranks(A.ivf_index_topk(spark, full_p, q, k=3, nprobe=2))
+
+
+def test_append_respects_lease(spark, vectors, tmp_path):
+    """A concurrent holder blocks appends (LeaseHeldError), and the
+    index is unchanged."""
+    from sea_serpent_spark.operators import artifact
+    from sea_serpent_spark.lease import LeaseHeldError
+    import threading
+
+    p = str(tmp_path / "idx")
+    A.build_ivf_index(vectors, p, centroids=SEMDEDUP_CENTROIDS)
+    n0 = A.read_ivf_index(spark, p)[0].count()
+    inside, release = threading.Event(), threading.Event()
+    errs = []
+
+    def hold():
+        with artifact.writer_lease(p, owner="builder"):
+            inside.set()
+            release.wait(30)
+
+    def challenge():
+        inside.wait(30)
+        try:
+            A.append_to_ivf_index(
+                vectors.where(F.col("vec_id") < 5), p
+            )
+            errs.append("entered")
+        except LeaseHeldError:
+            errs.append("refused")
+
+    a = threading.Thread(target=hold)
+    b = threading.Thread(target=challenge)
+    a.start(); b.start(); b.join(60); release.set(); a.join(60)
+    assert errs == ["refused"]
+    assert A.read_ivf_index(spark, p)[0].count() == n0
