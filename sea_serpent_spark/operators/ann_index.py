@@ -205,6 +205,158 @@ def append_to_ivf_index(
         )
 
 
+def incremental_semantic_dedup(
+    new_df: DataFrame,
+    path: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Surviving rows of ``new_df`` after SEMANTIC dedup against a
+    persisted IVF index AND within the delta itself — the SemDeDup
+    analogue of ``incremental.incremental_dedup``: a production
+    embedding pipeline asks "which of today's vectors near-duplicate
+    anything already ingested?" without re-clustering history.
+
+    Semantics (mirroring the LSH incremental operator exactly):
+
+    - new vectors are assigned with the index's PINNED quantizer; the
+      candidate set is same-list pairs — delta×(indexed list rows) and
+      delta×delta — verified by exact cosine ≥ ``threshold`` (rounded
+      to 4 decimals, the module's convention). Same-list scoping IS
+      SemDeDup's within-cluster scoping; cross-list near-dups are
+      invisible by design (the paper's recall trade).
+    - transitive duplicate components over those delta-touching pairs
+      (indexed-indexed pairs are invisible — history is immutable); a
+      component containing ANY indexed vector keeps no new rows
+      (history wins), a pure-new component keeps its min id.
+    - a delta id already present in the index is dropped outright —
+      the idempotent-replay contract (re-running a partially ingested
+      batch cannot double-append).
+
+    Complete the loop with ``append_to_ivf_index(survivors, path)``.
+
+    Scale terms: assignment is row-local; the index scan is partition-
+    pruned to the delta's lists (collected label set ≤ k, a constant);
+    pair enumeration is bounded by delta×probed-list sizes (the IVF
+    probe cost class); components/keeper move ids only. The reingest
+    id check scans the index's id column only (parquet column
+    pruning)."""
+    import pyspark.sql.functions as _F
+
+    from .dedup import (
+        BROADCAST_VERIFY_CAP,
+        _keep_cache,
+        _maybe_broadcast,
+        connected_components,
+        release_caches,
+    )
+
+    spark = new_df.sparkSession
+    src, meta = _resolve(path)
+    centroids = meta["centroids"]
+    release_caches()
+    delta = _keep_cache(
+        ivf_assign(
+            new_df.select(
+                _F.col(id_col).alias("id"),
+                _F.col(vec_col).alias("v"),
+            ),
+            centroids, vec_col="v",
+        )
+    )
+    # ONE job: the delta's list set (≤ len(centroids) rows — the
+    # partition-prune predicate) AND its row count (broadcast gates),
+    # materializing the cached assignment as a side effect — the r12
+    # folded-gate shape of the LSH probe
+    lab_rows = delta.groupBy("label").agg(
+        _F.count(_F.lit(1)).alias("n")
+    ).collect()
+    labels = sorted(int(r["label"]) for r in lab_rows)
+    n_delta = sum(int(r["n"]) for r in lab_rows)
+    pruned = _keep_cache(
+        _index_frame(spark, src)
+        .where(_F.col("label").isin(labels))
+        .select(
+            _F.col(id_col).alias("id"),
+            _F.col(vec_col).alias("v"),
+            "label",
+        )
+    )
+    allv = pruned.withColumn("__new", _F.lit(False)).unionByName(
+        delta.withColumn("__new", _F.lit(True))
+    ).withColumn("__n", _F.greatest(norm(_F.col("v")), _F.lit(1e-12)))
+    a = allv.where("__new").select(
+        _F.col("id").alias("id_a"), _F.col("v").alias("va"),
+        _F.col("__n").alias("na"), "label",
+    )
+    b = allv.select(
+        _F.col("id").alias("id_b"), _F.col("v").alias("vb"),
+        _F.col("__n").alias("nb"), _F.col("__new").alias("new_b"),
+        "label",
+    )
+    pairs = (
+        a.join(b, "label")
+        .where(
+            (_F.col("id_a") != _F.col("id_b"))
+            # each unordered pair once: new-new pairs meet from both
+            # probe orientations, new-old only from the new side
+            & ((~_F.col("new_b")) | (_F.col("id_a") < _F.col("id_b")))
+        )
+        .select(
+            "id_a", "id_b",
+            _F.round(
+                dot(_F.col("va"), _F.col("vb"))
+                / (_F.col("na") * _F.col("nb")),
+                4,
+            ).alias("cos"),
+        )
+        .where(_F.col("cos") >= float(threshold))
+    )
+    comp = connected_components(pairs)
+    old_ids = pruned.select("id").distinct().withColumn(
+        "__old", _F.lit(True)
+    )
+    lab = comp.join(old_ids, "id", "left")
+    keep_new = (
+        lab.groupBy("component")
+        .agg(
+            _F.max(_F.coalesce("__old", _F.lit(False))).alias("has_old"),
+            _F.min(
+                _F.when(_F.col("__old").isNull(), _F.col("id"))
+            ).alias("min_new"),
+        )
+        .where(~_F.col("has_old"))
+        .select(_F.col("min_new").alias("id"))
+    )
+    new_in_pairs = comp.join(old_ids.select("id"), "id", "left_anti")
+    losers = new_in_pairs.join(keep_new, "id", "left_anti").select(
+        _F.col("id").alias("__lid")
+    )
+    # idempotent-replay drop: ids already ingested, checked against the
+    # FULL index's id column (an id reused for different content may
+    # live in a list the delta does not touch)
+    delta_ids = new_df.select(_F.col(id_col).alias("id")).distinct()
+    bcast = n_delta <= BROADCAST_VERIFY_CAP
+    idx_ids = _index_frame(spark, src).select(
+        _F.col(id_col).alias("id")
+    )
+    if bcast:
+        reingested = idx_ids.join(
+            _F.broadcast(delta_ids), "id", "left_semi"
+        ).distinct().select(_F.col("id").alias("__lid"))
+    else:
+        reingested = delta_ids.join(
+            idx_ids, "id", "left_semi"
+        ).select(_F.col("id").alias("__lid"))
+    losers = losers.unionByName(reingested)
+    losers, _ = tracked_checkpoint(losers)
+    losers = _maybe_broadcast(losers, bcast)
+    return new_df.join(
+        losers, _F.col(id_col) == _F.col("__lid"), "left_anti"
+    )
+
+
 def compact_ivf_index(spark: SparkSession, path: str) -> dict:
     """Fold the append tail back into the sorted list-partitioned
     layout → ``{"files_before": n, "files_after": m}``. The compacted

@@ -710,7 +710,20 @@ def q43_embedding_near_dup(spark, sf_dir):
     the production posture), within-cluster exact pairs, transitive
     closure, keep=far_from_centroid. Vectors are cast float→double so
     the argmax assignment and argmin keep-rule compare the SAME doubles
-    the oracle computes — no rounding anywhere in the pipeline."""
+    the oracle computes — no rounding anywhere in the pipeline.
+
+    ``inc`` rows (round 12): the INCREMENTAL SemDeDup loop
+    (``ann_index.incremental_semantic_dedup``) — history (vec_id < 300)
+    built into a pinned-quantizer persisted IVF index, the delta
+    deduped against its probed lists: same-list cosine pairs
+    (delta-touching only — indexed-indexed edges are invisible),
+    transitive closure, any-indexed-witness drops the component's new
+    rows, pure-new keeps min id. The oracle replays exactly that with
+    the shared assignment CTE."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
     e = df(spark, sf_dir, "embeddings")
     pairs = S.embedding_near_dup_pairs(
         e, threshold=0.45, nbits=0
@@ -728,7 +741,29 @@ def q43_embedding_near_dup(spark, sf_dir):
         F.lit(None).cast("double").alias("cos"),
         F.lit("semdedup").alias("op"),
     )
-    return pairs.unionByName(sem)
+    from .operators.ann_index import (
+        build_ivf_index as _bivf,
+        incremental_semantic_dedup as _isd,
+    )
+
+    sf_tag = "".join(
+        ch if ch.isalnum() else "_" for ch in sf_dir.rstrip("/")
+    )
+    semi = _os.path.join(
+        _tf.gettempdir(), "sea_serpent_scratch", f"seminc{sf_tag}"
+    )
+    _sh.rmtree(semi, ignore_errors=True)
+    _bivf(ed.where(F.col("vec_id") < 300), semi,
+          centroids=SEMDEDUP_CENTROIDS)
+    inc = _isd(
+        ed.where(F.col("vec_id") >= 300), semi, threshold=0.45
+    ).select(
+        F.col("vec_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.lit(None).cast("double").alias("cos"),
+        F.lit("inc").alias("op"),
+    )
+    return pairs.unionByName(sem).unionByName(inc)
 
 
 # ---------------------------------------------------------------------------
@@ -1798,7 +1833,8 @@ sp AS (
                             i -> a.v[i] * b.v[i]))
     / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
        * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) >= 0.45),
-sedges AS (SELECT ia AS u, ib AS w FROM sp UNION SELECT ib, ia FROM sp),
+sedges AS MATERIALIZED (
+  SELECT ia AS u, ib AS w FROM sp UNION SELECT ib, ia FROM sp),
 snodes AS (SELECT DISTINCT u AS id FROM sedges),
 swalk(id, lbl) AS (
   SELECT id, id FROM snodes
@@ -1811,6 +1847,32 @@ slose AS (
                                      ORDER BY g.s ASC, sc.id ASC) AS rn
     FROM scomp sc JOIN asg g ON g.vec_id = sc.id)
   WHERE rn > 1),
+inc_sp AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM asg a JOIN asg b ON a.c = b.c AND a.vec_id < b.vec_id
+  WHERE NOT (a.vec_id < 300 AND b.vec_id < 300)
+    AND ROUND(
+    list_sum(list_transform(generate_series(1, len(a.v)),
+                            i -> a.v[i] * b.v[i]))
+    / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+       * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) >= 0.45),
+inc_e AS MATERIALIZED (
+  SELECT ia AS u, ib AS w FROM inc_sp UNION SELECT ib, ia FROM inc_sp),
+inc_n AS (SELECT DISTINCT u AS id FROM inc_e),
+inc_w(id, lbl) AS (
+  SELECT id, id FROM inc_n
+  UNION
+  SELECT e.w, x.lbl FROM inc_w x JOIN inc_e e ON e.u = x.id),
+inc_c AS MATERIALIZED (
+  SELECT id, MIN(lbl) AS component FROM inc_w GROUP BY id),
+inc_bad AS (SELECT DISTINCT component FROM inc_c WHERE id < 300),
+inc_surv AS (
+  SELECT MIN(id) AS id FROM inc_c WHERE id >= 300
+    AND component NOT IN (SELECT component FROM inc_bad)
+  GROUP BY component
+  UNION ALL
+  SELECT vec_id FROM embeddings WHERE vec_id >= 300
+    AND vec_id NOT IN (SELECT id FROM inc_c)),
 qa AS (SELECT vec_id AS id_a, embedding AS qv FROM embeddings),
 qb AS (SELECT vec_id AS id_b, embedding AS cv FROM embeddings)
 SELECT id_a, id_b, ROUND({COS_SQL}, 4) AS cos, 'pair' AS op
@@ -1821,6 +1883,10 @@ SELECT e.vec_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
   CAST(NULL AS DOUBLE) AS cos, 'semdedup' AS op
 FROM embeddings e
 WHERE NOT EXISTS (SELECT 1 FROM slose l WHERE l.id = e.vec_id)
+UNION ALL
+SELECT id AS id_a, CAST(NULL AS BIGINT) AS id_b,
+  CAST(NULL AS DOUBLE) AS cos, 'inc' AS op
+FROM inc_surv
 """,
     # transitive closure by recursive CTE over the same pair SQL as q43:
     # labels spread one hop per iteration until fixpoint, component = MIN

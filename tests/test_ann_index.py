@@ -334,3 +334,92 @@ def test_append_respects_lease(spark, vectors, tmp_path):
     a.start(); b.start(); b.join(60); release.set(); a.join(60)
     assert errs == ["refused"]
     assert A.read_ivf_index(spark, p)[0].count() == n0
+
+
+def test_incremental_semantic_dedup_batch_parity(spark, vectors, tmp_path):
+    """r12: with a pre-deduped history whose ids sort below the delta's,
+    incremental_semantic_dedup keeps exactly the NEW rows
+    semantic_dedup(keep='min_id') over history ∪ delta keeps — the same
+    parity contract as the LSH incremental operator. (Old-row outcomes
+    legitimately differ: history is immutable, batch could retract.)"""
+    ed = vectors.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    mid = 300
+    hist_raw = ed.where(F.col("vec_id") < mid)
+    delta = ed.where(F.col("vec_id") >= mid)
+    # pre-dedup history so it carries no internal near-dups
+    hist = S.semantic_dedup(
+        hist_raw, threshold=0.45, centroids=SEMDEDUP_CENTROIDS,
+        keep="min_id", nbits=0,
+    )
+    p = str(tmp_path / "semidx")
+    A.build_ivf_index(hist, p, centroids=SEMDEDUP_CENTROIDS)
+    got = sorted(
+        r["vec_id"]
+        for r in A.incremental_semantic_dedup(
+            delta, p, threshold=0.45
+        ).select("vec_id").collect()
+    )
+    batch = S.semantic_dedup(
+        hist.unionByName(delta), threshold=0.45,
+        centroids=SEMDEDUP_CENTROIDS, keep="min_id", nbits=0,
+    )
+    want = sorted(
+        r["vec_id"]
+        for r in batch.where(F.col("vec_id") >= mid)
+        .select("vec_id").collect()
+    )
+    # precondition for the parity argument: history ids BELOW delta ids
+    # (a mixed component's min id is then always an indexed one, so
+    # batch min-id == incremental history-wins on the NEW rows)
+    assert got == want and got
+
+
+def test_incremental_semantic_dedup_loop_idempotent(spark, vectors, tmp_path):
+    """Append survivors, re-ingest the same delta → zero survivors (the
+    replay contract); a fresh batch still dedups against BOTH history
+    and the first batch's survivors through the index."""
+    ed = vectors.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    hist = ed.where(F.col("vec_id") >= 300)
+    b1 = ed.where(F.col("vec_id") < 150)
+    b2 = ed.where((F.col("vec_id") >= 150) & (F.col("vec_id") < 300))
+    p = str(tmp_path / "loop")
+    A.build_ivf_index(hist, p, centroids=SEMDEDUP_CENTROIDS)
+    s1 = A.incremental_semantic_dedup(b1, p, threshold=0.45)
+    A.append_to_ivf_index(s1, p)
+    # replay of batch 1: every id is now indexed → all dropped
+    assert A.incremental_semantic_dedup(b1, p, threshold=0.45).count() == 0
+    # batch 2 dedups against hist ∪ surviving b1
+    s2 = A.incremental_semantic_dedup(b2, p, threshold=0.45)
+    ids1 = {r["vec_id"] for r in s1.select("vec_id").collect()}
+    ids2 = {r["vec_id"] for r in s2.select("vec_id").collect()}
+    assert ids2 and not (ids1 & ids2)
+    # survivors of b2 have no >=threshold same-list twin in the index
+    idx, cents = A.read_ivf_index(spark, p)
+    asg_idx = S.ivf_assign(
+        idx.select("vec_id", "embedding"), cents
+    ).select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"), F.col("label"),
+    )
+    asg_s2 = S.ivf_assign(s2.select("vec_id", "embedding"), cents).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"), F.col("label"),
+    )
+    from sea_serpent_spark.operators.similarity import dot, norm
+
+    twin = (
+        asg_s2.join(asg_idx, "label")
+        .where(F.col("id_a") != F.col("id_b"))
+        .where(
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (F.greatest(norm(F.col("va")), F.lit(1e-12))
+                   * F.greatest(norm(F.col("vb")), F.lit(1e-12))), 4
+            ) >= 0.45
+        )
+    )
+    assert twin.count() == 0
