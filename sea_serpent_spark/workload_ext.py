@@ -205,7 +205,67 @@ def q30_text_analysis(spark, sf_dir):
         F.lit("pii").alias("op"),
         normalize_text(redact_pii(F.col("raw"))).alias("pii_text"),
     )
-    return text_rows.unionByName(pii_rows)
+    # op='url' / op='urldedup' (r12, operators/web.py): deterministic
+    # synthetic URLs over the corpus — five container shapes exercising
+    # every normalization rule (case, default ports, tracking params +
+    # param sort, fragments, trailing slashes, non-http ports kept,
+    # 2/3-label registered domains). The oracle states the EXPECTED
+    # canonical/host/domain strings from the same closed form — an
+    # independent expectation, not a replay of the normalizer. Variants
+    # 0 and 2 canonicalize identically, so url_dedup has real
+    # cross-variant groups (collisions every lcm(5,7,50)=350 ids).
+    from .operators import web as WB
+
+    did = F.col("doc_id")
+    d7 = (did % 7).cast("int")
+    p50 = (did % 50).cast("int")
+    raw_url = (
+        F.when(did % 5 == 0, F.format_string(
+            "HTTPS://Example%d.COM:443/path/%d/?utm_source=x#frag",
+            d7, p50))
+        .when(did % 5 == 1, F.format_string(
+            "http://Blog.example%d.CO.UK:80/post/%d", d7, p50))
+        .when(did % 5 == 2, F.format_string(
+            "https://example%d.com/path/%d", d7, p50))
+        .when(did % 5 == 3, F.format_string(
+            "ftp://files.example%d.org:21/%d", d7, p50))
+        .otherwise(F.format_string(
+            "https://cdn.example%d.net/x/%d"
+            "?gclid=1&z=9&utm_campaign=c&a=1", d7, p50))
+    )
+    with_urls = d.select("doc_id", raw_url.alias("url"))
+    url_rows = with_urls.select(
+        "doc_id",
+        F.lit(None).cast("int").alias("n_tokens"),
+        *[
+            F.lit(None).cast("double").alias(m)
+            for m in ("punct_ratio", "stopword_ratio", "quality")
+        ],
+        WB.url_host(F.col("url")).alias("lang_pred"),
+        WB.registered_domain(F.col("url")).alias("fp"),
+        F.lit(None).cast("double").alias("dup_word_frac"),
+        F.lit(None).cast("double").alias("dup_2gram_frac"),
+        F.lit("url").alias("op"),
+        WB.normalize_url(F.col("url")).alias("pii_text"),
+    )
+    dedup_rows = WB.url_dedup(with_urls).select(
+        "doc_id",
+        F.lit(None).cast("int").alias("n_tokens"),
+        *[
+            F.lit(None).cast("double").alias(m)
+            for m in ("punct_ratio", "stopword_ratio", "quality")
+        ],
+        F.lit(None).cast("string").alias("lang_pred"),
+        F.lit(None).cast("string").alias("fp"),
+        F.lit(None).cast("double").alias("dup_word_frac"),
+        F.lit(None).cast("double").alias("dup_2gram_frac"),
+        F.lit("urldedup").alias("op"),
+        F.lit(None).cast("string").alias("pii_text"),
+    )
+    return (
+        text_rows.unionByName(pii_rows)
+        .unionByName(url_rows).unionByName(dedup_rows)
+    )
 
 
 def q70_profile_qa(spark, sf_dir):
@@ -2024,6 +2084,56 @@ FROM (
   FROM (SELECT doc_id, text, {WORDS_SQL} AS toks, {DWORDS_SQL} AS ws,
         {FP_SQL} AS fp FROM documents))
 UNION ALL {_PII_ORACLE_ROWS}
+UNION ALL
+SELECT doc_id, CAST(NULL AS INT) AS n_tokens,
+  CAST(NULL AS DOUBLE) AS punct_ratio,
+  CAST(NULL AS DOUBLE) AS stopword_ratio,
+  CAST(NULL AS DOUBLE) AS quality,
+  CASE doc_id % 5
+    WHEN 1 THEN printf('blog.example%d.co.uk', doc_id % 7)
+    WHEN 3 THEN printf('files.example%d.org', doc_id % 7)
+    WHEN 4 THEN printf('cdn.example%d.net', doc_id % 7)
+    ELSE printf('example%d.com', doc_id % 7) END AS lang_pred,
+  CASE doc_id % 5
+    WHEN 1 THEN printf('example%d.co.uk', doc_id % 7)
+    WHEN 3 THEN printf('example%d.org', doc_id % 7)
+    WHEN 4 THEN printf('example%d.net', doc_id % 7)
+    ELSE printf('example%d.com', doc_id % 7) END AS fp,
+  CAST(NULL AS DOUBLE) AS dup_word_frac,
+  CAST(NULL AS DOUBLE) AS dup_2gram_frac,
+  'url' AS op,
+  CASE doc_id % 5
+    WHEN 1 THEN printf('http://blog.example%d.co.uk/post/%d',
+                       doc_id % 7, doc_id % 50)
+    WHEN 3 THEN printf('ftp://files.example%d.org:21/%d',
+                       doc_id % 7, doc_id % 50)
+    WHEN 4 THEN printf('https://cdn.example%d.net/x/%d?a=1&z=9',
+                       doc_id % 7, doc_id % 50)
+    ELSE printf('https://example%d.com/path/%d',
+                doc_id % 7, doc_id % 50) END AS pii_text
+FROM documents
+UNION ALL
+SELECT MIN(doc_id) AS doc_id, CAST(NULL AS INT) AS n_tokens,
+  CAST(NULL AS DOUBLE) AS punct_ratio,
+  CAST(NULL AS DOUBLE) AS stopword_ratio,
+  CAST(NULL AS DOUBLE) AS quality,
+  CAST(NULL AS VARCHAR) AS lang_pred, CAST(NULL AS VARCHAR) AS fp,
+  CAST(NULL AS DOUBLE) AS dup_word_frac,
+  CAST(NULL AS DOUBLE) AS dup_2gram_frac,
+  'urldedup' AS op, CAST(NULL AS VARCHAR) AS pii_text
+FROM (
+  SELECT doc_id,
+    CASE doc_id % 5
+      WHEN 1 THEN printf('http://blog.example%d.co.uk/post/%d',
+                         doc_id % 7, doc_id % 50)
+      WHEN 3 THEN printf('ftp://files.example%d.org:21/%d',
+                         doc_id % 7, doc_id % 50)
+      WHEN 4 THEN printf('https://cdn.example%d.net/x/%d?a=1&z=9',
+                         doc_id % 7, doc_id % 50)
+      ELSE printf('https://example%d.com/path/%d',
+                  doc_id % 7, doc_id % 50) END AS cu
+  FROM documents)
+GROUP BY cu
 """
 
 ORACLES_EXT = {k: v for k, v in ORACLES_EXT.items() if v is not None}

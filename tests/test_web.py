@@ -1,0 +1,77 @@
+"""URL canonicalization + URL-keyed dedup (operators/web.py)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from sea_serpent_spark.operators import web as W
+
+
+@pytest.fixture(scope="module")
+def urls(spark):
+    rows = [
+        (1, "HTTPS://Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag"),
+        (2, "https://example.com/a/b?a=1&b=2"),       # == 1 canonical
+        (3, "https://example.com/a/b?a=1&b=3"),       # different query
+        (4, "http://Blog.example.CO.UK:80/post/"),
+        (5, "ftp://files.example.org:21/x"),           # port kept
+        (6, "example.com/no-scheme#frag"),             # passthrough
+        (7, None),
+        (8, "https://example.com/"),                   # root
+        (9, "https://example.com"),                    # == 8 canonical
+        (10, "https://example.com/?fbclid=abc"),       # == 8 canonical
+    ]
+    return spark.createDataFrame(rows, "doc_id long, url string")
+
+
+def _m(df, expr, name="v"):
+    return {
+        r["doc_id"]: r[name]
+        for r in df.select("doc_id", expr.alias(name)).collect()
+    }
+
+
+def test_normalize_url_policy(urls):
+    got = _m(urls, W.normalize_url(F.col("url")))
+    assert got[1] == "https://example.com/a/b?a=1&b=2"
+    assert got[1] == got[2] and got[3] != got[2]
+    assert got[4] == "http://blog.example.co.uk/post"
+    assert got[5] == "ftp://files.example.org:21/x"  # non-http port kept
+    assert got[6] == "example.com/no-scheme"  # scheme-less: frag strip only
+    assert got[7] is None
+    assert got[8] == got[9] == got[10] == "https://example.com"
+
+
+def test_host_and_registered_domain(urls):
+    host = _m(urls, W.url_host(F.col("url")))
+    dom = _m(urls, W.registered_domain(F.col("url")))
+    assert host[1] == "example.com" and dom[1] == "example.com"
+    assert host[4] == "blog.example.co.uk" and dom[4] == "example.co.uk"
+    assert dom[5] == "example.org"
+    assert host[6] == "" and dom[6] == ""  # no scheme → no host claim
+    assert host[7] is None
+
+
+def test_url_dedup_keeps_min_id_and_nulls(urls):
+    kept = sorted(r["doc_id"] for r in W.url_dedup(urls).collect())
+    # canonical groups: {1,2}, {3}, {4}, {5}, {6}, {8,9,10}; NULL kept
+    assert kept == [1, 3, 4, 5, 6, 7, 8]
+
+
+def test_domain_stats(urls):
+    stats = {
+        r["domain"]: (r["n_docs"], r["n_hosts"])
+        for r in W.domain_stats(urls.where("url is not null")).collect()
+    }
+    assert stats["example.com"] == (6, 1)
+    assert stats["example.co.uk"] == (1, 1)
+    assert stats["example.org"] == (1, 1)
+    assert stats[""] == (1, 1)  # the scheme-less row
+
+
+def test_zero_shuffle_normalization_plan(urls):
+    plan = (
+        urls.select(W.normalize_url(F.col("url")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # row-local, no shuffle
+    assert "BatchEvalPython" not in plan  # no Python anywhere
