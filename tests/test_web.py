@@ -75,3 +75,28 @@ def test_zero_shuffle_normalization_plan(urls):
     )
     assert "Exchange" not in plan  # row-local, no shuffle
     assert "BatchEvalPython" not in plan  # no Python anywhere
+
+
+def test_normalize_url_idempotent(spark):
+    """Canonicalization must be IDEMPOTENT — normalizing a canonical
+    URL changes nothing (otherwise two passes over the same corpus
+    would disagree). Swept over a structured cross-product of schemes,
+    hosts, ports, paths, queries, and fragments."""
+    cases = []
+    for scheme in ("http", "HTTPS", "ftp", ""):
+        for host in ("Example.COM", "a.b.co.uk", "x.io:8080"):
+            for path in ("", "/", "/p/q/", "/p"):
+                for q in ("", "?b=2&a=1", "?utm_source=x", "?a=1&utm_x=2"):
+                    for frag in ("", "#f"):
+                        pre = f"{scheme}://" if scheme else ""
+                        cases.append(pre + host + path + q + frag)
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(cases)], "i long, url string"
+    )
+    out = df.select(
+        "i",
+        W.normalize_url(F.col("url")).alias("c1"),
+        W.normalize_url(W.normalize_url(F.col("url"))).alias("c2"),
+    ).collect()
+    bad = [(r["c1"], r["c2"]) for r in out if r["c1"] != r["c2"]]
+    assert not bad, bad[:5]
