@@ -34,6 +34,8 @@ Design:
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -165,6 +167,7 @@ def incremental_dedup_sink(
     key_buckets: int | None = None,
     compact_every: int | None = None,
     batch_parallelism: int | None = None,
+    compact_tail_files: int | None = None,
 ):
     """→ a ``foreachBatch`` function closing the full streaming ingest
     loop: each micro-batch is deduped against the persisted LSH index
@@ -205,6 +208,13 @@ def incremental_dedup_sink(
     bucket's accumulated small per-batch files back into one sorted
     file after every N batches (serial batches make the rewrite+swap
     race-free).
+
+    ``compact_tail_files`` (r12) is the SIZE-based compaction trigger —
+    fold the L0 tail back into the bucket layout whenever its parquet
+    file count exceeds the threshold. Unlike ``compact_every`` (a
+    batch-count cadence), it tracks what actually degrades probes: the
+    unpruned tail scan. The check is a driver-local directory listing
+    per batch; both triggers may be combined (either firing compacts).
 
     ``batch_parallelism`` (r12) sizes the probe's shuffle width and
     operator fan-out to the TRIGGER volume instead of the cluster
@@ -288,7 +298,100 @@ def incremental_dedup_sink(
             )
         kept.unpersist()
         batches_seen["n"] += 1
-        if compact_every and batches_seen["n"] % compact_every == 0:
+        due = (
+            compact_every
+            and batches_seen["n"] % compact_every == 0
+        )
+        if not due and compact_tail_files:
+            from ..operators import artifact as _art
+            from ..operators.incremental import _TAIL_DIR
+
+            tdir = os.path.join(
+                _art.current_dir(index_path), _TAIL_DIR
+            )
+            if os.path.isdir(tdir):
+                n_tail = sum(
+                    1
+                    for root, _, files in os.walk(tdir)
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+                due = n_tail > compact_tail_files
+        if due:
             compact_band_index(spark, index_path, key_buckets=nb)
+
+    return _sink
+
+
+def incremental_semantic_dedup_sink(
+    index_path: str,
+    output_path: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_parallelism: int | None = None,
+    compact_every: int | None = None,
+):
+    """→ a ``foreachBatch`` function closing the streaming EMBEDDING
+    ingest loop — the semantic twin of :func:`incremental_dedup_sink`:
+    each micro-batch of vectors is deduped against the persisted IVF
+    index (``ann_index.incremental_semantic_dedup`` — same-list cosine
+    pairs, history-wins, min-id-survives, idempotent replays),
+    survivors append to ``output_path`` AND into the index's L0 tail
+    (``append_to_ivf_index``), so batch N+1 dedups against history and
+    batches 1..N. Seed the index with
+    ``build_ivf_index(history, path, centroids=...)`` first; batches
+    run serially, so the read-modify-append is race-free.
+
+    ``batch_parallelism`` and ``compact_every`` behave exactly as in
+    :func:`incremental_dedup_sink` (trigger-sized fan-out/shuffles;
+    periodic tail compaction via ``compact_ivf_index``). The
+    output-first append ordering and its at-least-once window are the
+    same documented trade as the LSH sink."""
+    from ..operators.ann_index import (
+        append_to_ivf_index,
+        compact_ivf_index,
+        incremental_semantic_dedup,
+    )
+
+    batches_seen = {"n": 0}
+
+    def _body(spark, batch_df: DataFrame) -> None:
+        kept = incremental_semantic_dedup(
+            batch_df, index_path, threshold=threshold,
+            id_col=id_col, vec_col=vec_col,
+        )
+        kept.persist()
+        kept.write.mode("append").parquet(output_path)
+        append_to_ivf_index(
+            kept.select(id_col, vec_col), index_path,
+            id_col=id_col, vec_col=vec_col,
+        )
+        kept.unpersist()
+        batches_seen["n"] += 1
+        if compact_every and batches_seen["n"] % compact_every == 0:
+            compact_ivf_index(spark, index_path)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_parallelism:
+            from ..operators.util import FANOUT_CONF
+
+            prev_fan = spark.conf.get(FANOUT_CONF, None)
+            prev_shuf = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set(FANOUT_CONF, str(int(batch_parallelism)))
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(int(batch_parallelism))
+            )
+            try:
+                _body(spark, batch_df)
+            finally:
+                if prev_fan is None:
+                    spark.conf.unset(FANOUT_CONF)
+                else:
+                    spark.conf.set(FANOUT_CONF, prev_fan)
+                spark.conf.set("spark.sql.shuffle.partitions", prev_shuf)
+            return
+        _body(spark, batch_df)
 
     return _sink

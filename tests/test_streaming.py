@@ -341,3 +341,128 @@ def test_incremental_dedup_sink_loop(spark, sf_dir, tmp_path, layout):
             if "kb=" in os.path.basename(root):
                 pq = [f for f in files if f.endswith(".parquet")]
                 assert len(pq) <= 1, (root, pq)
+
+
+def test_sink_size_based_autocompaction(spark, sf_dir, tmp_path):
+    """r12: compact_tail_files folds the L0 tail whenever its parquet
+    file count exceeds the threshold — the tail stays bounded across a
+    serial drain, and the survivor set matches an uncompacted run."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from sea_serpent_spark.operators import artifact as ART
+    from sea_serpent_spark.operators import dedup as D
+    from sea_serpent_spark.operators import incremental as I
+    from sea_serpent_spark.operators.incremental import _TAIL_DIR
+    from sea_serpent_spark.streaming.dedup import incremental_dedup_sink
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist = D.dedup_corpus(docs.where(F.col("doc_id") < 100), threshold=0.5)
+    batches = [
+        docs.where(
+            (F.col("doc_id") >= 100 + i * 100)
+            & (F.col("doc_id") < 200 + i * 100)
+        )
+        for i in range(3)
+    ]
+
+    def tail_files(p):
+        t = os.path.join(ART.current_dir(p), _TAIL_DIR)
+        if not os.path.isdir(t):
+            return 0
+        return sum(
+            1 for root, _, files in os.walk(t)
+            for f in files if f.endswith(".parquet")
+        )
+
+    outs = {}
+    for tag, kw in (("auto", {"compact_tail_files": 2}), ("plain", {})):
+        idxp = str(tmp_path / f"idx_{tag}")
+        outp = str(tmp_path / f"out_{tag}")
+        I.write_band_index(
+            I.minhash_band_index(hist, key_buckets=8), idxp, key_buckets=8
+        )
+        sink = incremental_dedup_sink(
+            idxp, outp, jaccard_threshold=0.5, **kw
+        )
+        peak = 0
+        for i, b in enumerate(batches):
+            sink(b, i)
+            peak = max(peak, tail_files(idxp))
+        outs[tag] = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(outp).select("doc_id").collect()
+        )
+        if tag == "auto":
+            # compaction fired at least once → tail never ran away
+            assert peak <= 2 + 4  # threshold + one batch's band files
+            assert tail_files(idxp) <= 2 + 4
+        else:
+            assert peak >= 3  # uncompacted tail accumulates
+    assert outs["auto"] == outs["plain"] and outs["auto"]
+
+
+def test_incremental_semantic_dedup_sink_loop(spark, sf_dir, tmp_path):
+    """r12: the embedding ingest loop — serial micro-batches deduped
+    against a seeded IVF index; survivors equal sequential
+    incremental_semantic_dedup calls with interleaved appends, replay
+    of a drained batch adds nothing, and the index grows by exactly
+    the survivors."""
+    import pyspark.sql.functions as F
+
+    from sea_serpent_spark.operators import ann_index as A
+    from sea_serpent_spark.operators.pinned import SEMDEDUP_CENTROIDS
+    from sea_serpent_spark.streaming.dedup import (
+        incremental_semantic_dedup_sink,
+    )
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    hist = vecs.where(F.col("vec_id") < 200)
+    batches = [
+        vecs.where(
+            (F.col("vec_id") >= 200 + 100 * i)
+            & (F.col("vec_id") < 300 + 100 * i)
+        )
+        for i in range(2)
+    ]
+    # reference: sequential operator calls with manual appends
+    ref_idx = str(tmp_path / "refidx")
+    A.build_ivf_index(hist, ref_idx, centroids=SEMDEDUP_CENTROIDS)
+    want = []
+    for b in batches:
+        s = A.incremental_semantic_dedup(b, ref_idx, threshold=0.45)
+        want += [r["vec_id"] for r in s.select("vec_id").collect()]
+        A.append_to_ivf_index(s.select("vec_id", "embedding"), ref_idx)
+
+    idxp = str(tmp_path / "semidx")
+    outp = str(tmp_path / "semout")
+    A.build_ivf_index(hist, idxp, centroids=SEMDEDUP_CENTROIDS)
+    sink = incremental_semantic_dedup_sink(
+        idxp, outp, threshold=0.45, batch_parallelism=8
+    )
+    for i, b in enumerate(batches):
+        sink(b, i)
+    got = sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(outp).select("vec_id").collect()
+    )
+    assert got == sorted(want) and got
+    # replay: every id already indexed → nothing appended
+    n0 = spark.read.parquet(outp).count()
+    sink(batches[0], 99)
+    assert spark.read.parquet(outp).count() == n0
+    # index = seed + survivors exactly
+    idx_ids = {
+        r["vec_id"]
+        for r in A.read_ivf_index(spark, idxp)[0].select("vec_id").collect()
+    }
+    assert idx_ids == (
+        {r["vec_id"] for r in hist.select("vec_id").collect()} | set(got)
+    )
+    # conf restored after the knob-wrapped batches
+    assert spark.conf.get(
+        "spark.sea_serpent.fanout.parallelism", None
+    ) is None
