@@ -596,9 +596,50 @@ def _decode_bmp(b: bytes) -> tuple[int, int, int, bytes]:
                 q = 4 * v
                 out[orow + 3 * x:orow + 3 * x + 3] = pal[q:q + 3]
         return w, h, 3, bytes(out)
+    if bpp == 32:
+        # BGRX/BGRA (BI_RGB 32-bit — ubiquitous screenshot format):
+        # rows are naturally 4-byte aligned; the 4th byte (alpha or
+        # padding) is dropped — output stays 3-channel BGR like the
+        # other BMP paths (r12)
+        row = w * 4
+        if off + row * h > len(b) or off < 0:
+            raise ValueError("truncated BMP pixel data")
+        out = bytearray(w * 3 * h)
+        for y in range(h):
+            src = y if topdown else h - 1 - y
+            base = off + src * row
+            orow = y * w * 3
+            for x in range(w):
+                q = base + 4 * x
+                out[orow + 3 * x:orow + 3 * x + 3] = b[q:q + 3]
+        return w, h, 3, bytes(out)
+    if bpp == 16:
+        # RGB555 little-endian (BI_RGB 16-bit default): 5 bits per
+        # channel expanded to 8 by the standard (v << 3) | (v >> 2)
+        # round-trip-exact scaling (r12)
+        row = (w * 2 + 3) // 4 * 4
+        if off + row * h > len(b) or off < 0:
+            raise ValueError("truncated BMP pixel data")
+        out = bytearray(w * 3 * h)
+        for y in range(h):
+            src = y if topdown else h - 1 - y
+            base = off + src * row
+            orow = y * w * 3
+            for x in range(w):
+                (px,) = struct.unpack(
+                    "<H", b[base + 2 * x:base + 2 * x + 2]
+                )
+                r5 = (px >> 10) & 0x1F
+                g5 = (px >> 5) & 0x1F
+                b5 = px & 0x1F
+                # container order is BGR, matching the other paths
+                out[orow + 3 * x] = (b5 << 3) | (b5 >> 2)
+                out[orow + 3 * x + 1] = (g5 << 3) | (g5 >> 2)
+                out[orow + 3 * x + 2] = (r5 << 3) | (r5 >> 2)
+        return w, h, 3, bytes(out)
     if bpp != 24:
         raise NotImplementedError(
-            f"BMP bpp {bpp} unsupported (1/4/8 palette or 24)"
+            f"BMP bpp {bpp} unsupported (1/4/8 palette, 16, 24, or 32)"
         )
     row = (w * 3 + 3) // 4 * 4
     if off + row * h > len(b) or off < 0:

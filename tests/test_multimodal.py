@@ -1375,3 +1375,41 @@ def test_decode_wav_variants():
               + b"data" + _s.pack("<I", len(f64)) + f64)
     with pytest.raises(ValueError, match="32 only"):
         M.decode_audio(wavf64)
+
+
+def test_decode_bmp_16_and_32_bit():
+    """r12: 32-bit BGRX (4th byte dropped) and 16-bit RGB555 (5→8-bit
+    scaling (v<<3)|(v>>2)) decode, bottom-up and top-down."""
+    import struct
+
+    def bmp(w, h, bpp, body):
+        hdr = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(body),
+            2835, 2835, 0, 0,
+        )
+        return hdr + dib + bytes(body)
+
+    # 2x2 32-bit, bottom-up: rows stored bottom first, BGRX
+    body = bytes(
+        [1, 2, 3, 255, 4, 5, 6, 0]      # bottom row: px(0,1), px(1,1)
+        + [7, 8, 9, 128, 10, 11, 12, 7]  # top row: px(0,0), px(1,0)
+    )
+    w, h, ch, px = M.decode_image(bmp(2, 2, 32, body))
+    assert (w, h, ch) == (2, 2, 3)
+    assert list(px) == [7, 8, 9, 10, 11, 12, 1, 2, 3, 4, 5, 6]
+
+    # 3x1 16-bit RGB555: white, pure red, mid gray (16 → (16<<3)|(16>>2)=132)
+    vals = [(0x7FFF), (0x1F << 10), (16 << 10) | (16 << 5) | 16]
+    body = struct.pack("<3H", *vals) + b"\x00\x00"  # row pad to 8 bytes
+    w, h, ch, px = M.decode_image(bmp(3, 1, 16, body))
+    assert (w, h, ch) == (3, 1, 3)
+    assert list(px[0:3]) == [255, 255, 255]
+    assert list(px[3:6]) == [0, 0, 255]      # BGR: red last
+    assert list(px[6:9]) == [132, 132, 132]
+
+    # truncated 32-bit body is corrupt, not a crash
+    import pytest
+
+    with pytest.raises(ValueError):
+        M.decode_image(bmp(4, 4, 32, bytes(8)))
