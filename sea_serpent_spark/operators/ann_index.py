@@ -290,13 +290,23 @@ def incremental_semantic_dedup(
         _F.col("id").alias("id_a"), _F.col("v").alias("va"),
         _F.col("__n").alias("na"), "label",
     )
-    b = allv.select(
+    # the candidate join is keyed on the LIST id — deliberately
+    # low-cardinality, so a shuffle join collapses to ≤ |labels|
+    # reducers and the cosine verify serializes (measured: one 5-task
+    # job carrying the whole slot). Broadcast the DELTA side under the
+    # usual cap and fan the probe-all side out, exactly the
+    # ivf_index_topk posture — the verify then runs map-local at scan
+    # parallelism.
+    b = fan_out(allv).select(
         _F.col("id").alias("id_b"), _F.col("v").alias("vb"),
         _F.col("__n").alias("nb"), _F.col("__new").alias("new_b"),
         "label",
     )
     pairs = (
-        a.join(b, "label")
+        b.join(
+            _maybe_broadcast(a, n_delta <= BROADCAST_VERIFY_CAP),
+            "label",
+        )
         .where(
             (_F.col("id_a") != _F.col("id_b"))
             # each unordered pair once: new-new pairs meet from both

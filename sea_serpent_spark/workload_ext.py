@@ -785,22 +785,14 @@ def q43_embedding_near_dup(spark, sf_dir):
     import tempfile as _tf
 
     e = df(spark, sf_dir, "embeddings")
-    pairs = S.embedding_near_dup_pairs(
-        e, threshold=0.45, nbits=0
-    ).withColumn("op", F.lit("pair"))
     ed = e.withColumn("embedding", F.col("embedding").cast("array<double>"))
-    sem = S.semantic_dedup(
-        ed,
-        threshold=0.45,
-        centroids=SEMDEDUP_CENTROIDS,
-        keep="far_from_centroid",
-        nbits=0,
-    ).select(
-        F.col("vec_id").alias("id_a"),
-        F.lit(None).cast("long").alias("id_b"),
-        F.lit(None).cast("double").alias("cos"),
-        F.lit("semdedup").alias("op"),
-    )
+    # inc is built FIRST: incremental_semantic_dedup retires prior
+    # pair-operator caches on entry (the dedup-module contract), which
+    # would drop the still-LAZY pair/sem members' persisted frames if
+    # they were built before it — correct but recomputed, measured as
+    # +11 s on this slot. Its own output is cache-independent once
+    # built (the loser set is an eager checkpoint), so the later
+    # members can never hurt it.
     from .operators.ann_index import (
         build_ivf_index as _bivf,
         incremental_semantic_dedup as _isd,
@@ -822,6 +814,21 @@ def q43_embedding_near_dup(spark, sf_dir):
         F.lit(None).cast("long").alias("id_b"),
         F.lit(None).cast("double").alias("cos"),
         F.lit("inc").alias("op"),
+    )
+    pairs = S.embedding_near_dup_pairs(
+        e, threshold=0.45, nbits=0
+    ).withColumn("op", F.lit("pair"))
+    sem = S.semantic_dedup(
+        ed,
+        threshold=0.45,
+        centroids=SEMDEDUP_CENTROIDS,
+        keep="far_from_centroid",
+        nbits=0,
+    ).select(
+        F.col("vec_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.lit(None).cast("double").alias("cos"),
+        F.lit("semdedup").alias("op"),
     )
     return pairs.unionByName(sem).unionByName(inc)
 
