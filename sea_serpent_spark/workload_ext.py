@@ -742,9 +742,12 @@ def q41_ann_topk(spark, sf_dir):
     import shutil as _sh
 
     _sh.rmtree(inc_path, ignore_errors=True)
+    # no codebooks: this member probes with ivf_index_topk (raw
+    # vectors), so PQ-encoding the build AND the append would be pure
+    # slot cost; the ADC-over-tail path is pinned in test_ann_index
     build_ivf_index(
         ed.where(F.col("vec_id") % 2 == 0), inc_path,
-        centroids=SEMDEDUP_CENTROIDS, codebooks=PQ_CODEBOOKS,
+        centroids=SEMDEDUP_CENTROIDS,
     )
     append_to_ivf_index(ed.where(F.col("vec_id") % 2 == 1), inc_path)
     ivfa = ivf_index_topk(
