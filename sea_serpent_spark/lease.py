@@ -89,8 +89,17 @@ def _read_payload(path: str) -> dict:
 
 
 @contextmanager
-def writer_lease(root: str, name: str = LEASE_NAME, owner: str = ""):
+def writer_lease(
+    root: str,
+    name: str = LEASE_NAME,
+    owner: str = "",
+    ttl: float = 3600.0,  # noqa: ARG001 — deprecated, ignored
+):
     """Hold the single-writer lease for ``root`` during the block.
+
+    ``ttl`` is accepted-but-ignored for API stability: pre-r12 callers
+    passed it when the lease used stale-file expiry; the kernel-owned
+    flock has no TTL (a crashed holder releases instantly).
 
     Raises :class:`LeaseHeldError` if another process — or another
     THREAD of this process (r12) — holds it; re-acquiring on the same

@@ -110,7 +110,7 @@ def build_ivf_index(
             .partitionBy("label")
             .parquet(staging)
         )
-        meta = {"centroids": centroids}
+        meta = {"centroids": centroids, "id_col": id_col}
         if codebooks is not None:
             meta["codebooks"] = codebooks
         with open(os.path.join(staging, _ANN_META), "w") as fh:
@@ -383,7 +383,12 @@ def compact_ivf_index(spark: SparkSession, path: str) -> dict:
         src, meta = _resolve(path)
         before = _nfiles(src)
         full = _index_frame(spark, src)
-        id_sort = [c for c in full.columns if c not in ("label",)][0]
+        # sort key = the id column the build recorded in the sidecar
+        # (r13); the first-non-label-column fallback only serves
+        # pre-r13 indexes whose sidecar predates the key
+        id_sort = meta.get("id_col") or [
+            c for c in full.columns if c not in ("label",)
+        ][0]
         gen, staging = artifact.new_generation_dir(path)
         (
             full.repartition("label")

@@ -133,17 +133,23 @@ def url_dedup(
     """Keep the min-``id_col`` row per CANONICAL URL — the first-stage
     dedup of a crawl pipeline (run content dedup on the survivors).
     One groupBy over (canonical url) + a broadcast-friendly semi-join;
-    rows whose URL is NULL are kept (no URL ⇒ no URL-dup evidence)."""
+    rows whose URL is NULL are kept (no URL ⇒ no URL-dup evidence).
+    The semi-join keys on (id, canonical url) — id alone would keep
+    EVERY row sharing a winning id when ``id_col`` is not unique
+    (r12 advice); with unique ids the extra key is free (same shuffle,
+    the url column rides along)."""
     canon = normalize_url(F.col(url_col)).alias("__cu")
     keep = (
-        df.select(F.col(id_col), canon)
+        df.select(F.col(id_col).alias("__kid"), canon)
         .where(F.col("__cu").isNotNull())
         .groupBy("__cu")
-        .agg(F.min(id_col).alias("__kid"))
-        .select("__kid")
+        .agg(F.min("__kid").alias("__kid"))
     )
     kept = df.join(
-        keep, F.col(id_col) == F.col("__kid"), "left_semi"
+        keep,
+        (F.col(id_col) == F.col("__kid"))
+        & (normalize_url(F.col(url_col)) == F.col("__cu")),
+        "left_semi",
     )
     return kept.unionByName(
         df.where(F.col(url_col).isNull())

@@ -35,12 +35,50 @@ Design:
 from __future__ import annotations
 
 import os
+import threading
+from contextlib import contextmanager
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from ..operators.hashing import MINHASH_COEFFS, P, h32
+
+#: Guards the per-batch session-conf flip (shuffle partitions + fanout)
+#: shared by BOTH sinks in this module. Within one streaming query the
+#: batches run serially, but two concurrent queries on the same
+#: SparkSession would otherwise race the set/restore and one could
+#: restore the other's transient value (r12 advice). Held across the
+#: whole batch body — the conf is read at PLAN time throughout it —
+#: which serializes concurrent conf-flipping batches; parallelism-only
+#: impact, results unaffected either way.
+_CONF_FLIP_LOCK = threading.Lock()
+
+
+@contextmanager
+def _batch_confs(spark, batch_parallelism: int | None):
+    """Apply ``batch_parallelism`` to the session confs for one batch,
+    restoring the previous values on exit (no-op when unset)."""
+    if not batch_parallelism:
+        yield
+        return
+    from ..operators.util import FANOUT_CONF
+
+    with _CONF_FLIP_LOCK:
+        prev_fan = spark.conf.get(FANOUT_CONF, None)
+        prev_shuf = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(FANOUT_CONF, str(int(batch_parallelism)))
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(int(batch_parallelism))
+        )
+        try:
+            yield
+        finally:
+            if prev_fan is None:
+                spark.conf.unset(FANOUT_CONF)
+            else:
+                spark.conf.set(FANOUT_CONF, prev_fan)
+            spark.conf.set("spark.sql.shuffle.partitions", prev_shuf)
 
 
 def streaming_minhash_signature(
@@ -250,25 +288,8 @@ def incremental_dedup_sink(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if batch_parallelism:
-            from ..operators.util import FANOUT_CONF
-
-            prev_fan = spark.conf.get(FANOUT_CONF, None)
-            prev_shuf = spark.conf.get("spark.sql.shuffle.partitions")
-            spark.conf.set(FANOUT_CONF, str(int(batch_parallelism)))
-            spark.conf.set(
-                "spark.sql.shuffle.partitions", str(int(batch_parallelism))
-            )
-            try:
-                _sink_body(spark, batch_df)
-            finally:
-                if prev_fan is None:
-                    spark.conf.unset(FANOUT_CONF)
-                else:
-                    spark.conf.set(FANOUT_CONF, prev_fan)
-                spark.conf.set("spark.sql.shuffle.partitions", prev_shuf)
-            return
-        _sink_body(spark, batch_df)
+        with _batch_confs(spark, batch_parallelism):
+            _sink_body(spark, batch_df)
 
     def _sink_body(spark, batch_df: DataFrame) -> None:
         idx = read_band_index(spark, index_path)
@@ -374,24 +395,7 @@ def incremental_semantic_dedup_sink(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if batch_parallelism:
-            from ..operators.util import FANOUT_CONF
-
-            prev_fan = spark.conf.get(FANOUT_CONF, None)
-            prev_shuf = spark.conf.get("spark.sql.shuffle.partitions")
-            spark.conf.set(FANOUT_CONF, str(int(batch_parallelism)))
-            spark.conf.set(
-                "spark.sql.shuffle.partitions", str(int(batch_parallelism))
-            )
-            try:
-                _body(spark, batch_df)
-            finally:
-                if prev_fan is None:
-                    spark.conf.unset(FANOUT_CONF)
-                else:
-                    spark.conf.set(FANOUT_CONF, prev_fan)
-                spark.conf.set("spark.sql.shuffle.partitions", prev_shuf)
-            return
-        _body(spark, batch_df)
+        with _batch_confs(spark, batch_parallelism):
+            _body(spark, batch_df)
 
     return _sink
