@@ -23,6 +23,14 @@ it in SQL):
   ``msclkid``, ``ref``, ``mc_cid``, ``mc_eid``), remaining parameters
   SORTED (param order is never semantic in practice, and unsorted
   params are the #1 cause of missed URL dups);
+- percent-escapes of UNRESERVED characters decoded (``%7E`` → ``~``,
+  ``%41`` → ``A`` — RFC 3986 §2.3: encoders differ, the octets are
+  equivalent) and the hex of every REMAINING escape uppercased
+  (``%2f`` → ``%2F`` — §2.1 case-insensitivity), applied to the
+  path+query BEFORE param filtering/sorting so decoded params sort
+  canonically; malformed escapes (``%4``, ``%zz``) pass through
+  verbatim. Decoding only unreserved octets cannot create a
+  delimiter, so the URL's structure is untouched;
 - trailing path slashes stripped (root collapses to the bare
   authority);
 - inputs WITHOUT a scheme pass through untouched except trim +
@@ -31,9 +39,13 @@ it in SQL):
 ``registered_domain`` uses the pragmatic 2/3-label heuristic (last two
 labels, or three when the second-level label is a known generic like
 ``co``/``com``/``ac`` under a 2-character ccTLD — ``example.co.uk``).
-A full Public-Suffix-List lookup is a broadcast-joinable table a
-deployment can layer on top; the heuristic covers the overwhelmingly
-common cases and stays expression-only.
+It stays expression-only (zero dependencies, zero joins) and covers
+the overwhelmingly common cases. :func:`registered_domain_psl` (r13)
+is the exact variant: a snapshot Public Suffix List (normal, ``*.``
+wildcard and ``!`` exception rules — parse raw lines with
+:func:`psl_rules_df`) is BROADCAST-joined once per rule-label-width,
+so the lookup is k map-side hash probes per row — no shuffle, no row
+multiplication, scale-identical to the heuristic.
 
 Reference: the reference has no web/URL surface (HTTP client for a
 table server) — beyond-reference LLM-pipeline extension (SURVEY §7
@@ -42,14 +54,24 @@ Phase 5), same family as the text-analysis operators.
 
 from __future__ import annotations
 
+import string
+
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 
 #: Tracking parameters dropped by :func:`normalize_url` — matched
 #: against the full ``name=value`` token (or bare ``name``).
 TRACKING_PARAM_RE = (
     r"^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)(=.*)?$"
 )
+
+#: uppercase-hex byte → decoded char for RFC 3986 unreserved octets
+#: (ALPHA / DIGIT / ``-._~``) — the only escapes safe to decode
+#: without changing URL structure.
+_UNRESERVED = {
+    f"{ord(c):02X}": c
+    for c in string.ascii_letters + string.digits + "-._~"
+}
 
 #: Second-level labels that form a registered domain together with a
 #: 2-character ccTLD (``example.co.uk`` → three labels).
@@ -69,11 +91,44 @@ def _parts(col: Column):
     return u, scheme, auth, pathq
 
 
+def _pct_normalize(s: Column) -> Column:
+    """Percent-escape normalization (module docstring): decode
+    unreserved escapes, uppercase the hex of the rest, pass malformed
+    escapes through verbatim. Pure array/string expressions: split on
+    ``%``, rewrite the head of each following piece, rejoin — row-
+    local, constant-foldable decode map, no UDF."""
+    dec = F.create_map(
+        *[F.lit(x) for kv in _UNRESERVED.items() for x in kv]
+    )
+    pieces = F.split(s, "%", -1)
+
+    def _fix(p: Column, i: Column) -> Column:
+        hx = F.upper(F.substring(p, 1, 2))
+        rest = F.substring(p, 3, 1 << 30)
+        decoded = F.element_at(dec, hx)
+        return (
+            F.when(i == 0, p)  # text before the first '%'
+            .when(
+                ~p.rlike("^[0-9A-Fa-f]{2}"),  # malformed: keep verbatim
+                F.concat(F.lit("%"), p),
+            )
+            .when(decoded.isNotNull(), F.concat(decoded, rest))
+            .otherwise(F.concat(F.lit("%"), hx, rest))
+        )
+
+    return F.array_join(F.transform(pieces, _fix), "")
+
+
 def normalize_url(col: Column) -> Column:
     """Canonical form of a URL column (policy in the module docstring).
     NULL-safe; scheme-less inputs pass through (trim + fragment strip
     only)."""
     u, scheme, auth, pathq = _parts(col)
+    # decode/normalize percent-escapes BEFORE splitting params so
+    # decoded params sort canonically; unreserved decodes cannot
+    # introduce '/', '?', '&' or '=' (all reserved), so structure
+    # parsing below is unaffected
+    pathq = _pct_normalize(pathq)
     host = F.lower(auth)
     host = (
         F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
@@ -125,6 +180,115 @@ def registered_domain(col: Column) -> Column:
         .when(n >= 2, F.array_join(F.slice(parts, -2, 2), "."))
         .otherwise(host)
     )
+
+
+def psl_rules_df(spark: SparkSession, rules: list[str]) -> DataFrame:
+    """Parse raw Public-Suffix-List lines → a broadcast-joinable rules
+    table ``[key, key_labels, is_norm, is_wild, is_exc]``. Comments
+    (``//``) and blanks are skipped; ``*.foo`` stores key ``foo`` with
+    ``is_wild`` (public suffix = any ``<label>.foo``); ``!bar.foo``
+    stores key ``bar.foo`` with ``is_exc`` (overrides a covering
+    wildcard: ``bar.foo`` is a REGISTERED domain, its public suffix is
+    ``foo``). Kinds are FOLDED per key — ``foo`` + ``*.foo`` share one
+    row — so keys are unique and the lookup join cannot multiply rows.
+    The snapshot is caller-provided — the engine ships no PSL copy;
+    pass the file's lines (https://publicsuffix.org/list/, MPL-2.0)."""
+    folded: dict[str, list[bool]] = {}
+    for raw in rules:
+        r = raw.strip().lower()
+        if not r or r.startswith("//"):
+            continue
+        if r.startswith("!"):
+            body, slot = r[1:], 2
+        elif r.startswith("*."):
+            body, slot = r[2:], 1
+        else:
+            body, slot = r, 0
+        folded.setdefault(body, [False, False, False])[slot] = True
+    return spark.createDataFrame(
+        [
+            (k, k.count(".") + 1, v[0], v[1], v[2])
+            for k, v in folded.items()
+        ],
+        "key string, key_labels int, is_norm boolean, "
+        "is_wild boolean, is_exc boolean",
+    )
+
+
+def registered_domain_psl(
+    df: DataFrame,
+    psl: DataFrame,
+    url_col: str = "url",
+    out_col: str = "domain",
+    max_rule_labels: int = 4,
+) -> DataFrame:
+    """``df`` + ``out_col`` = exact PSL registered domain of
+    ``url_col`` (NULL when the host has no registered domain — empty,
+    or itself a public suffix).
+
+    Spark-first shape: one BROADCAST left join per rule width k
+    (host's last-k labels vs the k-label rules) — map-side hash
+    probes, zero shuffle, zero row multiplication (PSL keys are
+    unique), so at 100 TB this costs the same as the heuristic
+    expression. PSL algorithm: the longest matching rule wins, an
+    exception rule beats everything (its public suffix is the rule
+    minus its leftmost label); no match ⇒ the implicit ``*`` rule
+    (public suffix = the last label)."""
+    host = url_host(F.col(url_col))
+    out = df.withColumn("__hl", F.split(host, r"\."))
+    n = F.size("__hl")
+    for k in range(1, max_rule_labels + 1):
+        rules_k = F.broadcast(
+            psl.where(F.col("key_labels") == k).select(
+                F.col("key").alias(f"__pk{k}"),
+                F.col("is_norm").alias(f"__nm{k}"),
+                F.col("is_wild").alias(f"__wl{k}"),
+                F.col("is_exc").alias(f"__xc{k}"),
+            )
+        )
+        suffix_k = F.array_join(F.slice(F.col("__hl"), -k, k), ".")
+        out = out.join(
+            rules_k,
+            (F.size("__hl") >= k) & (suffix_k == F.col(f"__pk{k}")),
+            "left",
+        )
+    # public-suffix label count: exception (longest first) overrides;
+    # else max over matches (norm rule of width k ⇒ k; wildcard key of
+    # width k covers one extra label ⇒ k+1); default rule '*' ⇒ 1
+    exc_len = F.coalesce(
+        *[
+            F.when(F.col(f"__xc{k}"), F.lit(k - 1))
+            for k in range(max_rule_labels, 0, -1)
+        ],
+        F.lit(None).cast("int"),
+    )
+    match_len = F.greatest(
+        F.lit(1),
+        *[
+            c
+            for k in range(1, max_rule_labels + 1)
+            for c in (
+                F.when(F.col(f"__nm{k}"), F.lit(k)),
+                F.when(F.col(f"__wl{k}"), F.lit(k + 1)),
+            )
+        ],
+    )
+    out = out.withColumn(
+        "__pslen", F.coalesce(exc_len, match_len)
+    ).withColumn(
+        out_col,
+        F.when(
+            (F.element_at("__hl", 1) != "") & (n > F.col("__pslen")),
+            F.expr(
+                "array_join(slice(__hl, -(__pslen + 1), __pslen + 1),"
+                " '.')"
+            ),
+        ),
+    )
+    drop = ["__hl", "__pslen"]
+    for k in range(1, max_rule_labels + 1):
+        drop += [f"__pk{k}", f"__nm{k}", f"__wl{k}", f"__xc{k}"]
+    return out.drop(*drop)
 
 
 def url_dedup(

@@ -219,19 +219,23 @@ def q30_text_analysis(spark, sf_dir):
     did = F.col("doc_id")
     d7 = (did % 7).cast("int")
     p50 = (did % 50).cast("int")
+    # r13: variants 0/1/4 additionally carry percent-escapes — v0's
+    # %-encoded path decodes to v2's (the cross-variant dedup group now
+    # proves escape folding), v1 exercises %7E→~, v4 exercises hex-case
+    # uppercasing of a NON-decodable escape (%2f → %2F kept encoded)
     raw_url = (
         F.when(did % 5 == 0, F.format_string(
-            "HTTPS://Example%d.COM:443/path/%d/?utm_source=x#frag",
+            "HTTPS://Example%d.COM:443/p%%61th/%d/?utm_source=x#frag",
             d7, p50))
         .when(did % 5 == 1, F.format_string(
-            "http://Blog.example%d.CO.UK:80/post/%d", d7, p50))
+            "http://Blog.example%d.CO.UK:80/post/%%7E%d", d7, p50))
         .when(did % 5 == 2, F.format_string(
             "https://example%d.com/path/%d", d7, p50))
         .when(did % 5 == 3, F.format_string(
             "ftp://files.example%d.org:21/%d", d7, p50))
         .otherwise(F.format_string(
             "https://cdn.example%d.net/x/%d"
-            "?gclid=1&z=9&utm_campaign=c&a=1", d7, p50))
+            "?gclid=1&z=9&utm_campaign=c&a=1&p=%%2fx", d7, p50))
     )
     with_urls = d.select("doc_id", raw_url.alias("url"))
     url_rows = with_urls.select(
@@ -262,9 +266,50 @@ def q30_text_analysis(spark, sf_dir):
         F.lit("urldedup").alias("op"),
         F.lit(None).cast("string").alias("pii_text"),
     )
+    # op='psl' (r13, web.registered_domain_psl): exact Public-Suffix-
+    # List registered domains over a snapshot exercising every rule
+    # kind — multi-label suffix (co.uk), private suffix (github.io),
+    # wildcard (*.ck), exception (!www.ck), and a host that IS a
+    # public suffix (NULL domain). Broadcast-join lookup; the oracle
+    # states the expected strings independently.
+    psl_url = (
+        F.when(did % 6 == 0, F.format_string(
+            "https://a.b.example%d.co.uk/x", d7))
+        .when(did % 6 == 1, F.format_string(
+            "https://foo.user%d.github.io/p", d7))
+        .when(did % 6 == 2, F.lit("https://www.ck/z"))
+        .when(did % 6 == 3, F.format_string(
+            "https://shop.store%d.ck/z", d7))
+        .when(did % 6 == 4, F.format_string(
+            "https://example%d.com/x", d7))
+        .otherwise(F.lit("https://co.uk/"))
+    )
+    psl_snapshot = WB.psl_rules_df(
+        d.sparkSession,
+        ["com", "uk", "co.uk", "io", "github.io", "*.ck", "!www.ck"],
+    )
+    psl_rows = WB.registered_domain_psl(
+        d.select("doc_id", psl_url.alias("url")),
+        psl_snapshot,
+        out_col="__psld",
+    ).select(
+        "doc_id",
+        F.lit(None).cast("int").alias("n_tokens"),
+        *[
+            F.lit(None).cast("double").alias(m)
+            for m in ("punct_ratio", "stopword_ratio", "quality")
+        ],
+        WB.url_host(F.col("url")).alias("lang_pred"),
+        F.col("__psld").alias("fp"),
+        F.lit(None).cast("double").alias("dup_word_frac"),
+        F.lit(None).cast("double").alias("dup_2gram_frac"),
+        F.lit("psl").alias("op"),
+        F.lit(None).cast("string").alias("pii_text"),
+    )
     return (
         text_rows.unionByName(pii_rows)
         .unionByName(url_rows).unionByName(dedup_rows)
+        .unionByName(psl_rows)
     )
 
 
@@ -2113,11 +2158,11 @@ SELECT doc_id, CAST(NULL AS INT) AS n_tokens,
   CAST(NULL AS DOUBLE) AS dup_2gram_frac,
   'url' AS op,
   CASE doc_id % 5
-    WHEN 1 THEN printf('http://blog.example%d.co.uk/post/%d',
+    WHEN 1 THEN printf('http://blog.example%d.co.uk/post/~%d',
                        doc_id % 7, doc_id % 50)
     WHEN 3 THEN printf('ftp://files.example%d.org:21/%d',
                        doc_id % 7, doc_id % 50)
-    WHEN 4 THEN printf('https://cdn.example%d.net/x/%d?a=1&z=9',
+    WHEN 4 THEN printf('https://cdn.example%d.net/x/%d?a=1&p=%%2Fx&z=9',
                        doc_id % 7, doc_id % 50)
     ELSE printf('https://example%d.com/path/%d',
                 doc_id % 7, doc_id % 50) END AS pii_text
@@ -2134,16 +2179,39 @@ SELECT MIN(doc_id) AS doc_id, CAST(NULL AS INT) AS n_tokens,
 FROM (
   SELECT doc_id,
     CASE doc_id % 5
-      WHEN 1 THEN printf('http://blog.example%d.co.uk/post/%d',
+      WHEN 1 THEN printf('http://blog.example%d.co.uk/post/~%d',
                          doc_id % 7, doc_id % 50)
       WHEN 3 THEN printf('ftp://files.example%d.org:21/%d',
                          doc_id % 7, doc_id % 50)
-      WHEN 4 THEN printf('https://cdn.example%d.net/x/%d?a=1&z=9',
+      WHEN 4 THEN printf('https://cdn.example%d.net/x/%d?a=1&p=%%2Fx&z=9',
                          doc_id % 7, doc_id % 50)
       ELSE printf('https://example%d.com/path/%d',
                   doc_id % 7, doc_id % 50) END AS cu
   FROM documents)
 GROUP BY cu
+UNION ALL
+SELECT doc_id, CAST(NULL AS INT) AS n_tokens,
+  CAST(NULL AS DOUBLE) AS punct_ratio,
+  CAST(NULL AS DOUBLE) AS stopword_ratio,
+  CAST(NULL AS DOUBLE) AS quality,
+  CASE doc_id % 6
+    WHEN 0 THEN printf('a.b.example%d.co.uk', doc_id % 7)
+    WHEN 1 THEN printf('foo.user%d.github.io', doc_id % 7)
+    WHEN 2 THEN 'www.ck'
+    WHEN 3 THEN printf('shop.store%d.ck', doc_id % 7)
+    WHEN 4 THEN printf('example%d.com', doc_id % 7)
+    ELSE 'co.uk' END AS lang_pred,
+  CASE doc_id % 6
+    WHEN 0 THEN printf('example%d.co.uk', doc_id % 7)
+    WHEN 1 THEN printf('user%d.github.io', doc_id % 7)
+    WHEN 2 THEN 'www.ck'
+    WHEN 3 THEN printf('shop.store%d.ck', doc_id % 7)
+    WHEN 4 THEN printf('example%d.com', doc_id % 7)
+    ELSE CAST(NULL AS VARCHAR) END AS fp,
+  CAST(NULL AS DOUBLE) AS dup_word_frac,
+  CAST(NULL AS DOUBLE) AS dup_2gram_frac,
+  'psl' AS op, CAST(NULL AS VARCHAR) AS pii_text
+FROM documents
 """
 
 ORACLES_EXT = {k: v for k, v in ORACLES_EXT.items() if v is not None}

@@ -85,8 +85,9 @@ def test_normalize_url_idempotent(spark):
     cases = []
     for scheme in ("http", "HTTPS", "ftp", ""):
         for host in ("Example.COM", "a.b.co.uk", "x.io:8080"):
-            for path in ("", "/", "/p/q/", "/p"):
-                for q in ("", "?b=2&a=1", "?utm_source=x", "?a=1&utm_x=2"):
+            for path in ("", "/", "/p/q/", "/p", "/p%61th", "/%7Ex%"):
+                for q in ("", "?b=2&a=1", "?utm_source=x",
+                          "?a=1&utm_x=2", "?k=%2fv&j=%41"):
                     for frag in ("", "#f"):
                         pre = f"{scheme}://" if scheme else ""
                         cases.append(pre + host + path + q + frag)
@@ -100,3 +101,67 @@ def test_normalize_url_idempotent(spark):
     ).collect()
     bad = [(r["c1"], r["c2"]) for r in out if r["c1"] != r["c2"]]
     assert not bad, bad[:5]
+
+
+def test_percent_escape_normalization(spark):
+    """RFC 3986: unreserved escapes decode (%41→A, %7E→~), other
+    escapes keep their encoding with UPPERCASED hex (%2f→%2F),
+    malformed escapes pass through verbatim (r13)."""
+    rows = [
+        (1, "https://ex.com/p%61th/1"),       # %61 → a
+        (2, "https://ex.com/%7Euser"),        # %7E → ~
+        (3, "https://ex.com/a?q=%2fx"),       # %2f stays, hex upper
+        (4, "https://ex.com/a%ZZb%"),         # malformed: verbatim
+        (5, "https://ex.com/a%4"),            # truncated: verbatim
+        (6, "https://ex.com/%41%42?x=%7e"),   # mixed case decodes too
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = _m(df, W.normalize_url(F.col("url")))
+    assert got[1] == "https://ex.com/path/1"
+    assert got[2] == "https://ex.com/~user"
+    assert got[3] == "https://ex.com/a?q=%2Fx"
+    assert got[4] == "https://ex.com/a%ZZb%"
+    assert got[5] == "https://ex.com/a%4"
+    assert got[6] == "https://ex.com/AB?x=~"
+    # escape folding feeds dedup: %61 form and plain form are one group
+    pair = spark.createDataFrame(
+        [(1, "https://ex.com/p%61th"), (2, "https://ex.com/path")],
+        "doc_id long, url string",
+    )
+    assert [r["doc_id"] for r in W.url_dedup(pair).collect()] == [1]
+
+
+def test_registered_domain_psl(spark):
+    """Exact PSL lookup (r13): longest rule wins; `*.` wildcards add a
+    label; `!` exceptions override their wildcard; a host that IS a
+    public suffix has no registered domain; unknown TLDs get the
+    implicit `*` rule. Pure broadcast joins — no shuffle."""
+    psl = W.psl_rules_df(
+        spark,
+        ["// snapshot", "", "com", "uk", "co.uk", "io", "github.io",
+         "ck", "*.ck", "!www.ck"],
+    )
+    rows = [
+        (1, "https://a.b.example.co.uk/x", "example.co.uk"),
+        (2, "https://foo.user.github.io/p", "user.github.io"),
+        (3, "https://www.ck/z", "www.ck"),            # exception
+        (4, "https://x.www.ck/z", "www.ck"),          # under exception
+        (5, "https://shop.any.ck/z", "shop.any.ck"),  # wildcard
+        (6, "https://example.com/x", "example.com"),
+        (7, "https://co.uk/", None),                  # IS a suffix
+        (8, "https://localhost/x", None),             # single label
+        (9, "https://a.unknowntld/x", "a.unknowntld"),  # implicit *
+        (10, "", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, exp string")
+    out = W.registered_domain_psl(df, psl)
+    assert out.count() == len(rows)  # folded keys: no row multiplication
+    bad = [
+        (r["url"], r["domain"], r["exp"])
+        for r in out.collect()
+        if r["domain"] != r["exp"]
+    ]
+    assert not bad, bad
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
