@@ -223,11 +223,12 @@ def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
     - JPEG: sequential AND progressive JFIF from scratch — huffman
       entropy decode (incl. progressive spectral selection, successive
       approximation, and EOBn runs), dequantize, 8×8 IDCT, chroma
-      upsample, YCbCr→RGB (:func:`_decode_jpeg`).
-      Lossless/hierarchical/arithmetic variants raise
-      NotImplementedError (vanishingly rare in scraped corpora; a
-      PIL-backed decoder drops into the same mapInPandas worker
-      unchanged).
+      upsample, YCbCr→RGB, and 4-component Adobe CMYK/YCCK (APP14
+      transform byte, inverted samples, un-ink to RGB — r13)
+      (:func:`_decode_jpeg`). Lossless/hierarchical/arithmetic
+      variants raise NotImplementedError (vanishingly rare in scraped
+      corpora; a PIL-backed decoder drops into the same mapInPandas
+      worker unchanged).
 
     Unrecognized containers raise ValueError."""
     b = bytes(data or b"")
@@ -536,18 +537,85 @@ def _decode_bmp_rle(
     return w, h, 3, bytes(out)
 
 
+def _expand_bits(v: int, width: int) -> int:
+    """``width``-bit channel value → 8 bits by bit replication —
+    ``(v << 3) | (v >> 2)`` for 5-bit, the same convention the RGB555
+    path uses, generalized to any mask width (repeat the field until
+    ≥8 bits, keep the top 8)."""
+    if width >= 8:
+        return v >> (width - 8)
+    x, bits = v, width
+    while bits < 8:
+        x = (x << width) | v
+        bits += width
+    return x >> (bits - 8)
+
+
 def _decode_bmp(b: bytes) -> tuple[int, int, int, bytes]:
     """BITMAPINFOHEADER BMP: bottom-up 4-byte-padded rows → top-down
     pixel bytes. 24-bit direct BGR, palettized 1/4/8-bit (r11 — the
     legacy web-scrape formats): MSB-first index unpack, mapped through
     the BGRA color table after the header (entry count = biClrUsed, or
-    2^bpp when 0), and RLE8/RLE4 run compression (r12,
-    :func:`_decode_bmp_rle`). Channel order follows the container
-    (BGR) in all paths. Only BITFIELDS & friends remain out of scope."""
+    2^bpp when 0), RLE8/RLE4 run compression (r12,
+    :func:`_decode_bmp_rle`), and BI_BITFIELDS 16/32-bit with
+    arbitrary contiguous channel masks (r13 — canonical 565 included;
+    channels expand to 8 bits by bit replication, :func:`_expand_bits`).
+    Channel order follows the container (BGR) in all paths. Only
+    JPEG/PNG-in-BMP passthrough (BI_JPEG/BI_PNG) remains out of
+    scope."""
     (off,) = struct.unpack("<I", b[10:14])
     w, h = struct.unpack("<ii", b[18:26])
     (bpp,) = struct.unpack("<H", b[28:30])
     (compression,) = struct.unpack("<I", b[30:34])
+    if compression == 3:
+        # BI_BITFIELDS: per-channel masks in the 3 DWORDs at byte 54
+        # (directly after a 40-byte BITMAPINFOHEADER; V4/V5 headers
+        # place their mask fields at the same absolute offset)
+        if bpp not in (16, 32):
+            raise ValueError(
+                f"BMP BI_BITFIELDS requires 16/32-bit pixels, got {bpp}"
+            )
+        if len(b) < 66:
+            raise ValueError("truncated BMP BITFIELDS masks")
+        masks = struct.unpack("<III", b[54:66])  # R, G, B
+        fields = []
+        for m in masks:
+            if m == 0:
+                fields.append((0, 0))
+                continue
+            shift = (m & -m).bit_length() - 1
+            width = (m >> shift).bit_length()
+            if (m >> shift) != (1 << width) - 1 or m >> shift + width:
+                raise ValueError(
+                    f"non-contiguous BMP channel mask 0x{m:08X}"
+                )
+            fields.append((shift, width))
+        topdown = h < 0
+        h = abs(h)
+        _check_dims(w, h)
+        nbytes = bpp // 8
+        row = (w * nbytes + 3) // 4 * 4
+        if off + row * h > len(b) or off < 0:
+            raise ValueError("truncated BMP pixel data")
+        out = bytearray(w * 3 * h)
+        for y in range(h):
+            src = y if topdown else h - 1 - y
+            base = off + src * row
+            orow = y * w * 3
+            for x in range(w):
+                q = base + nbytes * x
+                px = int.from_bytes(b[q:q + nbytes], "little")
+                for ci, (shift, width) in enumerate(fields):
+                    val = (
+                        0
+                        if width == 0
+                        else _expand_bits(
+                            (px >> shift) & ((1 << width) - 1), width
+                        )
+                    )
+                    # masks are R,G,B; container order is BGR
+                    out[orow + 3 * x + (2 - ci)] = val
+        return w, h, 3, bytes(out)
     if compression in (1, 2):
         if (compression == 1) != (bpp == 8) or (
             compression == 2
@@ -567,7 +635,8 @@ def _decode_bmp(b: bytes) -> tuple[int, int, int, bytes]:
     if compression != 0:
         raise NotImplementedError(
             f"BMP compression {compression} unsupported "
-            "(BI_RGB / BI_RLE8 / BI_RLE4 only)"
+            "(BI_RGB / BI_RLE8 / BI_RLE4 / BI_BITFIELDS only — "
+            "BI_JPEG/BI_PNG passthrough is out of scope)"
         )
     topdown = h < 0
     h = abs(h)
@@ -1068,6 +1137,7 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
     dri = 0
     state = None
     saw_scan = False
+    adobe_transform = None  # APP14: 0=CMYK/RGB, 1=YCbCr, 2=YCCK
     i = 2
     n = len(b)
     while i + 4 <= n:
@@ -1125,10 +1195,10 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
             if hgt == 0 or wdt == 0 or not comps:
                 raise ValueError("empty JPEG frame")
             _check_dims(wdt, hgt)
-            if len(comps) not in (1, 3):
+            if len(comps) not in (1, 3, 4):
                 raise NotImplementedError(
                     f"{len(comps)}-component JPEG unsupported "
-                    "(grayscale/YCbCr)"
+                    "(grayscale / YCbCr / CMYK-YCCK)"
                 )
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
@@ -1148,6 +1218,10 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
             )
         elif m == 0xDD:  # DRI
             (dri,) = struct.unpack(">H", seg[:2])
+        elif m == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            # APP14 Adobe transform byte — the 4-component color-space
+            # discriminator (r13): 2 = YCCK, else inverted CMYK
+            adobe_transform = seg[11]
         elif m == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG scan before frame header")
@@ -1202,18 +1276,38 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
         full.append(plane[:hgt, :wdt])
     if len(full) == 1:
         return wdt, hgt, 1, full[0].tobytes()
-    y = full[0].astype(float)
-    cb = full[1].astype(float) - 128.0
-    cr = full[2].astype(float) - 128.0
-    rgb = np.stack(
-        [
-            y + 1.402 * cr,
-            y - 0.344136 * cb - 0.714136 * cr,
-            y + 1.772 * cb,
-        ],
-        axis=-1,
-    )
-    rgb = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+    def _ycc_to_rgb(p0, p1, p2):
+        y = p0.astype(float)
+        cb = p1.astype(float) - 128.0
+        cr = p2.astype(float) - 128.0
+        rgb = np.stack(
+            [
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ],
+            axis=-1,
+        )
+        return np.clip(np.rint(rgb), 0, 255)
+
+    if len(full) == 4:
+        # Adobe 4-component JPEG (r13): samples are stored INVERTED
+        # (255−C … 255−K — the Adobe convention every CMYK JPEG in the
+        # wild uses). YCCK (transform 2) additionally routes the
+        # inverted CMY through the YCbCr transform. RGB out via the
+        # multiplicative un-ink formula R = (255−C)(255−K)/255, which
+        # on inverted samples is simply s_C·s_K/255.
+        if adobe_transform == 2:
+            cmy = _ycc_to_rgb(full[0], full[1], full[2])
+        else:
+            cmy = np.stack(
+                [f.astype(float) for f in full[:3]], axis=-1
+            )
+        k = full[3].astype(float)[..., None]
+        rgb = np.clip(np.rint(cmy * k / 255.0), 0, 255).astype(np.uint8)
+        return wdt, hgt, 3, rgb.tobytes()
+    rgb = _ycc_to_rgb(full[0], full[1], full[2]).astype(np.uint8)
     return wdt, hgt, 3, rgb.tobytes()
 
 
@@ -1339,7 +1433,9 @@ def _decode_jpeg_scan(
     return _skip_to_marker(b, bits.i)
 
 
-def jpeg_bytes(w: int, h: int, pattern: bool = False) -> bytes:
+def jpeg_bytes(
+    w: int, h: int, pattern: bool = False, cmyk: bool = False
+) -> bytes:
     """A COMPLETE valid baseline-sequential grayscale JPEG with
     EXACTLY-decodable content: quant table all ones, every 8×8 block
     FLAT with value :func:`_pattern_px`(bx, by) (bx/by = block grid
@@ -1348,9 +1444,16 @@ def jpeg_bytes(w: int, h: int, pattern: bool = False) -> bytes:
     format, lossless construction: any spec decoder (including
     :func:`_decode_jpeg`) reproduces pixel(x, y) =
     ``_pattern_px(x // 8, y // 8)`` bit-exactly, giving the q53 oracle a
-    closed-form pixel sum. ``pattern=False`` writes all-zero blocks."""
+    closed-form pixel sum. ``pattern=False`` writes all-zero blocks.
+
+    ``cmyk=True`` (r13) emits a 4-component Adobe (APP14 transform 0)
+    file instead: inverted-CMY channels all carry the pattern value
+    and inverted-K is a flat 255, so the un-ink conversion
+    s·255/255 reproduces pixel(x, y) = pattern on ALL THREE RGB
+    channels — decoded sum is exactly 3× the grayscale file's."""
     bw = (w + 7) // 8
     bh = (h + 7) // 8
+    ncomp = 4 if cmyk else 1
     # custom DHT: DC categories 0..11 as 4-bit codes (the all-ones
     # 4-bit code stays unused per T.81 §C.2); AC needs only EOB
     dc_counts = [0, 0, 0, 12] + [0] * 12
@@ -1376,20 +1479,30 @@ def jpeg_bytes(w: int, h: int, pattern: bool = False) -> bytes:
                 out.append(0x00)  # byte stuffing
         acc[0] &= (1 << acc[1]) - 1
 
-    pred = 0
+    preds = [0] * ncomp
     for my in range(bh):
         for mx in range(bw):
             v = _pattern_px(mx, my) if pattern else 0
-            dc = 8 * (v - 128)
-            diff = dc - pred
-            pred = dc
-            s = diff.bit_length() if diff >= 0 else (-diff).bit_length()
-            ln, code = enc_dc[s]
-            emit(code, ln)
-            if s:
-                emit(diff if diff >= 0 else diff + (1 << s) - 1, s)
-            ln, code = enc_ac[0x00]  # EOB: all 63 AC coefficients zero
-            emit(code, ln)
+            # interleaved MCU = one block per component, each with its
+            # OWN DC predictor; CMYK stores pattern on C/M/Y, 255 on K
+            for ci in range(ncomp):
+                cv = 255 if (cmyk and ci == 3) else v
+                dc = 8 * (cv - 128)
+                diff = dc - preds[ci]
+                preds[ci] = dc
+                s = (
+                    diff.bit_length()
+                    if diff >= 0
+                    else (-diff).bit_length()
+                )
+                ln, code = enc_dc[s]
+                emit(code, ln)
+                if s:
+                    emit(
+                        diff if diff >= 0 else diff + (1 << s) - 1, s
+                    )
+                ln, code = enc_ac[0x00]  # EOB: 63 zero AC coefficients
+                emit(code, ln)
     if acc[1]:  # pad the final byte with 1-bits (T.81 §F.1.2.3)
         pad = 8 - acc[1]
         emit((1 << pad) - 1, pad)
@@ -1402,16 +1515,30 @@ def jpeg_bytes(w: int, h: int, pattern: bool = False) -> bytes:
     dqt = seg(0xDB, b"\x00" + bytes([1] * 64))
     sof = seg(
         0xC0,
-        b"\x08" + struct.pack(">HH", h, w) + b"\x01" + b"\x01\x11\x00",
+        b"\x08" + struct.pack(">HH", h, w) + bytes((ncomp,))
+        + b"".join(
+            bytes((cid, 0x11, 0)) for cid in range(1, ncomp + 1)
+        ),
     )
     dht = seg(
         0xC4,
         b"\x00" + bytes(dc_counts) + bytes(dc_vals)
         + b"\x10" + bytes(ac_counts) + bytes(ac_vals),
     )
-    sos = seg(0xDA, b"\x01" + b"\x01\x00" + b"\x00\x3f\x00")
+    sos = seg(
+        0xDA,
+        bytes((ncomp,))
+        + b"".join(bytes((cid, 0)) for cid in range(1, ncomp + 1))
+        + b"\x00\x3f\x00",
+    )
+    app14 = (
+        seg(0xEE, b"Adobe" + struct.pack(">HHHB", 101, 0, 0, 0))
+        if cmyk
+        else b""
+    )
     return (
-        b"\xff\xd8" + dqt + sof + dht + sos + bytes(out) + b"\xff\xd9"
+        b"\xff\xd8" + app14 + dqt + sof + dht + sos
+        + bytes(out) + b"\xff\xd9"
     )
 
 
@@ -1647,12 +1774,36 @@ def bmp_bytes(
     """A complete valid BITMAPINFOHEADER BMP. ``variant`` selects the
     storage layout so every path of :func:`_decode_bmp` is
     hash-checkable: 0 = 24-bit BI_RGB (4-byte row padding, bottom-up),
-    1 = 8-bit palettized BI_RGB, 2 = 8-bit BI_RLE8, 3 = 4-bit BI_RLE4.
+    1 = 8-bit palettized BI_RGB, 2 = 8-bit BI_RLE8, 3 = 4-bit BI_RLE4,
+    4 = 16-bit BI_BITFIELDS with the canonical 565 masks (r13).
     ``pattern`` sets pixel (x, y) to :func:`_pattern_px` on all three
     channels — variants 0–2 use a 256-entry grayscale palette (or
     direct gray), so pixel sum = 3 × Σ pattern; variant 3 is limited
     to 16 colors, palette[i] = (i, i, i), index = pattern % 16 → sum =
-    3 × Σ (pattern % 16) (the q53 oracle mirrors the cycle)."""
+    3 × Σ (pattern % 16); variant 4 quantizes the pattern to 5/6/5
+    bits, so sum = Σ (2·rep5(v ≫ 3) + rep6(v ≫ 2)) with repN the bit-
+    replication expansion (the q53 oracle mirrors the cycle)."""
+    if variant == 4:
+        # 16-bit BI_BITFIELDS, canonical 565 masks after the header
+        row = (w * 2 + 3) // 4 * 4
+        pix = row * h
+        off = 14 + 40 + 12
+        header = b"BM" + struct.pack("<IHHI", off + pix, 0, 0, off)
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 16, 3, pix, 2835, 2835, 0, 0
+        )
+        masks = struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+        body = bytearray(pix)
+        for yy in range(h):  # bottom-up storage order
+            y = h - 1 - yy
+            base = yy * row
+            for x in range(w):
+                v = _pattern_px(x, y) if pattern else 0
+                px = ((v >> 3) << 11) | ((v >> 2) << 5) | (v >> 3)
+                body[base + 2 * x:base + 2 * x + 2] = struct.pack(
+                    "<H", px
+                )
+        return header + dib + masks + bytes(body)
     if variant == 0:
         row = (w * 3 + 3) // 4 * 4
         pix = row * h
@@ -1786,12 +1937,13 @@ def synthesize_test_media(
                 out.append(gif_bytes(w, h, pattern=pat))
             elif kind == 2:
                 # BMP sub-variant cycles on the NEXT digit (the PNG
-                # pattern): 24-bit / 8-bit palette / RLE8 / RLE4 — every
-                # storage layout _decode_bmp supports is hash-checked
-                # (r12; RLE4's 16-color limit folds the pattern mod 16,
-                # mirrored by the oracle)
+                # pattern): 24-bit / 8-bit palette / RLE8 / RLE4 /
+                # 565-BITFIELDS — every storage layout _decode_bmp
+                # supports is hash-checked (r12-r13; RLE4's 16-color
+                # limit folds the pattern mod 16, BITFIELDS quantizes
+                # it to 5/6/5 bits — both mirrored by the oracle)
                 out.append(bmp_bytes(
-                    w, h, pattern=pat, variant=(i // 5) % 4
+                    w, h, pattern=pat, variant=(i // 5) % 5
                 ))
             elif kind == 3:
                 # WAV sub-variant cycles on the NEXT digit (r12):
@@ -1803,7 +1955,14 @@ def synthesize_test_media(
                     variant=(i // 5) % 4,
                 ))
             else:
-                out.append(jpeg_bytes(w, h, pattern=pat))
+                # JPEG sub-variant cycles on the NEXT digit (r13):
+                # grayscale / 4-component Adobe CMYK — the CMYK file
+                # decodes to the same pattern on all three RGB
+                # channels, so its pixel sum is exactly 3× (mirrored
+                # by the oracle)
+                out.append(jpeg_bytes(
+                    w, h, pattern=pat, cmyk=(i // 5) % 2 == 1
+                ))
         return pd.Series(out)
 
     return df.select(F.col(id_col), _gen(F.col(id_col)).alias("content"))

@@ -973,15 +973,24 @@ ORACLES_MUT: dict[str, str] = {
         "  generate_series(0, (doc_id * 7) % 64), y -> list_sum("
         "    list_transform(generate_series(0, doc_id % 64), "
         "                   x -> (x + 3 * y) % 251)))) AS BIGINT) "
-        # BMP sub-variants cycle on (doc_id // 5) % 4 (r12): 24-bit /
-        # 8-bit palette / RLE8 all carry the full grayscale pattern
-        # (sum x3); RLE4's 16-color palette folds it mod 16
-        "WHEN 2 THEN CAST(3 * list_sum(list_transform("
+        # BMP sub-variants cycle on (doc_id // 5) % 5 (r12-r13):
+        # 24-bit / 8-bit palette / RLE8 carry the full grayscale
+        # pattern (sum x3); RLE4's 16-color palette folds it mod 16;
+        # 565-BITFIELDS quantizes to 5/6/5 bits, each channel expanded
+        # back by bit replication (rep5(u) = 8u + u//4,
+        # rep6(u) = 4u + u//16)
+        "WHEN 2 THEN CAST(list_sum(list_transform("
         "  generate_series(0, (doc_id * 7) % 64), y -> list_sum("
         "    list_transform(generate_series(0, doc_id % 64), "
-        "                   x -> CASE WHEN (doc_id // 5) % 4 = 3 "
-        "                        THEN ((x + 3 * y) % 251) % 16 "
-        "                        ELSE (x + 3 * y) % 251 END)))) "
+        "                   x -> CASE (doc_id // 5) % 5 "
+        "                        WHEN 3 "
+        "                        THEN 3 * (((x + 3 * y) % 251) % 16) "
+        "                        WHEN 4 "
+        "                        THEN 2 * (8 * (((x + 3 * y) % 251) // 8)"
+        "                                  + (((x + 3 * y) % 251) // 8) // 4)"
+        "                             + 4 * (((x + 3 * y) % 251) // 4)"
+        "                             + (((x + 3 * y) % 251) // 4) // 16 "
+        "                        ELSE 3 * ((x + 3 * y) % 251) END)))) "
         "AS BIGINT) "
         # WAV sub-variants cycle on (doc_id // 5) % 4 (r12): PCM16 /
         # PCM8 / float32 decode to the same sample values; stereo
@@ -992,8 +1001,12 @@ ORACLES_MUT: dict[str, str] = {
         "  generate_series(0, 8 * (1 + doc_id % 100) - 1), "
         "  i -> i % 201 - 100)) AS BIGINT) "
         # JPEG: pixel(x,y) = pattern(x//8, y//8) — the flat-block
-        # construction; the oracle replays the block-grid closed form
-        "WHEN 4 THEN CAST(list_sum(list_transform("
+        # construction; sub-variants cycle on (doc_id // 5) % 2 (r13):
+        # grayscale (1 channel) / Adobe CMYK (un-inks to the same
+        # pattern on all 3 RGB channels — sum ×3)
+        "WHEN 4 THEN CAST("
+        "  (CASE WHEN (doc_id // 5) % 2 = 1 THEN 3 ELSE 1 END) "
+        "  * list_sum(list_transform("
         "  generate_series(0, (doc_id * 7) % 64), y -> list_sum("
         "    list_transform(generate_series(0, doc_id % 64), "
         "                   x -> (x // 8 + 3 * (y // 8)) % 251)))) "
