@@ -787,21 +787,32 @@ def q41_ann_topk(spark, sf_dir):
     import shutil as _sh
 
     _sh.rmtree(inc_path, ignore_errors=True)
-    # no codebooks: this member probes with ivf_index_topk (raw
-    # vectors), so PQ-encoding the build AND the append would be pure
-    # slot cost; the ADC-over-tail path is pinned in test_ann_index
+    # codebooks ride the build (r13): the append PQ-encodes its tail
+    # against the sidecar codebooks (ann_index.append_to_ivf_index),
+    # so ONE build+append serves both the raw-vector probe (ivfa) and
+    # the ADC-over-tail probe (ivfaq) — the production billion-scale
+    # read path (codes-only scan over sorted lists AND the L0 tail)
     build_ivf_index(
         ed.where(F.col("vec_id") % 2 == 0), inc_path,
-        centroids=SEMDEDUP_CENTROIDS,
+        centroids=SEMDEDUP_CENTROIDS, codebooks=PQ_CODEBOOKS,
     )
     append_to_ivf_index(ed.where(F.col("vec_id") % 2 == 1), inc_path)
     ivfa = ivf_index_topk(
         spark, inc_path, ed.where(F.col("vec_id") < 20), k=3, nprobe=2
     ).withColumn("method", F.lit("ivfa"))
+    # ivfaq (r13): ADC over the appended index — probe lists scanned
+    # as m-byte codes including the tail's. The exactness contract
+    # (tail codes == full-build codes: per-vector deterministic encode
+    # against pinned codebooks) makes the oracle the ivfpq replay
+    # under a different tag, so the hash check proves tail encoding +
+    # code-only tail scan reproduce the monolithic ADC result exactly.
+    ivfaq = ivf_index_pq_topk(
+        spark, inc_path, ed.where(F.col("vec_id") < 20), k=3, nprobe=2
+    ).withColumn("method", F.lit("ivfaq"))
     return (
         brute.unionByName(lsh).unionByName(mp)
         .unionByName(ivf).unionByName(pq).unionByName(ivfp)
-        .unionByName(ivfpq).unionByName(ivfa)
+        .unionByName(ivfpq).unionByName(ivfa).unionByName(ivfaq)
     )
 
 
@@ -827,7 +838,18 @@ def q43_embedding_near_dup(spark, sf_dir):
     (delta-touching only — indexed-indexed edges are invisible),
     transitive closure, any-indexed-witness drops the component's new
     rows, pure-new keeps min id. The oracle replays exactly that with
-    the shared assignment CTE."""
+    the shared assignment CTE.
+
+    ``sink``/``sink_idx`` rows (r13): the STREAMING twin — the q69
+    drain pattern over EMBEDDINGS. Two mtime-pinned single-file delta
+    batches ([300,400) then [400,500)) drained with
+    ``maxFilesPerTrigger=1`` through
+    ``streaming.dedup.incremental_semantic_dedup_sink``: batch 2 is
+    deduped against history AND batch 1's survivors via the IVF tail
+    append — the cross-batch property the production embedding-ingest
+    loop relies on. The oracle is a 2-stage replay (stage 2's witness
+    set = history ∪ stage-1 survivors); ``sink_idx`` pins final index
+    cardinality = history + both batches' survivor appends."""
     import os as _os
     import shutil as _sh
     import tempfile as _tf
@@ -863,6 +885,69 @@ def q43_embedding_near_dup(spark, sf_dir):
         F.lit(None).cast("double").alias("cos"),
         F.lit("inc").alias("op"),
     )
+    # sink member runs EAGERLY here (stream drain), before the lazy
+    # pair/sem members exist — incremental_semantic_dedup (called per
+    # batch inside the sink) retires pair-operator caches on entry,
+    # the same ordering constraint as inc above
+    from .operators.ann_index import read_ivf_index as _rivf
+    from .streaming.dedup import incremental_semantic_dedup_sink
+
+    sroot = _os.path.join(
+        _tf.gettempdir(), "sea_serpent_scratch", f"semsink{sf_tag}"
+    )
+    _sh.rmtree(sroot, ignore_errors=True)
+    sidx = _os.path.join(sroot, "idx")
+    sout = _os.path.join(sroot, "out")
+    _bivf(ed.where(F.col("vec_id") < 300), sidx,
+          centroids=SEMDEDUP_CENTROIDS)
+    delta_dir = _os.path.join(sroot, "delta")
+    _os.makedirs(delta_dir, exist_ok=True)
+    for i, (lo, hi) in enumerate(((300, 400), (400, 500))):
+        stage = _os.path.join(sroot, f"_stage{i}")
+        (
+            ed.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = next(
+            f for f in _os.listdir(stage) if f.endswith(".parquet")
+        )
+        dst = _os.path.join(delta_dir, f"batch{i}.parquet")
+        _os.replace(_os.path.join(stage, part), dst)
+        t = 1_000_000_000 + i * 1000  # strict per-file mtime order
+        _os.utime(dst, (t, t))
+        _sh.rmtree(stage, ignore_errors=True)
+    sschema = ed.where(F.col("vec_id") < 0).schema
+    (
+        spark.readStream.schema(sschema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(delta_dir)
+        .writeStream.foreachBatch(incremental_semantic_dedup_sink(
+            sidx, sout, threshold=0.45, batch_parallelism=8,
+        ))
+        .option("checkpointLocation", _os.path.join(sroot, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    out_sink = spark.read.parquet(sout).select(
+        F.col("vec_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.lit(None).cast("double").alias("cos"),
+        F.lit("sink").alias("op"),
+    )
+    n_idx = (
+        _rivf(spark, sidx)[0].select("vec_id").distinct().count()
+    )
+    out_idx = spark.createDataFrame(
+        [(int(n_idx),)], "id_a long"
+    ).select(
+        "id_a",
+        F.lit(None).cast("long").alias("id_b"),
+        F.lit(None).cast("double").alias("cos"),
+        F.lit("sink_idx").alias("op"),
+    )
     pairs = S.embedding_near_dup_pairs(
         e, threshold=0.45, nbits=0
     ).withColumn("op", F.lit("pair"))
@@ -878,7 +963,10 @@ def q43_embedding_near_dup(spark, sf_dir):
         F.lit(None).cast("double").alias("cos"),
         F.lit("semdedup").alias("op"),
     )
-    return pairs.unionByName(sem).unionByName(inc)
+    return (
+        pairs.unionByName(sem).unionByName(inc)
+        .unionByName(out_sink).unionByName(out_idx)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1703,6 +1791,7 @@ UNION ALL SELECT 'pq' AS method, * FROM pq
 UNION ALL SELECT 'ivfp' AS method, * FROM ivfp
 UNION ALL SELECT 'ivfpq' AS method, * FROM ivfpq
 UNION ALL SELECT 'ivfa' AS method, * FROM ivfp
+UNION ALL SELECT 'ivfaq' AS method, * FROM ivfpq
 """,
     "q58_asof_join": """
 WITH snap AS (
@@ -1988,6 +2077,71 @@ inc_surv AS (
   UNION ALL
   SELECT vec_id FROM embeddings WHERE vec_id >= 300
     AND vec_id NOT IN (SELECT id FROM inc_c)),
+-- sink (r13): 2-stage streaming replay. Stage 1 = delta [300,400)
+-- vs indexed vec_id < 300; stage 2 = delta [400,500) vs indexed
+-- (vec_id < 300 UNION stage-1 survivors — the index tail append).
+snk1_sp AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM asg a JOIN asg b ON a.c = b.c AND a.vec_id < b.vec_id
+  WHERE a.vec_id < 400 AND b.vec_id < 400
+    AND NOT (a.vec_id < 300 AND b.vec_id < 300)
+    AND ROUND(
+    list_sum(list_transform(generate_series(1, len(a.v)),
+                            i -> a.v[i] * b.v[i]))
+    / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+       * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) >= 0.45),
+snk1_e AS MATERIALIZED (
+  SELECT ia AS u, ib AS w FROM snk1_sp UNION SELECT ib, ia FROM snk1_sp),
+snk1_n AS (SELECT DISTINCT u AS id FROM snk1_e),
+snk1_w(id, lbl) AS (
+  SELECT id, id FROM snk1_n
+  UNION
+  SELECT e.w, x.lbl FROM snk1_w x JOIN snk1_e e ON e.u = x.id),
+snk1_c AS MATERIALIZED (
+  SELECT id, MIN(lbl) AS component FROM snk1_w GROUP BY id),
+snk1_bad AS (SELECT DISTINCT component FROM snk1_c WHERE id < 300),
+snk1_surv AS MATERIALIZED (
+  SELECT MIN(id) AS id FROM snk1_c WHERE id >= 300
+    AND component NOT IN (SELECT component FROM snk1_bad)
+  GROUP BY component
+  UNION ALL
+  SELECT vec_id FROM embeddings WHERE vec_id >= 300 AND vec_id < 400
+    AND vec_id NOT IN (SELECT id FROM snk1_c)),
+snk2_sp AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM asg a JOIN asg b ON a.c = b.c AND a.vec_id < b.vec_id
+  WHERE (a.vec_id < 300 OR (a.vec_id >= 400 AND a.vec_id < 500)
+         OR a.vec_id IN (SELECT id FROM snk1_surv))
+    AND (b.vec_id < 300 OR (b.vec_id >= 400 AND b.vec_id < 500)
+         OR b.vec_id IN (SELECT id FROM snk1_surv))
+    AND NOT ((a.vec_id < 300
+              OR a.vec_id IN (SELECT id FROM snk1_surv))
+         AND (b.vec_id < 300
+              OR b.vec_id IN (SELECT id FROM snk1_surv)))
+    AND ROUND(
+    list_sum(list_transform(generate_series(1, len(a.v)),
+                            i -> a.v[i] * b.v[i]))
+    / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+       * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) >= 0.45),
+snk2_e AS MATERIALIZED (
+  SELECT ia AS u, ib AS w FROM snk2_sp UNION SELECT ib, ia FROM snk2_sp),
+snk2_n AS (SELECT DISTINCT u AS id FROM snk2_e),
+snk2_w(id, lbl) AS (
+  SELECT id, id FROM snk2_n
+  UNION
+  SELECT e.w, x.lbl FROM snk2_w x JOIN snk2_e e ON e.u = x.id),
+snk2_c AS MATERIALIZED (
+  SELECT id, MIN(lbl) AS component FROM snk2_w GROUP BY id),
+snk2_bad AS (
+  SELECT DISTINCT component FROM snk2_c
+  WHERE id < 300 OR id IN (SELECT id FROM snk1_surv)),
+snk2_surv AS MATERIALIZED (
+  SELECT MIN(id) AS id FROM snk2_c WHERE id >= 400 AND id < 500
+    AND component NOT IN (SELECT component FROM snk2_bad)
+  GROUP BY component
+  UNION ALL
+  SELECT vec_id FROM embeddings WHERE vec_id >= 400 AND vec_id < 500
+    AND vec_id NOT IN (SELECT id FROM snk2_c)),
 qa AS (SELECT vec_id AS id_a, embedding AS qv FROM embeddings),
 qb AS (SELECT vec_id AS id_b, embedding AS cv FROM embeddings)
 SELECT id_a, id_b, ROUND({COS_SQL}, 4) AS cos, 'pair' AS op
@@ -2002,6 +2156,16 @@ UNION ALL
 SELECT id AS id_a, CAST(NULL AS BIGINT) AS id_b,
   CAST(NULL AS DOUBLE) AS cos, 'inc' AS op
 FROM inc_surv
+UNION ALL
+SELECT id AS id_a, CAST(NULL AS BIGINT) AS id_b,
+  CAST(NULL AS DOUBLE) AS cos, 'sink' AS op
+FROM (SELECT id FROM snk1_surv UNION ALL SELECT id FROM snk2_surv)
+UNION ALL
+SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 300)
+     + (SELECT COUNT(*) FROM snk1_surv)
+     + (SELECT COUNT(*) FROM snk2_surv) AS BIGINT) AS id_a,
+  CAST(NULL AS BIGINT) AS id_b,
+  CAST(NULL AS DOUBLE) AS cos, 'sink_idx' AS op
 """,
     # transitive closure by recursive CTE over the same pair SQL as q43:
     # labels spread one hop per iteration until fixpoint, component = MIN
