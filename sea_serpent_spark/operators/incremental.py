@@ -147,12 +147,50 @@ def _bloom_positions(id_str: str, m: int, k: int) -> list[int]:
     return [(h1 + i * h2) % m for i in range(k)]
 
 
+#: Probes whose total doc count (delta ids + pruned-index distinct old
+#: ids, read off the groups stat job) is at or under this run the
+#: loser/keeper decision ON THE DRIVER (r13): one take() collects the
+#: spanning edges + old ids + delta ids, a min-root union-find replays
+#: the component/witness logic, and the anti-join becomes an isin
+#: predicate — removing the CC edge checkpoint, the CC gate take, the
+#: loser checkpoint, the delta-id job, and both broadcast exchanges
+#: from the per-micro-batch floor. 20k matches connected_components'
+#: small-graph threshold: the same graphs it already solves locally.
+_DRIVER_PROBE_DOC_CAP = 20_000
+
+#: Hard row cap on the driver-path collect (edges can be quadratic in a
+#: pathological all-similar batch even when docs are few) — overflow
+#: falls back to the distributed flow, correctness unaffected.
+_DRIVER_PROBE_ROW_CAP = 200_000
+
 #: Batches at or under this many ids build their bloom ON THE DRIVER
 #: from one JVM-only take() — the RDD path spins Python workers per
 #: partition, a fixed ~0.5 s floor a streaming ingest loop pays per
 #: micro-batch append (r12 q69 decomposition). 100k blake2b hashes is
 #: ~0.2 s of driver CPU; above the cap the distributed fold remains.
 _BLOOM_DRIVER_CAP = 100_000
+
+
+def build_id_bloom_local(ids: list, fp: float = 0.01,
+                         params: tuple[int, int] | None = None) -> bytes:
+    """Bloom build from a DRIVER-LOCAL id list → the same blob format
+    as :func:`build_id_bloom`, zero Spark jobs. The streaming ingest
+    loop's driver-assisted path already holds the survivor id list, so
+    its per-batch bloom delta needs no cluster round-trip (r13)."""
+    import struct as _struct
+
+    if params is not None:
+        m, k = params
+    else:
+        m, k = _bloom_params(len(ids), fp)
+    nb = (m + 7) // 8
+    bm = bytearray(nb)
+    for v in ids:
+        if v is None:
+            continue
+        for p in _bloom_positions(str(v), m, k):
+            bm[p >> 3] |= 1 << (p & 7)
+    return _struct.pack("<QQ", m, k) + bytes(bm)
 
 
 def build_id_bloom(ids: DataFrame, id_col: str = "id",
@@ -269,6 +307,7 @@ def write_band_index(
     path: str,
     mode: str = "overwrite",
     key_buckets: int | None = 64,
+    ids_hint: list | None = None,
 ) -> None:
     """Persist a band index with the probe-prunable layout: partitioned
     by ``band`` and the coarse key bucket ``kb``, rows sorted by ``key``
@@ -305,6 +344,15 @@ def write_band_index(
     sidecar so probes can recover ``key_buckets`` without the caller
     re-threading it (:func:`read_band_index`).
 
+    ``ids_hint`` (r13, appends only): the exact distinct id list of the
+    appended rows, when the caller already holds it driver-side (the
+    ingest sink's driver-assisted path does). The bloom delta is then
+    built locally (:func:`build_id_bloom_local`) instead of via a
+    band-0 scan job — one fewer cluster round-trip per micro-batch.
+    MUST match the appended rows' ids exactly; extra ids only cost
+    false positives, missing ids would break the reingest check, so
+    pass it only when it is the same list the band rows derive from.
+
     Commit discipline (round 10): full builds land in a fresh
     GENERATION directory under the root and are published by the
     atomic single-file manifest swap of ``operators/artifact.py`` —
@@ -319,10 +367,13 @@ def write_band_index(
     # a second concurrent writer errors instead of interleaving tail
     # files / staging into the same generation name (r11)
     with artifact.writer_lease(path, owner="band-index-write"):
-        return _write_band_index_locked(idx, path, mode, key_buckets)
+        return _write_band_index_locked(
+            idx, path, mode, key_buckets, ids_hint
+        )
 
 
-def _write_band_index_locked(idx, path, mode, key_buckets):
+def _write_band_index_locked(idx, path, mode, key_buckets,
+                             ids_hint=None):
     cur = artifact.current_dir(path)
     if mode == "append" and os.path.exists(
         os.path.join(cur, _INDEX_META)
@@ -338,10 +389,15 @@ def _write_band_index_locked(idx, path, mode, key_buckets):
 
             with open(main_bloom, "rb") as fh:
                 m, kk = _struct.unpack("<QQ", fh.read(16))
-            blob = build_id_bloom(
-                idx.where(F.col("band") == 0).select("id"),
-                params=(int(m), int(kk)),
-            )
+            if ids_hint is not None:
+                blob = build_id_bloom_local(
+                    ids_hint, params=(int(m), int(kk))
+                )
+            else:
+                blob = build_id_bloom(
+                    idx.where(F.col("band") == 0).select("id"),
+                    params=(int(m), int(kk)),
+                )
             tdir = os.path.join(cur, _BLOOM_TAIL_DIR)
             os.makedirs(tdir, exist_ok=True)
             tmp = os.path.join(tdir, f".{_uuid.uuid4().hex}.tmp")
@@ -351,10 +407,17 @@ def _write_band_index_locked(idx, path, mode, key_buckets):
                 tdir, f"{_uuid.uuid4().hex}.bin"
             ))
         # L0 tail: kb rides as a DATA column (partition-dir layouts
-        # cannot mix depths under one root); ≤ `bands` files per batch
+        # cannot mix depths under one root); ≤ `bands` files per batch.
+        # Micro-batch appends (ids_hint in hand and small, r13) skip
+        # the band repartition — coalesce(1) + the within-task sort
+        # writes the same ≤`bands` sorted files from ONE task, no
+        # shuffle stage; big backfill appends keep the parallel write.
+        if ids_hint is not None and len(ids_hint) <= _DRIVER_PROBE_DOC_CAP:
+            shaped = idx.coalesce(1)
+        else:
+            shaped = idx.repartition("band")
         (
-            idx.repartition("band")
-            .sortWithinPartitions("band", "key")
+            shaped.sortWithinPartitions("band", "key")
             .write.mode("append")
             .partitionBy("band")
             .parquet(os.path.join(cur, _TAIL_DIR))
@@ -406,7 +469,11 @@ def _write_layout(
     os.rename(tmp, os.path.join(target, _BLOOM_FILE))
 
 
-def read_band_index(spark: SparkSession, path: str) -> DataFrame:
+def read_band_index(
+    spark: SparkSession,
+    path: str,
+    _main_cache: dict | None = None,
+) -> DataFrame:
     """Open a persisted band index — the sorted bucket layout UNION any
     append tail (:func:`write_band_index` ``mode="append"``) — with the
     layout parameters from the sidecar re-attached as column metadata on
@@ -418,7 +485,17 @@ def read_band_index(spark: SparkSession, path: str) -> DataFrame:
     resolution, ``operators/artifact.py``): a compaction publishing a
     new generation never changes the files under an already-opened
     frame, and the previous generation is retained through one publish
-    for exactly that reader."""
+    for exactly that reader.
+
+    ``_main_cache`` (r13, the ingest loop's plan-size lever): a dict
+    the CALLER owns across probe calls. The main bucket layout's
+    analyzed frame (file listing + resolved schema over bands ×
+    key_buckets directories) is stored under the generation dir it was
+    opened for and REUSED while the generation is unchanged — appends
+    only touch the ``_tail`` dir, which is re-listed fresh every call,
+    and a compaction cuts a new generation, which misses the cache by
+    key. One directory-tree walk + analysis per generation instead of
+    per micro-batch."""
     src = artifact.current_dir(path)
     meta_path = os.path.join(src, _INDEX_META)
     meta: dict = {}
@@ -428,21 +505,29 @@ def read_band_index(spark: SparkSession, path: str) -> DataFrame:
                 meta = json.load(fh)
         except (OSError, ValueError):
             meta = {}  # unreadable sidecar never blocks the open
-    reader = spark.read
-    if meta.get("schema"):
-        # sidecar-pinned schema (r12): skips the per-open footer-read
-        # inference job — a per-micro-batch cost in the streaming
-        # ingest loop. A corrupt/missing schema entry falls back to
-        # inference; layouts written before r12 carry none.
-        try:
-            from pyspark.sql.types import StructType
+    df = None
+    if _main_cache is not None and _main_cache.get("src") == src:
+        df = _main_cache.get("df")
+    if df is None:
+        reader = spark.read
+        if meta.get("schema"):
+            # sidecar-pinned schema (r12): skips the per-open
+            # footer-read inference job — a per-micro-batch cost in
+            # the streaming ingest loop. A corrupt/missing schema
+            # entry falls back to inference; layouts written before
+            # r12 carry none.
+            try:
+                from pyspark.sql.types import StructType
 
-            reader = spark.read.schema(
-                StructType.fromJson(json.loads(meta["schema"]))
-            )
-        except Exception:
-            reader = spark.read
-    df = reader.parquet(src)
+                reader = spark.read.schema(
+                    StructType.fromJson(json.loads(meta["schema"]))
+                )
+            except Exception:
+                reader = spark.read
+        df = reader.parquet(src)
+        if _main_cache is not None:
+            _main_cache["src"] = src
+            _main_cache["df"] = df
     tail_dir = os.path.join(src, _TAIL_DIR)
     if os.path.isdir(tail_dir):
         # the main schema is GIVEN to the tail read: an all-duplicate
@@ -581,7 +666,11 @@ def _prune_index_for_delta(
     banded = banded_signatures(new_sigs, num_hashes, bands).select(
         "band", "key"
     )
-    delta_keys = banded.distinct()
+    # no distinct: a semi-join's right side may carry duplicates
+    # without changing output, and the distinct was a whole extra
+    # shuffle stage per probe (r13); the delta's banded rows are
+    # bounded by bands × n_delta either way
+    delta_keys = banded
     nb = key_buckets
     if nb is None and "kb" in index.columns:
         md = index.schema["kb"].metadata or {}
@@ -634,6 +723,8 @@ def incremental_minhash_pairs(
     _sigs: DataFrame | None = None,
     _raw: DataFrame | None = None,
     _n_delta: int | None = None,
+    _stats_out: dict | None = None,
+    _defer_stat: bool = False,
 ) -> DataFrame:
     """→ [id_a, id_b, jaccard]: estimate-verified near-dup pairs with at
     least one side in ``new_df`` — new-vs-indexed and new-vs-new both
@@ -738,13 +829,34 @@ def incremental_minhash_pairs(
     # widths for the index-parameter guard — previously a pruned count
     # job, a raw-index width LIMIT-1 job, a groups count job, and a
     # doc-total agg job (r11 verdict probe-floor fold).
-    stat = groups.agg(
-        F.sum(F.size("members")).alias("n_docs"),
-        F.min(F.size("sig")).alias("w_lo"),
-        F.max(F.size("sig")).alias("w_hi"),
-    ).first()
-    n_docs = int(stat["n_docs"] or 0)
-    if _n_delta is not None:
+    #
+    # _defer_stat (r13, spanning-emit only): skip even this one job —
+    # the caller's driver-assisted path validates index width off the
+    # old-id rows its own single collect already carries, and the
+    # groups/pruned caches populate inside that collect's job instead
+    # of a separate barrier. n_docs is then unknown here, which only
+    # the pairs-emit broadcast gate needs — hence the emit guard.
+    if _defer_stat:
+        if emit != "spanning":
+            raise ValueError(
+                "_defer_stat requires emit='spanning' (the pairs emit "
+                "needs the doc total for its broadcast gate)"
+            )
+        stat = None
+        n_docs = None
+    else:
+        stat = groups.agg(
+            F.sum(F.size("members")).alias("n_docs"),
+            F.min(F.size("sig")).alias("w_lo"),
+            F.max(F.size("sig")).alias("w_hi"),
+        ).first()
+        n_docs = int(stat["n_docs"] or 0)
+    if _stats_out is not None and n_docs is not None:
+        # the caller's driver-assisted gate reads the probe's doc total
+        # (delta ids + pruned-index distinct old ids) off the stat job
+        # already paid — no extra action (r13)
+        _stats_out["n_docs"] = n_docs
+    if _n_delta is not None and stat is not None:
         # pruned-path width guard: mixed-width groups are impossible
         # (the group key IS the signature string), so any index row
         # surviving pruning surfaces its width in w_lo/w_hi. No old
@@ -818,7 +930,13 @@ def incremental_minhash_pairs(
     # corpus). Re-spread the NARROW rep pairs explicitly: a shuffle of
     # ids+jaccard only, orders of magnitude smaller than the distinct
     # it replaces (which shuffled the same rows ONCE PER AGREEING BAND).
-    gpairs = spread(gpairs)
+    # ...except when the caller is about to COLLECT the spanning edges
+    # (the r13 driver path): the rebalance would be one extra shuffle
+    # stage feeding a take(), whose single job absorbs a hot partition
+    # anyway; the distributed consumers (CC's edge distinct, the
+    # member expansions) keep the spread.
+    if not _defer_stat:
+        gpairs = spread(gpairs)
     mem = groups.select(
         "gid", "has_new", F.explode("members").alias("m")
     ).select(
@@ -881,6 +999,198 @@ def incremental_minhash_pairs(
     return cross.unionByName(intra)
 
 
+def _id_collision_check(idx_band0, dsig, bcast_delta, stats,
+                        on_id_collision) -> None:
+    """The stats / strict-mode id-collision probe shared by both dedup
+    paths: one narrow (id, sig) join + agg — only runs when the caller
+    asked for stats or ``on_id_collision='error'``."""
+    itw = idx_band0.select(
+        "id", F.col("sig").alias("__isig")
+    ).dropDuplicates(["id"])
+    coll = itw.join(_maybe_broadcast(dsig, bcast_delta), "id")
+    agg = coll.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (F.col("sig") != F.col("__isig")).cast("long")
+        ).alias("m"),
+    ).first()
+    n_coll = int(agg["n"] or 0)
+    n_mismatch = int(agg["m"] or 0)
+    if stats is not None:
+        stats["id_collisions"] = n_coll
+        stats["id_collision_content_mismatch"] = n_mismatch
+    if on_id_collision == "error" and n_mismatch:
+        raise ValueError(
+            f"{n_mismatch} delta id(s) collide with indexed ids but "
+            "carry DIFFERENT content — an upstream id-allocation "
+            "bug, not a replay (on_id_collision='error'); pure "
+            "same-content replays remain idempotent"
+        )
+
+
+def _dedup_driver_path(
+    new_df: DataFrame,
+    new_sigs: DataFrame,
+    pairs: DataFrame,
+    pidx: DataFrame,
+    idx_band0: DataFrame,
+    bloom_dir: str | None,
+    id_col: str,
+    stats: dict | None,
+    on_id_collision: str,
+    ingest_out: dict | None,
+    num_hashes: int,
+    raw_index: DataFrame,
+) -> DataFrame | None:
+    """The r13 driver-assisted loser computation (see
+    :func:`incremental_dedup`): ONE take() over the union of spanning
+    edges (tag ``e``), pruned-index old ids (``o``, carrying their
+    signature width for the deferred parameter guard) and delta ids
+    (``d``) — the groups/pruned caches populate inside this job — then
+    min-root union-find + the witness/keeper rule locally. Returns the
+    kept frame, or None when the collect overflows
+    ``_DRIVER_PROBE_ROW_CAP`` (the caller falls back to the
+    distributed flow; the lazy ``pairs`` plan is reused)."""
+    from pyspark.sql import types as T
+
+    idt = new_sigs.schema["id"].dataType
+    null_id = F.lit(None).cast(idt)
+    null_w = F.lit(None).cast("int")
+    payload = (
+        pairs.select(
+            "id_a", "id_b", F.lit("e").alias("__t"),
+            null_w.alias("__w"),
+        )
+        .unionByName(
+            # no distinct: duplicate old-id rows collapse into the
+            # driver's set for free, and the distinct was a whole
+            # shuffle stage per probe (r13)
+            pidx.select(
+                F.col("id").alias("id_a"),
+                null_id.alias("id_b"),
+                F.lit("o").alias("__t"),
+                F.size("sig").alias("__w"),
+            )
+        )
+        .unionByName(
+            new_sigs.select(
+                F.col("id").alias("id_a"),
+                null_id.alias("id_b"),
+                F.lit("d").alias("__t"),
+                null_w.alias("__w"),
+            )
+        )
+    )
+    rows = payload.take(_DRIVER_PROBE_ROW_CAP + 1)
+    if len(rows) > _DRIVER_PROBE_ROW_CAP:
+        return None
+    # deferred index-parameter guard (the stat job's width check,
+    # r13): every surviving old row carries its signature width; no
+    # old rows at all means pruning emptied the scan — either a
+    # genuinely disjoint delta or mismatched banding parameters
+    # pruning EVERYTHING, so only then pay a raw-index LIMIT-1 check
+    widths = {int(r["__w"]) for r in rows if r["__t"] == "o"}
+    if widths:
+        if widths != {int(num_hashes)}:
+            wrong = next(w for w in widths if w != int(num_hashes))
+            raise ValueError(
+                f"index signatures are {wrong} hashes wide but "
+                f"num_hashes={num_hashes} was requested — rebuild "
+                "the index or probe with the parameters it was "
+                "built with"
+            )
+    else:
+        _check_index_width(raw_index, num_hashes)
+    # min-root union-find: the root of every merged set is its MIN —
+    # the same canonical choice connected_components makes (Python's
+    # int/str ordering matches Spark's: code-point order == UTF-8
+    # binary order; see dedup._union_find_local)
+    parent: dict = {}
+
+    def _find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    old_ids: set = set()
+    delta_ids: list = []
+    nodes: set = set()
+    edges: list = []
+    for r in rows:
+        t = r["__t"]
+        if t == "e":
+            edges.append((r["id_a"], r["id_b"]))
+        elif t == "o":
+            old_ids.add(r["id_a"])
+        else:
+            delta_ids.append(r["id_a"])
+    for a, b in edges:
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = _find(a), _find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    comps: dict = {}
+    for n in nodes:
+        comps.setdefault(_find(n), []).append(n)
+    losers: set = set()
+    for ms in comps.values():
+        news = [m for m in ms if m not in old_ids]
+        if len(news) != len(ms):  # indexed witness — history wins
+            losers.update(news)
+        elif news:  # pure-new component: min id keeps
+            news.remove(min(news))
+            losers.update(news)
+    # reingest check (the idempotent-replay contract — by id, against
+    # the FULL index): bloom membership on the driver; only positives
+    # (real replays or bloom false positives) pay an exact verify job
+    cand = None
+    if bloom_dir:
+        bloom = _load_id_bloom(bloom_dir)
+        if bloom is not None:
+            cand = [
+                v for v in delta_ids
+                if v is not None and _bloom_contains(bloom, str(v))
+            ]
+    if cand is None:  # no usable bloom — verify every delta id exactly
+        cand = [v for v in delta_ids if v is not None]
+    if cand:
+        sch = T.StructType([new_sigs.schema["id"]])
+        cdf = new_df.sparkSession.createDataFrame(
+            [(c,) for c in cand], sch
+        )
+        losers.update(
+            r["id"]
+            for r in idx_band0.select("id")
+            .join(F.broadcast(cdf), "id", "left_semi")
+            .distinct()
+            .collect()
+        )
+    if stats is not None or on_id_collision == "error":
+        _id_collision_check(
+            idx_band0, new_sigs, True, stats, on_id_collision
+        )
+    if ingest_out is not None:
+        ingest_out["driver_path"] = True
+        ingest_out["loser_ids"] = list(losers)
+        ingest_out["survivor_ids"] = [
+            v for v in delta_ids if v not in losers
+        ]
+    if not losers:
+        return new_df
+    # isin predicate instead of an anti-join: NULL-id rows are kept,
+    # matching the distributed anti-join (a NULL join key never
+    # matches)
+    return new_df.where(
+        F.col(id_col).isNull() | ~F.col(id_col).isin(list(losers))
+    )
+
+
 def incremental_dedup(
     new_df: DataFrame,
     index: DataFrame,
@@ -894,6 +1204,7 @@ def incremental_dedup(
     key_buckets: int | None = None,
     stats: dict | None = None,
     on_id_collision: str = "drop",
+    ingest_out: dict | None = None,
 ) -> DataFrame:
     """Surviving rows of ``new_df`` after dedup against the indexed
     corpus AND within the delta itself: transitive duplicate components
@@ -943,8 +1254,31 @@ def incremental_dedup(
     index; bloom positives (real replays or false positives) verify
     through the exact semi-join over band 0's id column. Without a
     bloom (in-memory indexes, legacy layouts, oversized blooms) the
-    exact scan remains the fallback."""
+    exact scan remains the fallback.
+
+    Driver-assisted micro-batch path (r13, the per-batch plan-size
+    lever): when the probe's total doc count (delta + pruned old ids,
+    free off the groups stat) is ≤ ``_DRIVER_PROBE_DOC_CAP``, ONE
+    take() collects the spanning edges, the pruned index's old ids,
+    and the delta's ids together; the component/witness/keeper logic
+    and the bloom reingest test run as a driver union-find, and the
+    final anti-join becomes an ``isin`` predicate. Output is
+    bit-identical to the distributed flow (same min-root canonical
+    choice — parity-tested); oversized collects fall back to it.
+
+    ``ingest_out`` (r13): a dict the ingest sink passes to receive
+    ``survivor_ids`` (driver path only) and ``sigs`` (the cached
+    delta signature frame) — lets the sink derive the survivors' band
+    rows and bloom delta without re-reading text or re-hashing."""
+    if on_id_collision not in ("drop", "error"):
+        raise ValueError(
+            f"on_id_collision must be 'drop' or 'error', "
+            f"got {on_id_collision!r}"
+        )
     n_delta = None
+    new_sigs = None
+    driver_try = False
+    ps: dict = {}
     if not prune_index:
         pairs = incremental_minhash_pairs(
             new_df, index, text_col, id_col, num_hashes, bands, shingle_n,
@@ -966,11 +1300,34 @@ def incremental_dedup(
         pidx, n_delta = _prune_index_for_delta(
             index, new_sigs, num_hashes, bands, key_buckets
         )
+        driver_try = n_delta <= _DRIVER_PROBE_DOC_CAP
         pairs = incremental_minhash_pairs(
             new_df, pidx, text_col, id_col, num_hashes, bands, shingle_n,
             jaccard_threshold, emit="spanning", _sigs=new_sigs,
-            _raw=index, _n_delta=n_delta,
+            _raw=index, _n_delta=n_delta, _stats_out=ps,
+            _defer_stat=driver_try,
         )
+    idx_band0 = (
+        index.where(F.col("band") == 0) if "band" in index.columns
+        else index
+    )
+    bloom_dir = (
+        (index.schema["id"].metadata or {}).get("bloom_dir")
+        if "id" in index.columns else None
+    )
+    if ingest_out is not None:
+        ingest_out["sigs"] = new_sigs
+    if n_delta is not None and driver_try:
+        kept = _dedup_driver_path(
+            new_df, new_sigs, pairs, pidx, idx_band0, bloom_dir,
+            id_col, stats, on_id_collision, ingest_out,
+            num_hashes, index,
+        )
+        if kept is not None:
+            return kept
+        # collect overflowed → distributed fallback; the deferred
+        # width guard must still run (one LIMIT-1 scan, rare path)
+        _check_index_width(index, num_hashes)
     comp = connected_components(pairs)
     # pair endpoints ⊆ delta ∪ bucket-matching old docs, so labeling
     # against the PRUNED index is exact — and delta-bounded
@@ -1010,10 +1367,6 @@ def incremental_dedup(
         n_delta <= BROADCAST_VERIFY_CAP if n_delta is not None
         else _verify_gate(delta_ids, None, BROADCAST_VERIFY_CAP)
     )
-    idx_band0 = (
-        index.where(F.col("band") == 0) if "band" in index.columns
-        else index
-    )
     # id-bloom short-circuit (r10 — removes the docstring's "one
     # deliberately index-linear term"): when the index frame carries a
     # bloom sidecar (read_band_index metadata) and the delta is
@@ -1024,10 +1377,6 @@ def incremental_dedup(
     # positives cost one small scan, never correctness; the bloom is
     # only consulted when it provably covers every indexed id).
     reingested = None
-    bloom_dir = (
-        (index.schema["id"].metadata or {}).get("bloom_dir")
-        if "id" in index.columns else None
-    )
     if bloom_dir and bcast_delta:
         bloom = _load_id_bloom(bloom_dir)
         if bloom is not None:
@@ -1063,39 +1412,13 @@ def incremental_dedup(
                 idx_band0.select("id"), "id", "left_semi"
             ).select(F.col("id").alias("__lid"))
     losers = losers.unionByName(reingested)
-    if on_id_collision not in ("drop", "error"):
-        raise ValueError(
-            f"on_id_collision must be 'drop' or 'error', "
-            f"got {on_id_collision!r}"
-        )
     if stats is not None or on_id_collision == "error":
-        itw = idx_band0.select(
-            "id", F.col("sig").alias("__isig")
-        ).dropDuplicates(["id"])
         dsig = new_sigs if prune_index else minhash_signature(
             new_df, text_col, id_col, num_hashes, shingle_n
         )
-        coll = itw.join(
-            _maybe_broadcast(dsig, bcast_delta), "id"
+        _id_collision_check(
+            idx_band0, dsig, bcast_delta, stats, on_id_collision
         )
-        agg = coll.agg(
-            F.count("*").alias("n"),
-            F.sum(
-                (F.col("sig") != F.col("__isig")).cast("long")
-            ).alias("m"),
-        ).first()
-        n_coll = int(agg["n"] or 0)
-        n_mismatch = int(agg["m"] or 0)
-        if stats is not None:
-            stats["id_collisions"] = n_coll
-            stats["id_collision_content_mismatch"] = n_mismatch
-        if on_id_collision == "error" and n_mismatch:
-            raise ValueError(
-                f"{n_mismatch} delta id(s) collide with indexed ids but "
-                "carry DIFFERENT content — an upstream id-allocation "
-                "bug, not a replay (on_id_collision='error'); pure "
-                "same-content replays remain idempotent"
-            )
     # materialize the (delta-sized) loser set once — the broadcast
     # gate and the anti-join would otherwise EACH re-run the pairs +
     # components + keeper subtree. Gate the broadcast on the DELTA

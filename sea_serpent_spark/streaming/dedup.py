@@ -58,7 +58,15 @@ _CONF_FLIP_LOCK = threading.Lock()
 @contextmanager
 def _batch_confs(spark, batch_parallelism: int | None):
     """Apply ``batch_parallelism`` to the session confs for one batch,
-    restoring the previous values on exit (no-op when unset)."""
+    restoring the previous values on exit (no-op when unset).
+
+    Also disables ADAPTIVE execution for the batch (r13): AQE
+    materializes every exchange as its own Spark job to re-plan at
+    runtime — the right trade for big unknown-stats queries, pure
+    scheduler-latency overhead for a trigger-sized micro-batch whose
+    shuffle width this knob just pinned statically (measured:
+    20 → 9 jobs/probe, identical survivors). Backfill-sized batches
+    should leave ``batch_parallelism`` unset and keep AQE."""
     if not batch_parallelism:
         yield
         return
@@ -67,10 +75,12 @@ def _batch_confs(spark, batch_parallelism: int | None):
     with _CONF_FLIP_LOCK:
         prev_fan = spark.conf.get(FANOUT_CONF, None)
         prev_shuf = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
         spark.conf.set(FANOUT_CONF, str(int(batch_parallelism)))
         spark.conf.set(
             "spark.sql.shuffle.partitions", str(int(batch_parallelism))
         )
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:
             yield
         finally:
@@ -79,6 +89,7 @@ def _batch_confs(spark, batch_parallelism: int | None):
             else:
                 spark.conf.set(FANOUT_CONF, prev_fan)
             spark.conf.set("spark.sql.shuffle.partitions", prev_shuf)
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
 def streaming_minhash_signature(
@@ -276,7 +287,9 @@ def incremental_dedup_sink(
     index but never written to the output are silently LOST. Exactly-
     once needs an atomic sink for both paths (e.g. a transactional
     table format) — out of scope for plain parquet."""
+    from ..operators.dedup import banded_signatures
     from ..operators.incremental import (
+        _kb_expr,
         compact_band_index,
         incremental_dedup,
         minhash_band_index,
@@ -285,6 +298,13 @@ def incremental_dedup_sink(
     )
 
     batches_seen = {"n": 0}
+    # analyzed-frame cache for the index's main bucket layout (r13):
+    # one directory-tree listing + schema resolution per GENERATION
+    # instead of per micro-batch — appends only touch the _tail dir
+    # (re-listed fresh each call), compaction cuts a new generation
+    # (which misses this cache by key). Owned by the sink closure, so
+    # its lifetime is the streaming query's.
+    main_cache: dict = {}
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -292,32 +312,63 @@ def incremental_dedup_sink(
             _sink_body(spark, batch_df)
 
     def _sink_body(spark, batch_df: DataFrame) -> None:
-        idx = read_band_index(spark, index_path)
+        idx = read_band_index(spark, index_path, _main_cache=main_cache)
         nb = key_buckets
         if nb is None and "kb" in idx.columns:
             nb = (idx.schema["kb"].metadata or {}).get("key_buckets")
+        out: dict = {}
         kept = incremental_dedup(
             batch_df, idx, text_col, id_col,
             num_hashes, bands, shingle_n, jaccard_threshold,
-            key_buckets=nb,
+            key_buckets=nb, ingest_out=out,
         )
-        # materialize survivors BEFORE touching the index so the band
-        # append below cannot observe its own output
-        kept.persist()
-        kept.write.mode("append").parquet(output_path)
-        band_rows = minhash_band_index(
-            kept, text_col, id_col, num_hashes, bands, shingle_n,
-            key_buckets=nb,
-        )
-        if nb:
-            write_band_index(
-                band_rows, index_path, mode="append", key_buckets=nb
+        if out.get("driver_path") and out.get("sigs") is not None:
+            # r13 collapsed append path: the probe already holds the
+            # loser/survivor id lists and the delta's cached signature
+            # frame — derive the survivors' band rows from the cache
+            # (zero re-shingling, zero text re-read) and build the
+            # bloom delta locally from the survivor ids (zero jobs).
+            # No persist needed: the output write is the only scan of
+            # the batch data, and the band append scans the sig cache.
+            kept.write.mode("append").parquet(output_path)
+            losers = out["loser_ids"]
+            keep_sigs = out["sigs"]
+            if losers:
+                keep_sigs = keep_sigs.where(
+                    F.col("id").isNull()
+                    | ~F.col("id").isin(list(losers))
+                )
+            band_rows = banded_signatures(
+                keep_sigs, num_hashes, bands, keep=("sig",)
+            ).select("id", "band", "key", "sig")
+            if nb:
+                band_rows = band_rows.withColumn("kb", _kb_expr(nb))
+                write_band_index(
+                    band_rows, index_path, mode="append",
+                    key_buckets=nb, ids_hint=out["survivor_ids"],
+                )
+            else:
+                band_rows.write.mode("append").partitionBy(
+                    "band"
+                ).parquet(index_path)
+        else:
+            # materialize survivors BEFORE touching the index so the
+            # band append below cannot observe its own output
+            kept.persist()
+            kept.write.mode("append").parquet(output_path)
+            band_rows = minhash_band_index(
+                kept, text_col, id_col, num_hashes, bands, shingle_n,
+                key_buckets=nb,
             )
-        else:  # legacy flat layout — keep appends compatible with it
-            band_rows.write.mode("append").partitionBy("band").parquet(
-                index_path
-            )
-        kept.unpersist()
+            if nb:
+                write_band_index(
+                    band_rows, index_path, mode="append", key_buckets=nb
+                )
+            else:  # legacy flat layout — keep appends compatible
+                band_rows.write.mode("append").partitionBy(
+                    "band"
+                ).parquet(index_path)
+            kept.unpersist()
         batches_seen["n"] += 1
         due = (
             compact_every

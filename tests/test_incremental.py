@@ -529,3 +529,55 @@ def test_band_index_empty_append_then_read(spark, halves, tmp_path):
     st = I.compact_band_index(spark, p)  # empty tail folds away
     assert I.read_band_index(spark, p).count() == n
     assert st["files_after"] <= st["files_before"]
+
+
+def test_driver_path_matches_distributed(spark, halves, tmp_path,
+                                         monkeypatch):
+    """r13: the driver-assisted micro-batch path (union-find + isin
+    predicate) must keep EXACTLY the rows the distributed flow
+    (connected_components + anti-join) keeps — same min-root canonical
+    choice, same witness rule, same reingest drop. Also pins the
+    overflow fallback: a row cap of 0 forces the distributed flow
+    through the deferred-stat plan and must not change output."""
+    old, new = halves
+    p = str(tmp_path / "idx")
+    I.write_band_index(
+        I.minhash_band_index(old, key_buckets=8), p, key_buckets=8
+    )
+
+    def survivors():
+        idx = I.read_band_index(spark, p)
+        out = {}
+        kept = I.incremental_dedup(
+            new, idx, jaccard_threshold=THRESH, key_buckets=8,
+            ingest_out=out,
+        )
+        return (
+            sorted(r["doc_id"] for r in kept.select("doc_id").collect()),
+            out,
+        )
+
+    drv, out_drv = survivors()
+    assert out_drv.get("driver_path") is True
+    assert sorted(out_drv["survivor_ids"]) == drv
+    # force the distributed flow: doc cap 0 disqualifies the gate
+    monkeypatch.setattr(I, "_DRIVER_PROBE_DOC_CAP", 0)
+    dist, out_dist = survivors()
+    assert out_dist.get("driver_path") is None
+    assert drv == dist
+    # overflow fallback: the gate passes but the collect cap trips —
+    # the deferred-stat plan falls back to the distributed flow
+    monkeypatch.setattr(I, "_DRIVER_PROBE_DOC_CAP", 1_000_000)
+    monkeypatch.setattr(I, "_DRIVER_PROBE_ROW_CAP", 0)
+    over, out_over = survivors()
+    assert out_over.get("driver_path") is None
+    assert drv == over
+    # width guard survives the driver path: probing with the wrong
+    # num_hashes must still raise, not silently deflate
+    monkeypatch.setattr(I, "_DRIVER_PROBE_ROW_CAP", 200_000)
+    idx = I.read_band_index(spark, p)
+    with pytest.raises(ValueError, match="hashes wide"):
+        I.incremental_dedup(
+            new, idx, num_hashes=8, bands=4,
+            jaccard_threshold=THRESH, key_buckets=8,
+        )
