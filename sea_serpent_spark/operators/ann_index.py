@@ -167,6 +167,7 @@ def append_to_ivf_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _assigned: DataFrame | None = None,
 ) -> None:
     """Append vectors to a live IVF(-PQ) index WITHOUT a rebuild —
     the ANN twin of the band index's per-batch ingest
@@ -183,23 +184,40 @@ def append_to_ivf_index(
     probed labels (small by the compaction contract, like the band
     index's). :func:`compact_ivf_index` folds the tail back into one
     sorted file per list directory. Lease-guarded: appends serialize
-    against builds, compactions, and each other."""
+    against builds, compactions, and each other.
+
+    ``_assigned`` (r13, the streaming sink's hand-off): a frame with
+    columns (``id_col``, ``vec_col``, ``label``) whose labels were
+    ALREADY computed with this index's pinned quantizer — the
+    incremental probe's cached assignment. Skips the re-assignment
+    expression; the caller guarantees quantizer identity (same index
+    path the probe read)."""
     spark = new_vectors.sparkSession
     with artifact.writer_lease(path, owner="ivf-append"):
         src, meta = _resolve(path)
-        assigned = ivf_assign(
-            new_vectors.select(id_col, vec_col),
-            meta["centroids"], vec_col,
-        )
+        if _assigned is not None:
+            assigned = _assigned.select(id_col, vec_col, "label")
+        else:
+            assigned = ivf_assign(
+                new_vectors.select(id_col, vec_col),
+                meta["centroids"], vec_col,
+            )
         if meta.get("codebooks"):
             from .similarity import pq_encode
 
             assigned = pq_encode(
                 assigned, meta["codebooks"], vec_col=vec_col
             )
+        # micro-batch appends (the sink's pre-assigned hand-off) write
+        # from one task — no shuffle stage for a few-hundred-row batch;
+        # backfill-sized appends keep the parallel label repartition
+        shaped = (
+            assigned.coalesce(1)
+            if _assigned is not None
+            else assigned.repartition("label")
+        )
         (
-            assigned.repartition("label")
-            .sortWithinPartitions("label", id_col)
+            shaped.sortWithinPartitions("label", id_col)
             .write.mode("append")
             .parquet(os.path.join(src, _ANN_TAIL))
         )
@@ -211,6 +229,7 @@ def incremental_semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    ingest_out: dict | None = None,
 ) -> DataFrame:
     """Surviving rows of ``new_df`` after SEMANTIC dedup against a
     persisted IVF index AND within the delta itself — the SemDeDup
@@ -241,7 +260,21 @@ def incremental_semantic_dedup(
     pair enumeration is bounded by delta×probed-list sizes (the IVF
     probe cost class); components/keeper move ids only. The reingest
     id check scans the index's id column only (parquet column
-    pruning)."""
+    pruning).
+
+    Driver-assisted micro-batch path (r13, mirroring
+    ``incremental.incremental_dedup``): for trigger-sized deltas
+    (≤ ``incremental._DRIVER_PROBE_DOC_CAP`` ids), ONE take() collects
+    the verified pairs, the probed lists' old ids, the delta's ids,
+    AND the reingest semi-join's hits (a fourth tagged branch — the
+    index id-column scan folds into the same job instead of its own);
+    union-find + the witness/keeper rule run locally and the anti-join
+    becomes an ``isin`` predicate — no CC checkpoint/take, no loser
+    checkpoint, no separate reingest job. Output bit-identical
+    (parity-tested); oversized collects fall back to the distributed
+    flow. ``ingest_out`` receives ``survivor_ids``/``loser_ids`` and
+    ``assigned`` (the cached pinned-quantizer assignment) so the
+    streaming sink can append without re-assigning."""
     import pyspark.sql.functions as _F
 
     from .dedup import (
@@ -323,6 +356,106 @@ def incremental_semantic_dedup(
         )
         .where(_F.col("cos") >= float(threshold))
     )
+    if ingest_out is not None:
+        ingest_out["assigned"] = delta
+    from .incremental import (
+        _DRIVER_PROBE_DOC_CAP,
+        _DRIVER_PROBE_ROW_CAP,
+    )
+
+    if n_delta <= _DRIVER_PROBE_DOC_CAP:
+        idt = delta.schema["id"].dataType
+        null_id = _F.lit(None).cast(idt)
+        # the reingest check rides the same take as a 4th branch: the
+        # index's id column streams past the broadcast delta ids —
+        # no separate job, and only matching ids reach the driver
+        reing = (
+            _index_frame(spark, src)
+            .select(_F.col(id_col).alias("id"))
+            .join(
+                _F.broadcast(delta.select("id")), "id", "left_semi"
+            )
+            .select(
+                _F.col("id").alias("id_a"),
+                null_id.alias("id_b"),
+                _F.lit("r").alias("__t"),
+            )
+        )
+        payload = (
+            pairs.select("id_a", "id_b", _F.lit("e").alias("__t"))
+            .unionByName(
+                pruned.select(
+                    _F.col("id").alias("id_a"),
+                    null_id.alias("id_b"),
+                    _F.lit("o").alias("__t"),
+                )
+            )
+            .unionByName(
+                delta.select(
+                    _F.col("id").alias("id_a"),
+                    null_id.alias("id_b"),
+                    _F.lit("d").alias("__t"),
+                )
+            )
+            .unionByName(reing)
+        )
+        rows = payload.take(_DRIVER_PROBE_ROW_CAP + 1)
+        if len(rows) <= _DRIVER_PROBE_ROW_CAP:
+            parent: dict = {}
+
+            def _find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
+
+            old: set = set()
+            delta_ids: list = []
+            nodes: set = set()
+            losers: set = set()
+            edges: list = []
+            for r in rows:
+                t = r["__t"]
+                if t == "e":
+                    edges.append((r["id_a"], r["id_b"]))
+                elif t == "o":
+                    old.add(r["id_a"])
+                elif t == "d":
+                    delta_ids.append(r["id_a"])
+                else:  # 'r' — already-ingested id (idempotent replay)
+                    losers.add(r["id_a"])
+            for a_, b_ in edges:
+                nodes.add(a_)
+                nodes.add(b_)
+                ra, rb = _find(a_), _find(b_)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            comps: dict = {}
+            for n_ in nodes:
+                comps.setdefault(_find(n_), []).append(n_)
+            for ms in comps.values():
+                news = [m for m in ms if m not in old]
+                if len(news) != len(ms):  # indexed witness wins
+                    losers.update(news)
+                elif news:  # pure-new component: min id keeps
+                    news.remove(min(news))
+                    losers.update(news)
+            if ingest_out is not None:
+                ingest_out["driver_path"] = True
+                ingest_out["loser_ids"] = list(losers)
+                ingest_out["survivor_ids"] = [
+                    v for v in delta_ids if v not in losers
+                ]
+            if not losers:
+                return new_df
+            return new_df.where(
+                _F.col(id_col).isNull()
+                | ~_F.col(id_col).isin(list(losers))
+            )
     comp = connected_components(pairs)
     old_ids = pruned.select("id").distinct().withColumn(
         "__old", _F.lit(True)

@@ -56,6 +56,7 @@ from __future__ import annotations
 
 import string
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
@@ -180,6 +181,58 @@ def registered_domain(col: Column) -> Column:
         .when(n >= 2, F.array_join(F.slice(parts, -2, 2), "."))
         .otherwise(host)
     )
+
+
+def fold_idn_host(col: Column) -> Column:
+    """OPT-IN IDN fold (r13): rewrite a URL's host to its ASCII
+    (punycode) form — ``https://MÜNCHEN.de/x`` and
+    ``https://xn--mnchen-3ya.de/x`` then canonicalize identically
+    through :func:`normalize_url`. Compose as
+    ``normalize_url(fold_idn_host(col))``.
+
+    The ASCII form is the canonical URI mapping (RFC 3987 → URI), so
+    already-punycode hosts pass through unchanged and only hosts with
+    non-ASCII labels are rewritten (stdlib ``idna`` codec — IDNA2003
+    nameprep, the pragmatic crawl-dedup choice; labels the codec
+    rejects pass through verbatim rather than failing the row). Needs
+    per-string Python, so this is an Arrow-batched pandas UDF — the
+    designed escape hatch, NOT part of the expression-only
+    :func:`normalize_url` default; IPv6 literals and scheme-less
+    inputs pass through."""
+    import re as _re
+
+    from pyspark.sql import functions as _F
+    from pyspark.sql import types as _T
+
+    auth_re = _re.compile(
+        r"^([A-Za-z][A-Za-z0-9+.-]*://)([^/?#]*)(.*)$", _re.S
+    )
+
+    @_F.pandas_udf(_T.StringType())
+    def _fold(s: pd.Series) -> pd.Series:
+        def one(u):
+            if u is None:
+                return None
+            if all(ord(c) < 128 for c in u):
+                return u  # pure-ASCII fast path (the common case)
+            m = auth_re.match(u)
+            if not m:
+                return u
+            scheme, auth, rest = m.groups()
+            userinfo, sep, hostport = auth.rpartition("@")
+            if hostport.startswith("["):
+                return u  # IPv6 literal — nothing to fold
+            host, colon, port = hostport.partition(":")
+            if host and any(ord(c) > 127 for c in host):
+                try:
+                    host = host.encode("idna").decode("ascii")
+                except UnicodeError:
+                    return u
+            return scheme + userinfo + sep + host + colon + port + rest
+
+        return s.map(one)
+
+    return _fold(col)
 
 
 def psl_rules_df(spark: SparkSession, rules: list[str]) -> DataFrame:

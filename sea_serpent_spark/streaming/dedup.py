@@ -429,17 +429,40 @@ def incremental_semantic_dedup_sink(
     batches_seen = {"n": 0}
 
     def _body(spark, batch_df: DataFrame) -> None:
+        out: dict = {}
         kept = incremental_semantic_dedup(
             batch_df, index_path, threshold=threshold,
-            id_col=id_col, vec_col=vec_col,
+            id_col=id_col, vec_col=vec_col, ingest_out=out,
         )
-        kept.persist()
-        kept.write.mode("append").parquet(output_path)
-        append_to_ivf_index(
-            kept.select(id_col, vec_col), index_path,
-            id_col=id_col, vec_col=vec_col,
-        )
-        kept.unpersist()
+        if out.get("driver_path") and out.get("assigned") is not None:
+            # r13 collapsed append: survivors' labels come from the
+            # probe's cached pinned-quantizer assignment — no
+            # re-assignment, no persist (the output write is the only
+            # scan of the batch data; the append scans the cache)
+            kept.write.mode("append").parquet(output_path)
+            surv = out["assigned"]
+            if out["loser_ids"]:
+                surv = surv.where(
+                    F.col("id").isNull()
+                    | ~F.col("id").isin(list(out["loser_ids"]))
+                )
+            append_to_ivf_index(
+                kept.select(id_col, vec_col), index_path,
+                id_col=id_col, vec_col=vec_col,
+                _assigned=surv.select(
+                    F.col("id").alias(id_col),
+                    F.col("v").alias(vec_col),
+                    "label",
+                ),
+            )
+        else:
+            kept.persist()
+            kept.write.mode("append").parquet(output_path)
+            append_to_ivf_index(
+                kept.select(id_col, vec_col), index_path,
+                id_col=id_col, vec_col=vec_col,
+            )
+            kept.unpersist()
         batches_seen["n"] += 1
         if compact_every and batches_seen["n"] % compact_every == 0:
             compact_ivf_index(spark, index_path)

@@ -423,3 +423,51 @@ def test_incremental_semantic_dedup_loop_idempotent(spark, vectors, tmp_path):
         )
     )
     assert twin.count() == 0
+
+
+def test_semantic_driver_path_matches_distributed(
+    spark, vectors, tmp_path, monkeypatch
+):
+    """r13: the driver-assisted semantic probe (one take with the
+    reingest branch folded in, union-find, isin predicate) keeps
+    EXACTLY what the distributed flow keeps, and the overflow fallback
+    is transparent."""
+    from sea_serpent_spark.operators import incremental as I
+
+    ed = vectors.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    p = str(tmp_path / "semidx")
+    A.build_ivf_index(
+        ed.where(F.col("vec_id") < 300), p, centroids=SEMDEDUP_CENTROIDS
+    )
+    # overlap the delta with indexed ids so the folded reingest branch
+    # has real hits
+    delta = ed.where(
+        (F.col("vec_id") >= 280) & (F.col("vec_id") < 420)
+    )
+
+    def survivors():
+        out = {}
+        kept = A.incremental_semantic_dedup(
+            delta, p, threshold=0.45, ingest_out=out
+        )
+        return (
+            sorted(r["vec_id"] for r in kept.select("vec_id").collect()),
+            out,
+        )
+
+    drv, out_drv = survivors()
+    assert out_drv.get("driver_path") is True
+    assert sorted(out_drv["survivor_ids"]) == drv
+    # indexed ids 280-299 are reingest drops — never survivors
+    assert all(v >= 300 for v in drv)
+    monkeypatch.setattr(I, "_DRIVER_PROBE_DOC_CAP", 0)
+    dist, out_dist = survivors()
+    assert out_dist.get("driver_path") is None
+    assert drv == dist
+    monkeypatch.setattr(I, "_DRIVER_PROBE_DOC_CAP", 1_000_000)
+    monkeypatch.setattr(I, "_DRIVER_PROBE_ROW_CAP", 0)
+    over, out_over = survivors()
+    assert out_over.get("driver_path") is None
+    assert drv == over

@@ -165,3 +165,31 @@ def test_registered_domain_psl(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_fold_idn_host(spark):
+    """r13: Unicode hosts fold to punycode, so the IRI form and the
+    already-encoded form canonicalize identically; ASCII inputs and
+    IPv6 literals pass through untouched; the fold composes with
+    normalize_url."""
+    rows = [
+        (1, "https://MÜnchen.de/x"),            # IRI form
+        (2, "https://xn--mnchen-3ya.de/x"),          # pre-encoded
+        (3, "https://example.com/a?b=1"),            # pure ASCII
+        (4, "https://[2001:db8::1]:8080/p"),         # IPv6 literal
+        (5, "https://user@bücher.ch:8443/y"),   # userinfo + port
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = _m(df, W.normalize_url(W.fold_idn_host(F.col("url"))))
+    assert got[1] == got[2] == "https://xn--mnchen-3ya.de/x"
+    assert got[3] == "https://example.com/a?b=1"
+    assert got[4] == "https://[2001:db8::1]:8080/p"
+    assert got[5] == "https://user@xn--bcher-kva.ch:8443/y"
+    assert got[6] is None
+    # dedup across encodings: one survivor
+    pair = spark.createDataFrame(rows[:2], "doc_id long, url string")
+    folded = pair.select(
+        "doc_id", W.fold_idn_host(F.col("url")).alias("url")
+    )
+    assert [r["doc_id"] for r in W.url_dedup(folded).collect()] == [1]
