@@ -286,7 +286,16 @@ def registered_domain_psl(
     expression. PSL algorithm: the longest matching rule wins, an
     exception rule beats everything (its public suffix is the rule
     minus its leftmost label); no match ⇒ the implicit ``*`` rule
-    (public suffix = the last label)."""
+    (public suffix = the last label).
+
+    ``max_rule_labels`` AUTO-WIDENS to the snapshot's actual widest
+    key (one tiny agg over the broadcast-sized rules table) — a
+    5-label rule silently outside the join fan would otherwise
+    misresolve every host under it, the worst failure mode of a
+    lookup table."""
+    widest = psl.agg(F.max("key_labels")).first()[0]
+    if widest is not None:
+        max_rule_labels = max(int(max_rule_labels), int(widest))
     host = url_host(F.col(url_col))
     out = df.withColumn("__hl", F.split(host, r"\."))
     n = F.size("__hl")

@@ -193,3 +193,52 @@ def test_fold_idn_host(spark):
         "doc_id", W.fold_idn_host(F.col("url")).alias("url")
     )
     assert [r["doc_id"] for r in W.url_dedup(folded).collect()] == [1]
+
+
+def test_psl_auto_widens_to_rule_width(spark):
+    """r13: a snapshot with rules wider than the default join fan must
+    auto-widen — a silently-out-of-fan 5-label rule would misresolve
+    every host under it."""
+    psl = W.psl_rules_df(
+        spark, ["com", "a.b.c.d.e"]  # 5-label rule > default 4
+    )
+    df = spark.createDataFrame(
+        [(1, "https://x.a.b.c.d.e/p")], "doc_id long, url string"
+    )
+    out = W.registered_domain_psl(df, psl).collect()
+    assert out[0]["domain"] == "x.a.b.c.d.e"
+
+
+def test_normalize_url_fuzz_idempotent(spark):
+    """Seeded fuzz (r13): over arbitrary printable garbage — malformed
+    escapes, stray separators, unicode — normalize_url must never
+    throw and must stay idempotent (a second pass is a no-op). One
+    Spark job for the whole deterministic corpus."""
+    import random
+
+    rng = random.Random(1306)
+    alphabet = (
+        "abcXYZ019 %/?#&=:@.~-_+[]%%éß́" + "%41%7e%2F%zz"
+    )
+    seeds = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(40)))
+        for _ in range(60)
+    ] + [
+        "http://",
+        "http://%",
+        "http://a.b/%%41",
+        "https://h/p?%3D=%3d&=&a",
+        "a://b:c@d:e/f%g#h%41",
+        "HTTP://[::1]/%7e",
+    ]
+    cases = []
+    for i, s in enumerate(seeds):
+        cases.append((2 * i, s))
+        cases.append((2 * i + 1, f"https://ex.com/{s}"))
+    df = spark.createDataFrame(cases, "i long, url string")
+    out = df.select(
+        W.normalize_url(F.col("url")).alias("c1"),
+        W.normalize_url(W.normalize_url(F.col("url"))).alias("c2"),
+    ).collect()
+    bad = [(r["c1"], r["c2"]) for r in out if r["c1"] != r["c2"]]
+    assert not bad, bad[:5]
