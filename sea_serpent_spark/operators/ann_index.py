@@ -110,7 +110,14 @@ def build_ivf_index(
             .partitionBy("label")
             .parquet(staging)
         )
-        meta = {"centroids": centroids, "id_col": id_col}
+        # the full schema (incl. the label partition column) rides the
+        # sidecar so every open skips the footer-inference job (r13 —
+        # the band-index sidecar pattern)
+        meta = {
+            "centroids": centroids,
+            "id_col": id_col,
+            "schema": assigned.schema.json(),
+        }
         if codebooks is not None:
             meta["codebooks"] = codebooks
         with open(os.path.join(staging, _ANN_META), "w") as fh:
@@ -136,13 +143,44 @@ def _resolve(path: str) -> tuple[str, dict]:
         return src, json.load(fh)
 
 
-def _index_frame(spark: SparkSession, src: str) -> DataFrame:
+def _index_frame(
+    spark: SparkSession,
+    src: str,
+    meta: dict | None = None,
+    main_cache: dict | None = None,
+) -> DataFrame:
     """The generation's corpus frame: sorted list-partitioned layout
     UNION any append tail (:func:`append_to_ivf_index`). The main
     schema is GIVEN to the tail read — an all-filtered append writes
     zero data files and a schema-less read of that fails inference
-    (the band-index lesson, incremental.py r9)."""
-    df = spark.read.parquet(src)
+    (the band-index lesson, incremental.py r9).
+
+    r13, the band-index openers ported over: a ``schema`` entry in the
+    sidecar ``meta`` skips the per-open footer-inference job (corrupt/
+    missing entries fall back; pre-r13 sidecars carry none), and
+    ``main_cache`` (a caller-owned dict) reuses the main layout's
+    analyzed frame while the generation is unchanged — appends only
+    touch the tail (re-listed fresh every call), compaction cuts a new
+    generation and misses the cache by key."""
+    df = None
+    if main_cache is not None and main_cache.get("src") == src:
+        df = main_cache.get("df")
+    if df is None:
+        reader = spark.read
+        sj = (meta or {}).get("schema")
+        if sj:
+            try:
+                from pyspark.sql.types import StructType
+
+                reader = spark.read.schema(
+                    StructType.fromJson(json.loads(sj))
+                )
+            except Exception:
+                reader = spark.read
+        df = reader.parquet(src)
+        if main_cache is not None:
+            main_cache["src"] = src
+            main_cache["df"] = df
     tdir = os.path.join(src, _ANN_TAIL)
     if os.path.isdir(tdir):
         df = df.unionByName(
@@ -159,7 +197,7 @@ def read_ivf_index(
     quantizer centroids), pinned to the manifest's current
     generation."""
     src, meta = _resolve(path)
-    return _index_frame(spark, src), meta["centroids"]
+    return _index_frame(spark, src, meta), meta["centroids"]
 
 
 def append_to_ivf_index(
@@ -230,6 +268,7 @@ def incremental_semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     ingest_out: dict | None = None,
+    _main_cache: dict | None = None,
 ) -> DataFrame:
     """Surviving rows of ``new_df`` after SEMANTIC dedup against a
     persisted IVF index AND within the delta itself — the SemDeDup
@@ -307,8 +346,12 @@ def incremental_semantic_dedup(
     ).collect()
     labels = sorted(int(r["label"]) for r in lab_rows)
     n_delta = sum(int(r["n"]) for r in lab_rows)
+    # ONE open per probe (sidecar-pinned schema, caller-cacheable main
+    # frame) shared by the pruned scan AND the reingest id scan — two
+    # separate opens each paid a footer-inference job before r13
+    full = _index_frame(spark, src, meta, _main_cache)
     pruned = _keep_cache(
-        _index_frame(spark, src)
+        full
         .where(_F.col("label").isin(labels))
         .select(
             _F.col(id_col).alias("id"),
@@ -370,7 +413,7 @@ def incremental_semantic_dedup(
         # index's id column streams past the broadcast delta ids —
         # no separate job, and only matching ids reach the driver
         reing = (
-            _index_frame(spark, src)
+            full
             .select(_F.col(id_col).alias("id"))
             .join(
                 _F.broadcast(delta.select("id")), "id", "left_semi"
@@ -481,7 +524,7 @@ def incremental_semantic_dedup(
     # live in a list the delta does not touch)
     delta_ids = new_df.select(_F.col(id_col).alias("id")).distinct()
     bcast = n_delta <= BROADCAST_VERIFY_CAP
-    idx_ids = _index_frame(spark, src).select(
+    idx_ids = full.select(
         _F.col(id_col).alias("id")
     )
     if bcast:
@@ -515,7 +558,10 @@ def compact_ivf_index(spark: SparkSession, path: str) -> dict:
     with artifact.writer_lease(path, owner="ivf-compact"):
         src, meta = _resolve(path)
         before = _nfiles(src)
-        full = _index_frame(spark, src)
+        full = _index_frame(spark, src, meta)
+        # refresh/upgrade the sidecar schema alongside the rewrite
+        # (pre-r13 sidecars carry none)
+        meta = {**meta, "schema": full.schema.json()}
         # sort key = the id column the build recorded in the sidecar
         # (r13); the first-non-label-column fallback only serves
         # pre-r13 indexes whose sidecar predates the key
@@ -668,7 +714,7 @@ def ivf_index_topk(
         {int(r["label"]) for r in q.select("label").distinct().collect()}
     )  # ≤ len(centroids) rows — constant-bounded collect
     idx = fan_out(
-        _index_frame(spark, src).where(F.col("label").isin(probed))
+        _index_frame(spark, src, meta).where(F.col("label").isin(probed))
     ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
@@ -749,7 +795,7 @@ def ivf_index_pq_topk(
     probed = sorted(
         {int(r["label"]) for r in q.select("label").distinct().collect()}
     )  # ≤ len(centroids) rows — constant-bounded collect
-    idx = _index_frame(spark, src).where(
+    idx = _index_frame(spark, src, meta).where(
         F.col("label").isin(probed)
     ).select(id_col, "pq_code", "label")
     # assignment partitions the corpus, so a neighbor sits in exactly

@@ -427,12 +427,16 @@ def incremental_semantic_dedup_sink(
     )
 
     batches_seen = {"n": 0}
+    # analyzed-frame cache for the IVF main layout, one per sink
+    # lifetime (r13 — the band sink's generation-keyed pattern)
+    main_cache: dict = {}
 
     def _body(spark, batch_df: DataFrame) -> None:
         out: dict = {}
         kept = incremental_semantic_dedup(
             batch_df, index_path, threshold=threshold,
             id_col=id_col, vec_col=vec_col, ingest_out=out,
+            _main_cache=main_cache,
         )
         if out.get("driver_path") and out.get("assigned") is not None:
             # r13 collapsed append: survivors' labels come from the
