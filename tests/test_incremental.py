@@ -581,3 +581,36 @@ def test_driver_path_matches_distributed(spark, halves, tmp_path,
             new, idx, num_hashes=8, bands=4,
             jaccard_threshold=THRESH, key_buckets=8,
         )
+
+
+def test_driver_path_string_ids(spark, tmp_path):
+    """r13: the driver path's min() keeper choice must follow the id
+    column's OWN ordering for strings too (Python code-point order ==
+    Spark UTF-8 binary order) — '10' beats '2' lexically, unlike
+    numeric ids."""
+    rows = [
+        ("2", "alpha beta gamma delta"),
+        ("10", "alpha beta gamma delta"),     # same text, '10' < '2'
+        ("b", "unique one content here"),
+        ("a9", "totally different words entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    p = str(tmp_path / "idx")
+    hist = spark.createDataFrame(
+        [("zz", "completely unrelated history doc")],
+        "doc_id string, text string",
+    )
+    I.write_band_index(
+        I.minhash_band_index(hist, key_buckets=8), p, key_buckets=8
+    )
+    out = {}
+    kept = sorted(
+        r["doc_id"]
+        for r in I.incremental_dedup(
+            df, I.read_band_index(spark, p), jaccard_threshold=THRESH,
+            key_buckets=8, ingest_out=out,
+        ).collect()
+    )
+    assert out.get("driver_path") is True
+    # the duplicate pair {'2','10'} keeps '10' (lexicographic min)
+    assert kept == sorted(["10", "b", "a9"])
