@@ -632,11 +632,31 @@ def _decode_bmp(b: bytes) -> tuple[int, int, int, bytes]:
         if off < 0 or off > len(b):
             raise ValueError("truncated BMP pixel data")
         return _decode_bmp_rle(b, off, w, h, bpp)
+    if compression in (4, 5):
+        # BI_JPEG / BI_PNG: the pixel payload IS a complete JPEG/PNG
+        # stream (r13) — hand it to the real decoder; the embedded
+        # container carries its own dimensions and orientation, and
+        # consistency with the BMP header is the embedded stream's
+        # problem per spec (printer passthrough format)
+        payload = b[off:]
+        magic = (
+            b"\xff\xd8\xff" if compression == 4
+            else b"\x89PNG\r\n\x1a\n"
+        )
+        if not payload.startswith(magic):
+            raise ValueError(
+                "BMP BI_JPEG/BI_PNG payload does not start with the "
+                "embedded container's magic"
+            )
+        return (
+            _decode_jpeg(payload) if compression == 4
+            else _decode_png(payload)
+        )
     if compression != 0:
         raise NotImplementedError(
             f"BMP compression {compression} unsupported "
-            "(BI_RGB / BI_RLE8 / BI_RLE4 / BI_BITFIELDS only — "
-            "BI_JPEG/BI_PNG passthrough is out of scope)"
+            "(BI_RGB / BI_RLE8 / BI_RLE4 / BI_BITFIELDS / "
+            "BI_JPEG / BI_PNG)"
         )
     topdown = h < 0
     h = abs(h)

@@ -1288,13 +1288,17 @@ def test_decode_bmp_palettized():
     with pytest.raises(ValueError):
         M.decode_image(img)
     # BITFIELDS on a palettized bpp is corrupt (r13 decodes BITFIELDS
-    # for 16/32-bit only — see test_decode_bmp_bitfields); BI_JPEG
-    # passthrough stays NotImplementedError
+    # for 16/32-bit only — see test_decode_bmp_bitfields); BI_JPEG is
+    # a passthrough as of r13 (wrong magic here → corrupt); unknown
+    # compression ids stay NotImplementedError
     img = bytearray(bmp(3, 2, 8, palette, [[0, 1, 2], [3, 0, 1]]))
     img[30] = 3  # BI_BITFIELDS
     with pytest.raises(ValueError, match="BITFIELDS"):
         M.decode_image(bytes(img))
-    img[30] = 4  # BI_JPEG
+    img[30] = 4  # BI_JPEG with non-JPEG payload
+    with pytest.raises(ValueError, match="magic"):
+        M.decode_image(bytes(img))
+    img[30] = 6  # beyond any defined BI_* id
     with pytest.raises(NotImplementedError, match="compression"):
         M.decode_image(bytes(img))
 
@@ -1544,3 +1548,40 @@ def test_decode_jpeg_cmyk():
     seglen = int.from_bytes(raw[app14_at + 2:app14_at + 4], "big")
     stripped = raw[:app14_at] + raw[app14_at + 2 + seglen:]
     assert M.decode_image(stripped)[3] == M.decode_image(raw)[3]
+
+
+def test_decode_bmp_embedded_jpeg_png():
+    """r13: BI_JPEG/BI_PNG passthrough — the BMP payload is a complete
+    JPEG/PNG stream handed to the real decoder; wrong-magic payloads
+    are corrupt, not unsupported. Closes the last BMP guard."""
+    import struct
+
+    import pytest
+
+    def wrap(inner: bytes, compression: int, w: int, h: int) -> bytes:
+        hdr = b"BM" + struct.pack("<IHHI", 54 + len(inner), 0, 0, 54)
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 0, compression, len(inner),
+            2835, 2835, 0, 0,
+        )
+        return hdr + dib + inner
+
+    w, h = 17, 9
+    exp = sum(
+        M._pattern_px(x // 8, y // 8) for x in range(w) for y in range(h)
+    )
+    jb = M.jpeg_bytes(w, h, pattern=True)
+    W, H, ch, px = M.decode_image(wrap(jb, 4, w, h))
+    assert (W, H, ch) == (w, h, 1) and sum(px) == exp
+    pexp = sum(M._pattern_px(x, y) for x in range(w) for y in range(h))
+    pb = M.png_bytes(w, h, pattern=True)
+    W, H, ch, px = M.decode_image(wrap(pb, 5, w, h))
+    assert (W, H, ch) == (w, h, 1) and sum(px) == pexp
+    # wrong magic → ValueError (corrupt), never a raw codec error
+    with pytest.raises(ValueError, match="magic"):
+        M.decode_image(wrap(b"garbage", 4, w, h))
+    with pytest.raises(ValueError, match="magic"):
+        M.decode_image(wrap(jb, 5, w, h))  # JPEG under BI_PNG tag
+    # unknown compression id still NotImplementedError
+    with pytest.raises(NotImplementedError, match="compression"):
+        M.decode_image(wrap(jb, 6, w, h))
