@@ -1154,6 +1154,7 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     progressive = False
+    precision = 8
     dri = 0
     state = None
     saw_scan = False
@@ -1202,8 +1203,14 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                 huff[(tc, th)] = _jpeg_huff_table(counts, values)
                 p += 17 + total
         elif m in (0xC0, 0xC1, 0xC2):  # sequential / progressive frame
-            if seg[0] != 8:
-                raise NotImplementedError("JPEG precision != 8")
+            if seg[0] not in (8, 12):
+                # 12-bit rides the same huffman+IDCT path (r13):
+                # level shift 2048, clamp to 4095, scale back to the
+                # byte output by >>4 — T.81 allows only 8/12 here
+                raise NotImplementedError(
+                    f"JPEG precision {seg[0]} unsupported (8/12-bit)"
+                )
+            precision = seg[0]
             progressive = m == 0xC2
             hgt, wdt = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
@@ -1259,7 +1266,7 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                 Ss, Se, Ah, Al = 0, 63, 0, 0
             end = _decode_jpeg_scan(
                 b, i + 2 + ln, frame, smap, Ss, Se, Ah, Al,
-                qt, huff, dri, state, progressive,
+                qt, huff, dri, state, progressive, precision,
             )
             saw_scan = True
             i = end
@@ -1278,13 +1285,20 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
         cblocks = state.coefs[ci]
         by_n, bx_n, _ = cblocks.shape
         plane = np.zeros((by_n * 8, bx_n * 8), dtype=np.uint8)
+        # level shift / clamp at the FRAME's sample precision, then
+        # scale to the byte output (>>4 for 12-bit — exact for values
+        # that are whole 8-bit levels, the usual provenance)
+        level = 1 << (precision - 1)
+        maxval = (1 << precision) - 1
         for by in range(by_n):
             for bx in range(bx_n):
                 block = (
                     cblocks[by, bx].reshape(8, 8) * q
                 ).astype(float)
                 px = mt @ block @ _IDCT_M
-                px = np.clip(np.rint(px) + 128, 0, 255)
+                px = np.clip(np.rint(px) + level, 0, maxval)
+                if precision > 8:
+                    px = px.astype(np.int32) >> (precision - 8)
                 plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
                     px.astype(np.uint8)
                 )
@@ -1333,7 +1347,7 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
 
 def _decode_jpeg_scan(
     b, pos, frame, smap, Ss, Se, Ah, Al, qt, huff, dri, state,
-    progressive,
+    progressive, precision=8,
 ) -> int:
     """Decode ONE entropy-coded scan into the coefficient store;
     → the byte position of the marker terminating the scan.
@@ -1362,7 +1376,9 @@ def _decode_jpeg_scan(
     def _dc(ci, coef, dct):
         if Ah == 0:  # initial DC scan (baseline's too, Al=0 then)
             s = bits.huff(dct)
-            if s > 11:
+            # T.81 table F.1: DC categories 0-11 at 8-bit sample
+            # precision, 0-15 at 12-bit
+            if s > (11 if precision == 8 else 15):
                 raise ValueError("bad JPEG DC category")
             diff = _jpeg_extend(bits.take(s), s)
             state.pred[ci] += diff
@@ -1454,7 +1470,8 @@ def _decode_jpeg_scan(
 
 
 def jpeg_bytes(
-    w: int, h: int, pattern: bool = False, cmyk: bool = False
+    w: int, h: int, pattern: bool = False, cmyk: bool = False,
+    precision: int = 8,
 ) -> bytes:
     """A COMPLETE valid baseline-sequential grayscale JPEG with
     EXACTLY-decodable content: quant table all ones, every 8×8 block
@@ -1470,14 +1487,27 @@ def jpeg_bytes(
     file instead: inverted-CMY channels all carry the pattern value
     and inverted-K is a flat 255, so the un-ink conversion
     s·255/255 reproduces pixel(x, y) = pattern on ALL THREE RGB
-    channels — decoded sum is exactly 3× the grayscale file's."""
+    channels — decoded sum is exactly 3× the grayscale file's.
+
+    ``precision=12`` (r13) emits an EXTENDED-sequential (SOF1) file:
+    samples are the pattern value << 4 (whole 8-bit levels at 12-bit
+    precision), DC = 8·(v₁₂ − 2048), categories up to 15 per T.81
+    table F.1 — the decoder's scale-back >>4 reproduces the 8-bit
+    pattern bit-exactly, so the q53 closed form is unchanged."""
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
     bw = (w + 7) // 8
     bh = (h + 7) // 8
     ncomp = 4 if cmyk else 1
-    # custom DHT: DC categories 0..11 as 4-bit codes (the all-ones
-    # 4-bit code stays unused per T.81 §C.2); AC needs only EOB
-    dc_counts = [0, 0, 0, 12] + [0] * 12
-    dc_vals = list(range(12))
+    # custom DHT: DC categories as fixed-width codes (the all-ones
+    # code of each width stays unused per T.81 §C.2); AC needs only
+    # EOB. 12-bit needs categories up to 15 → 16 len-5 codes.
+    if precision == 12:
+        dc_counts = [0, 0, 0, 0, 16] + [0] * 11
+        dc_vals = list(range(16))
+    else:
+        dc_counts = [0, 0, 0, 12] + [0] * 12
+        dc_vals = list(range(12))
     ac_counts = [0, 1] + [0] * 14
     ac_vals = [0x00]
     dc_codes = _jpeg_huff_table(bytes(dc_counts), bytes(dc_vals))
@@ -1499,6 +1529,8 @@ def jpeg_bytes(
                 out.append(0x00)  # byte stuffing
         acc[0] &= (1 << acc[1]) - 1
 
+    level = 1 << (precision - 1)
+    shift = precision - 8
     preds = [0] * ncomp
     for my in range(bh):
         for mx in range(bw):
@@ -1507,7 +1539,7 @@ def jpeg_bytes(
             # OWN DC predictor; CMYK stores pattern on C/M/Y, 255 on K
             for ci in range(ncomp):
                 cv = 255 if (cmyk and ci == 3) else v
-                dc = 8 * (cv - 128)
+                dc = 8 * ((cv << shift) - level)
                 diff = dc - preds[ci]
                 preds[ci] = dc
                 s = (
@@ -1534,8 +1566,9 @@ def jpeg_bytes(
 
     dqt = seg(0xDB, b"\x00" + bytes([1] * 64))
     sof = seg(
-        0xC0,
-        b"\x08" + struct.pack(">HH", h, w) + bytes((ncomp,))
+        0xC1 if precision == 12 else 0xC0,  # 12-bit: extended seq.
+        bytes((precision,)) + struct.pack(">HH", h, w)
+        + bytes((ncomp,))
         + b"".join(
             bytes((cid, 0x11, 0)) for cid in range(1, ncomp + 1)
         ),
@@ -1976,12 +2009,15 @@ def synthesize_test_media(
                 ))
             else:
                 # JPEG sub-variant cycles on the NEXT digit (r13):
-                # grayscale / 4-component Adobe CMYK — the CMYK file
-                # decodes to the same pattern on all three RGB
-                # channels, so its pixel sum is exactly 3× (mirrored
-                # by the oracle)
+                # 8-bit grayscale / 4-component Adobe CMYK / 12-bit
+                # extended-sequential grayscale — CMYK decodes to the
+                # same pattern on all three RGB channels (sum ×3),
+                # 12-bit scales back to the identical 8-bit pattern
+                # (sum ×1) — both mirrored by the oracle
+                variant = (i // 5) % 3
                 out.append(jpeg_bytes(
-                    w, h, pattern=pat, cmyk=(i // 5) % 2 == 1
+                    w, h, pattern=pat, cmyk=variant == 1,
+                    precision=12 if variant == 2 else 8,
                 ))
         return pd.Series(out)
 

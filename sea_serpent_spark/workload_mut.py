@@ -1001,11 +1001,13 @@ ORACLES_MUT: dict[str, str] = {
         "  generate_series(0, 8 * (1 + doc_id % 100) - 1), "
         "  i -> i % 201 - 100)) AS BIGINT) "
         # JPEG: pixel(x,y) = pattern(x//8, y//8) — the flat-block
-        # construction; sub-variants cycle on (doc_id // 5) % 2 (r13):
-        # grayscale (1 channel) / Adobe CMYK (un-inks to the same
-        # pattern on all 3 RGB channels — sum ×3)
+        # construction; sub-variants cycle on (doc_id // 5) % 3 (r13):
+        # 8-bit grayscale (1 channel) / Adobe CMYK (un-inks to the
+        # same pattern on all 3 RGB channels — sum ×3) / 12-bit
+        # extended-sequential grayscale (scales back bit-exactly —
+        # sum ×1)
         "WHEN 4 THEN CAST("
-        "  (CASE WHEN (doc_id // 5) % 2 = 1 THEN 3 ELSE 1 END) "
+        "  (CASE WHEN (doc_id // 5) % 3 = 1 THEN 3 ELSE 1 END) "
         "  * list_sum(list_transform("
         "  generate_series(0, (doc_id * 7) % 64), y -> list_sum("
         "    list_transform(generate_series(0, doc_id % 64), "

@@ -388,13 +388,14 @@ def test_extract_media_content_end_to_end(spark):
             assert r["n_values"] == ch * n
         elif kind == 4:
             # jpeg: baseline huffman+IDCT, flat DC blocks; r13
-            # sub-variant cycles by (i//5)%2 — grayscale / Adobe CMYK
-            # (un-inks to the same pattern on 3 RGB channels)
+            # sub-variant cycles by (i//5)%3 — 8-bit gray / Adobe CMYK
+            # (un-inks to the same pattern on 3 RGB channels) / 12-bit
+            # extended-sequential gray (scales back bit-exactly)
             exp = sum(
                 M._pattern_px(x // 8, y // 8)
                 for x in range(w) for y in range(h)
             )
-            ch = 3 if (i // 5) % 2 == 1 else 1
+            ch = 3 if (i // 5) % 3 == 1 else 1
             assert r["mime"] == "image/jpeg"
             assert (r["width"], r["height"], r["channels"]) == (w, h, ch)
             assert r["vsum"] == ch * exp and r["n_values"] == ch * w * h
@@ -1585,3 +1586,28 @@ def test_decode_bmp_embedded_jpeg_png():
     # unknown compression id still NotImplementedError
     with pytest.raises(NotImplementedError, match="compression"):
         M.decode_image(wrap(jb, 6, w, h))
+
+
+def test_decode_jpeg_12bit():
+    """r13: 12-bit extended-sequential JPEG — samples at whole 8-bit
+    levels scale back bit-exactly (>>4); DC categories up to 15 are
+    accepted at 12-bit precision; other precisions stay
+    NotImplementedError."""
+    import pytest
+
+    w, h = 29, 18
+    exp = sum(
+        M._pattern_px(x // 8, y // 8)
+        for x in range(w) for y in range(h)
+    )
+    b12 = M.jpeg_bytes(w, h, pattern=True, precision=12)
+    W, H, ch, px = M.decode_image(b12)
+    assert (W, H, ch) == (w, h, 1) and sum(px) == exp
+    assert sum(M.decode_image(M.jpeg_bytes(5, 5, precision=12))[3]) == 0
+    assert M.sniff_media(b12)[:3] == ("image/jpeg", w, h)
+    bad = bytearray(b12)
+    bad[bad.find(b"\xff\xc1") + 4] = 10
+    with pytest.raises(NotImplementedError, match="precision"):
+        M.decode_image(bytes(bad))
+    with pytest.raises(ValueError):
+        M.jpeg_bytes(4, 4, precision=10)
