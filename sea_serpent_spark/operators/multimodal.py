@@ -134,9 +134,9 @@ def _sniff_wav(b: bytes):
             fmt_tag, _ch, _rate, byte_rate = struct.unpack(
                 "<HHII", b[i + 8:i + 20]
             )
-            codec = {1: "pcm", 3: "pcm_float"}.get(
-                fmt_tag, f"wav_fmt_{fmt_tag}"
-            )
+            codec = {
+                1: "pcm", 3: "pcm_float", 6: "alaw", 7: "ulaw",
+            }.get(fmt_tag, f"wav_fmt_{fmt_tag}")
         elif cid == b"data":
             data_size = size
         i += 8 + size + (size & 1)  # chunks are word-aligned
@@ -1595,12 +1595,41 @@ def jpeg_bytes(
     )
 
 
-def _decode_wav_float(b: bytes) -> tuple[int, list[int]] | None:
-    """IEEE-float RIFF/WAVE (fmt tag 3) — the stdlib ``wave`` module
-    only accepts PCM, so walk the chunks directly. Samples are
-    normalized [-1, 1] floats; returned as ints via the standard
-    float↔PCM16 convention round(f · 32768) so all WAV variants share
-    one output type. Returns None when the payload is not float WAV."""
+def _ulaw_decode(c: int) -> int:
+    """ITU G.711 µ-law byte → 16-bit linear (bias 0x84 expansion —
+    the exact inverse every telephony encoder uses)."""
+    c = ~c & 0xFF
+    sign = c & 0x80
+    e = (c >> 4) & 7
+    m = c & 0x0F
+    v = (((m << 3) + 0x84) << e) - 0x84
+    return -v if sign else v
+
+
+def _alaw_decode(c: int) -> int:
+    """ITU G.711 A-law byte → 16-bit linear (0x55 toggle + segment
+    expansion; a SET sign bit means POSITIVE — the opposite of
+    µ-law's convention)."""
+    c ^= 0x55
+    sign = c & 0x80
+    e = (c >> 4) & 7
+    m = c & 0x0F
+    v = (m << 4) + 8 if e == 0 else ((m << 4) + 0x108) << (e - 1)
+    return v if sign else -v
+
+
+#: fmt-tag → per-byte decoder for the 8-bit companded G.711 formats
+_G711 = {6: _alaw_decode, 7: _ulaw_decode}
+
+
+def _decode_wav_ext(b: bytes) -> tuple[int, list[int]] | None:
+    """Non-PCM RIFF/WAVE the stdlib ``wave`` module rejects, walked
+    chunk-by-chunk: IEEE float32 (fmt tag 3 — samples normalized
+    [-1, 1], returned via the standard float↔PCM16 convention
+    round(f · 32768)) and the G.711 companded telephony formats
+    (tag 6 A-law, tag 7 µ-law — r13; 8-bit codes expanded to 16-bit
+    linear by the ITU formulas). All WAV variants share one output
+    type. Returns None when the payload is none of these."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
     rate = None
@@ -1619,8 +1648,15 @@ def _decode_wav_float(b: bytes) -> tuple[int, list[int]] | None:
         elif cid == b"data":
             data = b[i + 8:i + 8 + size]
         i += 8 + size + (size & 1)
-    if tag != 3 or rate is None or data is None:
+    if tag not in (3, 6, 7) or rate is None or data is None:
         return None
+    if tag in _G711:
+        if bits != 8:
+            raise ValueError(
+                f"G.711 WAV bits {bits} unsupported (8 only)"
+            )
+        dec = _G711[tag]
+        return rate, [dec(c) for c in data]
     if bits != 32:
         raise ValueError(f"float WAV bits {bits} unsupported (32 only)")
     cnt = len(data) // 4
@@ -1634,10 +1670,11 @@ def decode_audio(data: bytes) -> tuple[int, list[int]]:
     """REAL audio decode for RIFF/WAVE — → (sample_rate, samples as
     ints, channel-interleaved). PCM 8-bit (unsigned, re-centered to
     signed), 16-bit, 24-bit, and 32-bit via the stdlib ``wave``
-    module, plus 32-bit IEEE float (r12, the other common scrape
-    format — decoded through the standard float↔PCM16 convention,
-    :func:`_decode_wav_float`). Truncated/corrupt input raises
-    ValueError (one clean error type)."""
+    module, plus 32-bit IEEE float (r12, the standard float↔PCM16
+    convention) and G.711 µ-law/A-law telephony WAV (r13, ITU
+    expansion to 16-bit linear) via :func:`_decode_wav_ext`.
+    Truncated/corrupt input raises ValueError (one clean error
+    type)."""
     import io
     import wave
 
@@ -1648,7 +1685,7 @@ def decode_audio(data: bytes) -> tuple[int, list[int]]:
     except (wave.Error, EOFError, struct.error,
             RuntimeError, OSError) as e:
         try:
-            fl = _decode_wav_float(bytes(data))
+            fl = _decode_wav_ext(bytes(data))
         except ValueError:
             raise  # informative (float WAV, unsupported bit depth)
         except Exception:
@@ -1918,12 +1955,22 @@ def wav_bytes(
     float↔PCM16 convention, lossless for the pattern's ±100 range),
     3 = 16-bit PCM STEREO (both channels carry the frame value →
     decoded sum doubles; duration is unchanged, byte rate scales with
-    block align). ``pattern`` writes frame i = (i % 201) − 100 instead
-    of silence."""
+    block align), 4 = G.711 µ-LAW mono (r13 — the pattern here is at
+    the CODE level, byte i = (11·i) mod 256, because the ±100 sample
+    pattern is not µ-law-representable: the decoded sum is then
+    Σ ulaw_decode((11·i) mod 256), a closed form the oracle replays;
+    silence = code 0xFF, which decodes to exactly 0). ``pattern``
+    writes frame i = (i % 201) − 100 instead of silence."""
     vals = [
         ((i % 201) - 100) if pattern else 0 for i in range(n_samples)
     ]
-    if variant == 1:
+    if variant == 4:
+        data = bytes(
+            (11 * i) % 256 if pattern else 0xFF
+            for i in range(n_samples)
+        )
+        width, channels, tag = 1, 1, 7
+    elif variant == 1:
         data = bytes(v + 128 for v in vals)
         width, channels, tag = 1, 1, 1
     elif variant == 2:
@@ -1999,13 +2046,14 @@ def synthesize_test_media(
                     w, h, pattern=pat, variant=(i // 5) % 5
                 ))
             elif kind == 3:
-                # WAV sub-variant cycles on the NEXT digit (r12):
-                # PCM16 / PCM8 / float32 / stereo16 — every
-                # decode_audio path hash-checked; stereo doubles the
-                # decoded sum, duration is variant-invariant
+                # WAV sub-variant cycles on the NEXT digit (r12-r13):
+                # PCM16 / PCM8 / float32 / stereo16 / G.711 µ-law —
+                # every decode_audio path hash-checked; stereo doubles
+                # the decoded sum, µ-law sums the ITU expansion of its
+                # code-level pattern, duration is variant-invariant
                 out.append(wav_bytes(
                     8 * (1 + i % 100), pattern=pat,
-                    variant=(i // 5) % 4,
+                    variant=(i // 5) % 5,
                 ))
             else:
                 # JPEG sub-variant cycles on the NEXT digit (r13):

@@ -992,14 +992,24 @@ ORACLES_MUT: dict[str, str] = {
         "                             + (((x + 3 * y) % 251) // 4) // 16 "
         "                        ELSE 3 * ((x + 3 * y) % 251) END)))) "
         "AS BIGINT) "
-        # WAV sub-variants cycle on (doc_id // 5) % 4 (r12): PCM16 /
-        # PCM8 / float32 decode to the same sample values; stereo
-        # carries the frame value on both channels — sum ×2
-        "WHEN 3 THEN CAST("
-        "  (CASE WHEN (doc_id // 5) % 4 = 3 THEN 2 ELSE 1 END) "
+        # WAV sub-variants cycle on (doc_id // 5) % 5 (r12-r13):
+        # PCM16 / PCM8 / float32 decode to the same sample values;
+        # stereo carries the frame value on both channels — sum ×2;
+        # G.711 µ-law stores code bytes (11·i mod 256) and the oracle
+        # replays the ITU expansion: with cc = 255 − code,
+        # v = ((cc%16)·8 + 132)·2^((cc//16)%8) − 132, negated when
+        # cc ≥ 128
+        "WHEN 3 THEN CAST(CASE WHEN (doc_id // 5) % 5 = 4 "
+        "  THEN list_sum(list_transform("
+        "    generate_series(0, 8 * (1 + doc_id % 100) - 1), i -> ("
+        "    CASE WHEN (255 - ((11 * i) % 256)) >= 128 THEN -1 ELSE 1 "
+        "    END) * ((((255 - ((11 * i) % 256)) % 16) * 8 + 132) "
+        "           * (1 << (((255 - ((11 * i) % 256)) // 16) % 8)) "
+        "           - 132))) "
+        "  ELSE (CASE WHEN (doc_id // 5) % 5 = 3 THEN 2 ELSE 1 END) "
         "  * list_sum(list_transform("
         "  generate_series(0, 8 * (1 + doc_id % 100) - 1), "
-        "  i -> i % 201 - 100)) AS BIGINT) "
+        "  i -> i % 201 - 100)) END AS BIGINT) "
         # JPEG: pixel(x,y) = pattern(x//8, y//8) — the flat-block
         # construction; sub-variants cycle on (doc_id // 5) % 3 (r13):
         # 8-bit grayscale (1 channel) / Adobe CMYK (un-inks to the

@@ -127,8 +127,9 @@ def test_attach_media_meta_end_to_end(spark):
         i = r["doc_id"]
         kind = i % 5
         if kind == 3:
-            # r12 variant cycle: float32 (variant 2) sniffs pcm_float
-            want = "pcm_float" if (i // 5) % 4 == 2 else "pcm"
+            # r12-r13 variant cycle: float32 sniffs pcm_float, the
+            # G.711 variant sniffs ulaw
+            want = {2: "pcm_float", 4: "ulaw"}.get((i // 5) % 5, "pcm")
             assert r["mime"] == "audio/wav" and r["codec"] == want
             assert r["duration_ms"] == 1 + i % 100
             assert r["width"] is None and r["height"] is None
@@ -380,11 +381,21 @@ def test_extract_media_content_end_to_end(spark):
                 )
             assert r["vsum"] == exp and r["channels"] == 3
         elif kind == 3:
-            # r12: WAV sub-variant cycles by (i//5)%4 — PCM16/PCM8/
-            # float32 decode identically; stereo doubles sum and count
+            # r12-r13: WAV sub-variant cycles by (i//5)%5 — PCM16/
+            # PCM8/float32 decode identically; stereo doubles sum and
+            # count; µ-law sums the ITU expansion of its code pattern
             n = 8 * (1 + i % 100)
-            ch = 2 if (i // 5) % 4 == 3 else 1
-            assert r["vsum"] == ch * sum((j % 201) - 100 for j in range(n))
+            variant = (i // 5) % 5
+            if variant == 4:
+                want = sum(
+                    M._ulaw_decode((11 * j) % 256) for j in range(n)
+                )
+                ch = 1
+            else:
+                want = sum((j % 201) - 100 for j in range(n))
+                ch = 2 if variant == 3 else 1
+                want *= ch
+            assert r["vsum"] == want
             assert r["n_values"] == ch * n
         elif kind == 4:
             # jpeg: baseline huffman+IDCT, flat DC blocks; r13
@@ -1611,3 +1622,70 @@ def test_decode_jpeg_12bit():
         M.decode_image(bytes(bad))
     with pytest.raises(ValueError):
         M.jpeg_bytes(4, 4, precision=10)
+
+
+def test_decode_wav_g711():
+    """r13: µ-law/A-law RIFF/WAVE decode via the ITU expansion —
+    round-trips a reference software ENCODER (independent of the
+    decode tables), hits the format extremes, and keeps the one-
+    clean-error contract."""
+    import struct
+
+    import pytest
+
+    def wav(tag, data, rate=8000, bits=8):
+        fmt = struct.pack("<HHIIHH", tag, 1, rate, rate, 1, bits)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    # independent reference encoders (ITU G.711 segment search)
+    def ulaw_encode(v):
+        BIAS = 0x84
+        sign = 0x80 if v < 0 else 0
+        v = min(abs(v), 32635) + BIAS
+        e = 7
+        for i in range(7, -1, -1):
+            if v & (0x4000 >> (7 - i)):
+                e = i
+                break
+        m = (v >> (e + 3)) & 0x0F
+        return ~(sign | (e << 4) | m) & 0xFF
+
+    def alaw_encode(v):
+        sign = 0x80 if v >= 0 else 0
+        v = min(abs(v), 32767)
+        if v < 256:
+            code = v >> 4
+        else:
+            e = 7
+            while not v & (0x4000 >> (7 - e)):
+                e -= 1
+            code = (e << 4) | ((v >> (e + 3)) & 0x0F)
+        return (sign | code) ^ 0x55
+
+    vals = [0, 1, 8, 100, -100, 1000, -1000, 32124, -32124, 5000]
+    codes = bytes(ulaw_encode(v) for v in vals)
+    rate, got = M.decode_audio(wav(7, codes))
+    assert rate == 8000
+    # companded: decode(encode(v)) lands within the segment's step
+    for v, g in zip(vals, got):
+        assert abs(g - v) <= max(8, abs(v) // 16), (v, g)
+    # exact level check: the µ-law code for silence decodes to 0
+    assert M.decode_audio(wav(7, bytes([ulaw_encode(0)])))[1] == [0]
+    # A-law round-trip
+    codes = bytes(alaw_encode(v) for v in vals)
+    _, got = M.decode_audio(wav(6, codes))
+    for v, g in zip(vals, got):
+        assert abs(g - v) <= max(16, abs(v) // 16), (v, g)
+    # max-magnitude codes decode to the ITU table extremes
+    assert max(M._ulaw_decode(c) for c in range(256)) == 32124
+    assert max(M._alaw_decode(c) for c in range(256)) == 32256
+    # wrong bit width for a companded tag → clean error
+    with pytest.raises(ValueError, match="G.711"):
+        M.decode_audio(wav(7, b"\x00\x00", bits=16))
+    # unknown tag still one clean error type
+    with pytest.raises(ValueError):
+        M.decode_audio(wav(42, b"\x00\x00"))
