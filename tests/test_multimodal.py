@@ -1085,18 +1085,25 @@ def test_decoders_on_corrupted_valid_prefixes(data):
     for prefix in (
         M.png_bytes(5, 4, pattern=True)[:30],
         M.bmp_bytes(5, 4, pattern=True)[:40],
+        M.bmp_bytes(5, 4, pattern=True, variant=4)[:50],  # BITFIELDS
         M.gif_bytes(5, 4, pattern=True)[:25],
         M.jpeg_bytes(5, 4, pattern=True)[:60],
+        M.jpeg_bytes(5, 4, pattern=True, cmyk=True)[:70],   # r13
+        M.jpeg_bytes(5, 4, pattern=True, precision=12)[:60],  # r13
         prog_prefix,
     ):
         try:
             M.decode_image(prefix + data)
         except (ValueError, NotImplementedError):
             pass
-    try:
-        M.decode_audio(M.wav_bytes(16, pattern=True)[:30] + data)
-    except (ValueError, NotImplementedError):
-        pass  # wave.Error et al. are converted to ValueError
+    for wav_prefix in (
+        M.wav_bytes(16, pattern=True)[:30],
+        M.wav_bytes(16, pattern=True, variant=4)[:30],  # r13 µ-law
+    ):
+        try:
+            M.decode_audio(wav_prefix + data)
+        except (ValueError, NotImplementedError):
+            pass  # wave.Error et al. are converted to ValueError
 
 
 # ---------------------------------------------------------------------------
