@@ -1154,6 +1154,8 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     progressive = False
+    lossless = False
+    lossless_planes: list = []
     precision = 8
     dri = 0
     state = None
@@ -1202,11 +1204,18 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                 values = seg[p + 17:p + 17 + total]
                 huff[(tc, th)] = _jpeg_huff_table(counts, values)
                 p += 17 + total
-        elif m in (0xC0, 0xC1, 0xC2):  # sequential / progressive frame
-            if seg[0] not in (8, 12):
-                # 12-bit rides the same huffman+IDCT path (r13):
-                # level shift 2048, clamp to 4095, scale back to the
-                # byte output by >>4 — T.81 allows only 8/12 here
+        elif m in (0xC0, 0xC1, 0xC2, 0xC3):  # seq/prog/lossless frame
+            lossless = m == 0xC3
+            if lossless:
+                # lossless allows 2-16 bit samples (T.81 B.2.2)
+                if not 2 <= seg[0] <= 16:
+                    raise ValueError(
+                        f"bad lossless JPEG precision {seg[0]}"
+                    )
+            elif seg[0] not in (8, 12):
+                # DCT paths ride the same huffman+IDCT code (r13):
+                # level shift 2^(P-1), clamp to 2^P-1, scale back to
+                # the byte output — T.81 allows only 8/12 here
                 raise NotImplementedError(
                     f"JPEG precision {seg[0]} unsupported (8/12-bit)"
                 )
@@ -1227,6 +1236,12 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
                     f"{len(comps)}-component JPEG unsupported "
                     "(grayscale / YCbCr / CMYK-YCCK)"
                 )
+            if lossless and len(comps) != 1:
+                # color lossless has no defined transform (RGB vs raw
+                # CFA is metadata-dependent) — out of scope
+                raise NotImplementedError(
+                    "multi-component lossless JPEG unsupported"
+                )
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             if hmax == 0 or vmax == 0 or any(
@@ -1239,9 +1254,10 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
             state = _JpegState(
                 [(mcus_y * vs, mcus_x * hs) for _, hs, vs, _ in comps]
             )
-        elif m in _JPEG_SOF:  # lossless / hierarchical / arithmetic
+        elif m in _JPEG_SOF:  # hierarchical / arithmetic
             raise NotImplementedError(
-                "only sequential and progressive huffman JPEG supported"
+                "only sequential, progressive, and lossless huffman "
+                "JPEG supported"
             )
         elif m == 0xDD:  # DRI
             (dri,) = struct.unpack(">H", seg[:2])
@@ -1262,6 +1278,17 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
             Ss, Se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             AhAl = seg[3 + 2 * ns]
             Ah, Al = AhAl >> 4, AhAl & 0x0F
+            if lossless:
+                # lossless SOS: Ss = predictor selector, Al = point
+                # transform (T.81 H.1) — decoded samples land in
+                # lossless_planes, no coefficient store
+                end = _decode_jpeg_lossless_scan(
+                    b, i + 2 + ln, frame, smap, Ss, Al, huff, dri,
+                    precision, lossless_planes,
+                )
+                saw_scan = True
+                i = end
+                continue
             if not progressive:
                 Ss, Se, Ah, Al = 0, 63, 0, 0
             end = _decode_jpeg_scan(
@@ -1275,6 +1302,18 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
     if frame is None or not saw_scan:
         raise ValueError("JPEG missing SOF/SOS")
     hgt, wdt, comps, hmax, vmax, mcus_x, mcus_y = frame
+    if lossless:
+        plane = lossless_planes[0]
+        # scale the P-bit samples to the byte output: >> for deep
+        # samples (exact when they are whole 8-bit levels), << with
+        # bit replication low bits zero for shallow ones
+        if precision >= 8:
+            out8 = (plane >> (precision - 8)).astype(np.uint8)
+        else:
+            out8 = np.clip(
+                plane << (8 - precision), 0, 255
+            ).astype(np.uint8)
+        return wdt, hgt, 1, out8[:hgt, :wdt].tobytes()
     mt = _IDCT_M.T
     full = []
     for ci, (cid, hs, vs, tq) in enumerate(comps):
@@ -1343,6 +1382,81 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
         return wdt, hgt, 3, rgb.tobytes()
     rgb = _ycc_to_rgb(full[0], full[1], full[2]).astype(np.uint8)
     return wdt, hgt, 3, rgb.tobytes()
+
+
+def _decode_jpeg_lossless_scan(
+    b, pos, frame, smap, predictor, pt, huff, dri, precision, planes,
+) -> int:
+    """Decode ONE lossless (SOF3) scan — single component, raster
+    order, one sample per MCU (T.81 annex H): huffman SSSS category +
+    EXTENDed difference bits against the selected predictor (1-7 from
+    Ra/Rb/Rc neighbors; first sample — and the first after every
+    restart — predicted with 2^(P-Pt-1); the rest of row 0 with Ra,
+    column 0 with Rb). Samples accumulate mod 2^16 and are shifted
+    back by the point transform. → the byte position of the
+    terminating marker; the decoded int32 plane is appended to
+    ``planes``."""
+    import numpy as np
+
+    hgt, wdt = frame[0], frame[1]
+    if len(smap) != 1:
+        raise NotImplementedError(
+            "multi-component lossless JPEG unsupported"
+        )
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"bad lossless predictor {predictor}")
+    table = huff.get((0, smap[0][1]))
+    if table is None:
+        raise ValueError("lossless scan references missing "
+                         "huffman table")
+    bits = _JpegBits(b, pos)
+    default = 1 << (precision - pt - 1)
+    plane = np.zeros((hgt, wdt), dtype=np.int32)
+    count = 0
+    reset = True
+    for y in range(hgt):
+        for x in range(wdt):
+            if dri and count and count % dri == 0:
+                bits.align_restart()
+                reset = True
+            s = bits.huff(table)
+            if s > 16:
+                raise ValueError("bad lossless JPEG category")
+            if s == 16:  # the special all-ones 16-bit difference
+                diff = 32768
+            elif s:
+                diff = _jpeg_extend(bits.take(s), s)
+            else:
+                diff = 0
+            if reset:
+                px = default
+                reset = False
+            elif y == 0:
+                px = int(plane[0, x - 1])
+            elif x == 0:
+                px = int(plane[y - 1, 0])
+            else:
+                ra = int(plane[y, x - 1])
+                rb = int(plane[y - 1, x])
+                rc = int(plane[y - 1, x - 1])
+                if predictor == 1:
+                    px = ra
+                elif predictor == 2:
+                    px = rb
+                elif predictor == 3:
+                    px = rc
+                elif predictor == 4:
+                    px = ra + rb - rc
+                elif predictor == 5:
+                    px = ra + ((rb - rc) >> 1)
+                elif predictor == 6:
+                    px = rb + ((ra - rc) >> 1)
+                else:
+                    px = (ra + rb) >> 1
+            plane[y, x] = (px + diff) & 0xFFFF
+            count += 1
+    planes.append(plane << pt)
+    return _skip_to_marker(b, bits.i)
 
 
 def _decode_jpeg_scan(
@@ -1467,6 +1581,112 @@ def _decode_jpeg_scan(
                         )
                 done += 1
     return _skip_to_marker(b, bits.i)
+
+
+def jpeg_bytes_lossless(
+    w: int, h: int, pattern: bool = False, predictor: int = 1,
+    precision: int = 8, dri: int = 0,
+) -> bytes:
+    """A COMPLETE valid LOSSLESS (SOF3) JPEG of the FULL-resolution
+    pattern — pixel(x, y) = :func:`_pattern_px`(x, y), scaled to
+    ``precision`` by << (P−8) — encoded with the given predictor
+    (1-7) and optional restart interval, mirroring T.81 annex H
+    exactly: any spec decoder reproduces every sample bit-exactly
+    (the format is lossless by construction, no flat-block trick
+    needed). Used to pin :func:`_decode_jpeg`'s lossless path."""
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1-7")
+    shift = max(0, precision - 8)
+
+    def sample(x: int, y: int) -> int:
+        return (_pattern_px(x, y) if pattern else 0) << shift
+
+    if precision > 8:  # deep samples: categories up to 16
+        dc_counts = [0, 0, 0, 0, 17] + [0] * 11
+        dc_vals = list(range(17))
+    else:
+        dc_counts = [0, 0, 0, 12] + [0] * 12
+        dc_vals = list(range(12))
+    dc_codes = _jpeg_huff_table(bytes(dc_counts), bytes(dc_vals))
+    enc_dc = {v: lc for lc, v in dc_codes.items()}
+
+    out = bytearray()
+    acc = [0, 0]
+
+    def emit(code: int, nbits: int):
+        acc[0] = (acc[0] << nbits) | code
+        acc[1] += nbits
+        while acc[1] >= 8:
+            acc[1] -= 8
+            byte = (acc[0] >> acc[1]) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        acc[0] &= (1 << acc[1]) - 1
+
+    def pad():
+        if acc[1]:
+            fill = 8 - acc[1]
+            emit((1 << fill) - 1, fill)
+
+    default = 1 << (precision - 1)
+    vals = [[sample(x, y) for x in range(w)] for y in range(h)]
+    count = 0
+    reset = True
+    rst = 0
+    for y in range(h):
+        for x in range(w):
+            if dri and count and count % dri == 0:
+                pad()
+                out.extend((0xFF, 0xD0 + rst % 8))
+                rst += 1
+                reset = True
+            if reset:
+                px = default
+                reset = False
+            elif y == 0:
+                px = vals[0][x - 1]
+            elif x == 0:
+                px = vals[y - 1][0]
+            else:
+                ra, rb = vals[y][x - 1], vals[y - 1][x]
+                rc = vals[y - 1][x - 1]
+                px = {
+                    1: ra, 2: rb, 3: rc, 4: ra + rb - rc,
+                    5: ra + ((rb - rc) >> 1),
+                    6: rb + ((ra - rc) >> 1),
+                    7: (ra + rb) >> 1,
+                }[predictor]
+            diff = vals[y][x] - px
+            s_ = (
+                diff.bit_length() if diff >= 0
+                else (-diff).bit_length()
+            )
+            ln, code = enc_dc[s_]
+            emit(code, ln)
+            if s_:
+                emit(diff if diff >= 0 else diff + (1 << s_) - 1, s_)
+            count += 1
+    pad()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(
+            ">H", len(payload) + 2
+        ) + payload
+
+    sof = seg(
+        0xC3,
+        bytes((precision,)) + struct.pack(">HH", h, w)
+        + b"\x01\x01\x11\x00",
+    )
+    dht = seg(0xC4, b"\x00" + bytes(dc_counts) + bytes(dc_vals))
+    parts = [b"\xff\xd8", sof, dht]
+    if dri:
+        parts.append(seg(0xDD, struct.pack(">H", dri)))
+    parts.append(seg(
+        0xDA, b"\x01\x01\x00" + bytes((predictor, 0, 0))
+    ))
+    return b"".join(parts) + bytes(out) + b"\xff\xd9"
 
 
 def jpeg_bytes(
@@ -2058,15 +2278,22 @@ def synthesize_test_media(
             else:
                 # JPEG sub-variant cycles on the NEXT digit (r13):
                 # 8-bit grayscale / 4-component Adobe CMYK / 12-bit
-                # extended-sequential grayscale — CMYK decodes to the
-                # same pattern on all three RGB channels (sum ×3),
-                # 12-bit scales back to the identical 8-bit pattern
-                # (sum ×1) — both mirrored by the oracle
-                variant = (i // 5) % 3
-                out.append(jpeg_bytes(
-                    w, h, pattern=pat, cmyk=variant == 1,
-                    precision=12 if variant == 2 else 8,
-                ))
+                # extended-sequential grayscale / LOSSLESS (SOF3) —
+                # CMYK decodes to the same block pattern on all three
+                # RGB channels (sum ×3), 12-bit scales back to the
+                # identical 8-bit pattern (×1), lossless carries the
+                # FULL-resolution pattern (pixel(x,y) = pattern(x,y),
+                # not the block grid) — all mirrored by the oracle
+                variant = (i // 5) % 4
+                if variant == 3:
+                    out.append(jpeg_bytes_lossless(
+                        w, h, pattern=pat, predictor=1,
+                    ))
+                else:
+                    out.append(jpeg_bytes(
+                        w, h, pattern=pat, cmyk=variant == 1,
+                        precision=12 if variant == 2 else 8,
+                    ))
         return pd.Series(out)
 
     return df.select(F.col(id_col), _gen(F.col(id_col)).alias("content"))

@@ -1010,19 +1010,22 @@ ORACLES_MUT: dict[str, str] = {
         "  * list_sum(list_transform("
         "  generate_series(0, 8 * (1 + doc_id % 100) - 1), "
         "  i -> i % 201 - 100)) END AS BIGINT) "
-        # JPEG: pixel(x,y) = pattern(x//8, y//8) — the flat-block
-        # construction; sub-variants cycle on (doc_id // 5) % 3 (r13):
-        # 8-bit grayscale (1 channel) / Adobe CMYK (un-inks to the
-        # same pattern on all 3 RGB channels — sum ×3) / 12-bit
-        # extended-sequential grayscale (scales back bit-exactly —
-        # sum ×1)
-        "WHEN 4 THEN CAST("
-        "  (CASE WHEN (doc_id // 5) % 3 = 1 THEN 3 ELSE 1 END) "
+        # JPEG sub-variants cycle on (doc_id // 5) % 4 (r13): 8-bit
+        # grayscale DCT (flat blocks: pixel = pattern(x//8, y//8)) /
+        # Adobe CMYK (same block pattern on 3 RGB channels — sum ×3) /
+        # 12-bit extended-sequential (scales back bit-exactly — ×1) /
+        # LOSSLESS SOF3 (pixel(x,y) = pattern(x,y) at FULL resolution)
+        "WHEN 4 THEN CAST(CASE WHEN (doc_id // 5) % 4 = 3 "
+        "  THEN list_sum(list_transform("
+        "    generate_series(0, (doc_id * 7) % 64), y -> list_sum("
+        "      list_transform(generate_series(0, doc_id % 64), "
+        "                     x -> (x + 3 * y) % 251)))) "
+        "  ELSE (CASE WHEN (doc_id // 5) % 4 = 1 THEN 3 ELSE 1 END) "
         "  * list_sum(list_transform("
         "  generate_series(0, (doc_id * 7) % 64), y -> list_sum("
         "    list_transform(generate_series(0, doc_id % 64), "
         "                   x -> (x // 8 + 3 * (y // 8)) % 251)))) "
-        "AS BIGINT) "
+        "END AS BIGINT) "
         "END AS vsum FROM documents"
     ),
     "q57_stateful_totals": (

@@ -255,14 +255,22 @@ def test_decode_unsupported_raises():
     )
     with _pytest.raises(ValueError):
         M.decode_image(prog)
-    # lossless (SOF3) and arithmetic-coded (SOF9) stay unsupported
-    for marker in (b"\xff\xc3", b"\xff\xc9"):
-        frame = (
-            b"\xff\xd8" + marker + struct.pack(">H", 11) + b"\x08"
-            + struct.pack(">HH", 2, 2) + b"\x01\x11\x00" + b"\xff\xd9"
-        )
-        with _pytest.raises(NotImplementedError):
-            M.decode_image(frame)
+    # lossless (SOF3) is SUPPORTED since r13 — a scan-less lossless
+    # frame is corrupt like the other supported processes (the
+    # malformed 2-byte component spec here trips the sampling guard)
+    lossless_frame = (
+        b"\xff\xd8" + b"\xff\xc3" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 2, 2) + b"\x01\x11\x00" + b"\xff\xd9"
+    )
+    with _pytest.raises(ValueError):
+        M.decode_image(lossless_frame)
+    # arithmetic-coded (SOF9) stays unsupported
+    frame = (
+        b"\xff\xd8" + b"\xff\xc9" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 2, 2) + b"\x01\x11\x00" + b"\xff\xd9"
+    )
+    with _pytest.raises(NotImplementedError):
+        M.decode_image(frame)
     # a content-less GIF (header+trailer only) has no image to decode
     with _pytest.raises(ValueError):
         M.decode_image(M.gif_bytes(3, 3))
@@ -398,15 +406,23 @@ def test_extract_media_content_end_to_end(spark):
             assert r["vsum"] == want
             assert r["n_values"] == ch * n
         elif kind == 4:
-            # jpeg: baseline huffman+IDCT, flat DC blocks; r13
-            # sub-variant cycles by (i//5)%3 — 8-bit gray / Adobe CMYK
-            # (un-inks to the same pattern on 3 RGB channels) / 12-bit
-            # extended-sequential gray (scales back bit-exactly)
-            exp = sum(
-                M._pattern_px(x // 8, y // 8)
-                for x in range(w) for y in range(h)
-            )
-            ch = 3 if (i // 5) % 3 == 1 else 1
+            # jpeg: r13 sub-variant cycles by (i//5)%4 — 8-bit gray
+            # DCT / Adobe CMYK (same block pattern ×3 channels) /
+            # 12-bit extended-sequential (scales back bit-exactly) /
+            # lossless SOF3 (FULL-resolution pattern)
+            variant = (i // 5) % 4
+            if variant == 3:
+                exp = sum(
+                    M._pattern_px(x, y)
+                    for x in range(w) for y in range(h)
+                )
+                ch = 1
+            else:
+                exp = sum(
+                    M._pattern_px(x // 8, y // 8)
+                    for x in range(w) for y in range(h)
+                )
+                ch = 3 if variant == 1 else 1
             assert r["mime"] == "image/jpeg"
             assert (r["width"], r["height"], r["channels"]) == (w, h, ch)
             assert r["vsum"] == ch * exp and r["n_values"] == ch * w * h
@@ -1696,3 +1712,52 @@ def test_decode_wav_g711():
     # unknown tag still one clean error type
     with pytest.raises(ValueError):
         M.decode_audio(wav(42, b"\x00\x00"))
+
+
+def test_decode_jpeg_lossless():
+    """r13: lossless (SOF3) JPEG — huffman SSSS + EXTEND differences
+    against predictors 1-7, first-sample/row-0/column-0 rules,
+    restart-interval prediction resets, 12-bit samples scaled back —
+    every variant reproduces the FULL-resolution pattern bit-exactly
+    (the format is lossless by nature). Multi-component lossless and
+    bad predictors stay clean errors."""
+    import pytest
+
+    w, h = 23, 17
+    exp = [M._pattern_px(x, y) for y in range(h) for x in range(w)]
+    for pred in range(1, 8):
+        b = M.jpeg_bytes_lossless(w, h, pattern=True, predictor=pred)
+        W, H, ch, px = M.decode_image(b)
+        assert (W, H, ch) == (w, h, 1) and list(px) == exp, pred
+    # 12-bit samples scale back bit-exactly
+    b12 = M.jpeg_bytes_lossless(w, h, pattern=True, precision=12)
+    assert list(M.decode_image(b12)[3]) == exp
+    # restart intervals reset prediction mid-scan
+    bd = M.jpeg_bytes_lossless(w, h, pattern=True, predictor=4, dri=37)
+    assert list(M.decode_image(bd)[3]) == exp
+    assert sum(M.decode_image(M.jpeg_bytes_lossless(5, 5))[3]) == 0
+    assert M.sniff_media(b12)[:3] == ("image/jpeg", w, h)
+    # multi-component lossless: clean NotImplementedError
+    raw = bytearray(M.jpeg_bytes_lossless(4, 4, pattern=True))
+    sof_at = raw.find(b"\xff\xc3")
+    # grow the SOF payload to 3 components (rewrite length + ncomp)
+    three = (
+        bytes(raw[:sof_at + 2])
+        + int.to_bytes(8 + 3 * 3 + 3, 2, "big")  # wrong but parsed len
+    )
+    import struct as _s
+    payload = raw[sof_at + 4:sof_at + 4 + 6]  # precision + dims + nc
+    sof3 = (
+        b"\xff\xc3" + _s.pack(">H", 2 + 6 + 9)
+        + payload[:5] + b"\x03"
+        + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+    )
+    doctored = raw[:sof_at] + sof3 + raw[sof_at + 4 + 9:]
+    with pytest.raises(NotImplementedError, match="lossless"):
+        M.decode_image(bytes(doctored))
+    # bad predictor id in the SOS: clean ValueError
+    bad = bytearray(M.jpeg_bytes_lossless(4, 4, pattern=True))
+    sos_at = bad.find(b"\xff\xda")
+    bad[sos_at + 7] = 0  # Ss = predictor 0
+    with pytest.raises(ValueError, match="predictor"):
+        M.decode_image(bytes(bad))
