@@ -896,10 +896,16 @@ def q43_embedding_near_dup(spark, sf_dir):
         _tf.gettempdir(), "sea_serpent_scratch", f"semsink{sf_tag}"
     )
     _sh.rmtree(sroot, ignore_errors=True)
-    sidx = _os.path.join(sroot, "idx")
+    # the sink REUSES inc's seed index (identical history + pinned
+    # centroids — a second build was pure slot cost, r13): safe
+    # because inc ran EAGERLY above and its returned frame is
+    # index-independent on both probe paths (driver path → isin
+    # predicate; distributed fallback → checkpointed loser set), so
+    # the drain's tail appends below cannot reach back into it; the
+    # member rebuilds `semi` fresh at entry, so warm re-runs see the
+    # same pristine seed
+    sidx = semi
     sout = _os.path.join(sroot, "out")
-    _bivf(ed.where(F.col("vec_id") < 300), sidx,
-          centroids=SEMDEDUP_CENTROIDS)
     delta_dir = _os.path.join(sroot, "delta")
     _os.makedirs(delta_dir, exist_ok=True)
     for i, (lo, hi) in enumerate(((300, 400), (400, 500))):
