@@ -147,9 +147,11 @@ def _bloom_positions(id_str: str, m: int, k: int) -> list[int]:
     return [(h1 + i * h2) % m for i in range(k)]
 
 
-#: Probes whose total doc count (delta ids + pruned-index distinct old
-#: ids, read off the groups stat job) is at or under this run the
-#: loser/keeper decision ON THE DRIVER (r13): one take() collects the
+#: Probes whose DELTA id count is at or under this run the
+#: loser/keeper decision ON THE DRIVER (r13): the gate reads only
+#: n_delta (the groups stat job is deferred — never run — on this
+#: path); the pruned-index old ids and edges are bounded by
+#: ``_DRIVER_PROBE_ROW_CAP`` as the backstop. One take() collects the
 #: spanning edges + old ids + delta ids, a min-root union-find replays
 #: the component/witness logic, and the anti-join becomes an isin
 #: predicate — removing the CC edge checkpoint, the CC gate take, the

@@ -1371,6 +1371,15 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int, bytes]:
         # inverted CMY through the YCbCr transform. RGB out via the
         # multiplicative un-ink formula R = (255−C)(255−K)/255, which
         # on inverted samples is simply s_C·s_K/255.
+        if adobe_transform is None:
+            # No APP14: spec-plain CMYK is NOT inverted, so decoding
+            # with the Adobe convention would pass wrong colors
+            # silently — refuse like the other unsupported variants
+            # (r14, ADVICE).
+            raise NotImplementedError(
+                "4-component JPEG without Adobe APP14 marker "
+                "(non-Adobe CMYK) is not supported"
+            )
         if adobe_transform == 2:
             cmy = _ycc_to_rgb(full[0], full[1], full[2])
         else:
@@ -1657,15 +1666,26 @@ def jpeg_bytes_lossless(
                     6: rb + ((ra - rc) >> 1),
                     7: (ra + rb) >> 1,
                 }[predictor]
-            diff = vals[y][x] - px
-            s_ = (
-                diff.bit_length() if diff >= 0
-                else (-diff).bit_length()
-            )
-            ln, code = enc_dc[s_]
-            emit(code, ln)
-            if s_:
-                emit(diff if diff >= 0 else diff + (1 << s_) - 1, s_)
+            # differences are taken mod 2^16 (T.81 H.1.2.1 — samples
+            # accumulate mod 2^16 on decode); the wrapped value
+            # 32768 ≡ -32768 is category 16, which carries NO extra
+            # magnitude bits (r14, ADVICE — previously desynced any
+            # precision-16 stream)
+            diff = ((vals[y][x] - px + 32768) & 0xFFFF) - 32768
+            if diff == -32768:
+                ln, code = enc_dc[16]
+                emit(code, ln)
+            else:
+                s_ = (
+                    diff.bit_length() if diff >= 0
+                    else (-diff).bit_length()
+                )
+                ln, code = enc_dc[s_]
+                emit(code, ln)
+                if s_:
+                    emit(
+                        diff if diff >= 0 else diff + (1 << s_) - 1, s_
+                    )
             count += 1
     pad()
 

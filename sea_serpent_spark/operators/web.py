@@ -157,10 +157,13 @@ def normalize_url(col: Column) -> Column:
 
 def url_host(col: Column) -> Column:
     """Lowercased host of a URL (port stripped unconditionally —
-    hosts, unlike canonical URLs, are port-free identities). Scheme-
-    less inputs yield ''."""
+    hosts, unlike canonical URLs, are port-free identities; a trailing
+    FQDN root dot — ``example.com.`` — is stripped too, so rule/label
+    matching downstream sees canonical labels). Scheme-less inputs
+    yield ''."""
     _, scheme, auth, _ = _parts(col)
     host = F.regexp_replace(F.lower(auth), r":\d+$", "")
+    host = F.regexp_replace(host, r"\.$", "")
     return F.when(scheme == "", F.lit("")).otherwise(host)
 
 
@@ -244,8 +247,22 @@ def psl_rules_df(spark: SparkSession, rules: list[str]) -> DataFrame:
     wildcard: ``bar.foo`` is a REGISTERED domain, its public suffix is
     ``foo``). Kinds are FOLDED per key — ``foo`` + ``*.foo`` share one
     row — so keys are unique and the lookup join cannot multiply rows.
-    The snapshot is caller-provided — the engine ships no PSL copy;
+    Non-ASCII rule labels are IDNA-encoded at parse time (r14: the
+    published PSL snapshot carries unicode lines like ``中国``
+    alongside punycode ones; hosts arrive punycode after
+    :func:`fold_idn_host`, so rule keys must be punycode too —
+    unicode and ``xn--`` spellings of a rule fold to ONE key). The
+    snapshot is caller-provided — the engine ships no PSL copy;
     pass the file's lines (https://publicsuffix.org/list/, MPL-2.0)."""
+
+    def _ascii_key(body: str) -> str:
+        if all(ord(c) < 128 for c in body):
+            return body
+        try:
+            return body.encode("idna").decode("ascii")
+        except UnicodeError:
+            return body  # un-encodable label: keep verbatim
+
     folded: dict[str, list[bool]] = {}
     for raw in rules:
         r = raw.strip().lower()
@@ -257,7 +274,9 @@ def psl_rules_df(spark: SparkSession, rules: list[str]) -> DataFrame:
             body, slot = r[2:], 1
         else:
             body, slot = r, 0
-        folded.setdefault(body, [False, False, False])[slot] = True
+        folded.setdefault(_ascii_key(body), [False, False, False])[
+            slot
+        ] = True
     return spark.createDataFrame(
         [
             (k, k.count(".") + 1, v[0], v[1], v[2])

@@ -1557,7 +1557,9 @@ def test_decode_jpeg_cmyk():
     inverted CMYK to RGB (fixture: pattern on C/M/Y, flat 255 K →
     RGB = pattern ×3 channels, bit-exact); transform 2 (YCCK) routes
     the inverted CMY through the YCbCr transform; a 4-component file
-    WITHOUT an Adobe marker defaults to CMYK."""
+    WITHOUT an Adobe marker refuses cleanly (r14 — spec-plain CMYK is
+    not inverted, so decoding it with the Adobe convention would pass
+    wrong colors silently)."""
     w, h = 29, 18
     exp = sum(
         M._pattern_px(x // 8, y // 8)
@@ -1578,11 +1580,12 @@ def test_decode_jpeg_cmyk():
     b[b.find(b"Adobe") + 11] = 2
     W, H, ch, _ = M.decode_image(bytes(b))
     assert (W, H, ch) == (8, 8, 3)
-    # no Adobe marker at all → CMYK default (same pixels as raw)
+    # no Adobe marker at all → clean refusal, never silent wrong colors
     app14_at = raw.find(b"\xff\xee")
     seglen = int.from_bytes(raw[app14_at + 2:app14_at + 4], "big")
     stripped = raw[:app14_at] + raw[app14_at + 2 + seglen:]
-    assert M.decode_image(stripped)[3] == M.decode_image(raw)[3]
+    with pytest.raises(NotImplementedError, match="APP14"):
+        M.decode_image(stripped)
 
 
 def test_decode_bmp_embedded_jpeg_png():
@@ -1732,6 +1735,18 @@ def test_decode_jpeg_lossless():
     # 12-bit samples scale back bit-exactly
     b12 = M.jpeg_bytes_lossless(w, h, pattern=True, precision=12)
     assert list(M.decode_image(b12)[3]) == exp
+    # 16-bit samples (r14): the very first diff is 0 − 2^15 ≡ category
+    # 16, which carries NO extra magnitude bits (T.81), and inter-
+    # sample diffs of pattern<<8 wrap mod 2^16 — both round-trip
+    # bit-exactly now (previously any precision-16 stream desynced)
+    b16 = M.jpeg_bytes_lossless(w, h, pattern=True, precision=16)
+    assert list(M.decode_image(b16)[3]) == exp
+    assert sum(M.decode_image(
+        M.jpeg_bytes_lossless(5, 5, precision=16))[3]) == 0
+    for pred16 in (2, 4, 7):
+        bp = M.jpeg_bytes_lossless(
+            w, h, pattern=True, precision=16, predictor=pred16)
+        assert list(M.decode_image(bp)[3]) == exp, pred16
     # restart intervals reset prediction mid-scan
     bd = M.jpeg_bytes_lossless(w, h, pattern=True, predictor=4, dri=37)
     assert list(M.decode_image(bd)[3]) == exp

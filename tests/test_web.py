@@ -242,3 +242,63 @@ def test_normalize_url_fuzz_idempotent(spark):
     ).collect()
     bad = [(r["c1"], r["c2"]) for r in out if r["c1"] != r["c2"]]
     assert not bad, bad[:5]
+
+
+def test_trailing_dot_fqdn_host(spark):
+    """r14 (ADVICE): a trailing FQDN root dot is not part of the host
+    identity — url_host strips it, so registered_domain(_psl) label
+    matching sees canonical labels instead of firing the implicit '*'
+    rule on an empty last label."""
+    rows = [
+        (1, "https://example.com./x"),
+        (2, "https://example.com/x"),
+        (3, "https://blog.example.co.uk.:443/p"),
+        (4, "https://a.b.example.co.uk./q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    host = _m(df, W.url_host(F.col("url")))
+    assert host[1] == host[2] == "example.com"
+    assert host[3] == "blog.example.co.uk"
+    dom = _m(df, W.registered_domain(F.col("url")))
+    assert dom[1] == dom[2] == "example.com"
+    psl = W.psl_rules_df(spark, ["com", "uk", "co.uk"])
+    out = {
+        r["doc_id"]: r["domain"]
+        for r in W.registered_domain_psl(df, psl).collect()
+    }
+    assert out[1] == out[2] == "example.com"
+    assert out[3] == out[4] == "example.co.uk"
+
+
+def test_psl_unicode_rules_fold(spark):
+    """r14: unicode PSL rule lines IDNA-fold to punycode keys at parse
+    time, so a real published snapshot (which carries both spellings)
+    composes with fold_idn_host — the unicode and xn-- spellings of a
+    rule produce IDENTICAL registered_domain output and fold to ONE
+    rules row (no row multiplication)."""
+    uni = W.psl_rules_df(spark, ["中国", "*.例え.jp", "com"])
+    puny = W.psl_rules_df(
+        spark, ["xn--fiqs8s", "*.xn--r8jz45g.jp", "com"]
+    )
+    assert sorted(r["key"] for r in uni.collect()) == sorted(
+        r["key"] for r in puny.collect()
+    )
+    # both spellings in one snapshot fold to one key → one row
+    both = W.psl_rules_df(spark, ["中国", "xn--fiqs8s"])
+    assert both.count() == 1
+    rows = [
+        (1, "https://公司.中国/x"),        # IRI host, unicode TLD
+        (2, "https://xn--55qx5d.xn--fiqs8s/x"),  # same, pre-encoded
+        (3, "https://shop.site.例え.jp/y"),  # under the wildcard
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    folded = df.select(
+        "doc_id", W.fold_idn_host(F.col("url")).alias("url")
+    )
+    for snapshot in (uni, puny):
+        got = {
+            r["doc_id"]: r["domain"]
+            for r in W.registered_domain_psl(folded, snapshot).collect()
+        }
+        assert got[1] == got[2] == "xn--55qx5d.xn--fiqs8s"
+        assert got[3] == "shop.site.xn--r8jz45g.jp"
