@@ -131,16 +131,34 @@ def build_ivf_index(
     return centroids
 
 
+#: r14: parsed sidecars keyed by generation dir. A published
+#: generation is IMMUTABLE (builds/compactions cut new dirs), so the
+#: parse is valid for the dir's lifetime; a streaming sink otherwise
+#: re-reads and re-parses the quantizer JSON every micro-batch — and,
+#: worse, hands fresh centroid list objects to the expression cache.
+#: Legacy flat layouts (meta at the index root) are mutable and are
+#: never cached. Bounded like the expression cache.
+_META_CACHE: dict = {}
+_META_CACHE_MAX = 32
+
+
 def _resolve(path: str) -> tuple[str, dict]:
     """→ (pinned generation dir, its sidecar meta) — legacy flat
     layouts (meta at the root) resolve to the root."""
     src = artifact.current_dir(path)
     meta = os.path.join(src, _ANN_META)
-    if not os.path.exists(meta):  # legacy layout
+    if not os.path.exists(meta):  # legacy layout — mutable, no cache
         meta = os.path.join(path, _ANN_META)
-        src = path
-    with open(meta) as fh:
-        return src, json.load(fh)
+        with open(meta) as fh:
+            return path, json.load(fh)
+    cached = _META_CACHE.get(src)
+    if cached is None:
+        with open(meta) as fh:
+            cached = json.load(fh)
+        if len(_META_CACHE) >= _META_CACHE_MAX:
+            _META_CACHE.clear()
+        _META_CACHE[src] = cached
+    return src, cached
 
 
 def _index_frame(
@@ -653,22 +671,36 @@ def ivf_probes(
     staged = df.withColumn(
         "__an", F.greatest(norm(F.col(vec_col)), F.lit(1e-12))
     )
-    scored = F.array(
-        *[
-            F.struct(
-                (
-                    -(dot(F.col(vec_col),
-                          F.array(*[F.lit(float(x)) for x in c]))
-                      / F.col("__an"))
-                ).alias("ns"),
-                F.lit(i).alias("i"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    from .similarity import (
+        _expr_cache_get,
+        _expr_cache_key,
+        _expr_cache_put,
+        _quantizer_key,
     )
-    probes = F.transform(
-        F.slice(F.array_sort(scored), 1, int(nprobe)), lambda x: x["i"]
+
+    ck = _expr_cache_key(
+        "probes", vec_col, int(nprobe), _quantizer_key(centroids)
     )
+    probes = _expr_cache_get(ck)
+    if probes is None:
+        scored = F.array(
+            *[
+                F.struct(
+                    (
+                        -(dot(F.col(vec_col),
+                              F.array(*[F.lit(float(x)) for x in c]))
+                          / F.col("__an"))
+                    ).alias("ns"),
+                    F.lit(i).alias("i"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        probes = F.transform(
+            F.slice(F.array_sort(scored), 1, int(nprobe)),
+            lambda x: x["i"],
+        )
+        _expr_cache_put(ck, probes)
     return staged.withColumn(out_col, probes).drop("__an")
 
 

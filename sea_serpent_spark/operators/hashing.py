@@ -63,6 +63,82 @@ def perm(col, a: int, b: int):
     return (h32(col) % P * F.lit(a) + F.lit(b)) % P
 
 
+# -- Driver side ------------------------------------------------------------
+
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    """Standard XXH64 over ``data`` as a SIGNED 64-bit int —
+    bit-identical to Spark's ``F.xxhash64`` on a string/binary column
+    (Spark's default seed is 42). Driver-side twin of the engine hash,
+    used by the r14 local micro-batch probe to compute the partition
+    key bucket ``pmod(xxhash64(key), n)`` without a Spark job; parity
+    is pinned by test against ``F.xxhash64`` itself."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _M64
+        v2 = (seed + _XXP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XXP1) & _M64
+        while i + 32 <= n:
+            for j, v in enumerate((v1, v2, v3, v4)):
+                k = int.from_bytes(data[i + 8 * j:i + 8 * j + 8], "little")
+                v = (_rotl64((v + k * _XXP2) & _M64, 31) * _XXP1) & _M64
+                if j == 0:
+                    v1 = v
+                elif j == 1:
+                    v2 = v
+                elif j == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            i += 32
+        h = (
+            _rotl64(v1, 1) + _rotl64(v2, 7)
+            + _rotl64(v3, 12) + _rotl64(v4, 18)
+        ) & _M64
+        for v in (v1, v2, v3, v4):
+            k = (_rotl64((v * _XXP2) & _M64, 31) * _XXP1) & _M64
+            h = (((h ^ k) * _XXP1) + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = (
+            _rotl64(
+                (int.from_bytes(data[i:i + 8], "little") * _XXP2) & _M64,
+                31,
+            )
+            * _XXP1
+        ) & _M64
+        h = ((_rotl64(h ^ k, 27) * _XXP1) + _XXP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        k = (int.from_bytes(data[i:i + 4], "little") * _XXP1) & _M64
+        h = ((_rotl64(h ^ k, 23) * _XXP2) + _XXP3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl64(h ^ ((data[i] * _XXP5) & _M64), 11) * _XXP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
 # -- DuckDB side (SQL text generators) --------------------------------------
 
 def h32_sql(expr: str) -> str:

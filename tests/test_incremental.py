@@ -614,3 +614,35 @@ def test_driver_path_string_ids(spark, tmp_path):
     assert out.get("driver_path") is True
     # the duplicate pair {'2','10'} keeps '10' (lexicographic min)
     assert kept == sorted(["10", "b", "a9"])
+
+
+def test_xxh64_matches_spark(spark):
+    """r14: the local probe computes the partition key bucket with the
+    driver-side hashing.xxh64 — it must be bit-identical to Spark's
+    F.xxhash64 (seed 42) and pmod, or partition pruning silently
+    drops matching buckets."""
+    import random
+    import string as _string
+
+    from sea_serpent_spark.operators.hashing import xxh64
+
+    rng = random.Random(14)
+    cases = [""] + [
+        "".join(
+            rng.choice(_string.printable)
+            for _ in range(rng.randrange(0, 80))
+        )
+        for _ in range(120)
+    ] + ["é漢字" * 11, "x" * 32, "1234567-89", "-".join(["9"] * 16)]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = {
+        r["s"]: (r["h"], r["p"])
+        for r in df.select(
+            "s",
+            F.xxhash64("s").alias("h"),
+            F.pmod(F.xxhash64("s"), F.lit(8)).cast("int").alias("p"),
+        ).collect()
+    }
+    for c in cases:
+        h = xxh64(c.encode("utf-8"))
+        assert got[c] == (h, h % 8), c
