@@ -314,15 +314,30 @@ def minhash_signature(
         F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
     )
     hashed = tok.select("id", (h32(F.col("s")) % P).alias("h"))
-    mins = hashed.groupBy("id").agg(
-        *[
-            F.min((F.col("h") * F.lit(a) + F.lit(b)) % P).alias(f"m{i}")
-            for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
-        ]
-    )
-    return mins.select(
-        "id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig")
-    )
+    # the permutation-MIN aggregate list and the sig-array projection
+    # are data-independent — cached per num_hashes so a streaming
+    # micro-batch doesn't rebuild ~5·num_hashes expression nodes per
+    # probe (r14, the quantizer-literal treatment)
+    from .util import _expr_cache_get, _expr_cache_key, _expr_cache_put
+
+    ck = _expr_cache_key("minhash", num_hashes)
+    cached = _expr_cache_get(ck)
+    if cached is None:
+        cached = (
+            [
+                F.min(
+                    (F.col("h") * F.lit(a) + F.lit(b)) % P
+                ).alias(f"m{i}")
+                for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
+            ],
+            F.array(
+                *[f"m{i}" for i in range(num_hashes)]
+            ).alias("sig"),
+        )
+        _expr_cache_put(ck, cached)
+    agg_cols, sig_col = cached
+    mins = hashed.groupBy("id").agg(*agg_cols)
+    return mins.select("id", sig_col)
 
 
 def encoded_token_sets(
@@ -379,18 +394,26 @@ def banded_signatures(
     function, so index/probe bit-parity is structural, not a convention
     two copies have to keep."""
     rows = _check_banding(num_hashes, bands)
-    band_cols = [
-        F.struct(
-            F.lit(i).alias("band"),
-            F.concat_ws(
-                "-", *[F.element_at("sig", i * rows + r + 1).cast("string")
-                       for r in range(rows)]
-        ).alias("key"),
-        )
-        for i in range(bands)
-    ]
+    from .util import _expr_cache_get, _expr_cache_key, _expr_cache_put
+
+    ck = _expr_cache_key("bands", num_hashes, bands)
+    bk = _expr_cache_get(ck)
+    if bk is None:
+        band_cols = [
+            F.struct(
+                F.lit(i).alias("band"),
+                F.concat_ws(
+                    "-",
+                    *[F.element_at("sig", i * rows + r + 1).cast("string")
+                      for r in range(rows)]
+            ).alias("key"),
+            )
+            for i in range(bands)
+        ]
+        bk = F.array(*band_cols)
+        _expr_cache_put(ck, bk)
     return src.select(
-        "id", *keep, F.explode(F.array(*band_cols)).alias("bk")
+        "id", *keep, F.explode(bk).alias("bk")
     ).select(
         "id", *keep,
         F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),

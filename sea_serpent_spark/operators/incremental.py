@@ -1055,7 +1055,9 @@ def _dedup_local_probe(
     unaffected) or the index lacks band/key columns."""
     if "band" not in index.columns or "key" not in index.columns:
         return None
-    rows_per_band = num_hashes // bands
+    from .dedup import _check_banding
+
+    rows_per_band = _check_banding(num_hashes, bands)
     sig_rows = new_sigs.take(_DRIVER_PROBE_DOC_CAP + 1)
     if len(sig_rows) > _DRIVER_PROBE_DOC_CAP:
         return None

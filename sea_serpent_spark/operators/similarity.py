@@ -472,47 +472,12 @@ def kmeans_fit(
 #: oracle-pinned k=8 paths (q41/q43) stay on the literal form.
 _ASSIGN_LITERAL_CAP = 1024
 
-#: r14 plan-construction cache for quantizer-literal Column trees
-#: (the assignment argmax here; the probe selection in ann_index):
-#: building k·dim ``F.lit`` terms costs hundreds of py4j round-trips
-#: plus their incremental Catalyst analysis — a fixed per-call tax the
-#: streaming ingest loop paid EVERY micro-batch for a quantizer that
-#: never changes within a generation. Columns are immutable expression
-#: handles (unresolved attribute refs), safe to reuse across plans;
-#: keyed by the expression's full content plus the Spark application
-#: id, so a session restart can never serve dead JVM handles.
-_EXPR_CACHE: dict = {}
-_EXPR_CACHE_MAX = 32
-
-
-def _expr_cache_key(*parts) -> tuple | None:
-    from pyspark import SparkContext
-
-    sc = SparkContext._active_spark_context
-    if sc is None:
-        return None
-    return (sc.applicationId,) + parts
-
-
-def _expr_cache_get(key):
-    return _EXPR_CACHE.get(key) if key is not None else None
-
-
-def _expr_cache_put(key, value) -> None:
-    if key is None:
-        return
-    if len(_EXPR_CACHE) >= _EXPR_CACHE_MAX:
-        _EXPR_CACHE.clear()
-    _EXPR_CACHE[key] = value
-
-
-def _quantizer_key(x):
-    """Content fingerprint of a centroid / codebook nest — tuples of
-    floats hash fast, and two sidecar reloads of the same generation
-    produce equal keys even though the list objects differ."""
-    if isinstance(x, (list, tuple)):
-        return tuple(_quantizer_key(v) for v in x)
-    return float(x)
+from .util import (  # noqa: F401  (re-exported for ann_index)
+    _expr_cache_get,
+    _expr_cache_key,
+    _expr_cache_put,
+    _quantizer_key,
+)
 
 
 def ivf_assign(

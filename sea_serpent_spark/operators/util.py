@@ -266,3 +266,48 @@ def release_checkpoints() -> None:
                 return
             handle = _TRACKED.pop()
         handle.release()
+
+
+#: r14 plan-construction cache for data-independent Column trees (the
+#: quantizer-literal argmax in similarity.ivf_assign, the probe
+#: selection in ann_index.ivf_probes, the band-struct array in
+#: dedup.banded_signatures): building these costs tens-to-hundreds of
+#: py4j round-trips plus their incremental Catalyst analysis — a fixed
+#: per-call tax the streaming ingest loops paid EVERY micro-batch for
+#: expressions that cannot change between batches. Columns are
+#: immutable expression handles (unresolved attribute refs), safe to
+#: reuse across plans; keys carry the expression's full content plus
+#: the Spark application id, so a session restart can never serve dead
+#: JVM handles.
+_EXPR_CACHE: dict = {}
+_EXPR_CACHE_MAX = 64
+
+
+def _expr_cache_key(*parts) -> tuple | None:
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        return None
+    return (sc.applicationId,) + parts
+
+
+def _expr_cache_get(key):
+    return _EXPR_CACHE.get(key) if key is not None else None
+
+
+def _expr_cache_put(key, value) -> None:
+    if key is None:
+        return
+    if len(_EXPR_CACHE) >= _EXPR_CACHE_MAX:
+        _EXPR_CACHE.clear()
+    _EXPR_CACHE[key] = value
+
+
+def _quantizer_key(x):
+    """Content fingerprint of a centroid / codebook nest — tuples of
+    floats hash fast, and two sidecar reloads of the same generation
+    produce equal keys even though the list objects differ."""
+    if isinstance(x, (list, tuple)):
+        return tuple(_quantizer_key(v) for v in x)
+    return float(x)

@@ -809,10 +809,26 @@ def q41_ann_topk(spark, sf_dir):
     ivfaq = ivf_index_pq_topk(
         spark, inc_path, ed.where(F.col("vec_id") < 20), k=3, nprobe=2
     ).withColumn("method", F.lit("ivfaq"))
+    # ivfc (r14): the FULL lifecycle — append, then COMPACT the L0
+    # tail back into the sorted list layout (a fresh generation
+    # published by the atomic manifest swap; the ivfa/ivfaq probes
+    # above pinned the previous generation, which is retained through
+    # one publish, so their lazy scans stay consistent), then ADC-
+    # probe the compacted generation. The oracle is the same
+    # monolithic ivfpq replay under a new tag, so the hash check
+    # proves append -> compact -> probe reproduces the fresh-build
+    # result exactly — the compaction-cadence production path.
+    from .operators.ann_index import compact_ivf_index
+
+    compact_ivf_index(spark, inc_path)
+    ivfc = ivf_index_pq_topk(
+        spark, inc_path, ed.where(F.col("vec_id") < 20), k=3, nprobe=2
+    ).withColumn("method", F.lit("ivfc"))
     return (
         brute.unionByName(lsh).unionByName(mp)
         .unionByName(ivf).unionByName(pq).unionByName(ivfp)
         .unionByName(ivfpq).unionByName(ivfa).unionByName(ivfaq)
+        .unionByName(ivfc)
     )
 
 
@@ -1798,6 +1814,7 @@ UNION ALL SELECT 'ivfp' AS method, * FROM ivfp
 UNION ALL SELECT 'ivfpq' AS method, * FROM ivfpq
 UNION ALL SELECT 'ivfa' AS method, * FROM ivfp
 UNION ALL SELECT 'ivfaq' AS method, * FROM ivfpq
+UNION ALL SELECT 'ivfc' AS method, * FROM ivfpq
 """,
     "q58_asof_join": """
 WITH snap AS (
