@@ -151,6 +151,13 @@ def _resolve(path: str) -> tuple[str, dict]:
         meta = os.path.join(path, _ANN_META)
         with open(meta) as fh:
             return path, json.load(fh)
+    if src == path:
+        # flat layout whose sidecar sits in the MUTABLE root (no
+        # manifest): an in-place rewrite would go unseen by the cache,
+        # so read fresh — generation dirs below are immutable by the
+        # publish contract and safe to cache
+        with open(meta) as fh:
+            return src, json.load(fh)
     cached = _META_CACHE.get(src)
     if cached is None:
         with open(meta) as fh:
@@ -159,6 +166,36 @@ def _resolve(path: str) -> tuple[str, dict]:
             _META_CACHE.clear()
         _META_CACHE[src] = cached
     return src, cached
+
+
+#: r14 (verdict task 5): analyzed-frame cache for DIRECT probe calls.
+#: The streaming sinks own a ``main_cache`` dict across their batches;
+#: a caller probing the index per micro-batch through the public
+#: ``ivf_index_topk`` / ``ivf_index_pq_topk`` has no such handle, so it
+#: re-paid the main layout's file listing + analysis every call. Keyed
+#: by (application id, generation dir): the generation dir is immutable
+#:  by the publish contract (appends only touch ``_tail``, which
+#: ``_index_frame`` re-lists fresh every call; compaction cuts a NEW
+#: dir and misses by key), and the app id bars a restarted session from
+#: being served dead JVM plan handles. Legacy flat layouts never get
+#: here (``_resolve`` short-circuits them above).
+_MAIN_FRAME_CACHE: dict = {}
+_MAIN_FRAME_CACHE_MAX = 16
+
+
+def _direct_main_cache(spark: SparkSession, src: str, path: str) -> dict | None:
+    """→ the per-generation ``main_cache`` slot for a direct probe, or
+    ``None`` for mutable (legacy flat) layouts."""
+    if src == path:  # legacy flat layout — mutable dir, never cache
+        return None
+    key = (spark.sparkContext.applicationId, src)
+    slot = _MAIN_FRAME_CACHE.get(key)
+    if slot is None:
+        if len(_MAIN_FRAME_CACHE) >= _MAIN_FRAME_CACHE_MAX:
+            _MAIN_FRAME_CACHE.clear()
+        slot = {}
+        _MAIN_FRAME_CACHE[key] = slot
+    return slot
 
 
 def _index_frame(
@@ -215,7 +252,13 @@ def read_ivf_index(
     quantizer centroids), pinned to the manifest's current
     generation."""
     src, meta = _resolve(path)
-    return _index_frame(spark, src, meta), meta["centroids"]
+    return (
+        _index_frame(
+            spark, src, meta,
+            main_cache=_direct_main_cache(spark, src, path),
+        ),
+        meta["centroids"],
+    )
 
 
 def append_to_ivf_index(
@@ -576,7 +619,10 @@ def compact_ivf_index(spark: SparkSession, path: str) -> dict:
     with artifact.writer_lease(path, owner="ivf-compact"):
         src, meta = _resolve(path)
         before = _nfiles(src)
-        full = _index_frame(spark, src, meta)
+        full = _index_frame(
+            spark, src, meta,
+            main_cache=_direct_main_cache(spark, src, path),
+        )
         # refresh/upgrade the sidecar schema alongside the rewrite
         # (pre-r13 sidecars carry none)
         meta = {**meta, "schema": full.schema.json()}
@@ -746,7 +792,10 @@ def ivf_index_topk(
         {int(r["label"]) for r in q.select("label").distinct().collect()}
     )  # ≤ len(centroids) rows — constant-bounded collect
     idx = fan_out(
-        _index_frame(spark, src, meta).where(F.col("label").isin(probed))
+        _index_frame(
+            spark, src, meta,
+            main_cache=_direct_main_cache(spark, src, path),
+        ).where(F.col("label").isin(probed))
     ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
@@ -827,7 +876,10 @@ def ivf_index_pq_topk(
     probed = sorted(
         {int(r["label"]) for r in q.select("label").distinct().collect()}
     )  # ≤ len(centroids) rows — constant-bounded collect
-    idx = _index_frame(spark, src, meta).where(
+    idx = _index_frame(
+        spark, src, meta,
+        main_cache=_direct_main_cache(spark, src, path),
+    ).where(
         F.col("label").isin(probed)
     ).select(id_col, "pq_code", "label")
     # assignment partitions the corpus, so a neighbor sits in exactly

@@ -471,3 +471,47 @@ def test_semantic_driver_path_matches_distributed(
     over, out_over = survivors()
     assert out_over.get("driver_path") is None
     assert drv == over
+
+
+def test_direct_probe_frame_cache_per_generation(spark, vectors, tmp_path):
+    """r14: direct (non-sink) probes reuse the analyzed main frame per
+    generation — appends stay visible (the tail is re-listed every
+    call), compaction cuts a new generation and misses the cache by
+    key, and results are identical cache-hot vs cache-cold."""
+    ed = vectors.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    p = str(tmp_path / "idx")
+    A.build_ivf_index(
+        ed.where(F.col("vec_id") % 2 == 0), p,
+        centroids=SEMDEDUP_CENTROIDS,
+    )
+    q = ed.where(F.col("vec_id") < 20)
+    A._MAIN_FRAME_CACHE.clear()
+    cold = _ranks(A.ivf_index_topk(spark, p, q, k=3, nprobe=2))
+    src, _ = A._resolve(p)
+    key = (spark.sparkContext.applicationId, src)
+    assert key in A._MAIN_FRAME_CACHE
+    slot = A._MAIN_FRAME_CACHE[key]
+    frame_id = id(slot.get("df"))
+    # hot probe: same slot object served, same result
+    hot = _ranks(A.ivf_index_topk(spark, p, q, k=3, nprobe=2))
+    assert hot == cold
+    assert id(A._MAIN_FRAME_CACHE[key].get("df")) == frame_id
+    # an append lands in _tail only — the cached main frame stays
+    # valid and the new rows are visible through the fresh tail read
+    A.append_to_ivf_index(ed.where(F.col("vec_id") % 2 == 1), p)
+    with_tail = _ranks(A.ivf_index_topk(spark, p, q, k=3, nprobe=2))
+    assert id(A._MAIN_FRAME_CACHE[key].get("df")) == frame_id
+    full_ref = str(tmp_path / "ref")
+    A.build_ivf_index(ed, full_ref, centroids=SEMDEDUP_CENTROIDS)
+    assert with_tail == _ranks(
+        A.ivf_index_topk(spark, full_ref, q, k=3, nprobe=2)
+    )
+    # compaction publishes a fresh generation → new cache key
+    A.compact_ivf_index(spark, p)
+    src2, _ = A._resolve(p)
+    assert src2 != src
+    post = _ranks(A.ivf_index_topk(spark, p, q, k=3, nprobe=2))
+    assert post == with_tail
+    assert (spark.sparkContext.applicationId, src2) in A._MAIN_FRAME_CACHE
