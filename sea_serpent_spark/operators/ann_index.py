@@ -503,7 +503,10 @@ def incremental_semantic_dedup(
             )
             .unionByName(reing)
         )
-        rows = payload.take(_DRIVER_PROBE_ROW_CAP + 1)
+        from .util import one_shot_take
+
+        with one_shot_take(full.sparkSession):
+            rows = payload.take(_DRIVER_PROBE_ROW_CAP + 1)
         if len(rows) <= _DRIVER_PROBE_ROW_CAP:
             parent: dict = {}
 

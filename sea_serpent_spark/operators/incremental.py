@@ -166,6 +166,15 @@ _DRIVER_PROBE_DOC_CAP = 20_000
 #: correctness unaffected.
 _DRIVER_PROBE_ROW_CAP = 200_000
 
+#: The local probe's in-hand key/id sets become plain ``isin``
+#: predicates (zero-job, pushed into the scan) at or under this many
+#: literals; above it they fall back to a broadcast semi-join — a
+#: 200k-literal In expression is where py4j transfer + analysis cost
+#: crosses the broadcast build's (r14 job audit: the parallelize-
+#: backed createDataFrame broadcasts were 2 of the probe's 12
+#: per-batch jobs, 32 tasks each).
+_ISIN_PRED_CAP = 20_000
+
 #: Batches at or under this many ids build their bloom ON THE DRIVER
 #: from one JVM-only take() — the RDD path spins Python workers per
 #: partition, a fixed ~0.5 s floor a streaming ingest loop pays per
@@ -1058,7 +1067,11 @@ def _dedup_local_probe(
     from .dedup import _check_banding
 
     rows_per_band = _check_banding(num_hashes, bands)
-    sig_rows = new_sigs.take(_DRIVER_PROBE_DOC_CAP + 1)
+    from .util import one_shot_take
+
+    spark = new_df.sparkSession
+    with one_shot_take(spark):
+        sig_rows = new_sigs.take(_DRIVER_PROBE_DOC_CAP + 1)
     if len(sig_rows) > _DRIVER_PROBE_DOC_CAP:
         return None
     delta: list = [
@@ -1097,16 +1110,38 @@ def _dedup_local_probe(
                     (F.col("band") == b) & F.col("kb").isin(kbs)
                 )
         pruned = pruned.where(pred)
-    # exact (band, key) restriction: the delta's band keys as a small
-    # BROADCAST local relation — map-side hash semi-probe, the index
-    # side never shuffles (the distributed flow's semi-join strategy
-    # was left to the planner; here the build side is known-tiny)
-    kdf = new_df.sparkSession.createDataFrame(
-        [(b, k) for b in range(bands) for k in sorted(keys_by_band[b])],
-        "band int, key string",
-    )
-    pruned = pruned.join(F.broadcast(kdf), ["band", "key"], "left_semi")
-    old_rows = pruned.select("id", "sig").take(_DRIVER_PROBE_ROW_CAP + 1)
+    # exact (band, key) restriction from the in-hand delta keys. Small
+    # key sets become a per-band isin predicate — zero extra jobs, the
+    # In-set rides the scan (the r13 broadcast-relation form cost a
+    # 32-task parallelize+broadcast job per batch); key sets past
+    # ``_ISIN_PRED_CAP`` keep the broadcast semi-join, whose build
+    # scales better than a megabyte In literal.
+    n_keys = sum(len(keys_by_band[b]) for b in range(bands))
+    if n_keys <= _ISIN_PRED_CAP:
+        kpred = F.lit(False)
+        for b in range(bands):
+            ks = sorted(keys_by_band[b])
+            if ks:
+                kpred = kpred | (
+                    (F.col("band") == b) & F.col("key").isin(ks)
+                )
+        pruned = pruned.where(kpred)
+    else:
+        kdf = spark.createDataFrame(
+            [
+                (b, k)
+                for b in range(bands)
+                for k in sorted(keys_by_band[b])
+            ],
+            "band int, key string",
+        )
+        pruned = pruned.join(
+            F.broadcast(kdf), ["band", "key"], "left_semi"
+        )
+    with one_shot_take(spark):
+        old_rows = pruned.select("id", "sig").take(
+            _DRIVER_PROBE_ROW_CAP + 1
+        )
     if len(old_rows) > _DRIVER_PROBE_ROW_CAP:
         return None
     # index-parameter guard: every pruned old row carries its
@@ -1247,17 +1282,21 @@ def _dedup_local_probe(
     if cand is None:  # no usable bloom — verify every delta id exactly
         cand = [v for v in delta_ids if v is not None]
     if cand:
-        sch = T.StructType([new_sigs.schema["id"]])
-        cdf = new_df.sparkSession.createDataFrame(
-            [(c,) for c in cand], sch
-        )
-        losers.update(
-            r["id"]
-            for r in idx_band0.select("id")
-            .join(F.broadcast(cdf), "id", "left_semi")
-            .distinct()
-            .collect()
-        )
+        # candidates are bloom POSITIVES (a handful of replays/false
+        # positives) — an isin predicate verifies them with one
+        # scan-side job; only a bloom-less probe can see a cand list
+        # big enough (the whole delta) to need the broadcast form
+        hits = idx_band0.select("id")
+        if len(cand) <= _ISIN_PRED_CAP:
+            hits = hits.where(F.col("id").isin(cand))
+        else:
+            sch = T.StructType([new_sigs.schema["id"]])
+            cdf = spark.createDataFrame([(c,) for c in cand], sch)
+            hits = hits.join(F.broadcast(cdf), "id", "left_semi")
+        # no .distinct(): the set-update dedups driver-side, and the
+        # match volume is bounded by the index rows of ≤|cand| ids —
+        # skipping it removes the verify's only shuffle
+        losers.update(r["id"] for r in hits.collect())
     if stats is not None or on_id_collision == "error":
         _id_collision_check(
             idx_band0, new_sigs, True, stats, on_id_collision

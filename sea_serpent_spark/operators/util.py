@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import logging
 import threading
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
@@ -311,3 +312,35 @@ def _quantizer_key(x):
     if isinstance(x, (list, tuple)):
         return tuple(_quantizer_key(v) for v in x)
     return float(x)
+
+
+#: Guards the one-shot-take conf flip below. RLock (not the streaming
+#: sinks' batch lock): a probe may run inside a sink batch that holds
+#: its own lock, and re-entry from the same thread must not deadlock.
+_TAKE_CONF_LOCK = threading.RLock()
+_INITIAL_PARTS_CONF = "spark.sql.limit.initialNumPartitions"
+
+
+@contextmanager
+def one_shot_take(spark, parts: int = 64):
+    """Make ``take()`` scan ``parts`` partitions in its FIRST job for
+    the duration of the block (restored on exit, lock-guarded).
+
+    ``executeTake``'s default scale-up loop (1 partition, then 4x per
+    retry) is the right shape for LIMIT over a big scan; for the local
+    micro-batch probe's capped collects — a handful of post-shuffle
+    partitions that will ALL be needed — it costs 2-4 extra Spark jobs
+    of pure scheduler latency per take (r14 job audit: 8 of the LSH
+    probe's 12 per-batch jobs were take-loop retries). 64 one-shots
+    every trigger-sized frame while keeping the overscan of a
+    pathological cap-overflow take bounded to one pass."""
+    with _TAKE_CONF_LOCK:
+        prev = spark.conf.get(_INITIAL_PARTS_CONF, None)
+        spark.conf.set(_INITIAL_PARTS_CONF, str(int(parts)))
+        try:
+            yield
+        finally:
+            if prev is None:
+                spark.conf.unset(_INITIAL_PARTS_CONF)
+            else:
+                spark.conf.set(_INITIAL_PARTS_CONF, prev)
