@@ -158,13 +158,22 @@ def _resolve(path: str) -> tuple[str, dict]:
         # publish contract and safe to cache
         with open(meta) as fh:
             return src, json.load(fh)
-    cached = _META_CACHE.get(src)
+    # a PUBLISHED generation never mutates, but the whole artifact can
+    # be deleted and rebuilt at the same path — the fresh build reuses
+    # the generation NAME (g00001) with new files, so the dir path
+    # alone is not an identity. The sidecar's stat triple is: every
+    # (re)build writes a new meta file (r14 — caught by the q43
+    # decomposition's rebuild-in-one-session, which served a frame of
+    # already-deleted parquet paths).
+    st = os.stat(meta)
+    statkey = (st.st_ino, st.st_mtime_ns, st.st_size)
+    cached = _META_CACHE.get((src, statkey))
     if cached is None:
         with open(meta) as fh:
             cached = json.load(fh)
         if len(_META_CACHE) >= _META_CACHE_MAX:
             _META_CACHE.clear()
-        _META_CACHE[src] = cached
+        _META_CACHE[(src, statkey)] = cached
     return src, cached
 
 
@@ -173,10 +182,12 @@ def _resolve(path: str) -> tuple[str, dict]:
 #: a caller probing the index per micro-batch through the public
 #: ``ivf_index_topk`` / ``ivf_index_pq_topk`` has no such handle, so it
 #: re-paid the main layout's file listing + analysis every call. Keyed
-#: by (application id, generation dir): the generation dir is immutable
-#:  by the publish contract (appends only touch ``_tail``, which
-#: ``_index_frame`` re-lists fresh every call; compaction cuts a NEW
-#: dir and misses by key), and the app id bars a restarted session from
+#: by (application id, generation dir, sidecar stat triple): a
+#: PUBLISHED generation dir is immutable (appends only touch
+#: ``_tail``, which ``_index_frame`` re-lists fresh every call;
+#: compaction cuts a NEW dir and misses by key), but a delete+rebuild
+#: at the same path reuses the generation NAME with new files — the
+#: stat triple catches that; the app id bars a restarted session from
 #: being served dead JVM plan handles. Legacy flat layouts never get
 #: here (``_resolve`` short-circuits them above).
 _MAIN_FRAME_CACHE: dict = {}
@@ -188,7 +199,14 @@ def _direct_main_cache(spark: SparkSession, src: str, path: str) -> dict | None:
     ``None`` for mutable (legacy flat) layouts."""
     if src == path:  # legacy flat layout — mutable dir, never cache
         return None
-    key = (spark.sparkContext.applicationId, src)
+    try:
+        st = os.stat(os.path.join(src, _ANN_META))
+    except OSError:
+        return None
+    key = (
+        spark.sparkContext.applicationId, src,
+        (st.st_ino, st.st_mtime_ns, st.st_size),
+    )
     slot = _MAIN_FRAME_CACHE.get(key)
     if slot is None:
         if len(_MAIN_FRAME_CACHE) >= _MAIN_FRAME_CACHE_MAX:

@@ -490,8 +490,17 @@ def test_direct_probe_frame_cache_per_generation(spark, vectors, tmp_path):
     A._MAIN_FRAME_CACHE.clear()
     cold = _ranks(A.ivf_index_topk(spark, p, q, k=3, nprobe=2))
     src, _ = A._resolve(p)
-    key = (spark.sparkContext.applicationId, src)
-    assert key in A._MAIN_FRAME_CACHE
+
+    def _key_for(gen_dir):
+        ks = [
+            k for k in A._MAIN_FRAME_CACHE
+            if k[0] == spark.sparkContext.applicationId
+            and k[1] == gen_dir
+        ]
+        assert len(ks) == 1, ks
+        return ks[0]
+
+    key = _key_for(src)
     slot = A._MAIN_FRAME_CACHE[key]
     frame_id = id(slot.get("df"))
     # hot probe: same slot object served, same result
@@ -514,4 +523,34 @@ def test_direct_probe_frame_cache_per_generation(spark, vectors, tmp_path):
     assert src2 != src
     post = _ranks(A.ivf_index_topk(spark, p, q, k=3, nprobe=2))
     assert post == with_tail
-    assert (spark.sparkContext.applicationId, src2) in A._MAIN_FRAME_CACHE
+    _key_for(src2)  # the fresh generation got its own cache slot
+
+
+def test_probe_caches_survive_same_path_rebuild(spark, vectors, tmp_path):
+    """r14: deleting the artifact and REBUILDING at the same path
+    reuses the generation name (g00001) with new files — the meta and
+    frame caches must miss (sidecar stat identity), not serve frames
+    over deleted parquet paths. Caught live by the q43 decomposition
+    (bench.py's warm rerun replays exactly this in one process)."""
+    import shutil
+
+    ed = vectors.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    p = str(tmp_path / "idx")
+    q = ed.where(F.col("vec_id") < 20)
+    A.build_ivf_index(
+        ed.where(F.col("vec_id") % 2 == 0), p,
+        centroids=SEMDEDUP_CENTROIDS,
+    )
+    half = _ranks(A.ivf_index_topk(spark, p, q, k=3, nprobe=2))
+    src1, _ = A._resolve(p)
+    shutil.rmtree(p)
+    A.build_ivf_index(ed, p, centroids=SEMDEDUP_CENTROIDS)
+    src2, _ = A._resolve(p)
+    assert src1 == src2  # same generation NAME — the trap
+    full = _ranks(A.ivf_index_topk(spark, p, q, k=3, nprobe=2))
+    ref = str(tmp_path / "ref")
+    A.build_ivf_index(ed, ref, centroids=SEMDEDUP_CENTROIDS)
+    assert full == _ranks(A.ivf_index_topk(spark, ref, q, k=3, nprobe=2))
+    assert full != half
