@@ -554,3 +554,52 @@ def test_probe_caches_survive_same_path_rebuild(spark, vectors, tmp_path):
     A.build_ivf_index(ed, ref, centroids=SEMDEDUP_CENTROIDS)
     assert full == _ranks(A.ivf_index_topk(spark, ref, q, k=3, nprobe=2))
     assert full != half
+
+
+def test_semantic_probe_job_budget(spark, vectors, tmp_path):
+    """r14 regression pin, the semantic twin of
+    test_local_probe_job_budget: a steady-state probe+append cycle
+    against a persisted IVF index stays within a small fixed job
+    budget (measured 6 for the full sink-shaped batch; pinned with
+    slack) on the driver path. Runs under the sink's own per-batch
+    confs (``_batch_confs``) — AQE's per-exchange jobs are exactly
+    what the sink disables, so the pin measures the sink shape."""
+    from sea_serpent_spark.streaming.dedup import _batch_confs
+
+    ed = vectors.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    p = str(tmp_path / "idx")
+    A.build_ivf_index(
+        ed.where(F.col("vec_id") < 200), p,
+        centroids=SEMDEDUP_CENTROIDS,
+    )
+    sc = spark.sparkContext
+    cache: dict = {}
+    per_batch: list = []
+    for b in range(3):
+        lo = 200 + b * 150
+        batch = ed.where(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 150)
+        )
+        res: dict = {}
+        sc.setJobGroup(f"sem-budget-{b}", "job-budget pin")
+        try:
+            with _batch_confs(spark, 8):
+                kept = A.incremental_semantic_dedup(
+                    batch, p, threshold=0.9, ingest_out=res,
+                    _main_cache=cache,
+                )
+                kept.write.mode("append").parquet(
+                    str(tmp_path / "out")
+                )
+                A.append_to_ivf_index(
+                    kept.select("vec_id", "embedding"), p
+                )
+        finally:
+            sc.setJobGroup(None, None)
+        assert res.get("driver_path") is True
+        per_batch.append(
+            len(sc.statusTracker().getJobIdsForGroup(f"sem-budget-{b}"))
+        )
+    assert all(n <= 9 for n in per_batch[1:]), per_batch

