@@ -104,30 +104,48 @@ def main() -> None:
             for _ in range(repeat - 1):
                 # extra cold passes (repeat knob): per-slot min is the
                 # noise floor; `times` stays the FIRST pass so the
-                # headline metric's definition never shifts
-                _quiesce()
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                best_times[name] = min(
-                    best_times[name], time.perf_counter() - t0
-                )
+                # headline metric's definition never shifts. A
+                # transient failure here must not discard the valid
+                # first-pass measurement — own try, logged, move on.
+                try:
+                    _quiesce()
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best_times[name] = min(
+                        best_times[name], time.perf_counter() - t0
+                    )
+                except Exception as re_err:
+                    print(
+                        f"# bench repeat error {name}: {re_err}",
+                        file=sys.stderr,
+                    )
             if dt > 2.0:
                 # slow queries also get a WARM run (JIT/codegen paid,
                 # plan cached) — reported separately so cold stays the
                 # headline: the round-2 best-of-two silently redefined
-                # the metric and flattered round-over-round comparisons
-                _quiesce()  # warm measures the plan, not the cold
-                # run's leftover checkpoint blocks / GC debt
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                warm_times[name] = round(time.perf_counter() - t0, 3)
-                best_times[name] = min(
-                    best_times[name], warm_times[name]
-                )
+                # the metric and flattered round-over-round
+                # comparisons. Same failure isolation as the repeat
+                # passes: a warm-pass crash keeps the cold number.
+                try:
+                    _quiesce()  # warm measures the plan, not the cold
+                    # run's leftover checkpoint blocks / GC debt
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    warm_times[name] = round(
+                        time.perf_counter() - t0, 3
+                    )
+                    best_times[name] = min(
+                        best_times[name], warm_times[name]
+                    )
+                except Exception as warm_err:
+                    print(
+                        f"# bench warm error {name}: {warm_err}",
+                        file=sys.stderr,
+                    )
         except Exception as e:  # a failing query must not hide the rest
             print(f"# bench error {name}: {e}", file=sys.stderr)
             dt = -1.0

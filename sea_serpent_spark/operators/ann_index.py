@@ -235,8 +235,22 @@ def _index_frame(
     analyzed frame while the generation is unchanged — appends only
     touch the tail (re-listed fresh every call), compaction cuts a new
     generation and misses the cache by key."""
+    # rebuild identity: the sidecar's stat triple (the module-level
+    # caches key on it too — same-path rebuilds reuse generation
+    # names, so the dir path alone is not an identity). No readable
+    # sidecar → no identity → never cache.
+    statkey = None
+    try:
+        st = os.stat(os.path.join(src, _ANN_META))
+        statkey = (st.st_ino, st.st_mtime_ns, st.st_size)
+    except OSError:
+        main_cache = None
     df = None
-    if main_cache is not None and main_cache.get("src") == src:
+    if (
+        main_cache is not None
+        and main_cache.get("src") == src
+        and main_cache.get("stat") == statkey
+    ):
         df = main_cache.get("df")
     if df is None:
         reader = spark.read
@@ -253,6 +267,7 @@ def _index_frame(
         df = reader.parquet(src)
         if main_cache is not None:
             main_cache["src"] = src
+            main_cache["stat"] = statkey
             main_cache["df"] = df
     tdir = os.path.join(src, _ANN_TAIL)
     if os.path.isdir(tdir):
@@ -526,43 +541,23 @@ def incremental_semantic_dedup(
         with one_shot_take(full.sparkSession):
             rows = payload.take(_DRIVER_PROBE_ROW_CAP + 1)
         if len(rows) <= _DRIVER_PROBE_ROW_CAP:
-            parent: dict = {}
+            from .util import MinRootUnionFind
 
-            def _find(x):
-                r = x
-                while parent.get(r, r) != r:
-                    r = parent[r]
-                while parent.get(x, x) != x:
-                    parent[x], x = r, parent[x]
-                return r
-
+            uf = MinRootUnionFind()
             old: set = set()
             delta_ids: list = []
-            nodes: set = set()
             losers: set = set()
-            edges: list = []
             for r in rows:
                 t = r["__t"]
                 if t == "e":
-                    edges.append((r["id_a"], r["id_b"]))
+                    uf.union(r["id_a"], r["id_b"])
                 elif t == "o":
                     old.add(r["id_a"])
                 elif t == "d":
                     delta_ids.append(r["id_a"])
                 else:  # 'r' — already-ingested id (idempotent replay)
                     losers.add(r["id_a"])
-            for a_, b_ in edges:
-                nodes.add(a_)
-                nodes.add(b_)
-                ra, rb = _find(a_), _find(b_)
-                if ra != rb:
-                    if rb < ra:
-                        ra, rb = rb, ra
-                    parent[rb] = ra
-            comps: dict = {}
-            for n_ in nodes:
-                comps.setdefault(_find(n_), []).append(n_)
-            for ms in comps.values():
+            for ms in uf.components().values():
                 news = [m for m in ms if m not in old]
                 if len(news) != len(ms):  # indexed witness wins
                     losers.update(news)

@@ -1138,27 +1138,13 @@ def _union_find_local(edges: DataFrame, id_type, rows=None) -> DataFrame:
     distributed loop's min-reachable-id exactly."""
     from pyspark.sql import types as T
 
-    parent: dict = {}
+    from .util import MinRootUnionFind
 
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]  # path halving
-            x = parent[x]
-        return x
-
+    uf = MinRootUnionFind()
     if rows is None:
         rows = edges.collect()
     for r in rows:
-        u, v = r["u"], r["v"]
-        if u not in parent:
-            parent[u] = u
-        if v not in parent:
-            parent[v] = v
-        ru, rv = find(u), find(v)
-        if ru != rv:
-            if rv < ru:
-                ru, rv = rv, ru
-            parent[rv] = ru
+        uf.union(r["u"], r["v"])
     schema = T.StructType(
         [
             T.StructField("id", id_type, False),
@@ -1167,7 +1153,7 @@ def _union_find_local(edges: DataFrame, id_type, rows=None) -> DataFrame:
     )
     spark = edges.sparkSession
     return spark.createDataFrame(
-        [(x, find(x)) for x in parent], schema
+        [(x, uf.find(x)) for x in uf.parent], schema
     )
 
 

@@ -150,12 +150,14 @@ def _bloom_positions(id_str: str, m: int, k: int) -> list[int]:
     return [(h1 + i * h2) % m for i in range(k)]
 
 
-#: Deltas whose signature collect stays at or under this many docs run
-#: the WHOLE probe on the driver (r14, ``_dedup_local_probe``): the
-#: gate is the length of the delta-signature take() itself; banding,
-#: canonicalization, bucket pair enumeration, union-find, and the
-#: witness/keeper rule all run locally, with the pruned old rows
-#: bounded by ``_DRIVER_PROBE_ROW_CAP`` as the backstop. 20k matches
+#: Deltas at or under this many docs run the WHOLE probe on the
+#: driver (r14, ``_dedup_local_probe``): the gate is the probe's own
+#: tagged take — distinct delta ids AND signature rows must each stay
+#: at the cap (with 2× the cap as the raw take-volume backstop for
+#: dup-id-heavy batches); banding, canonicalization, bucket pair
+#: enumeration, union-find, and the witness/keeper rule all run
+#: locally, with the pruned old rows bounded by
+#: ``_DRIVER_PROBE_ROW_CAP`` as the backstop. 20k matches
 #: connected_components' small-graph threshold: the same graphs it
 #: already solves locally.
 _DRIVER_PROBE_DOC_CAP = 20_000
@@ -166,13 +168,16 @@ _DRIVER_PROBE_DOC_CAP = 20_000
 #: correctness unaffected.
 _DRIVER_PROBE_ROW_CAP = 200_000
 
-#: The local probe's in-hand key/id sets become plain ``isin``
-#: predicates (zero-job, pushed into the scan) at or under this many
-#: literals; above it they fall back to a broadcast semi-join — a
-#: 200k-literal In expression is where py4j transfer + analysis cost
-#: crosses the broadcast build's (r14 job audit: the parallelize-
-#: backed createDataFrame broadcasts were 2 of the probe's 12
-#: per-batch jobs, 32 tasks each).
+#: The local probe's in-hand band-key set becomes a plain ``isin``
+#: predicate (zero-job, the In-set rides the scan) at or under this
+#: many literals; above it the broadcast semi-join remains — its
+#: build job is then amortized by a batch that big anyway. 20k is a
+#: conservative, unmeasured crossover: trigger-sized batches carry a
+#: few thousand keys and sit far under it, and the r14 batch-size
+#: sweep showed the broadcast path healthy at 72k keys. (The r14 job
+#: audit that motivated the isin form: the parallelize-backed
+#: createDataFrame broadcasts were 2 of the probe's 12 per-batch
+#: jobs, 32 tasks each.)
 _ISIN_PRED_CAP = 20_000
 
 #: Batches at or under this many ids build their bloom ON THE DRIVER
@@ -519,14 +524,29 @@ def read_band_index(
         _main_cache = None
     meta_path = os.path.join(src, _INDEX_META)
     meta: dict = {}
+    statkey = None
     if os.path.exists(meta_path):
         try:
+            st = os.stat(meta_path)
+            statkey = (st.st_ino, st.st_mtime_ns, st.st_size)
             with open(meta_path) as fh:
                 meta = json.load(fh)
         except (OSError, ValueError):
             meta = {}  # unreadable sidecar never blocks the open
+            statkey = None
+    if statkey is None:
+        # no (readable) sidecar means no rebuild-identity to key on —
+        # an rmtree+rebuild at the same path reuses the generation
+        # NAME with new files, so a path-only key could serve a frame
+        # over deleted parquet (the r14 ann_index lesson); skip the
+        # cache rather than risk it
+        _main_cache = None
     df = None
-    if _main_cache is not None and _main_cache.get("src") == src:
+    if (
+        _main_cache is not None
+        and _main_cache.get("src") == src
+        and _main_cache.get("stat") == statkey
+    ):
         df = _main_cache.get("df")
     if df is None:
         reader = spark.read
@@ -547,6 +567,7 @@ def read_band_index(
         df = reader.parquet(src)
         if _main_cache is not None:
             _main_cache["src"] = src
+            _main_cache["stat"] = statkey
             _main_cache["df"] = df
     tail_dir = os.path.join(src, _TAIL_DIR)
     if os.path.isdir(tail_dir):
@@ -1070,13 +1091,44 @@ def _dedup_local_probe(
     from .util import one_shot_take
 
     spark = new_df.sparkSession
+    # ONE take over a tagged union: the delta's signatures PLUS its
+    # raw id rows. The id branch exists because minhash_signature
+    # emits nothing for a doc whose shingles explode to zero rows
+    # (empty/NULL/whitespace-only text) — the reingest id check must
+    # still see such a doc, exactly as the distributed flow's
+    # new_df-ids semi-join does (r14 review: a sig-less replay of an
+    # indexed id survived on this path and was dropped on that one).
+    sig_t = new_sigs.schema["sig"].dataType
+    probe_src = new_sigs.select(
+        "id", "sig", F.lit("s").alias("__t")
+    ).unionByName(
+        new_df.select(
+            F.col(id_col).alias("id"),
+            F.lit(None).cast(sig_t).alias("sig"),
+            F.lit("d").alias("__t"),
+        )
+    )
+    take_cap = 2 * _DRIVER_PROBE_DOC_CAP + 2
     with one_shot_take(spark):
-        sig_rows = new_sigs.take(_DRIVER_PROBE_DOC_CAP + 1)
-    if len(sig_rows) > _DRIVER_PROBE_DOC_CAP:
+        rows = probe_src.take(take_cap)
+    if len(rows) >= take_cap:  # either branch may be incomplete
         return None
-    delta: list = [
-        (r["id"], tuple(r["sig"])) for r in sig_rows
-    ]
+    delta: list = []
+    seen_ids: set = set()
+    delta_ids: list = []
+    for r in rows:
+        if r["__t"] == "s":
+            delta.append((r["id"], tuple(r["sig"])))
+        else:
+            v = r["id"]
+            if v not in seen_ids:
+                seen_ids.add(v)
+                delta_ids.append(v)
+    if (
+        len(delta) > _DRIVER_PROBE_DOC_CAP
+        or len(delta_ids) > _DRIVER_PROBE_DOC_CAP
+    ):
+        return None
 
     def _band_key(sig: tuple, b: int) -> str:
         return "-".join(
@@ -1174,11 +1226,9 @@ def _dedup_local_probe(
     # losers (the final filter keeps NULL-id rows unconditionally,
     # matching the distributed anti-join's null-key semantics).
     groups: dict = {}
-    delta_ids: list = []
     for oid, sig in old_by_id.items():
         groups.setdefault(sig, []).append((oid, False))
     for nid, sig in delta:
-        delta_ids.append(nid)
         if nid is not None:
             groups.setdefault(sig, []).append((nid, True))
     reps: list = []  # (gid, sig, has_new, member_ids)
@@ -1196,30 +1246,12 @@ def _dedup_local_probe(
             buckets.setdefault((b, _band_key(sig, b)), []).append(ri)
     q4 = Decimal("0.0001")
     thr = float(jaccard_threshold)
-    # min-root union-find: the root of every merged set is its MIN —
-    # the same canonical choice connected_components makes (see
-    # dedup._union_find_local)
-    parent: dict = {}
+    # min-root union-find (shared helper — the same canonical choice
+    # connected_components makes)
+    from .util import MinRootUnionFind
 
-    def _find(x):
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:
-            parent[x], x = r, parent[x]
-        return r
-
-    nodes: set = set()
-
-    def _union(a, b):
-        nodes.add(a)
-        nodes.add(b)
-        ra, rb = _find(a), _find(b)
-        if ra != rb:
-            if rb < ra:
-                ra, rb = rb, ra
-            parent[rb] = ra
-
+    uf = MinRootUnionFind()
+    _union = uf.union
     seen_pairs: set = set()
     for members_idx in buckets.values():
         if len(members_idx) < 2:
@@ -1257,9 +1289,7 @@ def _dedup_local_probe(
                 if mid != gid:
                     _union(gid, mid)
     old_ids = set(old_by_id)
-    comps: dict = {}
-    for n in nodes:
-        comps.setdefault(_find(n), []).append(n)
+    comps = uf.components()
     losers: set = set()
     for ms in comps.values():
         news = [m for m in ms if m not in old_ids]
@@ -1283,19 +1313,15 @@ def _dedup_local_probe(
         cand = [v for v in delta_ids if v is not None]
     if cand:
         # candidates are bloom POSITIVES (a handful of replays/false
-        # positives) — an isin predicate verifies them with one
-        # scan-side job; only a bloom-less probe can see a cand list
-        # big enough (the whole delta) to need the broadcast form
-        hits = idx_band0.select("id")
-        if len(cand) <= _ISIN_PRED_CAP:
-            hits = hits.where(F.col("id").isin(cand))
-        else:
-            sch = T.StructType([new_sigs.schema["id"]])
-            cdf = spark.createDataFrame([(c,) for c in cand], sch)
-            hits = hits.join(F.broadcast(cdf), "id", "left_semi")
-        # no .distinct(): the set-update dedups driver-side, and the
-        # match volume is bounded by the index rows of ≤|cand| ids —
-        # skipping it removes the verify's only shuffle
+        # positives; the whole delta only when no bloom is usable) —
+        # an isin predicate verifies them with one scan-side job.
+        # |cand| ≤ distinct delta ids ≤ _DRIVER_PROBE_DOC_CAP by the
+        # probe gate above, always within isin range — no broadcast
+        # form needed. No .distinct(): the set-update dedups
+        # driver-side, and the match volume is bounded by the index
+        # rows of ≤|cand| ids — skipping it removes the verify's only
+        # shuffle.
+        hits = idx_band0.select("id").where(F.col("id").isin(cand))
         losers.update(r["id"] for r in hits.collect())
     if stats is not None or on_id_collision == "error":
         _id_collision_check(

@@ -344,3 +344,37 @@ def one_shot_take(spark, parts: int = 64):
                 spark.conf.unset(_INITIAL_PARTS_CONF)
             else:
                 spark.conf.set(_INITIAL_PARTS_CONF, prev)
+
+
+class MinRootUnionFind:
+    """Driver-side union-find whose every root is the MIN of its merged
+    set — the canonical-doc choice ``connected_components`` makes, so
+    local fast paths agree bit-for-bit with the distributed loop
+    (Python int/str ordering == Spark's: UTF-8 binary order is
+    code-point order). Shared by the three local probes (r14 — they
+    each hand-rolled this; one copy keeps the canonical-order contract
+    in one place)."""
+
+    def __init__(self) -> None:
+        self.parent: dict = {}
+
+    def find(self, x):
+        p = self.parent
+        while p.setdefault(x, x) != x:
+            p[x] = p[p[x]]  # path halving
+            x = p[x]
+        return x
+
+    def union(self, a, b) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            self.parent[rb] = ra
+
+    def components(self) -> dict:
+        """→ {root: [members]} over every node ever seen."""
+        out: dict = {}
+        for n in self.parent:
+            out.setdefault(self.find(n), []).append(n)
+        return out

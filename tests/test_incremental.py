@@ -709,3 +709,48 @@ def test_local_probe_job_budget(spark, sf_dir, tmp_path):
         )
     # batch 0 may pay one-time opens; steady state is the contract
     assert all(n <= 8 for n in per_batch[1:]), per_batch
+
+
+def test_sigless_replay_dropped_on_both_paths(spark, tmp_path,
+                                              monkeypatch):
+    """r14 review fix: a delta doc with NULL text produces no minhash
+    signature row (empty/whitespace text still shingles to the
+    empty-string token, but split(NULL) explodes to zero rows) — the
+    local probe's reingest id check must still see it (via the probe
+    take's raw-id branch), so a sig-less replay of an indexed id is
+    dropped identically on the driver and distributed paths, and a
+    sig-less NOVEL doc survives on both."""
+    seed = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "idx")
+    I.write_band_index(
+        I.minhash_band_index(seed, key_buckets=4), p, key_buckets=4
+    )
+    delta = spark.createDataFrame(
+        [(2, None), (7, None), (8, "totally novel content here")],
+        "doc_id long, text string",
+    )
+
+    def survivors():
+        idx = I.read_band_index(spark, p)
+        res: dict = {}
+        kept = I.incremental_dedup(
+            delta, idx, key_buckets=4, jaccard_threshold=0.5,
+            ingest_out=res,
+        )
+        return (
+            sorted(r["doc_id"] for r in kept.select("doc_id").collect()),
+            res.get("driver_path"),
+        )
+
+    drv, used_driver = survivors()
+    assert used_driver is True
+    # id 2 is a sig-less REPLAY of an indexed id -> dropped; 7 is
+    # sig-less but novel -> kept; 8 pairs with nothing -> kept
+    assert drv == [7, 8]
+    monkeypatch.setattr(I, "_DRIVER_PROBE_DOC_CAP", 0)
+    dist, used_driver2 = survivors()
+    assert used_driver2 is None
+    assert dist == drv

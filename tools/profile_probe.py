@@ -108,6 +108,11 @@ def main() -> None:
         tw0 = time.monotonic()
         kept.write.mode("append").parquet(root + "_out")
         t_write = time.monotonic() - tw0
+        if not res.get("driver_path"):
+            raise SystemExit(
+                f"batch {b}: distributed fallback engaged — this "
+                "rehearsal measures the driver path; shrink the batch"
+            )
         ks = res["sigs"]
         if res["loser_ids"]:
             ks = ks.where(

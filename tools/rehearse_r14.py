@@ -107,6 +107,11 @@ def main() -> None:
         t0 = time.monotonic()
         kept.write.mode("append").parquet(root + "_out")
         t["write"] = round(time.monotonic() - t0, 3)
+        if not res.get("driver_path"):
+            raise SystemExit(
+                f"batch {b}: distributed fallback engaged — this "
+                "rehearsal measures the driver path; shrink the batch"
+            )
         ks = res["sigs"]
         if res["loser_ids"]:
             ks = ks.where(
