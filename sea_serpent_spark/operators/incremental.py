@@ -476,7 +476,11 @@ def _write_layout(
             {"key_buckets": key_buckets, "schema": idx.schema.json()},
             fh,
         )
-    written = idx.sparkSession.read.parquet(target)
+    # the schema is GIVEN to the read-back: an EMPTY index frame (all
+    # seed docs sig-less) writes zero data files and a schema-less
+    # read of that fails inference (r14 fuzz — the same lesson the r9
+    # empty-append fix taught the tail read)
+    written = idx.sparkSession.read.schema(idx.schema).parquet(target)
     blob = build_id_bloom(
         written.where(F.col("band") == 0).select("id")
     )

@@ -461,3 +461,71 @@ def test_spanning_equivalence_random_corpora(spark, data):
     cf = {r.id: r.component for r in connected_components(full).collect()}
     cs = {r.id: r.component for r in connected_components(span).collect()}
     assert cf == cs
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_incremental_driver_path_parity_fuzz(spark, tmp_path_factory,
+                                             data, monkeypatch):
+    """r14 fuzz of the local-probe contract: for random seeded indexes
+    and adversarial deltas (dup ids, replayed ids, NULL ids, NULL /
+    empty / whitespace texts, near-dup and exact-dup content), the
+    driver path and the forced-distributed flow keep EXACTLY the same
+    survivor multiset."""
+    from sea_serpent_spark.operators import incremental as I
+
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+
+    def text(d):
+        draw = d.draw
+        kind = draw(st.integers(0, 5))
+        if kind == 0:
+            return None
+        if kind == 1:
+            return ""
+        if kind == 2:
+            return "   "
+        k = draw(st.integers(1, len(words)))
+        return " ".join(draw(st.permutations(words))[:k])
+
+    n_seed = data.draw(st.integers(2, 8))
+    seed_rows = [(i, text(data)) for i in range(n_seed)]
+    # seed docs need non-null text to land in the index at all, but a
+    # few NULLs in the seed exercise the sig-less write path too
+    n_delta = data.draw(st.integers(1, 10))
+    delta_rows = []
+    for _ in range(n_delta):
+        rid = data.draw(
+            st.one_of(st.none(), st.integers(0, n_seed + 5))
+        )
+        delta_rows.append((rid, text(data)))
+
+    p = str(tmp_path_factory.mktemp("fuzz") / "idx")
+    seed = spark.createDataFrame(seed_rows, "doc_id long, text string")
+    I.write_band_index(
+        I.minhash_band_index(seed, key_buckets=4), p, key_buckets=4
+    )
+    delta = spark.createDataFrame(delta_rows, "doc_id long, text string")
+
+    def survivors(force_distributed):
+        if force_distributed:
+            monkeypatch.setattr(I, "_DRIVER_PROBE_DOC_CAP", 0)
+        else:
+            monkeypatch.setattr(I, "_DRIVER_PROBE_DOC_CAP", 20_000)
+        res: dict = {}
+        kept = I.incremental_dedup(
+            delta, I.read_band_index(spark, p), key_buckets=4,
+            jaccard_threshold=0.5, ingest_out=res,
+        )
+        got = sorted(
+            ((r["doc_id"], r["text"]) for r in kept.collect()),
+            key=lambda t: (t[0] is None, t[0], t[1] is None, t[1]),
+        )
+        return got, res.get("driver_path")
+
+    drv, path_a = survivors(False)
+    assert path_a is True
+    dist, path_b = survivors(True)
+    assert path_b is None
+    assert drv == dist
