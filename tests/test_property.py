@@ -529,3 +529,73 @@ def test_incremental_driver_path_parity_fuzz(spark, tmp_path_factory,
     dist, path_b = survivors(True)
     assert path_b is None
     assert drv == dist
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_semantic_driver_path_parity_fuzz(spark, tmp_path_factory,
+                                          data, monkeypatch):
+    """r14 fuzz, the semantic twin of the LSH parity fuzz: random
+    seeded IVF indexes and adversarial deltas (dup ids, replayed ids,
+    exact-dup vectors, near-dup vectors) keep the same survivors on
+    the driver path and the forced-distributed flow."""
+    from sea_serpent_spark.operators import ann_index as A
+    from sea_serpent_spark.operators import incremental as I
+    from sea_serpent_spark.operators.similarity import kmeans_fit
+
+    dim = 4
+
+    def vec(d):
+        kind = d.draw(st.integers(0, 2))
+        if kind == 0:  # axis-ish cluster members
+            ax = d.draw(st.integers(0, dim - 1))
+            base = [0.05] * dim
+            base[ax] = 1.0
+            return [round(v + d.draw(
+                st.floats(-0.02, 0.02, allow_nan=False)
+            ), 4) for v in base]
+        if kind == 1:  # exact canonical axis (exact-dup generator)
+            ax = d.draw(st.integers(0, dim - 1))
+            return [1.0 if i == ax else 0.0 for i in range(dim)]
+        return [round(d.draw(
+            st.floats(-1.0, 1.0, allow_nan=False)
+        ), 4) or 0.1 for _ in range(dim)]
+
+    n_seed = data.draw(st.integers(3, 8))
+    seed_rows = [(i, vec(data)) for i in range(n_seed)]
+    n_delta = data.draw(st.integers(1, 8))
+    delta_rows = [
+        (data.draw(st.integers(0, n_seed + 4)), vec(data))
+        for _ in range(n_delta)
+    ]
+    p = str(tmp_path_factory.mktemp("semfuzz") / "idx")
+    seed = spark.createDataFrame(
+        seed_rows, "vec_id long, embedding array<double>"
+    )
+    cents = kmeans_fit(seed, "embedding", 2)
+    A.build_ivf_index(seed, p, centroids=cents)
+    delta = spark.createDataFrame(
+        delta_rows, "vec_id long, embedding array<double>"
+    )
+
+    def survivors(force_distributed):
+        monkeypatch.setattr(
+            I, "_DRIVER_PROBE_DOC_CAP",
+            0 if force_distributed else 20_000,
+        )
+        res: dict = {}
+        kept = A.incremental_semantic_dedup(
+            delta, p, threshold=0.9, ingest_out=res
+        )
+        got = sorted(
+            (r["vec_id"], tuple(r["embedding"]))
+            for r in kept.collect()
+        )
+        return got, res.get("driver_path")
+
+    drv, path_a = survivors(False)
+    assert path_a is True
+    dist, path_b = survivors(True)
+    assert path_b is None
+    assert drv == dist
