@@ -331,7 +331,8 @@ def one_shot_take(spark, parts: int = 64):
     micro-batch probe's capped collects — a handful of post-shuffle
     partitions that will ALL be needed — it costs 2-4 extra Spark jobs
     of pure scheduler latency per take (r14 job audit: 8 of the LSH
-    probe's 12 per-batch jobs were take-loop retries). 64 one-shots
+    probe's 12 per-batch jobs were its two takes' scans, 5 of them
+    scale-up retries). 64 one-shots
     every trigger-sized frame while keeping the overscan of a
     pathological cap-overflow take bounded to one pass."""
     with _TAKE_CONF_LOCK:
