@@ -575,6 +575,40 @@ class Base:
         append_df: DataFrame | None = None,
         transform=None,
     ) -> None:
+        """Size-gated plan posture around :meth:`_commit_body` (r14):
+        single-bucket tables are auto-sized under 1 M rows
+        (``_sized_buckets``), so every plan a commit on one runs —
+        diff, oplog write, bucketed rewrite — is micro-sized by
+        construction, and the whole commit runs under the streaming
+        sinks' per-batch confs (AQE off + narrow static shuffle width,
+        ``util.micro_plan_confs``): AQE's per-exchange materialization
+        jobs are pure scheduler latency at this size (measured: a
+        whole-column diff-update commit dropped 22 → 13 driver jobs).
+        Multi-bucket tables — the 100 TB shape — keep AQE and the
+        session shuffle width untouched."""
+        if self._bcount(name) <= 1:
+            from ..operators.util import micro_plan_confs
+
+            with micro_plan_confs(self.spark, parts=4):
+                return self._commit_body(
+                    name, df, op, detail, oplog, touched, append_df,
+                    transform,
+                )
+        return self._commit_body(
+            name, df, op, detail, oplog, touched, append_df, transform
+        )
+
+    def _commit_body(
+        self,
+        name: str,
+        df: DataFrame,
+        op: str,
+        detail: dict | None = None,
+        oplog: DataFrame | None = None,
+        touched: str | None = None,
+        append_df: DataFrame | None = None,
+        transform=None,
+    ) -> None:
         """Write a new version + log entry (+ cell-level oplog).
 
         **File-granular copy-on-write** (the Delta contract, minimized for
@@ -745,13 +779,38 @@ class Base:
                 opl = self.spark.read.parquet(opdir).where(
                     F.col("op_id") == v
                 )
-            stats = (
-                opl.groupBy(self._bucket_expr(name, "row_id").alias("b"))
-                .agg(F.countDistinct("row_id").alias("n"))
-                .collect()
-            )
-            buckets = [r["b"] for r in stats]
-            n_changed = sum(r["n"] for r in stats)
+            buckets = n_changed = None
+            if n_buckets <= 1 and new_oplog_files:
+                # single-bucket fast path (r14): every row id hashes to
+                # bucket 0, so the per-bucket distribution is just "did
+                # this commit log anything" — read it off the freshly
+                # written files' parquet FOOTERS (driver-side, no Spark
+                # job). The footer count is changed CELLS, an upper
+                # bound on changed rows — only consumed by the ≤1M
+                # pruned-replay gate below, where a conservative count
+                # merely prefers the filtered scan (same single bucket
+                # either way). Multi-bucket tables keep the aggregate
+                # job: footers cannot say which buckets the ids hash to.
+                try:
+                    import pyarrow.parquet as _pq
+
+                    n_changed = sum(
+                        _pq.ParquetFile(f).metadata.num_rows
+                        for f in new_oplog_files
+                    )
+                    buckets = [0] if n_changed else []
+                except Exception:
+                    buckets = n_changed = None
+            if buckets is None:
+                stats = (
+                    opl.groupBy(
+                        self._bucket_expr(name, "row_id").alias("b")
+                    )
+                    .agg(F.countDistinct("row_id").alias("n"))
+                    .collect()
+                )
+                buckets = [r["b"] for r in stats]
+                n_changed = sum(r["n"] for r in stats)
             if not buckets:
                 manifest = prev  # no cell actually changed
                 cstats = prev_stats
@@ -1712,7 +1771,19 @@ class Base:
         of the full table to compute positions, but never the data
         columns."""
         target = df.where(pred) if pred is not None else df
-        n = target.count()
+        if pred is None and self._seq_contiguous(table):
+            # whole-table assignment on a gap-free table: the row count
+            # IS the next sequence number, maintained eagerly by every
+            # ingest/append (incl. bundled appends) and invalidated by
+            # delete_rows via has_deletes — no count job (r14)
+            meta = self.meta(table.name)
+            n = (
+                int(meta["next_seq"])
+                if "next_seq" in meta
+                else target.count()
+            )
+        else:
+            n = target.count()
         if len(values) != n:
             raise ValueError(f"length mismatch: {len(values)} values for {n} rows")
         if pred is None and self._seq_contiguous(table):

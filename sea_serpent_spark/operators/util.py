@@ -347,6 +347,39 @@ def one_shot_take(spark, parts: int = 64):
                 spark.conf.set(_INITIAL_PARTS_CONF, prev)
 
 
+#: Guards the micro-plan conf bracket below (RLock: a micro-commit can
+#: run inside a caller that already holds it, e.g. a bundle flush
+#: committing several staged edits back-to-back on one thread).
+_MICRO_PLAN_LOCK = threading.RLock()
+
+
+@contextmanager
+def micro_plan_confs(spark, parts: int = 4):
+    """AQE off + a narrow static shuffle width for the duration of the
+    block (restored on exit, lock-guarded) — the streaming sinks'
+    per-batch posture (``streaming.dedup._batch_confs``), reusable for
+    any plan bracket whose input is KNOWN to be micro-sized at the call
+    site. AQE materializes every exchange as its own Spark job to
+    re-plan with runtime stats — the right trade for big unknown-stats
+    queries, pure scheduler latency for a bracket whose size the caller
+    has already bounded (mutation micro-commits gate on the table's
+    bucket count: single-bucket == auto-sized under 1M rows). Callers
+    whose data CAN be large must not enter the bracket — size-gate
+    first. The lock serializes concurrent brackets (and concurrent
+    plan-time conf reads of other threads see the flipped value for
+    the duration — parallelism-only impact, never results)."""
+    with _MICRO_PLAN_LOCK:
+        prev_shuf = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(parts)))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_shuf)
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
 class MinRootUnionFind:
     """Driver-side union-find whose every root is the MIN of its merged
     set — the canonical-doc choice ``connected_components`` makes, so
