@@ -65,17 +65,37 @@ def _feature_buckets(
     return F.transform(grams, lambda g: F.pmod(h48(g), F.lit(buckets)))
 
 
-def _bucket_logprobs(
-    df: DataFrame, text_col: str, buckets: int, ngram: int, alpha: float,
+def explode_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = DSIR_BUCKETS,
+    ngram: int = 2,
+) -> DataFrame:
+    """→ ``[__did, b]``: one row per hashed n-gram occurrence — the
+    shared featurization frame. Checkpoint it (``tracked_checkpoint``)
+    and hand it to ``dsir_weights`` / ``ngram_cross_entropy`` via their
+    ``features``/``target_features``/``ref_features`` params to
+    featurize a corpus ONCE for several selection signals; a slice
+    predicate on ``__did`` restricts it to a sub-corpus with bit-equal
+    features (explode preserves per-doc feature multisets)."""
+    return fan_out(df).select(
+        F.col(id_col).alias("__did"),
+        F.explode(
+            _feature_buckets(F.col(text_col), buckets, ngram)
+        ).alias("b"),
+    )
+
+
+def _model_from_buckets(
+    bdf: DataFrame, buckets: int, alpha: float
 ) -> tuple[DataFrame, float]:
-    """([b, logp], unseen_floor): add-α-smoothed log probability per
-    hashed bucket, plus the floor for buckets this corpus never saw."""
+    """([b, logp], unseen_floor) from an exploded bucket frame (one row
+    per n-gram occurrence, column ``b``): add-α-smoothed log
+    probability per hashed bucket, plus the floor for buckets this
+    corpus never saw."""
     counts, _ = tracked_checkpoint(
-        fan_out(df)
-        .select(F.explode(_feature_buckets(F.col(text_col), buckets,
-                                           ngram)).alias("b"))
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("n"))
+        bdf.groupBy("b").agg(F.count(F.lit(1)).alias("n"))
         # ≤ ``buckets`` rows: materialize the model once — the total
         # collect below and the downstream broadcast join would
         # otherwise EACH run the full corpus featurization
@@ -88,6 +108,22 @@ def _bucket_logprobs(
     return lp, math.log(alpha) - denom
 
 
+def _bucket_logprobs(
+    df: DataFrame, text_col: str, buckets: int, ngram: int, alpha: float,
+) -> tuple[DataFrame, float]:
+    """([b, logp], unseen_floor): add-α-smoothed log probability per
+    hashed bucket, plus the floor for buckets this corpus never saw."""
+    return _model_from_buckets(
+        fan_out(df).select(
+            F.explode(
+                _feature_buckets(F.col(text_col), buckets, ngram)
+            ).alias("b")
+        ),
+        buckets,
+        alpha,
+    )
+
+
 def _dsir_scored(
     raw: DataFrame,
     target: DataFrame,
@@ -97,7 +133,9 @@ def _dsir_scored(
     ngram: int,
     alpha: float,
     length_normalize: bool,
-) -> tuple[DataFrame, float]:
+    features: DataFrame | None = None,
+    target_features: DataFrame | None = None,
+) -> tuple[DataFrame, "callable"]:
     """(scored, total_weight): shared core of ``dsir_weights`` /
     ``dsir_select``. ``per_doc`` — the expensive explode→broadcast-
     join→groupBy featurization — is checkpointed ONCE; the max-logw
@@ -107,10 +145,37 @@ def _dsir_scored(
     is Σ exp(logw − max) computed from ``per_doc`` directly — the
     sampler needs it and must NOT pay a full pass over the scored
     corpus for a scalar (empty-feature docs weigh 0, so they drop out
-    of the sum exactly as they would in the corpus-wide aggregate)."""
-    t_lp, t_floor = _bucket_logprobs(target, text_col, buckets, ngram,
-                                     alpha)
-    r_lp, r_floor = _bucket_logprobs(raw, text_col, buckets, ngram, alpha)
+    of the sum exactly as they would in the corpus-wide aggregate).
+
+    ``features`` / ``target_features`` (r14): pre-exploded
+    ``(__did, b)`` frames from :func:`explode_features` — when given,
+    the corresponding featurization pass is skipped entirely (the
+    caller owns their materialization); a caller scoring one corpus
+    several ways (DSIR + cross-entropy in one report) featurizes once.
+    ``total`` is returned as a THUNK: only the resampling composition
+    (``dsir_select``) needs Σw, so ``dsir_weights`` callers no longer
+    pay its aggregate job."""
+    if target_features is not None:
+        t_lp, t_floor = _model_from_buckets(
+            target_features.select("b"), buckets, alpha
+        )
+    else:
+        t_lp, t_floor = _bucket_logprobs(target, text_col, buckets,
+                                         ngram, alpha)
+    # ONE featurization of the raw corpus (r14): the exploded
+    # (doc, bucket) frame is checkpointed and feeds BOTH the raw-side
+    # model (a bucket aggregate over it — bit-identical counts to the
+    # dedicated pass it replaces) and the per-document scoring join
+    # below; the raw corpus' words are split and hashed once, not twice.
+    if features is not None:
+        feats = features
+    else:
+        feats, _ = tracked_checkpoint(
+            explode_features(raw, text_col, id_col, buckets, ngram)
+        )
+    r_lp, r_floor = _model_from_buckets(
+        feats.select("b"), buckets, alpha
+    )
     # buckets unseen in BOTH corpora contribute floor−floor' — a
     # constant — to every doc equally after length normalization only
     # if present; keep them via the outer join so the ratio table is
@@ -127,12 +192,6 @@ def _dsir_scored(
         )
     )
 
-    feats = fan_out(raw).select(
-        F.col(id_col).alias("__did"),
-        F.explode(
-            _feature_buckets(F.col(text_col), buckets, ngram)
-        ).alias("b"),
-    )
     per_doc = (
         feats.join(F.broadcast(ratios), "b")
         .groupBy("__did")
@@ -151,12 +210,16 @@ def _dsir_scored(
     )
     mx = per_doc.agg(F.max("dsir_logw")).collect()[0]
     mx = mx[0] if mx and mx[0] is not None else 0.0
-    total = (
-        per_doc.agg(
-            F.sum(F.exp(F.col("dsir_logw") - F.lit(float(mx))))
-        ).collect()[0][0]
-        or 0.0
-    )
+    pd_ck = per_doc
+
+    def total() -> float:
+        return float(
+            pd_ck.agg(
+                F.sum(F.exp(F.col("dsir_logw") - F.lit(float(mx))))
+            ).collect()[0][0]
+            or 0.0
+        )
+
     scored = raw.join(
         per_doc, F.col(id_col) == F.col("__did"), "left"
     ).drop("__did")
@@ -169,7 +232,7 @@ def _dsir_scored(
             F.exp(F.col("dsir_logw") - F.lit(float(mx)))
         ),
     )
-    return scored, float(total)
+    return scored, total
 
 
 def dsir_weights(
@@ -181,16 +244,23 @@ def dsir_weights(
     ngram: int = 2,
     alpha: float = 0.1,
     length_normalize: bool = True,
+    features: DataFrame | None = None,
+    target_features: DataFrame | None = None,
 ) -> DataFrame:
     """→ ``raw`` + [dsir_logw, dsir_weight]: per-document importance of
     looking like ``target``. ``dsir_logw`` = Σ_features log(p_t/p_r)
     (divided by the feature count when ``length_normalize`` — without
     it long documents dominate on length, not on similarity);
     ``dsir_weight`` = exp(logw − max logw) ∈ (0, 1], directly usable by
-    ``weighted_sample``."""
+    ``weighted_sample``.
+
+    ``features``/``target_features``: optional pre-exploded
+    :func:`explode_features` frames (caller-materialized) replacing the
+    raw/target featurization passes."""
     return _dsir_scored(
         raw, target, text_col, id_col, buckets, ngram, alpha,
-        length_normalize,
+        length_normalize, features=features,
+        target_features=target_features,
     )[0]
 
 
@@ -216,7 +286,7 @@ def dsir_select(
         kwargs.get("length_normalize", True),
     )
     return weighted_sample(
-        scored, "dsir_weight", target_rows, id_col, total=total
+        scored, "dsir_weight", target_rows, id_col, total=total()
     ).drop("dsir_logw", "dsir_weight")
 
 
@@ -229,6 +299,8 @@ def ngram_cross_entropy(
     ngram: int = 2,
     alpha: float = 0.1,
     score_col: str = "xent",
+    features: DataFrame | None = None,
+    ref_features: DataFrame | None = None,
 ) -> DataFrame:
     """→ ``df`` + ``score_col``: per-document cross-entropy (mean
     −log p, nats/feature) under ``reference``'s hashed n-gram model —
@@ -242,10 +314,20 @@ def ngram_cross_entropy(
     (self-perplexity — outlier detection). Empty documents score NULL.
 
     Same scale shape as ``dsir_weights``: one bounded groupBy for the
-    model, one broadcast join + per-doc aggregation for the scores."""
-    ref = reference if reference is not None else df
-    lp, floor = _bucket_logprobs(ref, text_col, buckets, ngram, alpha)
-    feats = fan_out(df).select(
+    model, one broadcast join + per-doc aggregation for the scores.
+
+    ``features``/``ref_features``: optional pre-exploded
+    :func:`explode_features` frames (caller-materialized) replacing the
+    scoring/reference featurization passes."""
+    if ref_features is not None:
+        lp, floor = _model_from_buckets(
+            ref_features.select("b"), buckets, alpha
+        )
+    else:
+        ref = reference if reference is not None else df
+        lp, floor = _bucket_logprobs(ref, text_col, buckets, ngram,
+                                     alpha)
+    feats = features if features is not None else fan_out(df).select(
         F.col(id_col).alias("__did"),
         F.explode(
             _feature_buckets(F.col(text_col), buckets, ngram)

@@ -1203,8 +1203,21 @@ def q60_deterministic_split(spark, sf_dir):
     # absorbs partial-aggregation float-order (sums of ~10² O(1) terms
     # agree to ~1e-13 — the round-8 caveat, now bounded instead of
     # unpinned). Docs with no features (logw = −inf) are excluded.
+    #
+    # r14: the corpus is featurized ONCE (explode_features, default
+    # B/ngram, checkpointed) and shared by BOTH selection members —
+    # dsir's raw model + per-doc scores and xent's scores — with the
+    # target/reference models derived by slicing the same frame on
+    # __did (bit-equal feature multisets, guide §2.3/§2.4: one pass,
+    # four consumers instead of four featurization passes).
+    from .operators.selection import explode_features
+    from .operators.util import tracked_checkpoint as _tck
+
+    shared_feats, _ = _tck(explode_features(docs))
+    tgt_feats = shared_feats.where(F.col("__did") % 10 == 0)
     dsir = dsir_weights(
-        docs, docs.where(F.col("doc_id") % 10 == 0)
+        docs, docs.where(F.col("doc_id") % 10 == 0),
+        features=shared_feats, target_features=tgt_feats,
     ).where(F.col("dsir_logw") != float("-inf")).select(
         "doc_id",
         F.lit(None).cast("string").alias("split"),
@@ -1221,6 +1234,7 @@ def q60_deterministic_split(spark, sf_dir):
     xent = ngram_cross_entropy(
         docs.select("doc_id", "text"),
         docs.where(F.col("doc_id") % 10 == 0),
+        features=shared_feats, ref_features=tgt_feats,
     ).where(F.col("xent").isNotNull()).select(
         "doc_id",
         F.lit(None).cast("string").alias("split"),

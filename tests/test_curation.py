@@ -470,12 +470,14 @@ def test_dsir_weights_and_select(spark):
 
 
 def test_dsir_single_featurization_pass(spark):
-    """Execution-count pin: dsir_select reads the raw corpus exactly 3×
-    end-to-end (bucket model, per-doc featurization, consumer join) and
-    the target once. Before the per-doc checkpoint + precomputed sampler
+    """Execution-count pin: dsir_select reads the raw corpus exactly 2×
+    end-to-end (ONE shared featurization feeding both the bucket model
+    and the per-doc scores — r14 — plus the consumer join) and the
+    target once. Before the per-doc checkpoint + precomputed sampler
     total, the featurization re-executed on every downstream pass
     (max-collect, sum-collect, final join) — 3-4 full corpus reads more
-    than necessary."""
+    than necessary; before the shared feature frame, the model pass
+    split and hashed every raw document a second time."""
     from sea_serpent_spark.operators.selection import dsir_select
 
     raw_acc = spark.sparkContext.accumulator(0)
@@ -501,7 +503,7 @@ def test_dsir_single_featurization_pass(spark):
     raw_c = raw.mapInPandas(counted(raw_acc), raw.schema)
     tgt_c = tgt.mapInPandas(counted(tgt_acc), tgt.schema)
     dsir_select(raw_c, tgt_c, target_rows=50).collect()
-    assert raw_acc.value == 3 * n_raw
+    assert raw_acc.value == 2 * n_raw
     assert tgt_acc.value == n_tgt
 
 
