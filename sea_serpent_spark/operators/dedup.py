@@ -80,7 +80,36 @@ def _keep_cache(df: DataFrame) -> DataFrame:
     return df
 
 
-def _dense_token_ids(dfreq: DataFrame) -> tuple[DataFrame, int]:
+def _bm_intersect(col_a, col_b, nwords: int | None = None) -> Column:
+    """|a ∩ b| from packed bitmap arrays: Σ popcount(aᵢ & bᵢ).
+
+    With a known small width (``nwords`` ≤ 8) the fold is unrolled into
+    a flat ``bit_count(element_at & element_at)`` sum — whole-stage
+    codegen instead of the interpreted zip_with/aggregate HOF, which
+    costs ~µs of interpreter dispatch per *pair* on the all-pairs
+    verify (r14: q37's 3.9k-rep verify is ~7.7M evaluations). The
+    round-8 unroll rejection was about dim-64 element chains (6× slower
+    + seconds of analysis); at ≤8 nodes neither effect exists. Unknown
+    or wide bitmaps keep the fold."""
+    if nwords is not None and 0 < nwords <= 8:
+        expr = F.bit_count(
+            F.element_at(col_a, 1).bitwiseAND(F.element_at(col_b, 1))
+        )
+        for i in range(2, nwords + 1):
+            expr = expr + F.bit_count(
+                F.element_at(col_a, i).bitwiseAND(F.element_at(col_b, i))
+            )
+        return expr
+    return F.aggregate(
+        F.zip_with(col_a, col_b, lambda x, y: F.bit_count(x.bitwiseAND(y))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _dense_token_ids(
+    dfreq: DataFrame, cached: bool = False
+) -> tuple[DataFrame, int]:
     """→ ([s, tid], vocab): dense 1..V token ids in (document_frequency,
     token) ascending order — the rarest-first total order prefix
     filtering needs — computed WITHOUT a single-partition global window.
@@ -92,8 +121,11 @@ def _dense_token_ids(dfreq: DataFrame) -> tuple[DataFrame, int]:
     the range exchange's sampling pass doesn't recompute the
     tokenize→groupBy subtree; the range-partitioned frame is
     checkpointed because its sampled partition boundaries must be
-    identical in the count job and every consumer job."""
-    dfreq = _keep_cache(dfreq)
+    identical in the count job and every consumer job. Pass
+    ``cached=True`` when the caller already ``_keep_cache``-d ``dfreq``
+    (double-persist warns and re-registers the frame for release)."""
+    if not cached:
+        dfreq = _keep_cache(dfreq)
     parts = _keep_cache(
         dfreq.repartitionByRange(
             dfreq.sparkSession.sparkContext.defaultParallelism,
@@ -640,6 +672,7 @@ def _dense_allpairs(
     threshold: float,
     bcast_members: bool = True,
     emit: str = "pairs",
+    nwords: int | None = None,
 ) -> DataFrame:
     """All-pairs popcount verify over distinct-token-set representatives.
 
@@ -667,11 +700,7 @@ def _dense_allpairs(
     length_ok = (F.col("sz_a") * threshold <= F.col("sz_b")) & (
         F.col("sz_b") * threshold <= F.col("sz_a")
     )
-    inter = F.aggregate(
-        F.zip_with("bm_a", "bm_b", lambda x, y: F.bit_count(x.bitwiseAND(y))),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
+    inter = _bm_intersect("bm_a", "bm_b", nwords)
     union = F.col("sz_a") + F.col("sz_b") - inter
     gpairs = (
         a.join(b, (F.col("id_a") < F.col("id_b")) & length_ok)
@@ -794,8 +823,32 @@ def ngram_jaccard_pairs(
         F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
     )
     dfreq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    dic, vocab = _dense_token_ids(dfreq)
-    bitmap = 0 < vocab <= 64 * max_bitmap_words
+    # Regime probe (r14): ONE bounded take answers "does the vocabulary
+    # fit the bitmap regime?" and, when it does, delivers the whole
+    # dictionary to the driver — ≤ cap_v+1 narrow rows, bounded by the
+    # gate, never corpus-sized. Rarest-first ranks are assigned on the
+    # driver by the SAME (df, s) ascending order _dense_token_ids uses
+    # (Python str < == Spark UTF-8 binary <), so the prefix fallback
+    # below sees identical tids. The distributed rank machinery (cache
+    # + range exchange + window + two collects) is reserved for the
+    # large-vocab prefix path that actually needs a distributed
+    # dictionary — measured 1.2 s → 0.3 s of the q37 pair member.
+    cap_v = 64 * max_bitmap_words
+    dfreq = _keep_cache(dfreq)
+    head = dfreq.take(cap_v + 1)
+    if len(head) <= cap_v:
+        ordered = sorted((int(r["df"]), r["s"]) for r in head)
+        tid_of: dict[str, int] | None = {
+            s: i + 1 for i, (_, s) in enumerate(ordered)
+        }
+        vocab = len(ordered)
+        dic = df.sparkSession.createDataFrame(
+            [(s, t) for s, t in tid_of.items()], "s string, tid long"
+        )
+    else:
+        tid_of = None
+        dic, vocab = _dense_token_ids(dfreq, cached=True)
+    bitmap = 0 < vocab <= cap_v
 
     # one checkpointed row per doc: everything both branches need
     enc = tok.join(dic, "s").select("id", "tid")
@@ -816,12 +869,51 @@ def ngram_jaccard_pairs(
     per_doc = enc.groupBy("id").agg(*aggs)
 
     if bitmap:
+        if vocab <= 64 and tid_of is not None:
+            # SINGLE-WORD FAST PATH (r14, guide §2.4): with the whole
+            # vocabulary inside one bitmap word, the per-doc state the
+            # dense probe needs — (id, sz, bm) — is a pure PROJECTION:
+            # each doc's mask folds its distinct-shingle array through
+            # a literal token→bit map built from the driver-side
+            # dictionary the regime probe already holds. That removes
+            # the explode→dictionary-join→per-doc-groupBy pipeline
+            # (two exchanges + a collect_list) whose only dense-path
+            # consumer is this mask. Same dictionary, same bits, same
+            # sz (|distinct shingles|): groups/jaccard outputs are
+            # integer-identical.
+            # Docs with NULL text fold to NULL sz and are dropped by the
+            # sz>0 filter exactly as their absent enc rows were.
+            lookup = F.create_map(
+                *[F.lit(x) for kv in tid_of.items() for x in kv]
+            )
+            staged = fan_out(df).select(
+                F.col(id_col).alias("id"),
+                shingles(F.col(text_col), shingle_n).alias("__sh"),
+            )
+            mask = F.aggregate(
+                F.col("__sh"),
+                F.lit(0).cast("long"),
+                lambda acc, s: acc.bitwiseOR(
+                    F.call_function(
+                        "shiftleft",
+                        F.lit(1).cast("long"),
+                        (lookup[s] - 1).cast("int"),
+                    )
+                ),
+            )
+            per_doc_dense = staged.select(
+                "id",
+                F.size("__sh").alias("sz"),
+                F.array(mask).alias("bm"),
+            )
+        else:
+            per_doc_dense = per_doc
         # Dense-regime probe first: groups is the ONLY consumer of
         # per_doc here, so per_doc needs no cache/eager fill of its own —
         # one action (groups.count) materializes the whole chain. Only
         # the prefix fallback below pays the per_doc checkpoint.
         groups = _keep_cache(
-            per_doc.where(F.col("sz") > 0)
+            per_doc_dense.where(F.col("sz") > 0)
             .groupBy("bm")
             .agg(
                 F.min("id").alias("gid"),
@@ -836,6 +928,7 @@ def ngram_jaccard_pairs(
                 threshold,
                 bcast_members=_verify_gate(df, broadcast_verify, broadcast_cap),
                 emit=emit,
+                nwords=(vocab + 63) // 64,
             )
 
     # Materialize eagerly: the verify broadcasts below are built on the
@@ -880,11 +973,7 @@ def ngram_jaccard_pairs(
         bcast,
     )
     if bitmap:
-        inter = F.aggregate(
-            F.zip_with("bm_a", "bm_b", lambda x, y: F.bit_count(x.bitwiseAND(y))),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        )
+        inter = _bm_intersect("bm_a", "bm_b", (vocab + 63) // 64)
     else:
         inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.col("sz_a") + F.col("sz_b") - inter

@@ -62,6 +62,44 @@ def test_ngram_jaccard_exact(docs):
     assert 0.5 < pairs[(1, 3)] < 1.0
 
 
+def _pair_set(df_pairs):
+    return {
+        (r["id_a"], r["id_b"]): r["jaccard"] for r in df_pairs.collect()
+    }
+
+
+def test_ngram_dense_fast_paths_match_prefix(spark):
+    """r14 parity pin for the dense-regime shortcuts: the single-word
+    literal-map projection (vocab ≤ 64), the driver-side dictionary +
+    unrolled popcount verify (64 < vocab ≤ 64·max_bitmap_words), and
+    the prefix-filter formulation (``max_bitmap_words=0`` disables the
+    bitmap regime outright) must produce identical pair sets and
+    identical jaccard values — including empty/NULL-text docs, which
+    must vanish from all three."""
+    import random
+
+    rng = random.Random(7)
+
+    def corpus(vocab_size, n_docs):
+        vocab = [f"w{i}" for i in range(vocab_size)]
+        rows = []
+        for i in range(n_docs):
+            k = rng.randint(3, min(12, vocab_size))
+            rows.append((i, " ".join(rng.sample(vocab, k))))
+        rows.append((n_docs, ""))  # empty text
+        rows.append((n_docs + 1, None))  # NULL text
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    for vocab_size in (40, 100):  # 1-word fast path / 2-word dic path
+        d = corpus(vocab_size, 60)
+        fast = _pair_set(D.ngram_jaccard_pairs(d, threshold=0.3))
+        prefix = _pair_set(
+            D.ngram_jaccard_pairs(d, threshold=0.3, max_bitmap_words=0)
+        )
+        assert fast == prefix, f"vocab={vocab_size}: {fast} != {prefix}"
+        assert fast  # non-degenerate: the corpus produced pairs
+
+
 def test_simhash_hamming(docs):
     sigs = {r["id"]: r["sim"] for r in D.simhash_signatures(docs).collect()}
     assert sigs[1] == sigs[2]
