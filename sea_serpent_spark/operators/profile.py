@@ -226,8 +226,16 @@ def corpus_profile_rows(
     """
     from pyspark.sql import Window
 
+    from .util import tracked_checkpoint
+
     base = _corpus_base(df, text_col, lang_col)
-    toks = _corpus_tokens(df, text_col)
+    # The (token, count) aggregate feeds TWO union branches — the vocab
+    # scalar and the top-k rows — and Spark does not share subtrees
+    # across a union: uncheckpointed, the corpus is exploded and
+    # re-aggregated once per branch (r14, guide §2.4). The frame is
+    # vocab-sized (narrow (token, count) rows), the cheapest possible
+    # thing to materialize.
+    toks, _ = tracked_checkpoint(_corpus_tokens(df, text_col))
     lnull = F.lit(None).cast("long")
     scalars = (
         base.agg(
