@@ -313,6 +313,41 @@ def drop_stale_sinks(spark: SparkSession, prefix: str) -> None:
             spark.catalog.dropTempView(t.name)
 
 
+def start_to_memory(stream: DataFrame, name: str, spark: SparkSession,
+                    mode: str | None = None, state_partitions: int = 16):
+    """``run_to_memory`` without the await: start the availableNow
+    drain and return the ``StreamingQuery`` immediately — the guide
+    §2.6 overlap pattern for INDEPENDENT drains (start A, start B,
+    await both: wall = max, not sum; each drain's result is identical
+    to its sequential run because the queries share nothing but the
+    session). Spark snapshots the shuffle-partition conf into the query
+    at start, so the clamp is restored before returning — callers may
+    start several drains back-to-back from one thread with no conf
+    race. Read the sink with ``spark.table(name)`` after
+    ``q.awaitTermination()``."""
+    conf = spark.conf
+    old = conf.get("spark.sql.shuffle.partitions", "200")
+    if state_partitions:
+        try:
+            clamp = str(min(int(old), int(state_partitions)))
+        except (TypeError, ValueError):
+            clamp = str(state_partitions)
+        conf.set("spark.sql.shuffle.partitions", clamp)
+    try:
+        return (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(
+                mode or ("complete" if stream.isStreaming else "append")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if state_partitions:
+            conf.set("spark.sql.shuffle.partitions", old)
+
+
 def run_to_memory(stream: DataFrame, name: str, spark: SparkSession,
                   mode: str | None = None, state_partitions: int = 16):
     """Drain all available input into an in-memory table (test/dev sink).

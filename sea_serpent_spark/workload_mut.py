@@ -363,7 +363,18 @@ def q52_stream_tumbling(spark, sf_dir):
     stream = sev.read_events_stream(spark, sf_dir)
     agg = sev.tumbling_counts(stream, window="1 hour", watermark="2 hours")
     name = f"q52_sink_{uuid.uuid4().hex[:8]}"
-    out = sev.run_to_memory(agg, name, spark).select(
+    sess_name = f"q52_sink_{uuid.uuid4().hex[:8]}"
+    # The two drains are independent (separate sources, separate
+    # sinks, deterministic per-query results): start both, await both —
+    # wall = max of the two instead of their sum (guide §2.6; r14).
+    q_tum = sev.start_to_memory(agg, name, spark)
+    q_sess = sev.start_to_memory(
+        sev.session_counts(sev.read_events_stream(spark, sf_dir)),
+        sess_name, spark,
+    )
+    q_tum.awaitTermination()
+    q_sess.awaitTermination()
+    out = spark.table(name).select(
         F.col("window_start").cast("timestamp_ntz").alias("window_start"),
         "event_type",
         "n",
@@ -372,11 +383,7 @@ def q52_stream_tumbling(spark, sf_dir):
         F.lit(None).cast("long").alias("user_id"),
         F.lit("tumbling").alias("op"),
     )
-    sess = sev.run_to_memory(
-        sev.session_counts(sev.read_events_stream(spark, sf_dir)),
-        f"q52_sink_{uuid.uuid4().hex[:8]}",
-        spark,
-    ).select(
+    sess = spark.table(sess_name).select(
         F.col("session_start").cast("timestamp_ntz").alias("window_start"),
         F.lit(None).cast("string").alias("event_type"),
         F.col("n_events").alias("n"),
@@ -438,20 +445,27 @@ def q69_stream_dedup(spark, sf_dir):
     sev.drop_stale_sinks(spark, "q69")
     docs = sev.read_documents_stream(spark, sf_dir)
     kept_all = sev.streaming_exact_dedup(docs)
-    out_all = sev.run_to_memory(
-        kept_all.select("fp"),
-        f"q69a_{uuid.uuid4().hex[:8]}", spark, mode="append",
-    ).withColumn("op", F.lit("all"))
-
     hist = _df(spark, sf_dir, "documents").where(F.col("doc_id") < 250)
     seen = exact_dedup_groups(hist).select("fp")
     kept_fresh = sev.streaming_dedup_against(
         sev.read_documents_stream(spark, sf_dir), seen
     )
-    out_fresh = sev.run_to_memory(
-        kept_fresh.select("fp"),
-        f"q69f_{uuid.uuid4().hex[:8]}", spark, mode="append",
-    ).withColumn("op", F.lit("fresh"))
+    # The two exact-dedup drains are independent (separate state,
+    # separate memory sinks; each output is the drained fingerprint
+    # SET, deterministic per query): start both, await both — wall =
+    # max, not sum (guide §2.6; r14).
+    a_name = f"q69a_{uuid.uuid4().hex[:8]}"
+    f_name = f"q69f_{uuid.uuid4().hex[:8]}"
+    q_all = sev.start_to_memory(
+        kept_all.select("fp"), a_name, spark, mode="append"
+    )
+    q_fresh = sev.start_to_memory(
+        kept_fresh.select("fp"), f_name, spark, mode="append"
+    )
+    q_all.awaitTermination()
+    q_fresh.awaitTermination()
+    out_all = spark.table(a_name).withColumn("op", F.lit("all"))
+    out_fresh = spark.table(f_name).withColumn("op", F.lit("fresh"))
 
     # sink member: deterministic per-sf scratch (the q41 pattern —
     # OVERWRITTEN each run, never accumulated), fresh seed + drain
