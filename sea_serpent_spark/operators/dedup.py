@@ -534,7 +534,6 @@ def minhash_lsh_pairs(
         raise ValueError(f"emit must be 'pairs' or 'spanning', got {emit!r}")
     rows = num_hashes // bands
     release_caches()
-    bcast = _verify_gate(df, broadcast_verify, broadcast_cap)
     sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
 
     def _banded(src: DataFrame, keep: tuple = ()) -> DataFrame:
@@ -629,6 +628,11 @@ def minhash_lsh_pairs(
             return gpairs.unionByName(star)
         ma = mem.select(F.col("gid").alias("id_a"), F.col("id").alias("m_a"))
         mb = mem.select(F.col("gid").alias("id_b"), F.col("id").alias("m_b"))
+        # gate evaluated HERE, not at entry (r14): the spanning path
+        # above never expands members, so spanning callers (dedup_corpus
+        # and the ingest probes) no longer pay the gate's corpus-count
+        # job — the same lazy placement simhash_pairs already uses
+        bcast = _verify_gate(df, broadcast_verify, broadcast_cap)
         ma, mb = _maybe_broadcast(ma, bcast), _maybe_broadcast(mb, bcast)
         inter_group = gpairs.join(ma, "id_a").join(mb, "id_b").select(
             F.least("m_a", "m_b").alias("id_a"),
@@ -652,6 +656,7 @@ def minhash_lsh_pairs(
     sets = encoded_token_sets(df, text_col, id_col, shingle_n)
     a = sets.select(F.col("id").alias("id_a"), F.col("toks").alias("t_a"))
     b = sets.select(F.col("id").alias("id_b"), F.col("toks").alias("t_b"))
+    bcast = _verify_gate(df, broadcast_verify, broadcast_cap)
     a, b = _maybe_broadcast(a, bcast), _maybe_broadcast(b, bcast)
     inter = F.size(F.array_intersect("t_a", "t_b"))
     union = F.size("t_a") + F.size("t_b") - inter
@@ -685,7 +690,10 @@ def _dense_allpairs(
     per representative, so its broadcast is gated by ``bcast_members``
     (the same ``_verify_gate`` size check every other expansion path
     uses) — a dense corpus with billions of docs must shuffle the
-    expansion, not broadcast it."""
+    expansion, not broadcast it. ``bcast_members`` may be a zero-arg
+    callable (r14): the spanning path never expands members, so a
+    callable gate is only evaluated — only pays its count job — on the
+    pairs path."""
     spark = groups.sparkSession
     k = spark.sparkContext.defaultParallelism
     reps = groups.select("gid", "sz", "bm")
@@ -717,6 +725,8 @@ def _dense_allpairs(
             F.lit(1.0).alias("jaccard"),
         )
         return gpairs.unionByName(star)
+    if callable(bcast_members):
+        bcast_members = bcast_members()
     ma = _maybe_broadcast(
         mem.select(F.col("gid").alias("id_a"), F.col("id").alias("m_a")),
         bcast_members,
@@ -926,7 +936,9 @@ def ngram_jaccard_pairs(
             return _dense_allpairs(
                 groups,
                 threshold,
-                bcast_members=_verify_gate(df, broadcast_verify, broadcast_cap),
+                bcast_members=lambda: _verify_gate(
+                    df, broadcast_verify, broadcast_cap
+                ),
                 emit=emit,
                 nwords=(vocab + 63) // 64,
             )
