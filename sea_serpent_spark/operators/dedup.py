@@ -601,7 +601,7 @@ def minhash_lsh_pairs(
             F.col("x.sig"), F.col("y.sig"), F.col("x.band"),
             num_hashes, bands,
         )
-        gpairs = _keep_cache(
+        gpairs_plan = (
             _salted_pairs(
                 _banded(reps, keep=("sig",)),
                 ["band", "key"],
@@ -618,14 +618,25 @@ def minhash_lsh_pairs(
             )
             .where(F.col("jaccard") >= jaccard_threshold)
         )
-        gpairs.count()
         if emit == "spanning":
+            # no checkpoint on the spanning path (r14): the rep-pair set
+            # has exactly ONE consumer (the union below; star reads the
+            # groups cache) and no member-expansion joins to fuse with —
+            # the caller's own materialization (CC edge checkpoint, noop
+            # sink) executes enumerate+verify once either way, so the
+            # eager fill here was a pure extra action
             star = mem.where(F.col("id") != F.col("gid")).select(
                 F.col("gid").alias("id_a"),
                 F.col("id").alias("id_b"),
                 F.lit(1.0).alias("jaccard"),
             )
-            return gpairs.unionByName(star)
+            return gpairs_plan.unionByName(star)
+        # pairs path: checkpoint before the member-expansion joins —
+        # without the boundary they fuse with the whole enumerate+verify
+        # subtree into one oversized codegen stage (measured 8s → 0.5s
+        # for the expansion leg on the bench corpus)
+        gpairs = _keep_cache(gpairs_plan)
+        gpairs.count()
         ma = mem.select(F.col("gid").alias("id_a"), F.col("id").alias("m_a"))
         mb = mem.select(F.col("gid").alias("id_b"), F.col("id").alias("m_b"))
         # gate evaluated HERE, not at entry (r14): the spanning path
@@ -1548,8 +1559,9 @@ def dedup_corpus(
         pairs = simhash_pairs(df, text_col, id_col, **kwargs)
     else:
         raise ValueError(f"unknown dedup method: {method!r}")
+    stats = cc_stats if cc_stats is not None else {}
     comp = connected_components(
-        pairs, release_batch=release_batch, stats=cc_stats
+        pairs, release_batch=release_batch, stats=stats
     )
     if keep == "min_id":
         # drop every clustered doc that is not its component's minimum
@@ -1560,9 +1572,18 @@ def dedup_corpus(
         losers = _best_losers(
             comp.select(F.col("component").alias("__grp"), "id")
         )
-    losers = _maybe_broadcast(
-        losers, _verify_gate(losers, None, BROADCAST_VERIFY_CAP)
-    )
+    if stats.get("small_graph"):
+        # CC took the driver union-find path, so ``comp`` is a local
+        # relation bounded by 2·small_graph_threshold rows — orders of
+        # magnitude under the broadcast cap. Skipping the count gate
+        # here removes a full execution of the losers subtree (for
+        # keep_col policies that is a corpus-scan + window job paid
+        # purely to learn a size we already know).
+        losers = F.broadcast(losers)
+    else:
+        losers = _maybe_broadcast(
+            losers, _verify_gate(losers, None, BROADCAST_VERIFY_CAP)
+        )
     return df.join(losers, F.col(id_col) == F.col("__lid"), "left_anti")
 
 
