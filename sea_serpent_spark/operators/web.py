@@ -123,7 +123,19 @@ def _pct_normalize(s: Column) -> Column:
 def normalize_url(col: Column) -> Column:
     """Canonical form of a URL column (policy in the module docstring).
     NULL-safe; scheme-less inputs pass through (trim + fragment strip
-    only)."""
+    only).
+
+    The built tree is memoized per input expression (r14): it is ~150
+    py4j round-trips (~0.1 s of driver time) to construct, the result
+    is an unresolved Column reusable across plans, and q30 alone
+    builds it three times per call (url member, dedup keep side, dedup
+    probe side)."""
+    from .util import _expr_cache_get, _expr_cache_key, _expr_cache_put
+
+    ck = _expr_cache_key("normalize_url", col._jc.toString())
+    cached = _expr_cache_get(ck)
+    if cached is not None:
+        return cached
     u, scheme, auth, pathq = _parts(col)
     # decode/normalize percent-escapes BEFORE splitting params so
     # decoded params sort canonically; unreserved decodes cannot
@@ -152,7 +164,9 @@ def normalize_url(col: Column) -> Column:
         scheme, F.lit("://"), host, path,
         F.when(qn != "", F.concat(F.lit("?"), qn)).otherwise(F.lit("")),
     )
-    return F.when(scheme == "", u).otherwise(rebuilt)
+    out = F.when(scheme == "", u).otherwise(rebuilt)
+    _expr_cache_put(ck, out)
+    return out
 
 
 def url_host(col: Column) -> Column:
@@ -277,7 +291,7 @@ def psl_rules_df(spark: SparkSession, rules: list[str]) -> DataFrame:
         folded.setdefault(_ascii_key(body), [False, False, False])[
             slot
         ] = True
-    return spark.createDataFrame(
+    out = spark.createDataFrame(
         [
             (k, k.count(".") + 1, v[0], v[1], v[2])
             for k, v in folded.items()
@@ -285,6 +299,14 @@ def psl_rules_df(spark: SparkSession, rules: list[str]) -> DataFrame:
         "key string, key_labels int, is_norm boolean, "
         "is_wild boolean, is_exc boolean",
     )
+    # rule widths are known RIGHT HERE on the driver — stash them so
+    # registered_domain_psl can skip its discovery job (r14). A frame
+    # that went through any transformation loses the attribute and
+    # falls back to the one-job discovery path.
+    out._psl_widths = sorted(
+        {k.count(".") + 1 for k in folded}
+    )
+    return out
 
 
 def registered_domain_psl(
@@ -308,17 +330,27 @@ def registered_domain_psl(
     (public suffix = the last label).
 
     ``max_rule_labels`` AUTO-WIDENS to the snapshot's actual widest
-    key (one tiny agg over the broadcast-sized rules table) — a
-    5-label rule silently outside the join fan would otherwise
-    misresolve every host under it, the worst failure mode of a
-    lookup table."""
-    widest = psl.agg(F.max("key_labels")).first()[0]
-    if widest is not None:
-        max_rule_labels = max(int(max_rule_labels), int(widest))
+    key — a 5-label rule silently outside the join fan would otherwise
+    misresolve every host under it, the worst failure mode of a lookup
+    table. Joins are built ONLY for rule widths the snapshot actually
+    contains (r14): a width with zero rules is a left join against an
+    empty build side — all-NULL match columns, output-identical, but
+    it still cost a broadcast build job and a join operator per query.
+    Width discovery is free for frames straight from
+    :func:`psl_rules_df` (the parser stashes the widths); any other
+    frame pays one collect over the broadcast-sized rules table."""
+    widths = getattr(psl, "_psl_widths", None)
+    if widths is None:
+        widths = sorted(
+            int(r[0])
+            for r in psl.select("key_labels").distinct().collect()
+        )
+    else:
+        widths = sorted(int(w) for w in widths)
     host = url_host(F.col(url_col))
     out = df.withColumn("__hl", F.split(host, r"\."))
     n = F.size("__hl")
-    for k in range(1, max_rule_labels + 1):
+    for k in widths:
         rules_k = F.broadcast(
             psl.where(F.col("key_labels") == k).select(
                 F.col("key").alias(f"__pk{k}"),
@@ -339,20 +371,20 @@ def registered_domain_psl(
     exc_len = F.coalesce(
         *[
             F.when(F.col(f"__xc{k}"), F.lit(k - 1))
-            for k in range(max_rule_labels, 0, -1)
+            for k in reversed(widths)
         ],
         F.lit(None).cast("int"),
     )
-    match_len = F.greatest(
-        F.lit(1),
-        *[
-            c
-            for k in range(1, max_rule_labels + 1)
-            for c in (
-                F.when(F.col(f"__nm{k}"), F.lit(k)),
-                F.when(F.col(f"__wl{k}"), F.lit(k + 1)),
-            )
-        ],
+    match_terms = [
+        c
+        for k in widths
+        for c in (
+            F.when(F.col(f"__nm{k}"), F.lit(k)),
+            F.when(F.col(f"__wl{k}"), F.lit(k + 1)),
+        )
+    ]
+    match_len = (
+        F.greatest(F.lit(1), *match_terms) if match_terms else F.lit(1)
     )
     out = out.withColumn(
         "__pslen", F.coalesce(exc_len, match_len)
@@ -367,7 +399,7 @@ def registered_domain_psl(
         ),
     )
     drop = ["__hl", "__pslen"]
-    for k in range(1, max_rule_labels + 1):
+    for k in widths:
         drop += [f"__pk{k}", f"__nm{k}", f"__wl{k}", f"__xc{k}"]
     return out.drop(*drop)
 

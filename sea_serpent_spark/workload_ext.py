@@ -144,47 +144,65 @@ def q30_text_analysis(spark, sf_dir):
     on ONE core of 32 — the same posture that protects a 100 TB run
     from a handful of giant files serializing the scan."""
     from .operators.curation import _ngrams, dup_frac
-    from .operators.util import fan_out
+    from .operators.util import (_expr_cache_get, _expr_cache_key,
+                                 _expr_cache_put, fan_out)
 
     d = fan_out(df(spark, sf_dir, "documents"))
-    c = F.col("text")
-    tk = F.col("__toks")
-    staged = d.select(
-        "doc_id", "text", X.words(c).alias("__toks")
-    ).select(
-        "doc_id",
-        "text",
-        "__toks",
-        X.punct_ratio(c).alias("__pr"),
-        X.stopword_ratio(c, toks=tk).alias("__sw"),
-        _ngrams(tk, 2).alias("__g2"),
-        *[
-            s.alias(f"__sc_{lang}")
-            for lang, s in X.lang_scores(F.array_distinct(tk)).items()
-        ],
-    )
-    text_rows = staged.select(
-        "doc_id",
-        X.token_count(c, toks=tk).alias("n_tokens"),
-        X.round_half_up(F.col("__pr"), 4).alias("punct_ratio"),
-        X.round_half_up(F.col("__sw"), 4).alias("stopword_ratio"),
-        X.quality_score(c, pr=F.col("__pr"), sw=F.col("__sw")).alias(
-            "quality"
-        ),
-        X.lang_id(
-            c,
-            scores={
-                lang: F.col(f"__sc_{lang}") for lang in X.LANGS
-            },
-        ).alias("lang_pred"),
-        X.fingerprint(c, toks=tk).alias("fp"),
-        X.round_half_up(dup_frac(tk), 4).alias("dup_word_frac"),
-        X.round_half_up(dup_frac(F.col("__g2")), 4).alias(
-            "dup_2gram_frac"
-        ),
-        F.lit("text").alias("op"),
-        F.lit(None).cast("string").alias("pii_text"),
-    )
+    # The member expression trees are hundreds of py4j round-trips to
+    # construct (~0.5 s of driver time per call) and are pure unresolved
+    # Column fragments — memoize them app-wide (r14); the DataFrame
+    # chain below is rebuilt per call as always.
+    tck = _expr_cache_key("q30_trees")
+    trees = _expr_cache_get(tck)
+    if trees is None:
+        c = F.col("text")
+        tk = F.col("__toks")
+        trees = {
+            "staged1": ["doc_id", "text", X.words(c).alias("__toks")],
+            "staged2": [
+                "doc_id",
+                "text",
+                "__toks",
+                X.punct_ratio(c).alias("__pr"),
+                X.stopword_ratio(c, toks=tk).alias("__sw"),
+                _ngrams(tk, 2).alias("__g2"),
+                *[
+                    s.alias(f"__sc_{lang}")
+                    for lang, s in X.lang_scores(
+                        F.array_distinct(tk)
+                    ).items()
+                ],
+            ],
+            "text_cols": [
+                "doc_id",
+                X.token_count(c, toks=tk).alias("n_tokens"),
+                X.round_half_up(F.col("__pr"), 4).alias("punct_ratio"),
+                X.round_half_up(F.col("__sw"), 4).alias(
+                    "stopword_ratio"
+                ),
+                X.quality_score(
+                    c, pr=F.col("__pr"), sw=F.col("__sw")
+                ).alias("quality"),
+                X.lang_id(
+                    c,
+                    scores={
+                        lang: F.col(f"__sc_{lang}") for lang in X.LANGS
+                    },
+                ).alias("lang_pred"),
+                X.fingerprint(c, toks=tk).alias("fp"),
+                X.round_half_up(dup_frac(tk), 4).alias(
+                    "dup_word_frac"
+                ),
+                X.round_half_up(dup_frac(F.col("__g2")), 4).alias(
+                    "dup_2gram_frac"
+                ),
+                F.lit("text").alias("op"),
+                F.lit(None).cast("string").alias("pii_text"),
+            ],
+        }
+        _expr_cache_put(tck, trees)
+    staged = d.select(*trees["staged1"]).select(*trees["staged2"])
+    text_rows = staged.select(*trees["text_cols"])
     from .operators.curation import normalize_text, redact_pii
 
     fixture = spark.createDataFrame(
@@ -216,27 +234,46 @@ def q30_text_analysis(spark, sf_dir):
     # cross-variant groups (collisions every lcm(5,7,50)=350 ids).
     from .operators import web as WB
 
-    did = F.col("doc_id")
-    d7 = (did % 7).cast("int")
-    p50 = (did % 50).cast("int")
-    # r13: variants 0/1/4 additionally carry percent-escapes — v0's
-    # %-encoded path decodes to v2's (the cross-variant dedup group now
-    # proves escape folding), v1 exercises %7E→~, v4 exercises hex-case
-    # uppercasing of a NON-decodable escape (%2f → %2F kept encoded)
-    raw_url = (
-        F.when(did % 5 == 0, F.format_string(
-            "HTTPS://Example%d.COM:443/p%%61th/%d/?utm_source=x#frag",
-            d7, p50))
-        .when(did % 5 == 1, F.format_string(
-            "http://Blog.example%d.CO.UK:80/post/%%7E%d", d7, p50))
-        .when(did % 5 == 2, F.format_string(
-            "https://example%d.com/path/%d", d7, p50))
-        .when(did % 5 == 3, F.format_string(
-            "ftp://files.example%d.org:21/%d", d7, p50))
-        .otherwise(F.format_string(
-            "https://cdn.example%d.net/x/%d"
-            "?gclid=1&z=9&utm_campaign=c&a=1&p=%%2fx", d7, p50))
-    )
+    uck = _expr_cache_key("q30_url_trees")
+    url_trees = _expr_cache_get(uck)
+    if url_trees is None:
+        did = F.col("doc_id")
+        d7 = (did % 7).cast("int")
+        p50 = (did % 50).cast("int")
+        # r13: variants 0/1/4 additionally carry percent-escapes — v0's
+        # %-encoded path decodes to v2's (the cross-variant dedup group
+        # now proves escape folding), v1 exercises %7E→~, v4 exercises
+        # hex-case uppercasing of a NON-decodable escape (%2f → %2F
+        # kept encoded)
+        raw_url = (
+            F.when(did % 5 == 0, F.format_string(
+                "HTTPS://Example%d.COM:443/p%%61th/%d/?utm_source=x#frag",
+                d7, p50))
+            .when(did % 5 == 1, F.format_string(
+                "http://Blog.example%d.CO.UK:80/post/%%7E%d", d7, p50))
+            .when(did % 5 == 2, F.format_string(
+                "https://example%d.com/path/%d", d7, p50))
+            .when(did % 5 == 3, F.format_string(
+                "ftp://files.example%d.org:21/%d", d7, p50))
+            .otherwise(F.format_string(
+                "https://cdn.example%d.net/x/%d"
+                "?gclid=1&z=9&utm_campaign=c&a=1&p=%%2fx", d7, p50))
+        )
+        psl_url = (
+            F.when(did % 6 == 0, F.format_string(
+                "https://a.b.example%d.co.uk/x", d7))
+            .when(did % 6 == 1, F.format_string(
+                "https://foo.user%d.github.io/p", d7))
+            .when(did % 6 == 2, F.lit("https://www.ck/z"))
+            .when(did % 6 == 3, F.format_string(
+                "https://shop.store%d.ck/z", d7))
+            .when(did % 6 == 4, F.format_string(
+                "https://example%d.com/x", d7))
+            .otherwise(F.lit("https://co.uk/"))
+        )
+        url_trees = {"raw_url": raw_url, "psl_url": psl_url}
+        _expr_cache_put(uck, url_trees)
+    raw_url = url_trees["raw_url"]
     with_urls = d.select("doc_id", raw_url.alias("url"))
     url_rows = with_urls.select(
         "doc_id",
@@ -272,18 +309,7 @@ def q30_text_analysis(spark, sf_dir):
     # wildcard (*.ck), exception (!www.ck), and a host that IS a
     # public suffix (NULL domain). Broadcast-join lookup; the oracle
     # states the expected strings independently.
-    psl_url = (
-        F.when(did % 6 == 0, F.format_string(
-            "https://a.b.example%d.co.uk/x", d7))
-        .when(did % 6 == 1, F.format_string(
-            "https://foo.user%d.github.io/p", d7))
-        .when(did % 6 == 2, F.lit("https://www.ck/z"))
-        .when(did % 6 == 3, F.format_string(
-            "https://shop.store%d.ck/z", d7))
-        .when(did % 6 == 4, F.format_string(
-            "https://example%d.com/x", d7))
-        .otherwise(F.lit("https://co.uk/"))
-    )
+    psl_url = url_trees["psl_url"]
     psl_snapshot = WB.psl_rules_df(
         d.sparkSession,
         ["com", "uk", "co.uk", "io", "github.io", "*.ck", "!www.ck"],
