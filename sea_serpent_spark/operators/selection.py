@@ -108,6 +108,18 @@ def _model_from_buckets(
     return lp, math.log(alpha) - denom
 
 
+def bucket_model(
+    features: DataFrame, buckets: int = DSIR_BUCKETS, alpha: float = 0.1
+) -> tuple[DataFrame, float]:
+    """([b, logp], unseen_floor): build the add-α-smoothed bucket model
+    from an :func:`explode_features` frame ONCE, for callers that score
+    several signals under the same model (r14) — ``dsir_weights``'s
+    ``target_model=`` and ``ngram_cross_entropy``'s ``ref_model=``
+    accept the returned tuple, skipping their per-call model aggregate
+    (a checkpoint + a total-collect job each)."""
+    return _model_from_buckets(features.select("b"), buckets, alpha)
+
+
 def _bucket_logprobs(
     df: DataFrame, text_col: str, buckets: int, ngram: int, alpha: float,
 ) -> tuple[DataFrame, float]:
@@ -135,6 +147,7 @@ def _dsir_scored(
     length_normalize: bool,
     features: DataFrame | None = None,
     target_features: DataFrame | None = None,
+    target_model: tuple | None = None,
 ) -> tuple[DataFrame, "callable"]:
     """(scored, total_weight): shared core of ``dsir_weights`` /
     ``dsir_select``. ``per_doc`` — the expensive explode→broadcast-
@@ -155,7 +168,9 @@ def _dsir_scored(
     ``total`` is returned as a THUNK: only the resampling composition
     (``dsir_select``) needs Σw, so ``dsir_weights`` callers no longer
     pay its aggregate job."""
-    if target_features is not None:
+    if target_model is not None:
+        t_lp, t_floor = target_model
+    elif target_features is not None:
         t_lp, t_floor = _model_from_buckets(
             target_features.select("b"), buckets, alpha
         )
@@ -246,6 +261,7 @@ def dsir_weights(
     length_normalize: bool = True,
     features: DataFrame | None = None,
     target_features: DataFrame | None = None,
+    target_model: tuple | None = None,
 ) -> DataFrame:
     """→ ``raw`` + [dsir_logw, dsir_weight]: per-document importance of
     looking like ``target``. ``dsir_logw`` = Σ_features log(p_t/p_r)
@@ -256,11 +272,13 @@ def dsir_weights(
 
     ``features``/``target_features``: optional pre-exploded
     :func:`explode_features` frames (caller-materialized) replacing the
-    raw/target featurization passes."""
+    raw/target featurization passes. ``target_model``: an optional
+    prebuilt :func:`bucket_model` tuple (takes precedence over
+    ``target_features``) — share one model across scorers."""
     return _dsir_scored(
         raw, target, text_col, id_col, buckets, ngram, alpha,
         length_normalize, features=features,
-        target_features=target_features,
+        target_features=target_features, target_model=target_model,
     )[0]
 
 
@@ -301,6 +319,7 @@ def ngram_cross_entropy(
     score_col: str = "xent",
     features: DataFrame | None = None,
     ref_features: DataFrame | None = None,
+    ref_model: tuple | None = None,
 ) -> DataFrame:
     """→ ``df`` + ``score_col``: per-document cross-entropy (mean
     −log p, nats/feature) under ``reference``'s hashed n-gram model —
@@ -318,8 +337,12 @@ def ngram_cross_entropy(
 
     ``features``/``ref_features``: optional pre-exploded
     :func:`explode_features` frames (caller-materialized) replacing the
-    scoring/reference featurization passes."""
-    if ref_features is not None:
+    scoring/reference featurization passes. ``ref_model``: an optional
+    prebuilt :func:`bucket_model` tuple (takes precedence over
+    ``ref_features``) — share one model across scorers."""
+    if ref_model is not None:
+        lp, floor = ref_model
+    elif ref_features is not None:
         lp, floor = _model_from_buckets(
             ref_features.select("b"), buckets, alpha
         )

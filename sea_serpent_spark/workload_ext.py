@@ -1236,14 +1236,19 @@ def q60_deterministic_split(spark, sf_dir):
     # target/reference models derived by slicing the same frame on
     # __did (bit-equal feature multisets, guide §2.3/§2.4: one pass,
     # four consumers instead of four featurization passes).
-    from .operators.selection import explode_features
+    from .operators.selection import bucket_model, explode_features
     from .operators.util import tracked_checkpoint as _tck
 
     shared_feats, _ = _tck(explode_features(docs))
     tgt_feats = shared_feats.where(F.col("__did") % 10 == 0)
+    # ONE model over the target slice (r14): dsir's target model and
+    # xent's reference model are the same (same slice, same defaults) —
+    # built once here instead of once per scorer (each build is a
+    # bucket aggregate + checkpoint + total-collect job)
+    tgt_model = bucket_model(tgt_feats)
     dsir = dsir_weights(
         docs, docs.where(F.col("doc_id") % 10 == 0),
-        features=shared_feats, target_features=tgt_feats,
+        features=shared_feats, target_model=tgt_model,
     ).where(F.col("dsir_logw") != float("-inf")).select(
         "doc_id",
         F.lit(None).cast("string").alias("split"),
@@ -1260,7 +1265,7 @@ def q60_deterministic_split(spark, sf_dir):
     xent = ngram_cross_entropy(
         docs.select("doc_id", "text"),
         docs.where(F.col("doc_id") % 10 == 0),
-        features=shared_feats, ref_features=tgt_feats,
+        features=shared_feats, ref_model=tgt_model,
     ).where(F.col("xent").isNotNull()).select(
         "doc_id",
         F.lit(None).cast("string").alias("split"),
