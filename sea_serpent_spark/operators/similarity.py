@@ -814,7 +814,8 @@ def semantic_dedup(
         # contribute O(group) edges, not an O(group²) clique
         emit="spanning",
     )
-    comp = connected_components(pairs)
+    cc_stats: dict = {}
+    comp = connected_components(pairs, stats=cc_stats)
     if keep == "min_id":
         losers = comp.where(F.col("id") != F.col("component"))
     else:
@@ -832,15 +833,23 @@ def semantic_dedup(
         losers = labeled.join(keepers, "component").where(
             F.col("id") != F.col("__keep_id")
         )
-    # materialize the (small: one id per duplicate) loser set once —
-    # the broadcast gate's count() and the anti-join would otherwise
-    # EACH execute the pair-graph + component + keeper subtree
-    losers, _ = tracked_checkpoint(
-        losers.select(F.col("id").alias("__lid"))
-    )
-    losers = _maybe_broadcast(
-        losers, _verify_gate(losers, None, BROADCAST_VERIFY_CAP)
-    )
+    losers = losers.select(F.col("id").alias("__lid"))
+    if cc_stats.get("small_graph"):
+        # components came off the driver union-find: ``comp`` is a local
+        # relation bounded by 2× the small-graph take cap, so the loser
+        # set is guaranteed broadcastable and the keeper subtree (narrow
+        # joins against the checkpointed assignment) is cheap — let the
+        # anti-join's broadcast build execute it ONCE, with no
+        # checkpoint fill and no gate count job (r14).
+        losers = F.broadcast(losers)
+    else:
+        # materialize the (small: one id per duplicate) loser set once —
+        # the broadcast gate's count() and the anti-join would otherwise
+        # EACH execute the pair-graph + component + keeper subtree
+        losers, _ = tracked_checkpoint(losers)
+        losers = _maybe_broadcast(
+            losers, _verify_gate(losers, None, BROADCAST_VERIFY_CAP)
+        )
     return df.join(losers, F.col(id_col) == F.col("__lid"), "left_anti")
 
 
