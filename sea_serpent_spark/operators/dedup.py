@@ -1072,8 +1072,16 @@ def simhash_signatures(
         F.explode(F.array_distinct(words(F.col(text_col)))).alias("w"),
     )
     h = tok.select("id", h48(F.col("w")).alias("h"))
-    votes = h.groupBy("id").agg(
-        *[
+    # the per-bit vote aggregates and the signature fold are
+    # data-independent — cached per ``bits`` (r14, the minhash
+    # treatment): ~5·bits expression nodes ≈ 1.4 s of py4j tree
+    # construction per call otherwise
+    from .util import _expr_cache_get, _expr_cache_key, _expr_cache_put
+
+    ck = _expr_cache_key("simhash_sig", bits)
+    cached = _expr_cache_get(ck)
+    if cached is None:
+        agg_cols = [
             F.sum(
                 F.when(
                     F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1
@@ -1081,14 +1089,17 @@ def simhash_signatures(
             ).alias(f"v{j}")
             for j in range(bits)
         ]
-    )
-    sig = None
-    for j in range(bits):
-        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = term if sig is None else sig + term
-    return votes.select("id", sig.alias("sim"))
+        sig = None
+        for j in range(bits):
+            term = F.when(
+                F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            sig = term if sig is None else sig + term
+        cached = (agg_cols, sig.alias("sim"))
+        _expr_cache_put(ck, cached)
+    agg_cols, sig_col = cached
+    votes = h.groupBy("id").agg(*agg_cols)
+    return votes.select("id", sig_col)
 
 
 def simhash_pairs(
