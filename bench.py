@@ -30,6 +30,25 @@ def main() -> None:
     # dominated by host noise — loadavg at start + end brackets whether
     # a slow total was a load wave or a plan change
     loadavg_start = round(os.getloadavg()[0], 1)
+
+    # CPU steal over the run (r14): on this virtualized box, host
+    # contention is invisible to guest loadavg/ps — two back-to-back
+    # runs of an identical tree measured cold 209.7 vs 236.8 with
+    # loadavg_start 0.1-0.2 both times, while /proc/stat recorded 6.1%
+    # steal (≈26% of busy time) during the slower one. steal_pct below
+    # is the fraction of guest-runnable time the host withheld; >2-3%
+    # means per-slot numbers are not comparable across runs.
+    def _cpu_ticks() -> tuple[int, int] | None:
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()[1:]
+            vals = [int(x) for x in parts]
+            steal = vals[7] if len(vals) > 7 else 0
+            return steal, sum(vals)
+        except (OSError, ValueError, IndexError):
+            return None
+
+    ticks_start = _cpu_ticks()
     # optional extra cold passes per slot (SPARK_GRAFT_BENCH_REPEAT=N):
     # per-slot best-of feeds best_total below; default 1 keeps the
     # driver's wall-clock budget (the >2s warm rerun is already a
@@ -197,6 +216,16 @@ def main() -> None:
     best_total = sum(
         best_times.get(n, t) for n, t in times.items() if t > 0
     )
+
+    def _steal_pct() -> float | None:
+        ticks_end = _cpu_ticks()
+        if ticks_start is None or ticks_end is None:
+            return None
+        d_steal = ticks_end[0] - ticks_start[0]
+        d_total = ticks_end[1] - ticks_start[1]
+        if d_total <= 0:
+            return None
+        return round(100.0 * d_steal / d_total, 2)
     print(
         json.dumps(
             {
@@ -218,6 +247,10 @@ def main() -> None:
                 # was exactly this — unreproducible in isolation)
                 "loadavg_1m": round(os.getloadavg()[0], 1),
                 "loadavg_start": loadavg_start,
+                # fraction of CPU time the hypervisor withheld during
+                # the run (see _cpu_ticks above); None when /proc/stat
+                # is unavailable
+                "steal_pct": _steal_pct(),
                 "repeat": repeat,
                 "warm_total": round(warm_total, 3),
                 "warm_total_ex_outliers": round(warm_total_ex, 3),
