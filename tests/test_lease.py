@@ -192,9 +192,13 @@ def test_true_multiprocess_race(tmp_path):
     overlap — and losers fail with LeaseHeldError only. This test
     caught two REAL protocol bugs in the round-11 lease-file design
     (torn-read stale-break of a live lease; breaker-vs-breaker unlink
-    of a fresh lease) before flock replaced the heuristics."""
-    root = tmp_path / "contended"
-    root.mkdir()
+    of a fresh lease) before flock replaced the heuristics.
+
+    Mutual exclusion is asserted on EVERY attempt; the contention
+    sanity check (some process actually lost a race) retries the whole
+    race up to 3 times — on a steal-heavy virtualized box the four
+    processes occasionally get scheduled in perfect series and nobody
+    ever observes the lease held (seen 2026-08-17: got=3/lost=0 ×4)."""
     script = textwrap.dedent("""
         import json, os, sys, time
         sys.path.insert(0, {repo!r})
@@ -220,32 +224,44 @@ def test_true_multiprocess_race(tmp_path):
                 time.sleep(0.005)
         print(json.dumps({{"got": got, "lost": lost}}))
     """).format(repo=_REPO)
-    start_at = time.time() + 1.0
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-c", script, str(root), f"w{i}", str(start_at)],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-        )
-        for i in range(4)
-    ]
-    results = []
-    for p in procs:
-        out, err = p.communicate(timeout=120)
-        assert p.returncode == 0, err
-        results.append(json.loads(out.strip()))
-    # every process eventually got the lease, and contention was real
-    assert all(r["got"] > 0 for r in results), results
-    assert sum(r["lost"] for r in results) > 0, results
-    # mutual exclusion: recorded critical sections never overlap
-    rows = [
-        json.loads(ln)
-        for ln in open(root / "trace.jsonl")
-        if ln.strip()
-    ]
-    assert len(rows) == sum(r["got"] for r in results)
-    rows.sort(key=lambda r: r["t0"])
-    for a, b in zip(rows, rows[1:]):
-        assert a["t1"] <= b["t0"] + 1e-6, (a, b)
+
+    def _race(root):
+        root.mkdir()
+        start_at = time.time() + 1.0
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", script,
+                 str(root), f"w{i}", str(start_at)],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+            for i in range(4)
+        ]
+        results = []
+        for p in procs:
+            out, err = p.communicate(timeout=120)
+            assert p.returncode == 0, err
+            results.append(json.loads(out.strip()))
+        # every process eventually got the lease
+        assert all(r["got"] > 0 for r in results), results
+        # mutual exclusion: recorded critical sections never overlap
+        rows = [
+            json.loads(ln)
+            for ln in open(root / "trace.jsonl")
+            if ln.strip()
+        ]
+        assert len(rows) == sum(r["got"] for r in results)
+        rows.sort(key=lambda r: r["t0"])
+        for a, b in zip(rows, rows[1:]):
+            assert a["t1"] <= b["t0"] + 1e-6, (a, b)
+        return sum(r["lost"] for r in results)
+
+    lost = 0
+    for attempt in range(3):
+        lost += _race(tmp_path / f"contended{attempt}")
+        if lost:
+            break
+    # contention was real in at least one attempt
+    assert lost > 0, "no process ever observed the lease held (3 races)"
 
 
 def test_second_thread_is_excluded(tmp_path):
