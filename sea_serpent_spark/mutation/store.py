@@ -1860,23 +1860,46 @@ class Base:
         import pandas as pd
 
         df = table.df
+        pdf = None
         if isinstance(other, Table):
             odf = other.df
         elif isinstance(other, DataFrame):
             odf = other
         elif isinstance(other, pd.DataFrame):
-            odf = self.spark.createDataFrame(
-                _arrow_safe_pdf(other.reset_index(drop=True).copy())
-            )
+            pdf = _arrow_safe_pdf(other.reset_index(drop=True).copy())
+            odf = None
         else:
             raise TypeError(f"cannot append {type(other)}")
+        ocols = list(pdf.columns) if pdf is not None else odf.columns
         common = [
-            c for c in df.columns if c in odf.columns and c not in ("_id", "_seq")
+            c for c in df.columns if c in ocols and c not in ("_id", "_seq")
         ]
         if not common:
             raise ValueError("no intersecting columns to append")
         start = self._next_seq(table)
-        incoming, n_new, unpersist = self._with_seq(odf, common, start)
+        if pdf is not None and len(pdf) > 0:
+            # driver-resident input: the dense sequence IS the pandas
+            # row order, so stamp _seq/_id here (as from_frame does) —
+            # no persist + per-partition-count collect + unpersist
+            # round-trip through _with_seq for a frame we already hold
+            # (the empty case keeps the generic path: inserting empty
+            # columns would degrade their pandas dtypes to object)
+            import numpy as np
+
+            n_new = len(pdf)
+            pdf = pdf[common].copy()
+            pdf.insert(
+                0, "_seq", np.arange(start, start + n_new, dtype="int64")
+            )
+            pdf.insert(
+                0, "_id", [_row_id(i) for i in range(start, start + n_new)]
+            )
+            incoming = self.spark.createDataFrame(pdf)
+            unpersist = _noop
+        else:
+            if pdf is not None:
+                odf = self.spark.createDataFrame(pdf)
+            incoming, n_new, unpersist = self._with_seq(odf, common, start)
         for c in df.columns:
             if c not in incoming.columns:
                 incoming = incoming.withColumn(
@@ -1916,40 +1939,50 @@ class Base:
         import pandas as pd
 
         df = table.df
+        spdf = None
         if isinstance(source, Table):
             sdf = source.df
         elif isinstance(source, DataFrame):
             sdf = source
         elif isinstance(source, pd.DataFrame):
-            sdf = self.spark.createDataFrame(
-                _arrow_safe_pdf(source.reset_index(drop=True).copy())
-            )
+            spdf = _arrow_safe_pdf(source.reset_index(drop=True).copy())
+            sdf = self.spark.createDataFrame(spdf)
         else:
             raise TypeError(f"cannot upsert {type(source)}")
         keys = [on] if isinstance(on, str) else list(on)
         for k in keys:
             if k not in df.columns or k not in sdf.columns:
                 raise ValueError(f"upsert key {k!r} missing from a side")
-        # One materialization of the source serves the duplicate-key
-        # probe, the update join, and the insert anti-join: group by key
-        # (first() per column is exact because singleton groups are then
-        # enforced), checkpoint eagerly, and every later pass reads the
-        # stored blocks instead of re-running the source plan.
-        s_keyed = (
-            sdf.groupBy(*keys)
-            .agg(
-                F.count(F.lit(1)).alias("__src_cnt"),
-                *[
-                    F.first(c).alias(c)
-                    for c in sdf.columns
-                    if c not in keys
-                ],
+        if spdf is not None:
+            # driver-resident source: uniqueness is checkable in pandas,
+            # and the LocalRelation behind createDataFrame re-executes
+            # for free — no keyed aggregate, no eager checkpoint, no
+            # duplicate-probe job
+            if bool(spdf.duplicated(subset=keys).any()):
+                raise ValueError("duplicate keys in upsert source")
+            src = sdf
+        else:
+            # One materialization of the source serves the duplicate-key
+            # probe, the update join, and the insert anti-join: group by
+            # key (first() per column is exact because singleton groups
+            # are then enforced), checkpoint eagerly, and every later
+            # pass reads the stored blocks instead of re-running the
+            # source plan.
+            s_keyed = (
+                sdf.groupBy(*keys)
+                .agg(
+                    F.count(F.lit(1)).alias("__src_cnt"),
+                    *[
+                        F.first(c).alias(c)
+                        for c in sdf.columns
+                        if c not in keys
+                    ],
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
-        if s_keyed.where(F.col("__src_cnt") > 1).limit(1).count():
-            raise ValueError("duplicate keys in upsert source")
-        src = s_keyed.drop("__src_cnt")
+            if s_keyed.where(F.col("__src_cnt") > 1).limit(1).count():
+                raise ValueError("duplicate keys in upsert source")
+            src = s_keyed.drop("__src_cnt")
         # update_cols=None → every common non-key column; an explicit []
         # means insert-only (matched rows untouched)
         cols = update_cols if update_cols is not None else [
@@ -2220,6 +2253,11 @@ class Base:
 
 def _row_id(i: int) -> str:
     return f"r{i:08d}"
+
+
+def _noop() -> None:
+    """Stands in for _with_seq's unpersist handle on paths that never
+    persisted (bundle cleanups call it unconditionally)."""
 
 
 def _arrow_safe_pdf(pdf):

@@ -167,6 +167,21 @@ def test_append_intersecting_columns(base, mytable):
     assert pdf.index.is_unique
 
 
+def test_append_pandas_matches_distributed(base, mytable, spark):
+    """r14: a pandas append stamps _seq/_id on the driver (no persist +
+    partition-count collect); the result must be bit-identical to
+    appending the same rows as a Spark DataFrame through _with_seq."""
+    extra = pd.DataFrame({"column1": [100, 200], "other": ["x", "y"]})
+    t2 = mytable.copy("mytable_dist")
+    mytable.append(extra)  # pandas fast path
+    t2.append(spark.createDataFrame(extra))  # distributed path
+    a = base.table("mytable").to_frame().sort_values("_seq")
+    b = base.table("mytable_dist").to_frame().sort_values("_seq")
+    assert a.index.tolist() == b.index.tolist()  # _id parity
+    for c in ("_seq", "column1", "labels"):
+        assert a[c].tolist() == b[c].tolist(), c
+
+
 def test_add_rename_drop_column(base, mytable):
     mytable.add_column("score", "number")
     assert "score" in mytable.columns
