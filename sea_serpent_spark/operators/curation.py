@@ -27,7 +27,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from .text import round_half_up, words
-from .util import tracked_checkpoint
+from .util import scalar_action_confs, tracked_checkpoint
 
 # ---------------------------------------------------------------------------
 # PII redaction / normalization
@@ -267,11 +267,16 @@ def pack_shards(
     )
     pinned = part.persist()
     try:
-        sums = (
-            part.groupBy("__pid")
-            .agg(F.sum(token_col).alias("__t"))
-            .collect()
-        )
+        # group-cardinality collect (≤ num partition rows) whose only
+        # AQE-eligible exchange is the groupBy's own — the range
+        # repartition above has an explicit width AQE never touches
+        # (r14, scalar_action_confs)
+        with scalar_action_confs(part.sparkSession):
+            sums = (
+                part.groupBy("__pid")
+                .agg(F.sum(token_col).alias("__t"))
+                .collect()
+            )
         offsets: dict[int, int] = {}
         acc = 0
         for r in sorted(sums, key=lambda r: r["__pid"]):
@@ -366,7 +371,11 @@ def pack_sequences(
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
     if oversize == "error":
-        n_over = df.where(F.col(token_col) > seq_len).count()
+        # sizing/guard counts: partial aggregation shrinks every input
+        # partition to one row before the single exchange — a scalar
+        # plan shape AQE only adds jobs to (r14, scalar_action_confs)
+        with scalar_action_confs(df.sparkSession):
+            n_over = df.where(F.col(token_col) > seq_len).count()
         if n_over:
             raise ValueError(
                 f"{n_over} documents exceed seq_len={seq_len}; chunk "
@@ -379,7 +388,8 @@ def pack_sequences(
         # packing — a tiny corpus split across defaultParallelism
         # groups would open near-empty bins everywhere. One count
         # sizes the grouping; the cap keeps groups Arrow-batch-sized.
-        n = df.count()
+        with scalar_action_confs(df.sparkSession):
+            n = df.count()
         dp = df.sparkSession.sparkContext.defaultParallelism
         P = max(1, min(dp * 4, (n + 8191) // 8192))
     sized = df.select(
@@ -504,13 +514,18 @@ def curation_funnel(
     single stages, not quadratic in their number."""
     report: list[dict] = []
     cur, cur_h = df, None
-    n_in = cur.count()
+    # boundary counts run over checkpoint-truncated frames (and the
+    # caller's input for n_in): scalar plans — AQE off per action
+    # drops the exchange-materialization job pair (r14)
+    with scalar_action_confs(df.sparkSession):
+        n_in = cur.count()
     for name, fn in stages:
         nxt = fn(cur)
         if nxt.isStreaming:
             raise ValueError("curation_funnel is batch-only")
         nxt, nxt_h = tracked_checkpoint(nxt)
-        n_out = nxt.count()
+        with scalar_action_confs(df.sparkSession):
+            n_out = nxt.count()
         report.append(
             {
                 "stage": name,

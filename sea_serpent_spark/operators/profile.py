@@ -312,7 +312,11 @@ def skew_report(
     counts = df.select(key.alias("key")).groupBy("key").agg(
         F.count(F.lit(1)).alias("n")
     )
-    total_n = df.count() or 1
+    # scalar sizing count — no AQE job pair (r14, scalar_action_confs)
+    from .util import scalar_action_confs
+
+    with scalar_action_confs(df.sparkSession):
+        total_n = df.count() or 1
     # orderBy+limit compiles to TakeOrderedAndProject (k-bounded per
     # partition, no global sort); rank/cum-share windows then run over
     # the k survivors only — never a single-partition window across all
@@ -392,7 +396,14 @@ def expect(
             )
             labels.append((col, tag))
     aggs.append(F.count(F.lit(1)).alias("__total"))
-    row = df.agg(*aggs).collect()[0]
+    # one conditional-count pass, zero-group output (each `unique`
+    # rule adds an exact count-distinct — still partial-agg'd narrow
+    # rows into its exchanges): AQE off for the action collapses the
+    # per-exchange job wave into one job (r14, scalar_action_confs)
+    from .util import scalar_action_confs
+
+    with scalar_action_confs(df.sparkSession):
+        row = df.agg(*aggs).collect()[0]
     spark = df.sparkSession
     return spark.createDataFrame(
         [
@@ -424,9 +435,29 @@ def dataset_diff(
     cols = compare_cols or [
         c for c in left.columns if c in right.columns and c not in keys
     ]
+    # uniqueness probe for BOTH sides in ONE action (r14): each side is
+    # a groupBy→max(count) scalar, unioned — two one-row branches. The
+    # old per-side limit(1).count() probes paid the full per-key
+    # aggregation anyway (a limit over an agg cannot early-exit), plus
+    # an AQE job wave per exchange; this is the same work as one job.
+    from .util import scalar_action_confs
+
+    probe = None
     for side, d in (("left", left), ("right", right)):
-        dup = d.groupBy(*keys).count().where(F.col("count") > 1).limit(1)
-        if dup.count():
+        p = (
+            d.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(F.max("__n").alias("__mx"))
+            .select(F.lit(side).alias("__side"), "__mx")
+        )
+        probe = p if probe is None else probe.unionByName(p)
+    with scalar_action_confs(left.sparkSession):
+        dup_sides = {
+            r["__side"] for r in probe.collect()
+            if (r["__mx"] or 0) > 1
+        }
+    for side in ("left", "right"):
+        if side in dup_sides:
             raise ValueError(f"duplicate keys in {side} dataset")
     l = left.select(
         *keys, *[F.col(c).alias(f"__l_{c}") for c in cols],

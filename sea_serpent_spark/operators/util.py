@@ -380,6 +380,41 @@ def micro_plan_confs(spark, parts: int = 4):
             spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
+@contextmanager
+def scalar_action_confs(spark):
+    """AQE off — shuffle width UNTOUCHED — for the duration of one
+    scalar/metadata-sized aggregate action (restored on exit,
+    lock-guarded; same lock as :func:`micro_plan_confs`).
+
+    AQE materializes every exchange as its own Spark job to re-plan
+    with runtime stats. For a *scalar* aggregate (count, sum, max,
+    group-cardinality collect) that trade buys nothing: partial
+    aggregation has already shrunk each upstream partition to a
+    handful of narrow rows before the exchange, so there is nothing
+    for AQE to coalesce or skew-split — but every exchange still
+    costs a full driver job of scheduler latency (measured r14:
+    each 2-3-job scalar-agg wave is one job without AQE, ~0.1-0.3 s
+    of wall per action on the bench box). Unlike
+    :func:`micro_plan_confs` this bracket leaves
+    ``spark.sql.shuffle.partitions`` alone, so it is safe for
+    aggregates over corpus-sized inputs: the plan is identical to
+    pre-AQE Spark at the deploy's static width.
+
+    Use ONLY around actions whose plan the call site bounds: an
+    aggregate directly over a checkpoint/persist-truncated frame, or
+    a partial-agg-first report over a source scan. Do NOT use when
+    the input plan carries joins whose strategy AQE should pick at
+    runtime (e.g. ``weighted_sample``'s generic total over an
+    arbitrary scored plan stays on AQE)."""
+    with _MICRO_PLAN_LOCK:
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
 class MinRootUnionFind:
     """Driver-side union-find whose every root is the MIN of its merged
     set — the canonical-doc choice ``connected_components`` makes, so
