@@ -1333,8 +1333,34 @@ class Base:
     # low 33 bits of monotonically_increasing_id = row-in-partition
     _SEQ_LOCAL_MASK = (1 << 33) - 1
 
+    #: analyzed-plan node names that imply an exchange (or a wide
+    #: rewrite AQE might improve) somewhere in the input plan — the
+    #: deny-list for the ingest fast path below. A miss in either
+    #: direction only changes plan POSTURE, never results: a false hit
+    #: (e.g. a column literally named "Join…" in the plan text) keeps
+    #: AQE on; an unlisted wide node runs that one fill at the static
+    #: shuffle width, pre-AQE Spark's default behavior.
+    _WIDE_PLAN_TOKENS = (
+        "Join", "Aggregate", "Window", "Deduplicate", "Distinct",
+        "Repartition", "Sort", "Limit", "Intersect", "Except",
+        "GroupsInPandas", "GroupsInArrow", "CoGroup", "Generate",
+    )
+
+    def _narrow_plan(self, df: DataFrame) -> bool:
+        """True when ``df``'s ANALYZED plan is scan/project/filter
+        shaped — no node that could introduce an exchange. Analysis
+        is driver-cheap (no optimization or physical planning) and
+        the QueryExecution is cached on the py4j handle, so a
+        following action does not re-pay it."""
+        try:
+            plan = df._jdf.queryExecution().analyzed().toString()
+        except Exception:
+            return False
+        return not any(tok in plan for tok in self._WIDE_PLAN_TOKENS)
+
     def _with_seq(
-        self, df: DataFrame, cols: list, start: int = 0
+        self, df: DataFrame, cols: list, start: int = 0,
+        micro: bool = False,
     ) -> tuple[DataFrame, int, "callable"]:
         """Assign a contiguous ``_seq`` (and ``_id``) following ``df``'s
         current row order with NO global sort.
@@ -1359,11 +1385,32 @@ class Base:
             "__mid", F.monotonically_increasing_id()
         )
         stamped.persist()
-        rows = (
-            stamped.groupBy(F.shiftright("__mid", 33).alias("__pid"))
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .collect()
+        # the offsets collect is a group-cardinality aggregate (one row
+        # per input partition into a single exchange). When the source
+        # plan is narrow — a scan/project/filter ingest, the common
+        # case — the persist fill this action performs has no exchange
+        # AQE could improve either, so AQE off collapses the 2-3-job
+        # wave into one job (r14). Sources carrying joins/aggregates
+        # keep AQE for the fill: their upstream shuffles are exactly
+        # what runtime re-planning is for.
+        from contextlib import nullcontext
+
+        from ..operators.util import scalar_action_confs
+
+        # ``micro`` lets a caller that has already size-gated (e.g.
+        # append onto a single-bucket table, the commit bracket's own
+        # criterion) take the fast path even for a wide source plan.
+        ctx: Any = (
+            scalar_action_confs(self.spark)
+            if micro or self._narrow_plan(df)
+            else nullcontext()
         )
+        with ctx:
+            rows = (
+                stamped.groupBy(F.shiftright("__mid", 33).alias("__pid"))
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .collect()
+            )
         offsets: dict[int, int] = {}
         acc = start
         for r in sorted(rows, key=lambda r: r["__pid"]):
@@ -1899,7 +1946,10 @@ class Base:
         else:
             if pdf is not None:
                 odf = self.spark.createDataFrame(pdf)
-            incoming, n_new, unpersist = self._with_seq(odf, common, start)
+            incoming, n_new, unpersist = self._with_seq(
+                odf, common, start,
+                micro=self._bcount(table.name) <= 1,
+            )
         for c in df.columns:
             if c not in incoming.columns:
                 incoming = incoming.withColumn(
