@@ -380,6 +380,28 @@ def micro_plan_confs(spark, parts: int = 4):
             spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
+def overlap_build(*thunks, workers: int = 3) -> list:
+    """Run independent member-builder thunks concurrently and return
+    their results in SUBMISSION order (guide §2.6: Spark happily runs
+    several jobs at once inside one application; member chains that
+    only share read-only inputs are sequential purely because driver
+    code calls their eager actions — checkpoint fills, sizing
+    collects — back to back). Wall becomes the max chain instead of
+    the sum. 2-3 workers is plenty: enough to fill each chain's
+    driver-latency gaps with another chain's tasks, not so many that
+    they fight for executors. Results must be order-insensitive by
+    construction (each thunk a pure function of its inputs —
+    deterministic frames/checkpoints); the caller assembles them in
+    the same fixed order as the sequential formulation, so the output
+    plan is identical. Exceptions re-raise at collection, preserving
+    the sequential error surface."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        futs = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futs]
+
+
 @contextmanager
 def scalar_action_confs(spark):
     """AQE off — shuffle width UNTOUCHED — for the duration of one

@@ -378,108 +378,127 @@ def q70_profile_qa(spark, sf_dir):
     lnull = F.lit(None).cast("long")
     dnull = F.lit(None).cast("double")
 
-    ex = expect(
-        o,
-        {
-            "o_orderkey": ["not_null", "unique"],
-            "o_totalprice": [("between", 1000.0, 500000.0)],
-            "o_orderstatus": [("in", ["F", "O", "P"])],
-            "o_orderpriority": [("rlike", "^[0-9]-")],
-        },
-    ).select(
-        F.lit("expect").alias("op"),
-        F.col("column").alias("k"),
-        F.col("rule").alias("s1"),
-        snull.alias("s2"),
-        F.col("violations").alias("n1"),
-        F.col("total").alias("n2"),
-        dnull.alias("d1"),
-        dnull.alias("d2"),
-    )
+    # r14, guide §2.6: the five report members are independent (they
+    # share only read-only scans) but each front-loads eager driver
+    # work — expect's one-pass collect, skew's sizing count, diff's
+    # uniqueness probe, the corpus token checkpoint, the funnel's
+    # boundary counts. Build them concurrently (overlap_build) and
+    # assemble the SAME members in the SAME union order — the output
+    # plan and rows are identical to the sequential formulation.
+    def _m_expect():
+        return expect(
+            o,
+            {
+                "o_orderkey": ["not_null", "unique"],
+                "o_totalprice": [("between", 1000.0, 500000.0)],
+                "o_orderstatus": [("in", ["F", "O", "P"])],
+                "o_orderpriority": [("rlike", "^[0-9]-")],
+            },
+        ).select(
+            F.lit("expect").alias("op"),
+            F.col("column").alias("k"),
+            F.col("rule").alias("s1"),
+            snull.alias("s2"),
+            F.col("violations").alias("n1"),
+            F.col("total").alias("n2"),
+            dnull.alias("d1"),
+            dnull.alias("d2"),
+        )
 
-    sk = skew_report(
-        df(spark, sf_dir, "events"), ["event_type"], top=20
-    ).select(
-        F.lit("skew").alias("op"),
-        F.col("key").alias("k"),
-        snull.alias("s1"),
-        snull.alias("s2"),
-        F.col("n").alias("n1"),
-        F.col("rank").cast("long").alias("n2"),
-        F.col("share").alias("d1"),
-        F.col("cum_share").alias("d2"),
-    )
+    def _m_skew():
+        return skew_report(
+            df(spark, sf_dir, "events"), ["event_type"], top=20
+        ).select(
+            F.lit("skew").alias("op"),
+            F.col("key").alias("k"),
+            snull.alias("s1"),
+            snull.alias("s2"),
+            F.col("n").alias("n1"),
+            F.col("rank").cast("long").alias("n2"),
+            F.col("share").alias("d1"),
+            F.col("cum_share").alias("d2"),
+        )
 
-    right = o.where(F.col("o_orderstatus") != "P").withColumn(
-        "o_totalprice",
-        F.when(F.col("o_orderstatus") == "F", F.lit(0.0)).otherwise(
-            F.col("o_totalprice")
-        ),
-    )
-    dtypes = dict(o.dtypes)
-    added = spark.createDataFrame(
-        [(-1,), (-2,)], "o_orderkey long"
-    ).select(
-        F.col("o_orderkey").cast(dtypes["o_orderkey"]),
-        *[
-            F.lit(None).cast(dtypes[c]).alias(c)
-            for c in o.columns
-            if c != "o_orderkey"
-        ],
-    )
-    dd = dataset_diff(
-        o,
-        right.unionByName(added),
-        on="o_orderkey",
-        compare_cols=["o_totalprice", "o_orderpriority"],
-    ).select(
-        F.lit("diff").alias("op"),
-        F.col("o_orderkey").cast("string").alias("k"),
-        F.col("change").alias("s1"),
-        F.concat_ws(",", "changed_cols").alias("s2"),
-        lnull.alias("n1"),
-        lnull.alias("n2"),
-        dnull.alias("d1"),
-        dnull.alias("d2"),
-    )
+    def _m_diff():
+        right = o.where(F.col("o_orderstatus") != "P").withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderstatus") == "F", F.lit(0.0)).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        dtypes = dict(o.dtypes)
+        added = spark.createDataFrame(
+            [(-1,), (-2,)], "o_orderkey long"
+        ).select(
+            F.col("o_orderkey").cast(dtypes["o_orderkey"]),
+            *[
+                F.lit(None).cast(dtypes[c]).alias(c)
+                for c in o.columns
+                if c != "o_orderkey"
+            ],
+        )
+        return dataset_diff(
+            o,
+            right.unionByName(added),
+            on="o_orderkey",
+            compare_cols=["o_totalprice", "o_orderpriority"],
+        ).select(
+            F.lit("diff").alias("op"),
+            F.col("o_orderkey").cast("string").alias("k"),
+            F.col("change").alias("s1"),
+            F.concat_ws(",", "changed_cols").alias("s2"),
+            lnull.alias("n1"),
+            lnull.alias("n2"),
+            dnull.alias("d1"),
+            dnull.alias("d2"),
+        )
 
-    cp = corpus_profile_rows(
-        df(spark, sf_dir, "documents"), lang_col="lang"
-    ).select(
-        F.lit("corpus").alias("op"),
-        "k",
-        "s1",
-        snull.alias("s2"),
-        "n1",
-        "n2",
-        dnull.alias("d1"),
-        dnull.alias("d2"),
-    )
+    def _m_corpus():
+        return corpus_profile_rows(
+            df(spark, sf_dir, "documents"), lang_col="lang"
+        ).select(
+            F.lit("corpus").alias("op"),
+            "k",
+            "s1",
+            snull.alias("s2"),
+            "n1",
+            "n2",
+            dnull.alias("d1"),
+            dnull.alias("d2"),
+        )
 
     from .operators import text as X
 
-    _, rep = curation_funnel(
-        df(spark, sf_dir, "documents"),
-        [
-            ("nonempty",
-             lambda d: d.where(F.length(F.trim(F.col("text"))) > 0)),
-            ("lang_en", lambda d: d.where(F.col("lang") == "en")),
-            ("min10tok",
-             lambda d: d.where(X.token_count(F.col("text")) >= 10)),
-        ],
-    )
-    fun = spark.createDataFrame(
-        [(r["stage"], int(r["rows_in"]), int(r["rows_out"])) for r in rep],
-        "k string, n1 long, n2 long",
-    ).select(
-        F.lit("funnel").alias("op"),
-        "k",
-        F.lit("stage").alias("s1"),
-        snull.alias("s2"),
-        "n1",
-        "n2",
-        dnull.alias("d1"),
-        dnull.alias("d2"),
+    def _m_funnel():
+        _, rep = curation_funnel(
+            df(spark, sf_dir, "documents"),
+            [
+                ("nonempty",
+                 lambda d: d.where(F.length(F.trim(F.col("text"))) > 0)),
+                ("lang_en", lambda d: d.where(F.col("lang") == "en")),
+                ("min10tok",
+                 lambda d: d.where(X.token_count(F.col("text")) >= 10)),
+            ],
+        )
+        return spark.createDataFrame(
+            [(r["stage"], int(r["rows_in"]), int(r["rows_out"]))
+             for r in rep],
+            "k string, n1 long, n2 long",
+        ).select(
+            F.lit("funnel").alias("op"),
+            "k",
+            F.lit("stage").alias("s1"),
+            snull.alias("s2"),
+            "n1",
+            "n2",
+            dnull.alias("d1"),
+            dnull.alias("d2"),
+        )
+
+    from .operators.util import overlap_build
+
+    ex, sk, dd, cp, fun = overlap_build(
+        _m_expect, _m_skew, _m_diff, _m_corpus, _m_funnel
     )
     return (
         ex.unionByName(sk).unionByName(dd)
@@ -1178,14 +1197,25 @@ def q60_deterministic_split(spark, sf_dir):
 
     docs = df(spark, sf_dir, "documents")
     null_v = F.lit(None).cast("double").alias("v")
-    out = deterministic_split(
-        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
-    ).select("doc_id", "n_chars", "split")
-    packed = pack_shards(
-        out, "n_chars", budget=50_000, order_col="doc_id"
-    ).select(
-        "doc_id", "split", "shard", null_v, F.lit("split").alias("op")
-    )
+
+    # r14, guide §2.6: the member chains below are independent (they
+    # share only the read-only docs scan) but each pays eager driver
+    # work — persist/checkpoint fills and sizing collects — that was
+    # sequential purely because this builder called them back to back.
+    # Build the eager chains concurrently (overlap_build, 3 workers)
+    # and assemble the SAME members into the SAME union order, so the
+    # output plan and rows are identical to the sequential
+    # formulation; the lazy members (strat/mix/cap) stay inline.
+    def _chain_packed():
+        out = deterministic_split(
+            docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).select("doc_id", "n_chars", "split")
+        return pack_shards(
+            out, "n_chars", budget=50_000, order_col="doc_id"
+        ).select(
+            "doc_id", "split", "shard", null_v, F.lit("split").alias("op")
+        )
+
     strat = stratified_sample(docs, "lang", 0.25, "doc_id").select(
         "doc_id",
         F.lit(None).cast("string").alias("split"),
@@ -1193,15 +1223,17 @@ def q60_deterministic_split(spark, sf_dir):
         null_v,
         F.lit("strat").alias("op"),
     )
-    seqs = pack_sequences(
-        docs, "n_chars", 550, partitions=1, oversize="isolate"
-    ).select(
-        "doc_id",
-        F.lit(None).cast("string").alias("split"),
-        F.col("seq_id").alias("shard"),
-        null_v,
-        F.lit("pack").alias("op"),
-    )
+
+    def _chain_seqs():
+        return pack_sequences(
+            docs, "n_chars", 550, partitions=1, oversize="isolate"
+        ).select(
+            "doc_id",
+            F.lit(None).cast("string").alias("split"),
+            F.col("seq_id").alias("shard"),
+            null_v,
+            F.lit("pack").alias("op"),
+        )
     # round 9 — op='temp': temperature keep rates (sampling.py
     # temperature_rates, α=0.3, no target) over LANG — the skewed
     # grouping (en ≈ 3× fr), so the α-law actually discriminates
@@ -1211,17 +1243,18 @@ def q60_deterministic_split(spark, sf_dir):
     # closed-form; ROUND(6) absorbs the differing float routes (Python
     # pow+sorted sum vs DuckDB POWER). One row per lang, the lang
     # riding the string slot.
-    rates = temperature_rates(docs, "lang", alpha=0.3)
-    temp = spark.createDataFrame(
-        [(s, float(r)) for s, r in sorted(rates.items())],
-        "split string, v double",
-    ).select(
-        F.lit(None).cast("long").alias("doc_id"),
-        "split",
-        F.lit(None).cast("long").alias("shard"),
-        F.round("v", 6).alias("v"),
-        F.lit("temp").alias("op"),
-    )
+    def _chain_temp():
+        rates = temperature_rates(docs, "lang", alpha=0.3)
+        return spark.createDataFrame(
+            [(s, float(r)) for s, r in sorted(rates.items())],
+            "split string, v double",
+        ).select(
+            F.lit(None).cast("long").alias("doc_id"),
+            "split",
+            F.lit(None).cast("long").alias("shard"),
+            F.round("v", 6).alias("v"),
+            F.lit("temp").alias("op"),
+        )
     # round 9 — op='dsir': per-doc DSIR log-weights (selection.py
     # dsir_weights; target = doc_id % 10 == 0 slice, defaults: hashed
     # 2-gram buckets B=10000, α=0.1, length-normalized). The oracle
@@ -1236,43 +1269,45 @@ def q60_deterministic_split(spark, sf_dir):
     # target/reference models derived by slicing the same frame on
     # __did (bit-equal feature multisets, guide §2.3/§2.4: one pass,
     # four consumers instead of four featurization passes).
-    from .operators.selection import bucket_model, explode_features
+    from .operators.selection import (bucket_model, explode_features,
+                                      ngram_cross_entropy)
     from .operators.util import tracked_checkpoint as _tck
 
-    shared_feats, _ = _tck(explode_features(docs))
-    tgt_feats = shared_feats.where(F.col("__did") % 10 == 0)
-    # ONE model over the target slice (r14): dsir's target model and
-    # xent's reference model are the same (same slice, same defaults) —
-    # built once here instead of once per scorer (each build is a
-    # bucket aggregate + checkpoint + total-collect job)
-    tgt_model = bucket_model(tgt_feats)
-    dsir = dsir_weights(
-        docs, docs.where(F.col("doc_id") % 10 == 0),
-        features=shared_feats, target_model=tgt_model,
-    ).where(F.col("dsir_logw") != float("-inf")).select(
-        "doc_id",
-        F.lit(None).cast("string").alias("split"),
-        F.lit(None).cast("long").alias("shard"),
-        F.round("dsir_logw", 4).alias("v"),
-        F.lit("dsir").alias("op"),
-    )
-    # round 9 — op='xent': hashed-n-gram cross-entropy (selection.py
-    # ngram_cross_entropy) of every doc under the SAME target slice's
-    # model — the CCNet-style perplexity signal; ROUND(4) absorbs the
-    # AVG float order. Featureless docs score NULL and are excluded.
-    from .operators.selection import ngram_cross_entropy
+    def _chain_scores():
+        shared_feats, _ = _tck(explode_features(docs))
+        tgt_feats = shared_feats.where(F.col("__did") % 10 == 0)
+        # ONE model over the target slice (r14): dsir's target model
+        # and xent's reference model are the same (same slice, same
+        # defaults) — built once here instead of once per scorer (each
+        # build is a bucket aggregate + checkpoint + total-collect job)
+        tgt_model = bucket_model(tgt_feats)
+        dsir = dsir_weights(
+            docs, docs.where(F.col("doc_id") % 10 == 0),
+            features=shared_feats, target_model=tgt_model,
+        ).where(F.col("dsir_logw") != float("-inf")).select(
+            "doc_id",
+            F.lit(None).cast("string").alias("split"),
+            F.lit(None).cast("long").alias("shard"),
+            F.round("dsir_logw", 4).alias("v"),
+            F.lit("dsir").alias("op"),
+        )
+        xent = ngram_cross_entropy(
+            docs.select("doc_id", "text"),
+            docs.where(F.col("doc_id") % 10 == 0),
+            features=shared_feats, ref_model=tgt_model,
+        ).where(F.col("xent").isNotNull()).select(
+            "doc_id",
+            F.lit(None).cast("string").alias("split"),
+            F.lit(None).cast("long").alias("shard"),
+            F.round("xent", 4).alias("v"),
+            F.lit("xent").alias("op"),
+        )
+        return dsir, xent
 
-    xent = ngram_cross_entropy(
-        docs.select("doc_id", "text"),
-        docs.where(F.col("doc_id") % 10 == 0),
-        features=shared_feats, ref_model=tgt_model,
-    ).where(F.col("xent").isNotNull()).select(
-        "doc_id",
-        F.lit(None).cast("string").alias("split"),
-        F.lit(None).cast("long").alias("shard"),
-        F.round("xent", 4).alias("v"),
-        F.lit("xent").alias("op"),
-    )
+    # round 9 — op='xent' (built inside _chain_scores with dsir):
+    # hashed-n-gram cross-entropy under the SAME target slice's model —
+    # the CCNet-style perplexity signal; ROUND(4) absorbs the AVG
+    # float order. Featureless docs score NULL and are excluded.
     # round 9 — op='wsamp': weighted_sample survivors under
     # INTEGER-VALUED weights (doc_id % 7 + 1): Σw is then exact in
     # float regardless of aggregation order, so the keep predicate
@@ -1281,15 +1316,23 @@ def q60_deterministic_split(spark, sf_dir):
     # (weighted_sample docstring). target=800 makes w=7 saturate p=1.
     from .operators.sampling import weighted_sample
 
-    wdf = docs.select(
-        "doc_id", (F.col("doc_id") % 7 + 1).cast("double").alias("w")
-    )
-    wsamp = weighted_sample(wdf, "w", 800, "doc_id").select(
-        "doc_id",
-        F.lit(None).cast("string").alias("split"),
-        F.lit(None).cast("long").alias("shard"),
-        F.lit(None).cast("double").alias("v"),
-        F.lit("wsamp").alias("op"),
+    def _chain_wsamp():
+        wdf = docs.select(
+            "doc_id", (F.col("doc_id") % 7 + 1).cast("double").alias("w")
+        )
+        return weighted_sample(wdf, "w", 800, "doc_id").select(
+            "doc_id",
+            F.lit(None).cast("string").alias("split"),
+            F.lit(None).cast("long").alias("shard"),
+            F.lit(None).cast("double").alias("v"),
+            F.lit("wsamp").alias("op"),
+        )
+
+    from .operators.util import overlap_build
+
+    packed, seqs, temp, (dsir, xent), wsamp = overlap_build(
+        _chain_packed, _chain_seqs, _chain_temp, _chain_scores,
+        _chain_wsamp,
     )
     # round 11 — op='mix': mix_corpora survivors (training-mix recipe:
     # keep 100% of src0, 30% of src1, 65% of src2, drop the rest).
