@@ -51,7 +51,11 @@ def _verify_gate(df: DataFrame, broadcast_verify, cap: int) -> bool:
     which holds one narrow row per distinct doc)."""
     if broadcast_verify is not None:
         return bool(broadcast_verify)
-    return df.count() <= cap
+    from .util import scalar_action_confs
+
+    # scan → count: partial-agg'd scalar plan, no AQE job wave (r14)
+    with scalar_action_confs(df.sparkSession):
+        return df.count() <= cap
 
 
 def _maybe_broadcast(side: DataFrame, flag: bool) -> DataFrame:
@@ -561,19 +565,27 @@ def minhash_lsh_pairs(
         sk = F.concat_ws(
             "-", F.transform("sig", lambda x: x.cast("string"))
         )
-        groups = _keep_cache(
-            sigs.withColumn("sk", sk)
-            .groupBy("sk")
-            .agg(
-                F.min("id").alias("gid"),
-                F.collect_list("id").alias("members"),
-                F.first("sig").alias("sig"),
-            )
-            .drop("sk")
-        )
         # eager fill — the rep/member broadcasts race to populate the
-        # cache otherwise and each re-run the signature pipeline
-        groups.count()
+        # cache otherwise and each re-run the signature pipeline. The
+        # fill plan is aggregation-only (signatures → groupBy sk:
+        # partial-agg'd, one row per distinct content into its single
+        # exchange), so it runs under the scalar-action bracket — cache
+        # registration inside too, persist() compiles the child plan
+        # with the conf of that moment (r14: AQE stage wave → one job).
+        from .util import scalar_action_confs
+
+        with scalar_action_confs(sigs.sparkSession):
+            groups = _keep_cache(
+                sigs.withColumn("sk", sk)
+                .groupBy("sk")
+                .agg(
+                    F.min("id").alias("gid"),
+                    F.collect_list("id").alias("members"),
+                    F.first("sig").alias("sig"),
+                )
+                .drop("sk")
+            )
+            groups.count()
         mem = groups.select("gid", F.explode("members").alias("id"))
         reps = groups.select(F.col("gid").alias("id"), "sig")
         # Verify *inside* the enumeration join: the signature rides along
@@ -855,8 +867,22 @@ def ngram_jaccard_pairs(
     # large-vocab prefix path that actually needs a distributed
     # dictionary — measured 1.2 s → 0.3 s of the q37 pair member.
     cap_v = 64 * max_bitmap_words
-    dfreq = _keep_cache(dfreq)
-    head = dfreq.take(cap_v + 1)
+    # r14: the probe take is a partial-agg-first aggregate (the
+    # exchange carries per-partition (token, count) partials, never
+    # corpus rows) whose FIRST job should scan every post-shuffle
+    # partition — in the bitmap regime the take exhausts the frame by
+    # definition, so executeTake's 1→4→16 scale-up is pure retry
+    # latency. AQE off + one-shot width folds the stage wave into one
+    # job; the CACHE registration must happen inside the bracket too
+    # (persist() compiles the InMemoryRelation's child plan with the
+    # conf of that moment), so the cached dfreq plan is the static one
+    # — vocabulary-sized partitions either way.
+    from .util import one_shot_take, scalar_action_confs
+
+    spark_ = df.sparkSession
+    with scalar_action_confs(spark_), one_shot_take(spark_):
+        dfreq = _keep_cache(dfreq)
+        head = dfreq.take(cap_v + 1)
     if len(head) <= cap_v:
         ordered = sorted((int(r["df"]), r["s"]) for r in head)
         tid_of: dict[str, int] | None = {
@@ -933,16 +959,21 @@ def ngram_jaccard_pairs(
         # per_doc here, so per_doc needs no cache/eager fill of its own —
         # one action (groups.count) materializes the whole chain. Only
         # the prefix fallback below pays the per_doc checkpoint.
-        groups = _keep_cache(
-            per_doc_dense.where(F.col("sz") > 0)
-            .groupBy("bm")
-            .agg(
-                F.min("id").alias("gid"),
-                F.collect_list("id").alias("members"),
-                F.first("sz").alias("sz"),
+        # the fill plan is scan → (statically-planned broadcast dic
+        # join) → groupBy(bm): aggregation-only shuffle, so the fill
+        # takes the scalar-action bracket (cache registered inside it
+        # — the persist-time compile rule, r14)
+        with scalar_action_confs(per_doc_dense.sparkSession):
+            groups = _keep_cache(
+                per_doc_dense.where(F.col("sz") > 0)
+                .groupBy("bm")
+                .agg(
+                    F.min("id").alias("gid"),
+                    F.collect_list("id").alias("members"),
+                    F.first("sz").alias("sz"),
+                )
             )
-        )
-        n_reps = groups.count()
+            n_reps = groups.count()
         if n_reps <= allpairs_rep_cap:
             return _dense_allpairs(
                 groups,
@@ -1150,13 +1181,19 @@ def simhash_pairs(
     release_caches()
     if sigs is None:
         sigs = simhash_signatures(df, text_col, id_col)
-    groups = _keep_cache(
-        sigs.groupBy("sim").agg(
-            F.min("id").alias("gid"),
-            F.collect_list("id").alias("members"),
+    # aggregation-only fill (signatures → groupBy sim) — the scalar-
+    # action bracket folds its AQE stage wave into one job; cache
+    # registered inside (persist-time compile rule, r14)
+    from .util import scalar_action_confs
+
+    with scalar_action_confs(sigs.sparkSession):
+        groups = _keep_cache(
+            sigs.groupBy("sim").agg(
+                F.min("id").alias("gid"),
+                F.collect_list("id").alias("members"),
+            )
         )
-    )
-    n_reps = groups.count()
+        n_reps = groups.count()
     reps = groups.select(F.col("gid").alias("id"), "sim")
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     # The dense path is output-equivalent to banding ONLY inside the
