@@ -235,7 +235,10 @@ def corpus_profile_rows(
     # re-aggregated once per branch (r14, guide §2.4). The frame is
     # vocab-sized (narrow (token, count) rows), the cheapest possible
     # thing to materialize.
-    toks, _ = tracked_checkpoint(_corpus_tokens(df, text_col))
+    # aggregation-only fill (explode → groupBy token) — r14
+    toks, _ = tracked_checkpoint(
+        _corpus_tokens(df, text_col), scalar_plan=True
+    )
     lnull = F.lit(None).cast("long")
     scalars = (
         base.agg(

@@ -95,10 +95,12 @@ def _model_from_buckets(
     probability per hashed bucket, plus the floor for buckets this
     corpus never saw."""
     counts, _ = tracked_checkpoint(
-        bdf.groupBy("b").agg(F.count(F.lit(1)).alias("n"))
+        bdf.groupBy("b").agg(F.count(F.lit(1)).alias("n")),
         # ≤ ``buckets`` rows: materialize the model once — the total
         # collect below and the downstream broadcast join would
-        # otherwise EACH run the full corpus featurization
+        # otherwise EACH run the full corpus featurization.
+        # aggregation-only fill → scalar-action bracket (r14)
+        scalar_plan=True,
     )
     # counts is checkpoint-truncated (≤ ``buckets`` narrow rows), so
     # the total is a pure scalar agg — AQE's per-exchange job buys
@@ -225,7 +227,10 @@ def _dsir_scored(
         else F.col("__lsum")
     )
     per_doc, _ = tracked_checkpoint(
-        per_doc.select("__did", logw.alias("dsir_logw"))
+        per_doc.select("__did", logw.alias("dsir_logw")),
+        # explicit-broadcast join + one groupBy: aggregation-only
+        # shuffle, nothing for AQE to re-plan (r14)
+        scalar_plan=True,
     )
     # per_doc is checkpoint-truncated: both the max and the softmax
     # total below are scalar aggs over it — no AQE job pair (r14)

@@ -11,6 +11,7 @@ from __future__ import annotations
 import logging
 import threading
 from contextlib import contextmanager
+from contextlib import nullcontext as _nullcontext
 
 from pyspark.sql import DataFrame
 
@@ -176,7 +177,8 @@ def track_pinned(df: DataFrame) -> PinnedFrame:
 
 
 def tracked_checkpoint(
-    df: DataFrame, storage_level=None, track: bool = True
+    df: DataFrame, storage_level=None, track: bool = True,
+    scalar_plan: bool = False,
 ) -> tuple[DataFrame, LocalCheckpoint]:
     """``df.localCheckpoint(eager=True)`` + a release handle.
 
@@ -185,13 +187,26 @@ def tracked_checkpoint(
     round-trips, safe under concurrent driver threads (no global-state
     diffing). With ``track=True`` the handle also lands in the module
     registry so :func:`release_checkpoints` can sweep it at the next
-    quiesce point."""
+    quiesce point.
+
+    ``scalar_plan=True`` (r14) runs the eager fill under
+    :func:`scalar_action_confs` — for call sites whose plan is
+    aggregation-only (the single shuffle carries partial-agg'd narrow
+    rows), where AQE's per-exchange stage job is pure scheduler
+    latency. Leave False for plans carrying joins or explicit wide
+    repartitions AQE should re-plan."""
     sc = df.sparkSession.sparkContext
-    out = (
-        df.localCheckpoint(eager=True)
-        if storage_level is None
-        else df.localCheckpoint(eager=True, storageLevel=storage_level)
+    ctx = (
+        scalar_action_confs(df.sparkSession)
+        if scalar_plan
+        else _nullcontext()
     )
+    with ctx:
+        out = (
+            df.localCheckpoint(eager=True)
+            if storage_level is None
+            else df.localCheckpoint(eager=True, storageLevel=storage_level)
+        )
     try:
         # Dataset.localCheckpoint returns a LogicalRDD wrapping the
         # persisted internal RDD; its id is the unpersist target

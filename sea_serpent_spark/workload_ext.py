@@ -584,6 +584,11 @@ def q39_simhash_pairs(spark, sf_dir):
     from .operators.util import tracked_checkpoint
 
     d = df(spark, sf_dir, "documents")
+    # NOT scalar_plan (r14, A/B'd): the fill is aggregation-only, but
+    # this checkpoint is corpus-sized (one row per doc) and feeds the
+    # pairs member's whole banding pipeline — AQE's coalesced fill
+    # partitioning is worth more downstream than the one-job fill
+    # (isolated 3×: 2.1-2.6 s with AQE vs 3.1-3.6 without).
     shared, _ = tracked_checkpoint(D.simhash_signatures(d))
     sigs = shared.select(
         F.col("id").alias("id_a"),
