@@ -808,20 +808,33 @@ def q41_ann_topk(spark, sf_dir):
     idx_path = os.path.join(
         tempfile.gettempdir(), "sea_serpent_scratch", f"ivf{sf_tag}", "idx"
     )
-    build_ivf_index(
-        ed, idx_path, centroids=SEMDEDUP_CENTROIDS,
-        codebooks=PQ_CODEBOOKS,
-    )
-    ivfp = ivf_index_topk(
-        spark, idx_path, ed.where(F.col("vec_id") < 20), k=3, nprobe=2
-    ).withColumn("method", F.lit("ivfp"))
-    # ivfpq (round 10): the SAME persisted artifact probed by ADC —
-    # probe selection + literal partition pruning as ivfp, but the
-    # scan reads ONLY (id, pq_code, label); the oracle replays probe
-    # lists, codes, LUTs, and the ADC fold in all-double SQL
-    ivfpq = ivf_index_pq_topk(
-        spark, idx_path, ed.where(F.col("vec_id") < 20), k=3, nprobe=2
-    ).withColumn("method", F.lit("ivfpq"))
+    # r14, guide §2.6: the main-index chain (build idx_path → ivfp /
+    # ivfpq probes) and the append-lifecycle chain below (build
+    # inc_path → append → pre-compaction probes → compact → ivfc) are
+    # path-independent — separate scratch dirs, separate writer
+    # leases, shared inputs read-only — so their eager builds overlap
+    # (overlap_build): wall = max of the chains, not the sum. Probe
+    # construction stays inside its chain (a probe resolves its
+    # index's sidecar at construction, and ivfa/ivfaq must pin the
+    # PRE-compaction generation, so in-thunk order is the contract).
+    def _chain_main():
+        build_ivf_index(
+            ed, idx_path, centroids=SEMDEDUP_CENTROIDS,
+            codebooks=PQ_CODEBOOKS,
+        )
+        ivfp = ivf_index_topk(
+            spark, idx_path, ed.where(F.col("vec_id") < 20), k=3,
+            nprobe=2,
+        ).withColumn("method", F.lit("ivfp"))
+        # ivfpq (round 10): the SAME persisted artifact probed by ADC —
+        # probe selection + literal partition pruning as ivfp, but the
+        # scan reads ONLY (id, pq_code, label); the oracle replays
+        # probe lists, codes, LUTs, and the ADC fold in all-double SQL
+        ivfpq = ivf_index_pq_topk(
+            spark, idx_path, ed.where(F.col("vec_id") < 20), k=3,
+            nprobe=2,
+        ).withColumn("method", F.lit("ivfpq"))
+        return ivfp, ivfpq
     # ivfa (round 12): the APPEND path — index built on half the
     # corpus, the other half appended with the PINNED quantizer into
     # the generation's L0 tail (append_to_ivf_index), probed without
@@ -836,44 +849,59 @@ def q41_ann_topk(spark, sf_dir):
     )
     import shutil as _sh
 
-    _sh.rmtree(inc_path, ignore_errors=True)
     # codebooks ride the build (r13): the append PQ-encodes its tail
     # against the sidecar codebooks (ann_index.append_to_ivf_index),
     # so ONE build+append serves both the raw-vector probe (ivfa) and
     # the ADC-over-tail probe (ivfaq) — the production billion-scale
     # read path (codes-only scan over sorted lists AND the L0 tail)
-    build_ivf_index(
-        ed.where(F.col("vec_id") % 2 == 0), inc_path,
-        centroids=SEMDEDUP_CENTROIDS, codebooks=PQ_CODEBOOKS,
-    )
-    append_to_ivf_index(ed.where(F.col("vec_id") % 2 == 1), inc_path)
-    ivfa = ivf_index_topk(
-        spark, inc_path, ed.where(F.col("vec_id") < 20), k=3, nprobe=2
-    ).withColumn("method", F.lit("ivfa"))
-    # ivfaq (r13): ADC over the appended index — probe lists scanned
-    # as m-byte codes including the tail's. The exactness contract
-    # (tail codes == full-build codes: per-vector deterministic encode
-    # against pinned codebooks) makes the oracle the ivfpq replay
-    # under a different tag, so the hash check proves tail encoding +
-    # code-only tail scan reproduce the monolithic ADC result exactly.
-    ivfaq = ivf_index_pq_topk(
-        spark, inc_path, ed.where(F.col("vec_id") < 20), k=3, nprobe=2
-    ).withColumn("method", F.lit("ivfaq"))
-    # ivfc (r14): the FULL lifecycle — append, then COMPACT the L0
-    # tail back into the sorted list layout (a fresh generation
-    # published by the atomic manifest swap; the ivfa/ivfaq probes
-    # above pinned the previous generation, which is retained through
-    # one publish, so their lazy scans stay consistent), then ADC-
-    # probe the compacted generation. The oracle is the same
-    # monolithic ivfpq replay under a new tag, so the hash check
-    # proves append -> compact -> probe reproduces the fresh-build
-    # result exactly — the compaction-cadence production path.
     from .operators.ann_index import compact_ivf_index
 
-    compact_ivf_index(spark, inc_path)
-    ivfc = ivf_index_pq_topk(
-        spark, inc_path, ed.where(F.col("vec_id") < 20), k=3, nprobe=2
-    ).withColumn("method", F.lit("ivfc"))
+    def _chain_inc():
+        _sh.rmtree(inc_path, ignore_errors=True)
+        build_ivf_index(
+            ed.where(F.col("vec_id") % 2 == 0), inc_path,
+            centroids=SEMDEDUP_CENTROIDS, codebooks=PQ_CODEBOOKS,
+        )
+        append_to_ivf_index(
+            ed.where(F.col("vec_id") % 2 == 1), inc_path
+        )
+        ivfa = ivf_index_topk(
+            spark, inc_path, ed.where(F.col("vec_id") < 20), k=3,
+            nprobe=2,
+        ).withColumn("method", F.lit("ivfa"))
+        # ivfaq (r13): ADC over the appended index — probe lists
+        # scanned as m-byte codes including the tail's. The exactness
+        # contract (tail codes == full-build codes: per-vector
+        # deterministic encode against pinned codebooks) makes the
+        # oracle the ivfpq replay under a different tag, so the hash
+        # check proves tail encoding + code-only tail scan reproduce
+        # the monolithic ADC result exactly.
+        ivfaq = ivf_index_pq_topk(
+            spark, inc_path, ed.where(F.col("vec_id") < 20), k=3,
+            nprobe=2,
+        ).withColumn("method", F.lit("ivfaq"))
+        # ivfc (r14): the FULL lifecycle — append, then COMPACT the L0
+        # tail back into the sorted list layout (a fresh generation
+        # published by the atomic manifest swap; the ivfa/ivfaq probes
+        # above pinned the previous generation, which is retained
+        # through one publish, so their lazy scans stay consistent),
+        # then ADC-probe the compacted generation. The oracle is the
+        # same monolithic ivfpq replay under a new tag, so the hash
+        # check proves append -> compact -> probe reproduces the
+        # fresh-build result exactly — the compaction-cadence
+        # production path.
+        compact_ivf_index(spark, inc_path)
+        ivfc = ivf_index_pq_topk(
+            spark, inc_path, ed.where(F.col("vec_id") < 20), k=3,
+            nprobe=2,
+        ).withColumn("method", F.lit("ivfc"))
+        return ivfa, ivfaq, ivfc
+
+    from .operators.util import overlap_build
+
+    (ivfp, ivfpq), (ivfa, ivfaq, ivfc) = overlap_build(
+        _chain_main, _chain_inc, workers=2
+    )
     return (
         brute.unionByName(lsh).unionByName(mp)
         .unionByName(ivf).unionByName(pq).unionByName(ivfp)
