@@ -64,7 +64,7 @@ from .dedup import (
     fingerprint,
     first_agreeing_band,
     minhash_signature,
-    release_caches,
+    _retire_scope_caches,
 )
 from .hashing import xxh64
 from .util import spread, tracked_checkpoint
@@ -830,7 +830,7 @@ def incremental_minhash_pairs(
         # dedup-module cache contract) — without this, a foreachBatch
         # ingest loop pins one persisted band frame per micro-batch
         # forever
-        release_caches()
+        _retire_scope_caches()
         new_sigs = minhash_signature(
             new_df, text_col, id_col, num_hashes, shingle_n
         )
@@ -1452,7 +1452,7 @@ def incremental_dedup(
         if ingest_out is not None:
             ingest_out["sigs"] = None
     else:
-        release_caches()
+        _retire_scope_caches()
         new_sigs = _keep_cache(
             minhash_signature(new_df, text_col, id_col, num_hashes,
                               shingle_n)
