@@ -1946,9 +1946,15 @@ class Base:
         else:
             if pdf is not None:
                 odf = self.spark.createDataFrame(pdf)
+            # no ``micro`` here (r15): the TARGET's bucket count does
+            # not bound the INCOMING frame — a large wide-plan first
+            # append to a single-bucket table must keep AQE for its
+            # persist fill. Narrow (scan/project/filter) sources still
+            # take the fast path via _with_seq's own plan gate, which
+            # is size-independent: a narrow fill has no exchange AQE
+            # could improve at any scale.
             incoming, n_new, unpersist = self._with_seq(
                 odf, common, start,
-                micro=self._bcount(table.name) <= 1,
             )
         for c in df.columns:
             if c not in incoming.columns:

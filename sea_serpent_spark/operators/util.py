@@ -367,6 +367,30 @@ def one_shot_take(spark, parts: int = 64):
 #: committing several staged edits back-to-back on one thread).
 _MICRO_PLAN_LOCK = threading.RLock()
 
+#: Sessions with an :func:`overlap_build` in flight (id(session) →
+#: count). While a session is registered, the AQE conf brackets below
+#: become NO-OPS for that session (r15, closing the overlap × bracket
+#: race): a bracket that flipped the session-global
+#: ``spark.sql.adaptive.enabled`` would make SIBLING chains' unbracketed
+#: plan compilations timing-dependent — a deliberately-AQE-on fill
+#: could silently compile with AQE off. Keeping AQE ON during overlap
+#: is the conservative posture (the bracket's only job is shaving
+#: scheduler latency, and overlap hides that latency anyway); results
+#: are identical either way. Registration keys on the PYTHON session
+#: object id — safe because this package's sessions are module-cached
+#: singletons and streaming foreachBatch bodies receive per-query JVM
+#: clone sessions (verified: conf-isolated), which are never the
+#: registered object, so sink batch brackets keep their posture even
+#: while a foreground overlap is live.
+_OVERLAP_SESSIONS: dict = {}
+
+
+def _bracket_is_noop(spark) -> bool:
+    """True while an overlap_build is in flight on ``spark`` — AQE
+    brackets must not flip session-global conf under sibling chains.
+    Caller holds ``_MICRO_PLAN_LOCK``."""
+    return _OVERLAP_SESSIONS.get(id(spark), 0) > 0
+
 
 @contextmanager
 def micro_plan_confs(spark, parts: int = 4):
@@ -382,8 +406,15 @@ def micro_plan_confs(spark, parts: int = 4):
     whose data CAN be large must not enter the bracket — size-gate
     first. The lock serializes concurrent brackets (and concurrent
     plan-time conf reads of other threads see the flipped value for
-    the duration — parallelism-only impact, never results)."""
+    the duration — parallelism-only impact, never results).
+
+    NO-OP while an :func:`overlap_build` is in flight on this session
+    (r15): flipping session-global conf under sibling chains would make
+    their plan posture timing-dependent."""
     with _MICRO_PLAN_LOCK:
+        if _bracket_is_noop(spark):
+            yield
+            return
         prev_shuf = spark.conf.get("spark.sql.shuffle.partitions")
         prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
         spark.conf.set("spark.sql.shuffle.partitions", str(int(parts)))
@@ -395,7 +426,7 @@ def micro_plan_confs(spark, parts: int = 4):
             spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
-def overlap_build(*thunks, workers: int = 3) -> list:
+def overlap_build(*thunks, workers: int = 3, spark=None) -> list:
     """Run independent member-builder thunks concurrently and return
     their results in SUBMISSION order (guide §2.6: Spark happily runs
     several jobs at once inside one application; member chains that
@@ -409,12 +440,34 @@ def overlap_build(*thunks, workers: int = 3) -> list:
     deterministic frames/checkpoints); the caller assembles them in
     the same fixed order as the sequential formulation, so the output
     plan is identical. Exceptions re-raise at collection, preserving
-    the sequential error surface."""
+    the sequential error surface.
+
+    ``spark`` (r15): the session the chains compile against. While the
+    overlap is in flight, AQE conf brackets on that session
+    (:func:`scalar_action_confs` / :func:`micro_plan_confs`) become
+    no-ops so sibling chains' plan posture is deterministic (always
+    the session's steady-state AQE-on). Registration takes
+    ``_MICRO_PLAN_LOCK``, so an in-flight bracket fully exits (conf
+    restored) before any chain starts compiling."""
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=workers) as pool:
-        futs = [pool.submit(t) for t in thunks]
-        return [f.result() for f in futs]
+    key = None
+    if spark is not None:
+        key = id(spark)
+        with _MICRO_PLAN_LOCK:
+            _OVERLAP_SESSIONS[key] = _OVERLAP_SESSIONS.get(key, 0) + 1
+    try:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            futs = [pool.submit(t) for t in thunks]
+            return [f.result() for f in futs]
+    finally:
+        if key is not None:
+            with _MICRO_PLAN_LOCK:
+                n = _OVERLAP_SESSIONS.get(key, 0) - 1
+                if n > 0:
+                    _OVERLAP_SESSIONS[key] = n
+                else:
+                    _OVERLAP_SESSIONS.pop(key, None)
 
 
 @contextmanager
@@ -442,8 +495,14 @@ def scalar_action_confs(spark):
     a partial-agg-first report over a source scan. Do NOT use when
     the input plan carries joins whose strategy AQE should pick at
     runtime (e.g. ``weighted_sample``'s generic total over an
-    arbitrary scored plan stays on AQE)."""
+    arbitrary scored plan stays on AQE).
+
+    NO-OP while an :func:`overlap_build` is in flight on this session
+    (r15) — see :func:`micro_plan_confs`."""
     with _MICRO_PLAN_LOCK:
+        if _bracket_is_noop(spark):
+            yield
+            return
         prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:

@@ -498,7 +498,7 @@ def q70_profile_qa(spark, sf_dir):
     from .operators.util import overlap_build
 
     ex, sk, dd, cp, fun = overlap_build(
-        _m_expect, _m_skew, _m_diff, _m_corpus, _m_funnel
+        _m_expect, _m_skew, _m_diff, _m_corpus, _m_funnel, spark=spark
     )
     return (
         ex.unionByName(sk).unionByName(dd)
@@ -900,7 +900,7 @@ def q41_ann_topk(spark, sf_dir):
     from .operators.util import overlap_build
 
     (ivfp, ivfpq), (ivfa, ivfaq, ivfc) = overlap_build(
-        _chain_main, _chain_inc, workers=2
+        _chain_main, _chain_inc, workers=2, spark=spark
     )
     return (
         brute.unionByName(lsh).unionByName(mp)
@@ -950,118 +950,132 @@ def q43_embedding_near_dup(spark, sf_dir):
 
     e = df(spark, sf_dir, "embeddings")
     ed = e.withColumn("embedding", F.col("embedding").cast("array<double>"))
-    # inc is built FIRST: incremental_semantic_dedup retires prior
-    # pair-operator caches on entry (the dedup-module contract), which
-    # would drop the still-LAZY pair/sem members' persisted frames if
-    # they were built before it — correct but recomputed, measured as
-    # +11 s on this slot. Its own output is cache-independent once
-    # built (the loser set is an eager checkpoint), so the later
-    # members can never hurt it.
     from .operators.ann_index import (
         build_ivf_index as _bivf,
         incremental_semantic_dedup as _isd,
+        read_ivf_index as _rivf,
     )
+    from .operators.dedup import cache_scope
+    from .operators.util import overlap_build
+    from .streaming.dedup import incremental_semantic_dedup_sink
 
     sf_tag = "".join(
         ch if ch.isalnum() else "_" for ch in sf_dir.rstrip("/")
     )
-    semi = _os.path.join(
-        _tf.gettempdir(), "sea_serpent_scratch", f"seminc{sf_tag}"
-    )
-    _sh.rmtree(semi, ignore_errors=True)
-    _bivf(ed.where(F.col("vec_id") < 300), semi,
-          centroids=SEMDEDUP_CENTROIDS)
-    inc = _isd(
-        ed.where(F.col("vec_id") >= 300), semi, threshold=0.45
-    ).select(
-        F.col("vec_id").alias("id_a"),
-        F.lit(None).cast("long").alias("id_b"),
-        F.lit(None).cast("double").alias("cos"),
-        F.lit("inc").alias("op"),
-    )
-    # sink member runs EAGERLY here (stream drain), before the lazy
-    # pair/sem members exist — incremental_semantic_dedup (called per
-    # batch inside the sink) retires pair-operator caches on entry,
-    # the same ordering constraint as inc above
-    from .operators.ann_index import read_ivf_index as _rivf
-    from .streaming.dedup import incremental_semantic_dedup_sink
 
-    sroot = _os.path.join(
-        _tf.gettempdir(), "sea_serpent_scratch", f"semsink{sf_tag}"
-    )
-    _sh.rmtree(sroot, ignore_errors=True)
-    # the sink REUSES inc's seed index (identical history + pinned
-    # centroids — a second build was pure slot cost, r13): safe
-    # because inc ran EAGERLY above and its returned frame is
-    # index-independent on both probe paths (driver path → isin
-    # predicate; distributed fallback → checkpointed loser set), so
-    # the drain's tail appends below cannot reach back into it; the
-    # member rebuilds `semi` fresh at entry, so warm re-runs see the
-    # same pristine seed
-    sidx = semi
-    sout = _os.path.join(sroot, "out")
-    delta_dir = _os.path.join(sroot, "delta")
-    _os.makedirs(delta_dir, exist_ok=True)
-    for i, (lo, hi) in enumerate(((300, 400), (400, 500))):
-        stage = _os.path.join(sroot, f"_stage{i}")
+    # Two independent chains, overlapped (r15 — the q41 treatment).
+    # The INGEST chain keeps its documented internal ordering: the
+    # seed build, then inc (incremental_semantic_dedup retires the
+    # default cache scope on entry), then the drain whose per-batch
+    # _isd calls retire again — all entry-ordered within this one
+    # chain. The BATCH-member chain (pair/sem) builds under its own
+    # cache_scope, so its still-lazy persisted frames (the spanning
+    # path's group cache) are invisible to the ingest chain's
+    # retire-on-entry — the +11 s recompute the old sequential
+    # ordering constraint existed to avoid now cannot happen by
+    # construction, and the two chains only share read-only inputs.
+    def _chain_ingest():
+        semi = _os.path.join(
+            _tf.gettempdir(), "sea_serpent_scratch", f"seminc{sf_tag}"
+        )
+        _sh.rmtree(semi, ignore_errors=True)
+        _bivf(ed.where(F.col("vec_id") < 300), semi,
+              centroids=SEMDEDUP_CENTROIDS)
+        inc = _isd(
+            ed.where(F.col("vec_id") >= 300), semi, threshold=0.45
+        ).select(
+            F.col("vec_id").alias("id_a"),
+            F.lit(None).cast("long").alias("id_b"),
+            F.lit(None).cast("double").alias("cos"),
+            F.lit("inc").alias("op"),
+        )
+        sroot = _os.path.join(
+            _tf.gettempdir(), "sea_serpent_scratch", f"semsink{sf_tag}"
+        )
+        _sh.rmtree(sroot, ignore_errors=True)
+        # the sink REUSES inc's seed index (identical history + pinned
+        # centroids — a second build was pure slot cost, r13): safe
+        # because inc ran EAGERLY above and its returned frame is
+        # index-independent on both probe paths (driver path → isin
+        # predicate; distributed fallback → checkpointed loser set), so
+        # the drain's tail appends below cannot reach back into it; the
+        # member rebuilds `semi` fresh at entry, so warm re-runs see
+        # the same pristine seed
+        sidx = semi
+        sout = _os.path.join(sroot, "out")
+        delta_dir = _os.path.join(sroot, "delta")
+        _os.makedirs(delta_dir, exist_ok=True)
+        for i, (lo, hi) in enumerate(((300, 400), (400, 500))):
+            stage = _os.path.join(sroot, f"_stage{i}")
+            (
+                ed.where(
+                    (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            part = next(
+                f for f in _os.listdir(stage) if f.endswith(".parquet")
+            )
+            dst = _os.path.join(delta_dir, f"batch{i}.parquet")
+            _os.replace(_os.path.join(stage, part), dst)
+            t = 1_000_000_000 + i * 1000  # strict per-file mtime order
+            _os.utime(dst, (t, t))
+            _sh.rmtree(stage, ignore_errors=True)
+        sschema = ed.where(F.col("vec_id") < 0).schema
         (
-            ed.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(stage)
+            spark.readStream.schema(sschema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(delta_dir)
+            .writeStream.foreachBatch(incremental_semantic_dedup_sink(
+                sidx, sout, threshold=0.45, batch_parallelism=8,
+            ))
+            .option("checkpointLocation", _os.path.join(sroot, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
         )
-        part = next(
-            f for f in _os.listdir(stage) if f.endswith(".parquet")
+        out_sink = spark.read.parquet(sout).select(
+            F.col("vec_id").alias("id_a"),
+            F.lit(None).cast("long").alias("id_b"),
+            F.lit(None).cast("double").alias("cos"),
+            F.lit("sink").alias("op"),
         )
-        dst = _os.path.join(delta_dir, f"batch{i}.parquet")
-        _os.replace(_os.path.join(stage, part), dst)
-        t = 1_000_000_000 + i * 1000  # strict per-file mtime order
-        _os.utime(dst, (t, t))
-        _sh.rmtree(stage, ignore_errors=True)
-    sschema = ed.where(F.col("vec_id") < 0).schema
-    (
-        spark.readStream.schema(sschema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(delta_dir)
-        .writeStream.foreachBatch(incremental_semantic_dedup_sink(
-            sidx, sout, threshold=0.45, batch_parallelism=8,
-        ))
-        .option("checkpointLocation", _os.path.join(sroot, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    out_sink = spark.read.parquet(sout).select(
-        F.col("vec_id").alias("id_a"),
-        F.lit(None).cast("long").alias("id_b"),
-        F.lit(None).cast("double").alias("cos"),
-        F.lit("sink").alias("op"),
-    )
-    n_idx = (
-        _rivf(spark, sidx)[0].select("vec_id").distinct().count()
-    )
-    out_idx = spark.createDataFrame(
-        [(int(n_idx),)], "id_a long"
-    ).select(
-        "id_a",
-        F.lit(None).cast("long").alias("id_b"),
-        F.lit(None).cast("double").alias("cos"),
-        F.lit("sink_idx").alias("op"),
-    )
-    pairs = S.embedding_near_dup_pairs(
-        e, threshold=0.45, nbits=0
-    ).withColumn("op", F.lit("pair"))
-    sem = S.semantic_dedup(
-        ed,
-        threshold=0.45,
-        centroids=SEMDEDUP_CENTROIDS,
-        keep="far_from_centroid",
-        nbits=0,
-    ).select(
-        F.col("vec_id").alias("id_a"),
-        F.lit(None).cast("long").alias("id_b"),
-        F.lit(None).cast("double").alias("cos"),
-        F.lit("semdedup").alias("op"),
+        n_idx = (
+            _rivf(spark, sidx)[0].select("vec_id").distinct().count()
+        )
+        out_idx = spark.createDataFrame(
+            [(int(n_idx),)], "id_a long"
+        ).select(
+            "id_a",
+            F.lit(None).cast("long").alias("id_b"),
+            F.lit(None).cast("double").alias("cos"),
+            F.lit("sink_idx").alias("op"),
+        )
+        return inc, out_sink, out_idx
+
+    def _chain_batch():
+        with cache_scope():
+            pairs = S.embedding_near_dup_pairs(
+                e, threshold=0.45, nbits=0
+            ).withColumn("op", F.lit("pair"))
+            sem = S.semantic_dedup(
+                ed,
+                threshold=0.45,
+                centroids=SEMDEDUP_CENTROIDS,
+                keep="far_from_centroid",
+                nbits=0,
+            ).select(
+                F.col("vec_id").alias("id_a"),
+                F.lit(None).cast("long").alias("id_b"),
+                F.lit(None).cast("double").alias("cos"),
+                F.lit("semdedup").alias("op"),
+            )
+        return pairs, sem
+
+    (inc, out_sink, out_idx), (pairs, sem) = overlap_build(
+        _chain_ingest, _chain_batch, workers=2, spark=spark
     )
     return (
         pairs.unionByName(sem).unionByName(inc)
@@ -1365,7 +1379,7 @@ def q60_deterministic_split(spark, sf_dir):
 
     packed, seqs, temp, (dsir, xent), wsamp = overlap_build(
         _chain_packed, _chain_seqs, _chain_temp, _chain_scores,
-        _chain_wsamp,
+        _chain_wsamp, spark=spark,
     )
     # round 11 — op='mix': mix_corpora survivors (training-mix recipe:
     # keep 100% of src0, 30% of src1, 65% of src2, drop the rest).
