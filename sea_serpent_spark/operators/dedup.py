@@ -36,7 +36,8 @@ from pyspark.sql import Column, DataFrame, Window
 
 from .hashing import MINHASH_COEFFS, P, SIMHASH_BITS, h32, h48
 from .text import fingerprint, words
-from .util import fan_out, release_all, spread as _spread, tracked_checkpoint
+from .util import (fan_out, local_rows_df, release_all,
+                   spread as _spread, tracked_checkpoint)
 
 #: Default row cap for broadcasting the doc-level verify side of a pair
 #: join. 2M rows × (8B id + 16×8B signature) ≈ 300 MB — comfortably
@@ -956,7 +957,12 @@ def ngram_jaccard_pairs(
             s: i + 1 for i, (_, s) in enumerate(ordered)
         }
         vocab = len(ordered)
-        dic = df.sparkSession.createDataFrame(
+        # LocalRelation (r15): the dictionary join's broadcast
+        # build over a parallelize-backed frame paid a job + codegen
+        # compile on first execution; a literal relation collects
+        # driver-side with neither
+        dic = local_rows_df(
+            df.sparkSession,
             [(s, t) for s, t in tid_of.items()], "s string, tid long"
         )
     else:
@@ -1379,8 +1385,11 @@ def _union_find_local(edges: DataFrame, id_type, rows=None) -> DataFrame:
         ]
     )
     spark = edges.sparkSession
-    return spark.createDataFrame(
-        [(x, uf.find(x)) for x in uf.parent], schema
+    # LocalRelation (r15): this frame feeds keeper joins / anti-joins
+    # in every small-graph caller — as a parallelize-backed scan each
+    # consumer's broadcast build paid a job + codegen compile
+    return local_rows_df(
+        spark, [(x, uf.find(x)) for x in uf.parent], schema
     )
 
 

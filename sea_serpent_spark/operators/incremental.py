@@ -67,7 +67,7 @@ from .dedup import (
     _retire_scope_caches,
 )
 from .hashing import xxh64
-from .util import spread, tracked_checkpoint
+from .util import local_rows_df, spread, tracked_checkpoint
 
 
 def minhash_band_index(
@@ -1183,7 +1183,8 @@ def _dedup_local_probe(
                 )
         pruned = pruned.where(kpred)
     else:
-        kdf = spark.createDataFrame(
+        kdf = local_rows_df(
+            spark,
             [
                 (b, k)
                 for b in range(bands)
@@ -1337,6 +1338,11 @@ def _dedup_local_probe(
         ingest_out["survivor_ids"] = [
             v for v in delta_ids if v not in losers
         ]
+        # the delta's collected (id, sig) rows (r15): the ingest sink
+        # derives the survivors' band-index append rows from these
+        # driver-side — no fan-out exchange, no scan of the persisted
+        # signature cache, a one-task local-relation write per batch
+        ingest_out["delta_sigs"] = delta
     if not losers:
         return new_df
     # isin predicate instead of an anti-join: NULL-id rows are kept,
@@ -1548,8 +1554,9 @@ def incremental_dedup(
                     [], delta_ids.schema
                 ).select(F.col("id").alias("__lid"))
             else:
-                cdf = new_df.sparkSession.createDataFrame(
-                    [(c,) for c in cand], delta_ids.schema
+                cdf = local_rows_df(
+                    new_df.sparkSession,
+                    [(c,) for c in cand], delta_ids.schema,
                 )
                 reingested = (
                     idx_band0.select("id")

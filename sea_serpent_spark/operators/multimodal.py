@@ -2258,65 +2258,137 @@ def synthesize_test_media(
 
     @F.pandas_udf(T.BinaryType())
     def _gen(ids: pd.Series) -> pd.Series:
-        out = []
-        for i in ids:
-            i = int(i)
-            w, h = 1 + i % 64, 1 + (i * 7) % 64
-            kind = i % 5
-            if kind == 0:
-                # PNG sub-variant cycles on the NEXT digit so every
-                # storage layout the decoder supports is hash-checked:
-                # gray / palette / Adam7-gray / Adam7-palette (r11)
-                variant = (i // 5) % 4
-                out.append(png_bytes(
-                    w, h, pattern=pat,
-                    color_type=3 if variant in (1, 3) else 0,
-                    interlace=1 if variant >= 2 else 0,
-                ))
-            elif kind == 1:
-                out.append(gif_bytes(w, h, pattern=pat))
-            elif kind == 2:
-                # BMP sub-variant cycles on the NEXT digit (the PNG
-                # pattern): 24-bit / 8-bit palette / RLE8 / RLE4 /
-                # 565-BITFIELDS — every storage layout _decode_bmp
-                # supports is hash-checked (r12-r13; RLE4's 16-color
-                # limit folds the pattern mod 16, BITFIELDS quantizes
-                # it to 5/6/5 bits — both mirrored by the oracle)
-                out.append(bmp_bytes(
-                    w, h, pattern=pat, variant=(i // 5) % 5
-                ))
-            elif kind == 3:
-                # WAV sub-variant cycles on the NEXT digit (r12-r13):
-                # PCM16 / PCM8 / float32 / stereo16 / G.711 µ-law —
-                # every decode_audio path hash-checked; stereo doubles
-                # the decoded sum, µ-law sums the ITU expansion of its
-                # code-level pattern, duration is variant-invariant
-                out.append(wav_bytes(
-                    8 * (1 + i % 100), pattern=pat,
-                    variant=(i // 5) % 5,
-                ))
-            else:
-                # JPEG sub-variant cycles on the NEXT digit (r13):
-                # 8-bit grayscale / 4-component Adobe CMYK / 12-bit
-                # extended-sequential grayscale / LOSSLESS (SOF3) —
-                # CMYK decodes to the same block pattern on all three
-                # RGB channels (sum ×3), 12-bit scales back to the
-                # identical 8-bit pattern (×1), lossless carries the
-                # FULL-resolution pattern (pixel(x,y) = pattern(x,y),
-                # not the block grid) — all mirrored by the oracle
-                variant = (i // 5) % 4
-                if variant == 3:
-                    out.append(jpeg_bytes_lossless(
-                        w, h, pattern=pat, predictor=1,
-                    ))
-                else:
-                    out.append(jpeg_bytes(
-                        w, h, pattern=pat, cmyk=variant == 1,
-                        precision=12 if variant == 2 else 8,
-                    ))
-        return pd.Series(out)
+        return pd.Series([_media_bytes(int(i), pat) for i in ids])
 
     return df.select(F.col(id_col), _gen(F.col(id_col)).alias("content"))
+
+
+def _media_bytes(i: int, pat: bool) -> bytes:
+    """One synthesized media container for id ``i`` — the closed-form
+    generation rule shared by :func:`synthesize_test_media` and the
+    fused synthesize+parse operators below (r15)."""
+    w, h = 1 + i % 64, 1 + (i * 7) % 64
+    kind = i % 5
+    if kind == 0:
+        # PNG sub-variant cycles on the NEXT digit so every
+        # storage layout the decoder supports is hash-checked:
+        # gray / palette / Adam7-gray / Adam7-palette (r11)
+        variant = (i // 5) % 4
+        return png_bytes(
+            w, h, pattern=pat,
+            color_type=3 if variant in (1, 3) else 0,
+            interlace=1 if variant >= 2 else 0,
+        )
+    elif kind == 1:
+        return gif_bytes(w, h, pattern=pat)
+    elif kind == 2:
+        # BMP sub-variant cycles on the NEXT digit (the PNG
+        # pattern): 24-bit / 8-bit palette / RLE8 / RLE4 /
+        # 565-BITFIELDS — every storage layout _decode_bmp
+        # supports is hash-checked (r12-r13; RLE4's 16-color
+        # limit folds the pattern mod 16, BITFIELDS quantizes
+        # it to 5/6/5 bits — both mirrored by the oracle)
+        return bmp_bytes(w, h, pattern=pat, variant=(i // 5) % 5)
+    elif kind == 3:
+        # WAV sub-variant cycles on the NEXT digit (r12-r13):
+        # PCM16 / PCM8 / float32 / stereo16 / G.711 µ-law —
+        # every decode_audio path hash-checked; stereo doubles
+        # the decoded sum, µ-law sums the ITU expansion of its
+        # code-level pattern, duration is variant-invariant
+        return wav_bytes(
+            8 * (1 + i % 100), pattern=pat, variant=(i // 5) % 5
+        )
+    else:
+        # JPEG sub-variant cycles on the NEXT digit (r13):
+        # 8-bit grayscale / 4-component Adobe CMYK / 12-bit
+        # extended-sequential grayscale / LOSSLESS (SOF3) —
+        # CMYK decodes to the same block pattern on all three
+        # RGB channels (sum ×3), 12-bit scales back to the
+        # identical 8-bit pattern (×1), lossless carries the
+        # FULL-resolution pattern (pixel(x,y) = pattern(x,y),
+        # not the block grid) — all mirrored by the oracle
+        variant = (i // 5) % 4
+        if variant == 3:
+            return jpeg_bytes_lossless(w, h, pattern=pat, predictor=1)
+        return jpeg_bytes(
+            w, h, pattern=pat, cmyk=variant == 1,
+            precision=12 if variant == 2 else 8,
+        )
+
+
+def synthesize_media_meta(
+    df: DataFrame, id_col: str = "doc_id", pattern: bool = False
+) -> DataFrame:
+    """FUSED :func:`synthesize_test_media` → :func:`attach_media_meta`
+    (r15, guide §4: pass only the columns the function needs). The
+    two-operator formulation ships every synthesized container across
+    the Python→JVM Arrow boundary only to ship it straight back into a
+    second Python worker pass that parses its header; fused, the only
+    Arrow traffic is ids in, meta structs out — the media bytes never
+    leave the worker. Output identical by construction
+    (``sniff_media(gen(id))`` composed in-process)."""
+    pat = pattern
+
+    @F.pandas_udf(MEDIA_META)
+    def _gen_meta(ids: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            [sniff_media(_media_bytes(int(i), pat)) for i in ids],
+            columns=["mime", "width", "height", "duration_ms", "codec"],
+        )
+
+    return df.select(
+        F.col(id_col), _gen_meta(F.col(id_col)).alias("media_meta")
+    )
+
+
+def synthesize_media_content(
+    df: DataFrame, id_col: str = "doc_id", pattern: bool = True
+) -> DataFrame:
+    """FUSED :func:`synthesize_test_media` →
+    :func:`extract_media_content` (r15): generate AND decode inside one
+    ``mapInPandas`` pass — ids in, (mime, dims, sums) out, media bytes
+    never cross the Arrow boundary. Decode semantics are byte-identical
+    to ``extract_media_content`` (same sniff/decode calls, same NULL
+    handling for undecodable payloads)."""
+    pat = pattern
+
+    def _gen_ex(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for rid in pdf[id_col]:
+                b = _media_bytes(int(rid), pat)
+                mime = sniff_media(b)[0]
+                w = h = ch = nv = vs = None
+                try:
+                    if mime in ("image/png", "image/bmp", "image/gif",
+                                "image/jpeg"):
+                        w, h, ch, px = decode_image(b)
+                        arr = np.frombuffer(px, dtype=np.uint8)
+                        nv, vs = int(arr.size), int(
+                            arr.sum(dtype=np.int64)
+                        )
+                    elif mime == "audio/wav":
+                        _, samples = decode_audio(b)
+                        a = np.asarray(samples, dtype=np.int64)
+                        nv, vs = int(a.size), int(a.sum())
+                except (NotImplementedError, ValueError):
+                    pass  # undecodable/corrupt payload — stats stay NULL
+                rows.append((int(rid), mime, w, h, ch, nv, vs))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "mime", "width", "height",
+                    "channels", "n_values", "vsum",
+                ],
+            )
+
+    from .util import fan_out
+
+    return fan_out(df.select(id_col)).mapInPandas(
+        _gen_ex, schema=CONTENT_SCHEMA
+    )
 
 
 def fake_decode(data: bytes, dim: int = 8) -> list[float]:

@@ -408,7 +408,10 @@ def expect(
     with scalar_action_confs(df.sparkSession):
         row = df.agg(*aggs).collect()[0]
     spark = df.sparkSession
-    return spark.createDataFrame(
+    from .util import local_rows_df
+
+    return local_rows_df(
+        spark,
         [
             (col, tag, int(row[f"__v{i}"] or 0), int(row["__total"]))
             for i, (col, tag) in enumerate(labels)

@@ -511,6 +511,73 @@ def scalar_action_confs(spark):
             spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
+#: local_rows_df falls back to createDataFrame past this many CELLS:
+#: named-parameter binding costs ~0.5-1 ms/cell of driver time
+#: (measured), so the LocalRelation win (~1.5 s cold / ~0.4 s warm per
+#: broadcast consumer) inverts somewhere past a few hundred cells.
+_LOCAL_ROWS_CELL_CAP = 256
+
+
+def local_rows_df(spark, rows, schema: str):
+    """Literal LocalRelation frame (r15). ``spark.createDataFrame``
+    over a Python list parallelizes it into an RDD-backed scan
+    (``LogicalRDD``), so every consumer — in particular every
+    BROADCAST build over it — pays a real Spark job plus a
+    whole-stage-codegen compile on first execution (measured: a
+    5-row broadcast build side costs ~1-1.5 s cold, ~0.4 s warm; the
+    LocalRelation twin is driver-collected with neither). A VALUES
+    relation folds to a ``LocalTableScan``.
+
+    Values are bound as NAMED PARAMETERS (no SQL text escaping —
+    arbitrary strings are safe), and every column is cast to its
+    declared type, so the result schema is identical to the
+    ``createDataFrame(rows, schema)`` twin. ``schema`` is the DDL
+    string form (columns nullable, as createDataFrame infers for
+    list-of-rows input) or a ``StructType`` (declared nullability
+    honored — values for non-nullable fields must be non-NULL). Use
+    for SMALL literal tables only (rule snapshots, driver-computed id
+    lists, single-row tags): the whole relation lives in the plan and
+    on the driver."""
+    from pyspark.sql import types as _T
+
+    fields = (
+        _T._parse_datatype_string(schema)
+        if isinstance(schema, str)
+        else schema
+    )
+    if not rows or len(rows) * len(fields) > _LOCAL_ROWS_CELL_CAP:
+        return spark.createDataFrame(rows, schema)
+    args: dict = {}
+    tuples = []
+    for i, row in enumerate(rows):
+        slots = []
+        for j, v in enumerate(row):
+            name = f"p{i}_{j}"
+            args[name] = v
+            slots.append(f":{name}")
+        tuples.append("(" + ",".join(slots) + ")")
+    raw_cols = ", ".join(f"c{j}" for j in range(len(fields)))
+    # IF(TRUE, c, NULL) makes a column NULLABLE in the ANALYZED plan
+    # (which is what df.schema reports — exact createDataFrame parity,
+    # whose list-of-rows columns are always nullable); the optimizer
+    # folds the IF away, so the executed plan is still a bare
+    # LocalRelation. Non-nullable StructType fields skip the wrapper
+    # (their non-NULL literals already infer non-null).
+    proj = ", ".join(
+        (
+            "IF(TRUE, CAST(c{j} AS {t}), CAST(NULL AS {t})) AS `{n}`"
+            if f.nullable
+            else "CAST(c{j} AS {t}) AS `{n}`"
+        ).format(j=j, t=f.dataType.simpleString(), n=f.name)
+        for j, f in enumerate(fields)
+    )
+    return spark.sql(
+        f"SELECT {proj} FROM VALUES {', '.join(tuples)} "
+        f"AS t({raw_cols})",
+        args=args,
+    )
+
+
 class MinRootUnionFind:
     """Driver-side union-find whose every root is the MIN of its merged
     set — the canonical-doc choice ``connected_components`` makes, so

@@ -291,7 +291,15 @@ def psl_rules_df(spark: SparkSession, rules: list[str]) -> DataFrame:
         folded.setdefault(_ascii_key(body), [False, False, False])[
             slot
         ] = True
-    out = spark.createDataFrame(
+    from .util import local_rows_df
+
+    # LocalRelation, not createDataFrame (r15): every per-width
+    # broadcast build over a parallelize-backed rules frame paid a
+    # 1-task Spark job + a whole-stage-codegen compile on first
+    # execution (~1.5 s cold EACH, measured on q30); a VALUES literal
+    # relation broadcasts driver-side with neither.
+    out = local_rows_df(
+        spark,
         [
             (k, k.count(".") + 1, v[0], v[1], v[2])
             for k, v in folded.items()

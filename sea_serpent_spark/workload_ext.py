@@ -205,7 +205,10 @@ def q30_text_analysis(spark, sf_dir):
     text_rows = staged.select(*trees["text_cols"])
     from .operators.curation import normalize_text, redact_pii
 
-    fixture = spark.createDataFrame(
+    from .operators.util import local_rows_df
+
+    fixture = local_rows_df(
+        spark,
         [(1_000_000 + i, s) for i, (s, _) in enumerate(_PII_FIXTURE)],
         "doc_id long, raw string",
     )
@@ -427,8 +430,10 @@ def q70_profile_qa(spark, sf_dir):
             ),
         )
         dtypes = dict(o.dtypes)
-        added = spark.createDataFrame(
-            [(-1,), (-2,)], "o_orderkey long"
+        from .operators.util import local_rows_df
+
+        added = local_rows_df(
+            spark, [(-1,), (-2,)], "o_orderkey long"
         ).select(
             F.col("o_orderkey").cast(dtypes["o_orderkey"]),
             *[
@@ -480,7 +485,10 @@ def q70_profile_qa(spark, sf_dir):
                  lambda d: d.where(X.token_count(F.col("text")) >= 10)),
             ],
         )
-        return spark.createDataFrame(
+        from .operators.util import local_rows_df
+
+        return local_rows_df(
+            spark,
             [(r["stage"], int(r["rows_in"]), int(r["rows_out"]))
              for r in rep],
             "k string, n1 long, n2 long",
@@ -1045,8 +1053,10 @@ def q43_embedding_near_dup(spark, sf_dir):
         n_idx = (
             _rivf(spark, sidx)[0].select("vec_id").distinct().count()
         )
-        out_idx = spark.createDataFrame(
-            [(int(n_idx),)], "id_a long"
+        from .operators.util import local_rows_df
+
+        out_idx = local_rows_df(
+            spark, [(int(n_idx),)], "id_a long"
         ).select(
             "id_a",
             F.lit(None).cast("long").alias("id_b"),
@@ -1292,7 +1302,10 @@ def q60_deterministic_split(spark, sf_dir):
     # riding the string slot.
     def _chain_temp():
         rates = temperature_rates(docs, "lang", alpha=0.3)
-        return spark.createDataFrame(
+        from .operators.util import local_rows_df
+
+        return local_rows_df(
+            spark,
             [(s, float(r)) for s, r in sorted(rates.items())],
             "split string, v double",
         ).select(

@@ -303,7 +303,10 @@ def q51_bundle_edits(spark, sf_dir):
             "new_value",
         )
     )
-    mstat = spark.createDataFrame(
+    from .operators.util import local_rows_df
+
+    mstat = local_rows_df(
+        spark,
         [
             ("updated", str(stats["updated"])),
             ("inserted", str(stats["inserted"])),
@@ -540,8 +543,10 @@ def q69_stream_dedup(spark, sf_dir):
     n_idx = (
         read_band_index(spark, idx_path).select("id").distinct().count()
     )
-    out_idx = spark.createDataFrame(
-        [(str(n_idx),)], "fp string"
+    from .operators.util import local_rows_df
+
+    out_idx = local_rows_df(
+        spark, [(str(n_idx),)], "fp string"
     ).withColumn("op", F.lit("sink_idx"))
     return (
         out_all.unionByName(out_fresh)
@@ -592,7 +597,13 @@ def q53_media_features(spark, sf_dir):
         *null_media,
         F.lit(None).cast("long").alias("vsum"),
     )
-    meta = mm.attach_media_meta(mm.synthesize_test_media(docs)).select(
+    # fused synthesize+parse members (r15, guide §4): ids in,
+    # parsed fields out — the synthesized containers never cross the
+    # Arrow boundary (the two-operator form shipped every payload
+    # Python->JVM->Python); one Python eval node per member instead
+    # of two. Output bit-identical (same generation + decode calls
+    # composed in-process).
+    meta = mm.synthesize_media_meta(docs).select(
         F.lit("meta").alias("op"), "doc_id",
         F.lit(None).cast("long").alias("byte_len"),
         F.lit(None).cast("string").alias("content_hash"),
@@ -602,9 +613,7 @@ def q53_media_features(spark, sf_dir):
         F.col("media_meta.duration_ms").alias("duration_ms"),
         F.lit(None).cast("long").alias("vsum"),
     )
-    pix = mm.extract_media_content(
-        mm.synthesize_test_media(docs, pattern=True)
-    ).select(
+    pix = mm.synthesize_media_content(docs, pattern=True).select(
         F.lit("pix").alias("op"), "doc_id",
         F.lit(None).cast("long").alias("byte_len"),
         F.lit(None).cast("string").alias("content_hash"),

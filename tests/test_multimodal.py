@@ -1776,3 +1776,34 @@ def test_decode_jpeg_lossless():
     bad[sos_at + 7] = 0  # Ss = predictor 0
     with pytest.raises(ValueError, match="predictor"):
         M.decode_image(bytes(bad))
+
+
+def test_fused_synthesize_parse_parity(spark):
+    """r15: the fused synthesize+parse operators (one Python eval node,
+    media bytes never cross the Arrow boundary) are row-identical to
+    the two-operator composition they replace."""
+    import pyspark.sql.functions as F
+
+    ids = spark.range(0, 60).select(F.col("id").alias("doc_id"))
+    meta_old = (
+        M.attach_media_meta(M.synthesize_test_media(ids))
+        .select("doc_id", "media_meta.*").collect()
+    )
+    meta_new = (
+        M.synthesize_media_meta(ids)
+        .select("doc_id", "media_meta.*").collect()
+    )
+    assert sorted(meta_old) == sorted(meta_new)
+    pix_old = M.extract_media_content(
+        M.synthesize_test_media(ids, pattern=True)
+    ).collect()
+    pix_new = M.synthesize_media_content(ids, pattern=True).collect()
+    assert sorted(pix_old, key=lambda r: r["doc_id"]) == sorted(
+        pix_new, key=lambda r: r["doc_id"]
+    )
+    # one Python eval node per fused plan (the point of the fusion)
+    plan = (
+        M.synthesize_media_content(ids, pattern=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") == 1

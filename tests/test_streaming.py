@@ -466,3 +466,68 @@ def test_incremental_semantic_dedup_sink_loop(spark, sf_dir, tmp_path):
     assert spark.conf.get(
         "spark.sea_serpent.fanout.parallelism", None
     ) is None
+
+
+def test_sink_driver_built_band_rows_bit_parity(spark, sf_dir, tmp_path):
+    """r15: the sink's driver-built band-index append rows (computed
+    from the probe's collected delta signatures) are row-identical —
+    id, band, key, sig, kb — to the distributed
+    ``banded_signatures(keep_sigs) + _kb_expr`` formulation they
+    replaced."""
+    import pyspark.sql.functions as F
+
+    from sea_serpent_spark.operators import dedup as D
+    from sea_serpent_spark.operators import incremental as I
+    from sea_serpent_spark.streaming.dedup import incremental_dedup_sink
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist = docs.where(F.col("doc_id") < 150)
+    delta = docs.where(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 300)
+    )  # overlap [100,150) exercises reingest drops
+    idxp = str(tmp_path / "idx")
+    outp = str(tmp_path / "out")
+    src = str(tmp_path / "src")
+    I.write_band_index(
+        I.minhash_band_index(hist, key_buckets=8), idxp, key_buckets=8
+    )
+    files_before = {
+        str(p) for p in __import__("pathlib").Path(idxp).rglob("*.parquet")
+    }
+    delta.coalesce(1).write.parquet(src)
+    (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream.foreachBatch(
+            incremental_dedup_sink(idxp, outp, jaccard_threshold=0.5)
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start().awaitTermination()
+    )
+    new_files = [
+        str(p) for p in __import__("pathlib").Path(idxp).rglob("*.parquet")
+        if str(p) not in files_before
+    ]
+    assert new_files  # the append happened
+    appended = spark.read.option("basePath", I._current(idxp)).parquet(
+        *new_files
+    ) if hasattr(I, "_current") else None
+    if appended is None:
+        from sea_serpent_spark.operators import artifact as A
+
+        appended = spark.read.option(
+            "basePath", A.current_dir(idxp)
+        ).parquet(*new_files)
+    # old formulation, computed independently over the same survivors
+    out_df = spark.read.parquet(outp)
+    sigs = D.minhash_signature(out_df, "text", "doc_id", 16, 1)
+    expect = D.banded_signatures(sigs, 16, 4, keep=("sig",)).select(
+        "id", "band", "key", "sig"
+    ).withColumn("kb", I._kb_expr(8))
+    got = appended.select("id", "band", "key", "sig", "kb")
+    def keyed(rows):
+        return sorted(
+            (r["id"], r["band"], r["key"], tuple(r["sig"]), r["kb"])
+            for r in rows
+        )
+    assert keyed(got.collect()) == keyed(expect.collect())
