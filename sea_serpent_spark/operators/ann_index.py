@@ -58,6 +58,46 @@ _ANN_TAIL = "_tail"
 #: the candidate join; ~512 B/row at dim=64 → ≈250 MB worst case.
 _QUERY_BROADCAST_CAP = 500_000
 
+#: r15: probe batches at or under this many (query × nprobe) rows have
+#: their probe frame pulled to the driver in ONE bounded take and
+#: rebuilt as a local relation — collapsing the probe setup's three
+#: actions (checkpoint fill, probed-label collect, broadcast count
+#: gate) into one job. 2048 rows of (id, vector, label) is ≤ ~0.5 MB
+#: driver-side at typical dims; bulk scoring batches overflow the take
+#: and keep the distributed checkpoint flow.
+_LOCAL_PROBE_QUERY_CAP = 2048
+
+
+def _probe_frame(spark, q_plan, label_col: str = "label"):
+    """→ (q, probed_labels, broadcastable) for an exploded probe plan.
+
+    Trigger-sized batches: ONE ``take`` executes probe selection once;
+    the probed label set and the row count come from the in-hand rows,
+    and the join side is rebuilt as a driver-local relation (a
+    LocalRelation when small enough — its broadcast build then runs
+    driver-side with no Spark job and no codegen; see
+    ``util.local_rows_df``). Values round-trip exactly: floats are
+    IEEE754 doubles both sides, so the rebuilt literals score
+    bit-identically. Oversized batches keep the r10 checkpointed flow
+    (one materialization serving the label collect, the count gate and
+    the candidate join)."""
+    from .util import local_rows_df, one_shot_take
+
+    with one_shot_take(spark):
+        rows = q_plan.take(_LOCAL_PROBE_QUERY_CAP + 1)
+    if len(rows) <= _LOCAL_PROBE_QUERY_CAP:
+        probed = sorted({int(r[label_col]) for r in rows})
+        q = local_rows_df(spark, [tuple(r) for r in rows], q_plan.schema)
+        return q, probed, True
+    q, _ = tracked_checkpoint(q_plan)
+    probed = sorted(
+        {
+            int(r[label_col])
+            for r in q.select(label_col).distinct().collect()
+        }
+    )  # ≤ len(centroids) rows — constant-bounded collect
+    return q, probed, q.count() <= _QUERY_BROADCAST_CAP
+
 
 def build_ivf_index(
     corpus: DataFrame,
@@ -799,14 +839,11 @@ def ivf_index_topk(
     ).select(
         "query_id", "qv", "nq", F.explode("probes").alias("label")
     )
-    # materialize the (queries × nprobe)-sized probe frame ONCE: the
-    # probed-label collect, the broadcast count gate, and the candidate
-    # join otherwise EACH re-run the query-source scan + probe selection
-    # (three executions, measured in the r10 k=64 rehearsal)
-    q, _ = tracked_checkpoint(q)
-    probed = sorted(
-        {int(r["label"]) for r in q.select("label").distinct().collect()}
-    )  # ≤ len(centroids) rows — constant-bounded collect
+    # ONE bounded take materializes probe selection and yields the
+    # probed labels + count gate from the in-hand rows (r15 —
+    # collapsing the r10 three-action setup; bulk batches overflow to
+    # the checkpointed flow inside the helper)
+    q, probed, bcast = _probe_frame(spark, q)
     idx = fan_out(
         _index_frame(
             spark, src, meta,
@@ -824,7 +861,7 @@ def ivf_index_topk(
     # the index side map-local — but only while the batch is genuinely
     # broadcastable; a bulk scoring job (millions of queries) falls
     # back to the shuffle join and should split its batch instead.
-    if q.count() <= _QUERY_BROADCAST_CAP:
+    if bcast:
         q = F.broadcast(q)
     scored = (
         idx.join(q, "label")
@@ -886,12 +923,9 @@ def ivf_index_pq_topk(
     ).select(
         id_col, vec_col, F.explode("probes").alias("label")
     )
-    # one materialization serves the label collect and the join side
-    # (see ivf_index_topk — same three-execution finding)
-    q, _ = tracked_checkpoint(q)
-    probed = sorted(
-        {int(r["label"]) for r in q.select("label").distinct().collect()}
-    )  # ≤ len(centroids) rows — constant-bounded collect
+    # ONE bounded take serves the label collect and the join side
+    # (r15 — see ivf_index_topk; pq_topk broadcasts q itself)
+    q, probed, _bcast = _probe_frame(spark, q)
     idx = _index_frame(
         spark, src, meta,
         main_cache=_direct_main_cache(spark, src, path),

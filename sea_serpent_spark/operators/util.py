@@ -512,10 +512,39 @@ def scalar_action_confs(spark):
 
 
 #: local_rows_df falls back to createDataFrame past this many CELLS:
-#: named-parameter binding costs ~0.5-1 ms/cell of driver time
-#: (measured), so the LocalRelation win (~1.5 s cold / ~0.4 s warm per
-#: broadcast consumer) inverts somewhere past a few hundred cells.
-_LOCAL_ROWS_CELL_CAP = 256
+#: the one-statement SQL text stays driver-cheap into the thousands of
+#: cells (~µs/cell of string building + one JVM parse), but the whole
+#: relation lives in the PLAN — caps at a size where plan bloat and
+#: broadcast re-serialization stay trivially bounded.
+_LOCAL_ROWS_CELL_CAP = 4096
+
+
+def _sql_lit(v) -> str:
+    """One value → a Spark SQL literal, exactly round-trippable under
+    the per-column CAST local_rows_df wraps around it. Floats go
+    through a STRING cast (Java ``Double.parseDouble`` of Python's
+    shortest ``repr`` reproduces the exact IEEE754 double — and it
+    covers Infinity/NaN); strings escape backslash + quote (the only
+    escapes Spark's default string literal needs)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        r = repr(v)
+        r = {"inf": "Infinity", "-inf": "-Infinity", "nan": "NaN"}.get(
+            r, r
+        )
+        return f"CAST('{r}' AS DOUBLE)"
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if isinstance(v, (list, tuple)):
+        return "ARRAY(" + ",".join(_sql_lit(x) for x in v) + ")"
+    raise TypeError(
+        f"local_rows_df cannot inline a {type(v).__name__} literal"
+    )
 
 
 def local_rows_df(spark, rows, schema: str):
@@ -528,16 +557,18 @@ def local_rows_df(spark, rows, schema: str):
     LocalRelation twin is driver-collected with neither). A VALUES
     relation folds to a ``LocalTableScan``.
 
-    Values are bound as NAMED PARAMETERS (no SQL text escaping —
-    arbitrary strings are safe), and every column is cast to its
-    declared type, so the result schema is identical to the
-    ``createDataFrame(rows, schema)`` twin. ``schema`` is the DDL
+    Values are INLINED as SQL literals in one statement — one py4j
+    round trip total (the named-parameter form measured ~5 ms/cell of
+    per-arg py4j traffic); strings are escaped, floats round-trip
+    exactly through a string cast, and every column is cast to its
+    declared type, so the result schema and values are identical to
+    the ``createDataFrame(rows, schema)`` twin. ``schema`` is the DDL
     string form (columns nullable, as createDataFrame infers for
     list-of-rows input) or a ``StructType`` (declared nullability
     honored — values for non-nullable fields must be non-NULL). Use
     for SMALL literal tables only (rule snapshots, driver-computed id
-    lists, single-row tags): the whole relation lives in the plan and
-    on the driver."""
+    lists, probe batches, single-row tags): the whole relation lives
+    in the plan and on the driver."""
     from pyspark.sql import types as _T
 
     fields = (
@@ -545,17 +576,16 @@ def local_rows_df(spark, rows, schema: str):
         if isinstance(schema, str)
         else schema
     )
-    if not rows or len(rows) * len(fields) > _LOCAL_ROWS_CELL_CAP:
+    cells = sum(
+        len(v) if isinstance(v, (list, tuple)) else 1
+        for row in rows
+        for v in row
+    )
+    if not rows or cells > _LOCAL_ROWS_CELL_CAP:
         return spark.createDataFrame(rows, schema)
-    args: dict = {}
-    tuples = []
-    for i, row in enumerate(rows):
-        slots = []
-        for j, v in enumerate(row):
-            name = f"p{i}_{j}"
-            args[name] = v
-            slots.append(f":{name}")
-        tuples.append("(" + ",".join(slots) + ")")
+    tuples = [
+        "(" + ",".join(_sql_lit(v) for v in row) + ")" for row in rows
+    ]
     raw_cols = ", ".join(f"c{j}" for j in range(len(fields)))
     # IF(TRUE, c, NULL) makes a column NULLABLE in the ANALYZED plan
     # (which is what df.schema reports — exact createDataFrame parity,
@@ -573,8 +603,7 @@ def local_rows_df(spark, rows, schema: str):
     )
     return spark.sql(
         f"SELECT {proj} FROM VALUES {', '.join(tuples)} "
-        f"AS t({raw_cols})",
-        args=args,
+        f"AS t({raw_cols})"
     )
 
 
