@@ -1338,11 +1338,6 @@ def _dedup_local_probe(
         ingest_out["survivor_ids"] = [
             v for v in delta_ids if v not in losers
         ]
-        # the delta's collected (id, sig) rows (r15): the ingest sink
-        # derives the survivors' band-index append rows from these
-        # driver-side — no fan-out exchange, no scan of the persisted
-        # signature cache, a one-task local-relation write per batch
-        ingest_out["delta_sigs"] = delta
     if not losers:
         return new_df
     # isin predicate instead of an anti-join: NULL-id rows are kept,

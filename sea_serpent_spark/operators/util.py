@@ -582,7 +582,18 @@ def local_rows_df(spark, rows, schema: str):
         for v in row
     )
     if not rows or cells > _LOCAL_ROWS_CELL_CAP:
-        return spark.createDataFrame(rows, schema)
+        if not rows:
+            return spark.createDataFrame(rows, schema)
+        # oversized fallback: parallelize with FEW slices.
+        # createDataFrame(list) defaults to defaultParallelism (32)
+        # slices, and every consuming job pays ~130 ms of
+        # Python-runner overhead PER SLICE (measured r15 — a 1700-row
+        # 32-slice frame cost ~4 s per write/scan); a handful of
+        # slices keeps the conversion parallel enough at this size
+        # with ~100× less runner overhead.
+        n_slices = max(1, min(8, cells // _LOCAL_ROWS_CELL_CAP))
+        rdd = spark.sparkContext.parallelize(list(rows), n_slices)
+        return spark.createDataFrame(rdd, schema)
     tuples = [
         "(" + ",".join(_sql_lit(v) for v in row) + ")" for row in rows
     ]

@@ -287,6 +287,7 @@ def incremental_dedup_sink(
     index but never written to the output are silently LOST. Exactly-
     once needs an atomic sink for both paths (e.g. a transactional
     table format) — out of scope for plain parquet."""
+    from ..operators.dedup import banded_signatures
     from ..operators.incremental import (
         _kb_expr,
         compact_band_index,
@@ -321,41 +322,33 @@ def incremental_dedup_sink(
             num_hashes, bands, shingle_n, jaccard_threshold,
             key_buckets=nb, ingest_out=out,
         )
-        if out.get("driver_path") and out.get("delta_sigs") is not None:
-            # r13 collapsed append path, r15 driver-built: the probe
-            # already COLLECTED every delta (id, sig) row, so the
-            # survivors' band rows are pure driver arithmetic — the
-            # same banding layout the probe's key pruning replicates
-            # (``_band_key`` == ``banded_signatures``' concat, the
-            # structural-parity contract) — and the append becomes a
-            # one-task local-relation write: no fan-out exchange, no
-            # scan of the persisted signature cache. ``kb`` is still
-            # stamped by the JVM ``_kb_expr`` on the local frame, so
-            # writer/probe bucket parity stays structural. Bloom delta
-            # comes from the survivor ids (zero jobs), as before.
+        if out.get("driver_path") and out.get("sigs") is not None:
+            # r15 NOTE: a driver-built local band frame (from the
+            # probe's collected delta sigs) was tried here and REVERTED
+            # after an interleaved A/B showed +4-5 s PER BATCH: a
+            # parallelize-backed frame pays ~130 ms of Python-runner
+            # overhead PER PARTITION in every consuming job (measured;
+            # 32 default slices -> ~4 s), while this JVM path scans the
+            # already-persisted signature cache with no Python anywhere.
+            # See BENCH_NOTES "round 15".
+            # r13 collapsed append path: the probe already holds the
+            # loser/survivor id lists and the delta's cached signature
+            # frame — derive the survivors' band rows from the cache
+            # (zero re-shingling, zero text re-read) and build the
+            # bloom delta locally from the survivor ids (zero jobs).
+            # No persist needed: the output write is the only scan of
+            # the batch data, and the band append scans the sig cache.
             kept.write.mode("append").parquet(output_path)
-            losers = set(out["loser_ids"])
-            from ..operators.dedup import _check_banding
-
-            rpb = _check_banding(num_hashes, bands)
-            local_rows = [
-                (did, b,
-                 "-".join(
-                     str(v) for v in sig[b * rpb:(b + 1) * rpb]
-                 ),
-                 list(sig))
-                for did, sig in out["delta_sigs"]
-                if did is None or did not in losers
-                for b in range(bands)
-            ]
-            sig_f = out["sigs"].schema
-            band_schema = T.StructType([
-                sig_f["id"],
-                T.StructField("band", T.IntegerType(), False),
-                T.StructField("key", T.StringType(), False),
-                sig_f["sig"],
-            ])
-            band_rows = spark.createDataFrame(local_rows, band_schema)
+            losers = out["loser_ids"]
+            keep_sigs = out["sigs"]
+            if losers:
+                keep_sigs = keep_sigs.where(
+                    F.col("id").isNull()
+                    | ~F.col("id").isin(list(losers))
+                )
+            band_rows = banded_signatures(
+                keep_sigs, num_hashes, bands, keep=("sig",)
+            ).select("id", "band", "key", "sig")
             if nb:
                 band_rows = band_rows.withColumn("kb", _kb_expr(nb))
                 write_band_index(

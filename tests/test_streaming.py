@@ -468,12 +468,14 @@ def test_incremental_semantic_dedup_sink_loop(spark, sf_dir, tmp_path):
     ) is None
 
 
-def test_sink_driver_built_band_rows_bit_parity(spark, sf_dir, tmp_path):
-    """r15: the sink's driver-built band-index append rows (computed
-    from the probe's collected delta signatures) are row-identical —
-    id, band, key, sig, kb — to the distributed
-    ``banded_signatures(keep_sigs) + _kb_expr`` formulation they
-    replaced."""
+def test_sink_band_append_rows_bit_parity(spark, sf_dir, tmp_path):
+    """r15: the sink's per-batch band-index append rows are
+    row-identical — id, band, key, sig, kb — to an independent
+    ``banded_signatures(minhash_signature(survivors)) + _kb_expr``
+    recomputation. (Pins the append layout; originally added for a
+    driver-built variant that was REVERTED after it measured +4-5 s
+    per batch — parallelize-backed frames pay per-slice Python-runner
+    overhead in every consuming job. See BENCH_NOTES r15.)"""
     import pyspark.sql.functions as F
 
     from sea_serpent_spark.operators import dedup as D
